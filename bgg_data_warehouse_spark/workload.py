@@ -1,0 +1,579 @@
+"""The graded query surface: one entry per SURVEY.md §2 operator pattern.
+
+Each query is a function ``(spark, sf_dir) -> DataFrame`` expressed on the
+driver's TPC-H-ish testdata (FIXTURES.md §B maps every reference pattern to
+these tables), paired with an ANSI-SQL oracle DuckDB runs on the same
+parquet. Conventions for bit-stable oracle comparison:
+
+- every computed column is aliased identically in Spark and SQL;
+- money sums go through DECIMAL(18,2) (exact, order-independent) and are
+  cast back to DOUBLE + ROUND(2) — double-sum ordering differences between
+  engines can flip a rounded cent otherwise;
+- ratios divide two exact values in DOUBLE (deterministic IEEE) then ROUND;
+- arrays are sorted; ROW_NUMBER orderings always carry a PK tiebreak;
+- session timezone pinned to UTC (DuckDB reads parquet timestamps naive).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .session import tune_session
+from .sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _dec(c, scale: int = 2):
+    return F.col(c).cast(f"decimal(18,{scale})") if isinstance(c, str) else c.cast(f"decimal(18,{scale})")
+
+
+def _money_sum(expr) -> F.Column:
+    """Exact decimal sum rendered as a rounded double (order-independent)."""
+    return F.round(F.sum(expr).cast("double"), 2)
+
+
+# ---------------------------------------------------------------------------
+# W1/J1 — latest-row-per-key dedup (games_active pattern,
+# reference definitions/games_active.sqlx:7-43)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "latest_snapshot",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, ts
+    FROM (
+      SELECT e.*, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events e
+    ) WHERE rn = 1
+    """,
+)
+def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.latest import latest_per_key
+
+    events = load_table(spark, sf_dir, "events")
+    return latest_per_key(
+        events, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_id", "event_type", "value", "ts")
+
+
+# ---------------------------------------------------------------------------
+# A2/J3 — ARRAY_AGG IGNORE NULLS behind left joins (games_features pattern,
+# reference definitions/games_features.sqlx:14-59,84-89)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "feature_arrays",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_name,
+           coalesce(
+             list_sort(list(DISTINCT p.p_brand) FILTER (WHERE p.p_brand IS NOT NULL)),
+             []) AS brands,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def feature_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey, "left")
+        .join(part, part.p_partkey == lineitem.l_partkey, "left")
+    )
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("brands"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2/A4/A6 — dual ranking windows + ordered STRING_AGG + conditional aggs
+# (best_player_counts pattern, reference definitions/best_player_counts.sqlx)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dual_rank_topk",
+    oracle="""
+    WITH m AS (
+      SELECT l_suppkey,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+               AS revenue,
+             count(*) AS n_items
+      FROM lineitem GROUP BY l_suppkey
+    ), r AS (
+      SELECT s.s_nationkey, s.s_name, s.s_acctbal, m.revenue, m.n_items,
+             ROW_NUMBER() OVER (PARTITION BY s.s_nationkey
+                                ORDER BY m.revenue DESC, s.s_suppkey) AS revenue_rank,
+             ROW_NUMBER() OVER (PARTITION BY s.s_nationkey
+                                ORDER BY m.n_items DESC, s.s_suppkey) AS volume_rank
+      FROM supplier s JOIN m ON s.s_suppkey = m.l_suppkey
+    )
+    SELECT s_nationkey,
+           string_agg(CASE WHEN revenue_rank <= 3 THEN s_name END, ', '
+                      ORDER BY revenue_rank) AS top_revenue_suppliers,
+           round(max(CASE WHEN revenue_rank = 1 THEN s_acctbal END), 2)
+             AS best_supplier_acctbal,
+           (count(CASE WHEN volume_rank <= 3 THEN 1 END) > 0) AS has_top_volume
+    FROM r GROUP BY s_nationkey
+    """,
+)
+def dual_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    metrics = lineitem.groupBy("l_suppkey").agg(
+        _money_sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+    r = supplier.join(metrics, supplier.s_suppkey == metrics.l_suppkey)
+    w_rev = Window.partitionBy("s_nationkey").orderBy(F.col("revenue").desc(), F.col("s_suppkey"))
+    w_vol = Window.partitionBy("s_nationkey").orderBy(F.col("n_items").desc(), F.col("s_suppkey"))
+    ranked = r.withColumn("revenue_rank", F.row_number().over(w_rev)).withColumn(
+        "volume_rank", F.row_number().over(w_vol)
+    )
+    # ordered STRING_AGG == sort collected (rank, name) structs then join —
+    # collect_list order is nondeterministic, array_sort restores it (A4).
+    return ranked.groupBy("s_nationkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("revenue_rank") <= 3,
+                            F.struct(F.col("revenue_rank").alias("r"), F.col("s_name").alias("n")),
+                        )
+                    )
+                ),
+                lambda x: x["n"],
+            ),
+            ", ",
+        ).alias("top_revenue_suppliers"),
+        F.round(F.max(F.when(F.col("revenue_rank") == 1, F.col("s_acctbal"))), 2).alias(
+            "best_supplier_acctbal"
+        ),
+        (F.count(F.when(F.col("volume_rank") <= 3, F.lit(1))) > 0).alias("has_top_volume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — guarded ratio projection (vote-percentage pattern,
+# reference definitions/best_player_counts.sqlx:25-33)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ratio_guarded",
+    oracle="""
+    WITH rev AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS line_rev
+      FROM lineitem
+    ), tot AS (
+      SELECT l_orderkey, sum(line_rev) AS order_rev FROM rev GROUP BY l_orderkey
+    )
+    SELECT r.l_orderkey, r.l_linenumber,
+           CASE WHEN t.order_rev = 0 THEN 0.0
+                ELSE round(CAST(r.line_rev AS DOUBLE) / CAST(t.order_rev AS DOUBLE) * 100, 2)
+           END AS rev_share_pct
+    FROM rev r JOIN tot t ON r.l_orderkey = t.l_orderkey
+    """,
+)
+def ratio_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("line_rev"),
+    )
+    tot = rev.groupBy("l_orderkey").agg(F.sum("line_rev").alias("order_rev"))
+    return rev.join(tot, "l_orderkey").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("order_rev") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("line_rev").cast("double") / F.col("order_rev").cast("double") * 100, 2
+            )
+        )
+        .alias("rev_share_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/O1 — COUNT DISTINCT + global top-N (filter_categories pattern,
+# reference definitions/filter_categories.sqlx:9-16)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_topn",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, count(DISTINCT l.l_orderkey) AS order_count
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY order_count DESC, p.p_partkey
+    LIMIT 100
+    """,
+)
+def filter_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(lineitem, lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(F.countDistinct("l_orderkey").alias("order_count"))
+        .orderBy(F.col("order_count").desc(), F.col("p_partkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 — UNION ALL with discriminator (filter_options_combined pattern,
+# reference definitions/filter_options_combined.sqlx:6-23)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "union_discriminated",
+    oracle="""
+    SELECT 'supplier' AS entity_type, CAST(s_suppkey AS BIGINT) AS entity_id, s_name AS name FROM supplier
+    UNION ALL
+    SELECT 'customer', CAST(c_custkey AS BIGINT), c_name FROM customer
+    UNION ALL
+    SELECT 'part', CAST(p_partkey AS BIGINT), p_name FROM part
+    """,
+)
+def union_discriminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    def opt(df: DataFrame, tag: str, idc: str, namec: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("entity_type"),
+            F.col(idc).cast("long").alias("entity_id"),
+            F.col(namec).alias("name"),
+        )
+
+    return (
+        opt(supplier, "supplier", "s_suppkey", "s_name")
+        .unionByName(opt(customer, "customer", "c_custkey", "c_name"))
+        .unionByName(opt(part, "part", "p_partkey", "p_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — anti-join pending-work (unprocessed-responses pattern,
+# reference src/modules/response_processor.py:156-165,182-201)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "anti_join_pending",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    """,
+)
+def anti_join_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    returned = lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return orders.join(
+        returned, orders.o_orderkey == returned.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# J6 — semi-join scoped aggregation (incremental changed-keys pattern,
+# reference definitions/games_features.sqlx:15-18)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semi_scoped_agg",
+    oracle="""
+    SELECT o.o_custkey AS c_custkey,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_spent,
+           count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.event_type = 'purchase' AND e.user_id = o.o_custkey
+    )
+    GROUP BY o.o_custkey
+    """,
+)
+def semi_scoped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    changed = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("o_custkey")
+    )
+    return (
+        orders.join(changed, "o_custkey", "left_semi")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            _money_sum(_dec("o_totalprice")).alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7 + W1 — scalar-subquery latest-version filter then latest-per-key
+# (bgg_game_embeddings pattern, reference definitions/bgg_game_embeddings.sqlx:10-38)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "latest_version_dedup",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+      SELECT o.*, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders o
+      WHERE year(o_orderdate) = (SELECT max(year(o_orderdate)) FROM orders)
+    ) WHERE rn = 1
+    """,
+)
+def latest_version_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.latest import latest_per_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    max_year = orders.agg(F.max(F.year("o_orderdate")).alias("y"))
+    latest_gen = orders.join(
+        F.broadcast(max_year), F.year(orders.o_orderdate) == max_year.y, "inner"
+    )
+    return latest_per_key(
+        latest_gen, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# I1 — high-watermark incremental filter (reference
+# definitions/games_features.sqlx:11,99 ${when(incremental(), ...)})
+# ---------------------------------------------------------------------------
+
+WATERMARK = "2024-01-20 00:00:00"
+
+
+@query(
+    "watermark_increment",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    WHERE ts > TIMESTAMP '{WATERMARK}'
+    GROUP BY event_type
+    """,
+)
+def watermark_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(F.col("ts") > F.to_timestamp(F.lit(WATERMARK)))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _money_sum(_dec("value")).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6 — MERGE insert-if-absent (dimension upsert,
+# reference src/data_processor/loader.py:151-163)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "merge_insert_missing",
+    oracle="""
+    WITH incoming AS (
+      SELECT p_partkey, p_name, p_brand FROM part WHERE p_size > 40
+      UNION ALL
+      SELECT p_partkey + 1000000 AS p_partkey, 'NEW ' || p_name AS p_name, p_brand
+      FROM part WHERE p_size > 45
+    ), existing AS (
+      SELECT p_partkey, p_name, p_brand FROM part
+    )
+    SELECT * FROM existing
+    UNION ALL
+    SELECT * FROM (
+      SELECT DISTINCT ON (p_partkey) p_partkey, p_name, p_brand FROM incoming
+      ORDER BY p_partkey
+    ) i
+    WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.p_partkey = i.p_partkey)
+    """,
+)
+def merge_insert_missing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.merge import merge_insert_missing
+
+    part = load_table(spark, sf_dir, "part")
+    existing = part.select("p_partkey", "p_name", "p_brand")
+    # incoming batch: half overlapping keys (ignored), half new keys (inserted)
+    overlap = part.where(F.col("p_size") > 40).select("p_partkey", "p_name", "p_brand")
+    new = part.where(F.col("p_size") > 45).select(
+        (F.col("p_partkey") + 1000000).alias("p_partkey"),
+        F.concat(F.lit("NEW "), F.col("p_name")).alias("p_name"),
+        "p_brand",
+    )
+    return merge_insert_missing(existing, overlap.unionByName(new), ["p_partkey"])
+
+
+# ---------------------------------------------------------------------------
+# S7 — delete+insert refresh (bridge-table refresh,
+# reference src/data_processor/loader.py:57-84,166-176)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "delete_insert_refresh",
+    oracle="""
+    WITH repl AS (
+      SELECT l_orderkey, 1 AS l_linenumber,
+             CAST(sum(l_quantity) AS DOUBLE) AS l_quantity,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS l_extendedprice
+      FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(CAST(l_extendedprice AS DOUBLE), 2) AS l_extendedprice
+    FROM lineitem WHERE l_orderkey % 100 <> 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM repl
+    """,
+)
+def delete_insert_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.merge import delete_insert
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    existing = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.round(F.col("l_extendedprice").cast("double"), 2).alias("l_extendedprice"),
+    )
+    replacement = (
+        lineitem.where(F.col("l_orderkey") % 100 == 0)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("l_quantity"),
+            _money_sum(_dec("l_extendedprice")).alias("l_extendedprice"),
+        )
+        .select(
+            "l_orderkey",
+            F.lit(1).alias("l_linenumber"),
+            "l_quantity",
+            "l_extendedprice",
+        )
+    )
+    return delete_insert(existing, replacement, ["l_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# U3/P8 — staleness/age-band classification (refresh-policy pattern,
+# reference src/modules/response_refresher.py:151-209, config/bigquery.yaml:10-34)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "staleness_bands",
+    oracle="""
+    SELECT CASE
+             WHEN o_orderdate >= TIMESTAMP '2001-01-01' THEN 'fresh'
+             WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 'recent'
+             WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 'aging'
+             ELSE 'stale'
+           END AS band,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def staleness_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_orderdate") >= F.to_timestamp(F.lit("2001-01-01 00:00:00")), "fresh")
+        .when(F.col("o_orderdate") >= F.to_timestamp(F.lit("1999-01-01 00:00:00")), "recent")
+        .when(F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")), "aging")
+        .otherwise("stale")
+    )
+    return (
+        orders.withColumn("band", band)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped batch rollup — tumbling-window aggregation (the batch
+# twin of streaming/ingest.py's windowed agg; oracle via date_trunc)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hourly_event_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _money_sum(_dec("value")).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
