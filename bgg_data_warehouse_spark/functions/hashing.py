@@ -33,9 +33,15 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     no shingles get a per-slot sentinel (max long) so they never collide
     with real signatures.
     """
+    def hasher(seed: int):
+        # NB: closure, NOT a default arg — PySpark counts default args in
+        # lambda arity and would bind the 2nd transform arg (the element
+        # INDEX) instead of the seed.
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     mins = [
         F.coalesce(
-            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(s, F.lit(j)))),
+            F.array_min(F.transform(shingles, hasher(j))),
             F.lit(2**63 - 1),
         )
         for j in range(num_hashes)
@@ -66,14 +72,14 @@ def simhash64(tokens: Column) -> Column:
     Near-duplicate docs differ in few bits (small Hamming distance).
     """
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def bit_merger(m):
+        return lambda acc, h: acc + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
+
     bit_cols = []
     for i in range(64):
         mask = F.shiftleft(F.lit(1).cast("long"), i)
-        bit_sum = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, m=mask: acc + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
-        )
+        bit_sum = F.aggregate(hashes, F.lit(0), bit_merger(mask))
         bit_cols.append(F.when(bit_sum > 0, mask).otherwise(F.lit(0).cast("long")))
     return reduce(lambda a, b: a.bitwiseOR(b), bit_cols)
 

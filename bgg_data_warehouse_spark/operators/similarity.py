@@ -77,18 +77,17 @@ def _hyperplane_sig(vec, num_bits: int, seed: int):
     Hyperplane h_b component i = hash(b, i) mapped to [-1, 1] — fully
     deterministic, no RNG state, identical on every executor.
     """
+    def projector(plane: int):
+        # closure, not a default arg — defaults inflate PySpark lambda arity
+        return lambda x, i: x.cast("double") * (
+            (F.pmod(F.xxhash64(F.lit(seed), F.lit(plane), i), F.lit(2000001)) - 1000000)
+            / 1000000.0
+        )
+
     bits = []
     for b in range(num_bits):
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, i, b=b: x.cast("double")
-                * (
-                    (F.pmod(F.xxhash64(F.lit(seed), F.lit(b), i), F.lit(2000001)) - 1000000)
-                    / 1000000.0
-                ),
-            ),
+            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), projector(b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -169,10 +168,9 @@ def ivf_topk(
     Corpus rows are assigned to their nearest centroid; queries search
     their ``nprobe`` nearest cells only.
     """
-    w_id = Window.orderBy(F.col(id_col).asc())
     centroids = (
         corpus.select(F.col(id_col).alias("cent_src"), F.col(vec_col).alias("cent_vec"))
-        .withColumn("_rn", F.row_number().over(w_id))
+        .withColumn("_rn", F.row_number().over(Window.orderBy(F.col("cent_src").asc())))
         .where(F.col("_rn") <= num_cells)
         .select((F.col("_rn") - 1).alias("cell"), "cent_vec")
     )

@@ -577,3 +577,443 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
+
+
+# ===========================================================================
+# Vector similarity layer (F8/J7/J8/W3/O2 — game_neighbors / live k-NN)
+# ===========================================================================
+
+_DUCK_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+@query(
+    "band_self_join_knn",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT s.vec_id AS query_id, t.vec_id AS nbr_id,
+             {_DUCK_COS.format(a='s.embedding', b='t.embedding')} AS cos
+      FROM embeddings s JOIN embeddings t
+        ON t.vec_id <> s.vec_id
+       AND t.label BETWEEN s.label - 1 AND s.label + 1
+    ), ranked AS (
+      SELECT query_id, nbr_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, nbr_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, nbr_id, round(cos, 6) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def band_self_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """game_neighbors pattern (reference definitions/game_neighbors.sqlx:53-93):
+    banded self-join prunes candidates, exact cosine ranks, top-k per source.
+    The band join is bucketed (operators/band_join.py) — never all-pairs."""
+    from .functions.vector import cosine_similarity
+    from .operators.band_join import band_self_join
+    from .operators.latest import topk_per_key
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = band_self_join(emb, "vec_id", "label", 1.0).withColumn(
+        "cos", cosine_similarity(F.col("s_embedding"), F.col("t_embedding"))
+    )
+    return topk_per_key(
+        pairs,
+        ["s_vec_id"],
+        [F.col("cos").desc(), F.col("t_vec_id").asc()],
+        k=5,
+    ).select(
+        F.col("s_vec_id").alias("query_id"),
+        F.col("t_vec_id").alias("nbr_id"),
+        F.round("cos", 6).alias("cosine_sim"),
+        "rank",
+    )
+
+
+@query(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             {_DUCK_COS.format(a='q.embedding', b='c.embedding')} AS cos
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT query_id, nbr_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, nbr_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, nbr_id, round(cos, 6) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live k-NN baseline (reference src/warehouse/readers/games.py:200-216):
+    broadcast the small query side over ONE corpus scan — no corpus shuffle."""
+    from .operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb.where(F.col("vec_id") < 10), emb, "vec_id", "embedding", k=10
+    )
+
+
+@query("knn_lsh")  # approximate by construction → rows-only check
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.where(F.col("vec_id") < 10), emb, "vec_id", "embedding", k=10)
+
+
+@query("knn_ivf")  # approximate by construction → rows-only check
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.where(F.col("vec_id") < 10), emb, "vec_id", "embedding", k=10)
+
+
+@query("embedding_near_dup")  # LSH candidate generation → rows-only check
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+# ===========================================================================
+# Dedup family (LLM-pipeline extension; exact + sketch)
+# ===========================================================================
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT d.*, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents d
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id").select("doc_id", "lang", "source", "n_chars")
+
+
+@query("dedup_minhash")  # sketch-based → rows-only check
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+
+
+@query("dedup_simhash")  # sketch-based → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS doc, tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS t(tok)
+    ), sizes AS (
+      SELECT doc, count(*) AS n_tok FROM toks GROUP BY doc
+    ), inter AS (
+      SELECT l.doc AS doc_a, r.doc AS doc_b, count(*) AS i
+      FROM toks l JOIN toks r ON l.tok = r.tok AND l.doc < r.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.n_tok + sb.n_tok - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc
+    JOIN sizes sb ON inter.doc_b = sb.doc
+    WHERE i * 1.0 / (sa.n_tok + sb.n_tok - i) >= 0.97
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.97)
+
+
+# ===========================================================================
+# Text analysis (LLM-pipeline extension)
+# ===========================================================================
+
+
+def _duck_tokens(col: str = "text") -> str:
+    return f"list_filter(string_split_regex(lower({col}), '\\s+'), x -> x <> '')"
+
+
+def _duck_sw(lang: str) -> str:
+    from .functions.text import STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({_duck_tokens()}, x -> list_contains([{words}], x)))"
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_duck_sw('de')} AS s_de, {_duck_sw('en')} AS s_en,
+             {_duck_sw('es')} AS s_es, {_duck_sw('fr')} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+                WHEN s_es > greatest(s_de, s_en) THEN 'es'
+                WHEN s_en > s_de THEN 'en'
+                WHEN s_de > 0 THEN 'de'
+                ELSE 'und' END AS predicted_lang
+    FROM scored
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import predict_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", predict_lang(F.col("text")).alias("predicted_lang"))
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({_duck_tokens()}) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+               AS n_punct,
+             {_duck_sw('en')} AS n_sw,
+             list_sum(list_transform({_duck_tokens()}, x -> length(x))) AS tok_chars
+      FROM documents
+    ), ratios AS (
+      SELECT doc_id, n_chars, n_tokens,
+             CASE WHEN n_chars = 0 THEN 0.0
+                  ELSE n_punct * 1.0 / n_chars END AS punct_ratio,
+             CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE n_sw * 1.0 / n_tokens END AS sw_ratio,
+             CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE tok_chars * 1.0 / n_tokens END AS mean_word_len
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(punct_ratio, 4) AS punct_ratio,
+           round(sw_ratio, 4) AS stopword_ratio,
+           round(mean_word_len, 4) AS mean_word_len,
+           round(least(1.0, greatest(0.0,
+             0.5 + sw_ratio - punct_ratio * 2.0
+                 + CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        THEN 0.25 ELSE -0.25 END)), 4) AS quality_score
+    FROM ratios
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import quality_score_cols
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_score_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+             AS bpeish_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import token_count_bpeish, whitespace_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(whitespace_tokens(F.col("text"))).alias("ws_tokens"),
+        token_count_bpeish(F.col("text")).alias("bpeish_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS fingerprint, length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fingerprint"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@query("content_hash_change")  # engine-local hash values → rows-only check
+def content_hash_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 feature-change hash (reference definitions/game_features_hash.sqlx:9-29):
+    xxhash64(to_json(struct(...))) — compared only to itself across runs."""
+    from .functions.hashing import content_fingerprint
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        content_fingerprint(
+            F.col("o_custkey"), F.col("o_orderstatus"), F.col("o_orderpriority")
+        ).alias("features_hash"),
+    )
+
+
+# ===========================================================================
+# Nested serving documents (A3/F5/F6 — game_profile) + point lookup (R1)
+# ===========================================================================
+
+
+@query(
+    "nested_profile",
+    oracle="""
+    WITH ol AS (
+      SELECT o.o_custkey, o.o_orderkey, count(l.l_orderkey) AS n_lines
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey, o.o_orderkey
+    ), prof AS (
+      SELECT c.c_custkey, c.c_name,
+             count(ol.o_orderkey) AS n_orders,
+             coalesce(list_sort(list(ol.o_orderkey) FILTER (WHERE ol.o_orderkey IS NOT NULL)), []) AS order_keys,
+             coalesce(list(struct_pack(o := ol.o_orderkey, n := ol.n_lines)
+                           ORDER BY ol.o_orderkey)
+                      FILTER (WHERE ol.o_orderkey IS NOT NULL),
+                      []::STRUCT(o BIGINT, n BIGINT)[]) AS orders_detail
+      FROM customer c LEFT JOIN ol ON ol.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_name
+    )
+    SELECT c_custkey,
+           to_json(struct_pack(
+             c_custkey := c_custkey, c_name := c_name,
+             n_orders := n_orders, order_keys := order_keys,
+             orders_detail := orders_detail)) AS profile_json
+    FROM prof
+    """,
+)
+def nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """game_profile pattern (reference definitions/game_profile.sqlx:22-36,99-113):
+    per-key nested document with ordered ARRAY_AGG(STRUCT) blocks, rendered
+    as a canonical JSON string for engine-portable comparison."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ol = (
+        orders.join(lineitem, lineitem.l_orderkey == orders.o_orderkey, "left")
+        .groupBy("o_custkey", "o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+    )
+    prof = (
+        customer.join(ol, ol.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sort_array(
+                F.collect_list(F.col("o_orderkey"))
+            ).alias("order_keys"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("o_orderkey").isNotNull(),
+                        F.struct(
+                            F.col("o_orderkey").alias("o"), F.col("n_lines").alias("n")
+                        ),
+                    )
+                )
+            ).alias("orders_detail"),
+        )
+    )
+    return prof.select(
+        "c_custkey",
+        F.to_json(
+            F.struct("c_custkey", "c_name", "n_orders", "order_keys", "orders_detail")
+        ).alias("profile_json"),
+    )
+
+
+@query(
+    "point_lookup",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal,
+           count(o.o_orderkey) AS n_orders,
+           round(CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE), 2)
+             AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey = 42
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+    """,
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 point-document read (reference src/warehouse/readers/games.py:253-289):
+    the filter sits directly on the scan so Catalyst pushes it into parquet
+    (partition-pruned under the production bucketed layout in io.py)."""
+    customer = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") == 42)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(
+                F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_spent"),
+        )
+    )
+
+
+# ===========================================================================
+# Multimodal plumbing (LLM-pipeline extension; deterministic decode stub)
+# ===========================================================================
+
+
+@query("multimodal_features")  # mapInPandas decode stub → rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import attach_fake_payload, extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = attach_fake_payload(docs, "doc_id", "text")
+    return extract_image_features(assets)
+
+
+@query("multimodal_frame_sample")  # 1→N fan-out via mapInPandas → rows-only
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import attach_fake_payload, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = attach_fake_payload(docs, "doc_id", "text")
+    return sample_frames(assets, every_n_bytes=128)

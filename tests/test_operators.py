@@ -1,0 +1,93 @@
+"""Unit tests for the relational operator building blocks on tiny,
+hand-constructed frames (the reference's fixture style — SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_latest_per_key_picks_max_ts_with_tiebreak(spark):
+    from bgg_data_warehouse_spark.operators.latest import latest_per_key
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), "old"),
+            (1, datetime(2024, 1, 3), "new"),
+            (2, datetime(2024, 1, 2), "only"),
+            (3, datetime(2024, 1, 2), "tie-a"),
+            (3, datetime(2024, 1, 2), "tie-b"),
+        ],
+        "game_id long, load_timestamp timestamp, name string",
+    )
+    out = latest_per_key(
+        df, ["game_id"], [F.col("load_timestamp").desc(), F.col("name").desc()]
+    )
+    rows = {r.game_id: r.name for r in out.collect()}
+    assert rows == {1: "new", 2: "only", 3: "tie-b"}
+    assert out.count() == 3
+
+
+def test_topk_per_key_ranks_and_limits(spark):
+    from bgg_data_warehouse_spark.operators.latest import topk_per_key
+
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(5)] + [(2, 9, 1.0)],
+        "k long, id long, score double",
+    )
+    out = topk_per_key(df, ["k"], [F.col("score").desc(), F.col("id")], k=2)
+    got = {(r.k, r.id, r.rank) for r in out.collect()}
+    assert got == {(1, 4, 1), (1, 3, 2), (2, 9, 1)}
+
+
+def test_merge_insert_missing_keeps_existing_rows(spark):
+    from bgg_data_warehouse_spark.operators.merge import merge_insert_missing
+
+    existing = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    incoming = spark.createDataFrame(
+        [(2, "CHANGED"), (3, "c"), (3, "c-dup")], "id long, name string"
+    )
+    out = merge_insert_missing(existing, incoming, ["id"]).collect()
+    by_id = {r.id: r.name for r in out}
+    assert by_id[1] == "a"
+    assert by_id[2] == "b"  # existing wins; MERGE is insert-if-absent only
+    assert by_id[3] in ("c", "c-dup")  # one of the deduped incoming rows
+    assert len(out) == 3
+
+
+def test_delete_insert_replaces_all_rows_for_key(spark):
+    from bgg_data_warehouse_spark.operators.merge import delete_insert
+
+    existing = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "y"), (2, 1, "z")], "game_id long, seq long, v string"
+    )
+    replacement = spark.createDataFrame([(1, 9, "r")], "game_id long, seq long, v string")
+    out = delete_insert(existing, replacement, ["game_id"]).collect()
+    got = {(r.game_id, r.seq, r.v) for r in out}
+    assert got == {(1, 9, "r"), (2, 1, "z")}
+
+
+def test_band_self_join_matches_naive_theta_join(spark):
+    from bgg_data_warehouse_spark.operators.band_join import band_self_join
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1.0, 1.5, 2.1, 3.9, 4.0, 10.0])],
+        "id long, cx double",
+    )
+    band = 0.75
+    got = {
+        (r.s_id, r.t_id)
+        for r in band_self_join(df, "id", "cx", band).collect()
+    }
+    rows = df.collect()
+    expect = {
+        (a.id, b.id)
+        for a in rows
+        for b in rows
+        if a.id != b.id and abs(a.cx - b.cx) <= band
+    }
+    assert got == expect
+    # no duplicate pairs from the 3-bucket explode
+    pairs = [(r.s_id, r.t_id) for r in band_self_join(df, "id", "cx", band).collect()]
+    assert len(pairs) == len(set(pairs))
