@@ -53,16 +53,21 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
     )
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
+def lang_scores(text: Column, tokens: Column | None = None) -> dict[str, Column]:
     """Stopword-hit count per candidate language (the lang-ID signal)."""
-    toks = word_tokens(text)
+    toks = tokens if tokens is not None else word_tokens(text)
     return {lang: stopword_count(toks, lang) for lang in STOPWORDS}
 
 
-def predict_lang(text: Column) -> Column:
+def predict_lang(text: Column, tokens: Column | None = None) -> Column:
     """argmax over per-language stopword hits; deterministic tie-break by
-    language code order; 'und' (undetermined) when no stopwords hit."""
-    scores = lang_scores(text)
+    language code order; 'und' (undetermined) when no stopwords hit.
+
+    Pass a materialized ``tokens`` column (from ``word_tokens``) when
+    scoring several languages over the same text — otherwise each score
+    column re-tokenizes, and CollapseProject happily duplicates the split.
+    """
+    scores = lang_scores(text, tokens)
     # greatest-of + stable first-wins chain over sorted language codes
     best = None
     result = F.lit("und")
@@ -76,7 +81,7 @@ def predict_lang(text: Column) -> Column:
     return result
 
 
-def quality_score_cols(text: Column) -> dict[str, Column]:
+def quality_score_cols(text: Column, tokens: Column | None = None) -> dict[str, Column]:
     """Document-quality signals: length, punctuation ratio, stopword ratio,
     mean word length, and a composite score in [0, 1].
 
@@ -85,13 +90,15 @@ def quality_score_cols(text: Column) -> dict[str, Column]:
     double division so an ANSI-SQL oracle reproduces values bit-for-bit.
     """
     n_chars = F.length(text)
-    toks = word_tokens(text)
+    toks = tokens if tokens is not None else word_tokens(text)
     n_tokens = F.size(toks)
     n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
     punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
         n_punct.cast("double") / n_chars.cast("double")
     )
-    sw_ratio = stopword_ratio(text)
+    sw_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        stopword_count(toks, "en").cast("double") / n_tokens.cast("double")
+    )
     mean_word_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
         F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
         / n_tokens.cast("double")

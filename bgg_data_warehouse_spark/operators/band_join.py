@@ -65,3 +65,75 @@ def band_self_join(
 
 def bucket_expr(band_col: str, band: float, prefix: str, offset: int) -> Column:
     return (F.floor(F.col(f"{prefix}{band_col}") / F.lit(band)) + offset).cast("long")
+
+
+def banded_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    band_col: str,
+    vec_col: str,
+    band: float,
+) -> DataFrame:
+    """(s_id, t_id, cos) for all band-eligible pairs — cogrouped matmul.
+
+    The row-per-pair formulation ships both embeddings through the
+    exchange for EVERY pair (O(pairs·dim) bytes) and pays per-row Python
+    conversion in any UDF. Cogrouping by band bucket ships each vector
+    once per bucket (O(n·dim)), and the pair cosines for a bucket become
+    dense matrix arithmetic in one Arrow batch.
+
+    Bit-stability: the dot/norm accumulators loop over DIMENSIONS
+    sequentially (vectorized across the pair matrix), preserving the
+    left-associated IEEE summation of a per-row fold — results match the
+    Catalyst fold and DuckDB's list_dot_product exactly, so oracle hash
+    checks still pass.
+
+    Probe rows are exploded to their own + 2 adjacent buckets; build rows
+    stay in one bucket, so each eligible pair appears in exactly one
+    cogroup. The residual |Δband| <= band filter restores exact semantics.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bucket = F.floor(F.col(band_col) / F.lit(band)).cast("long")
+    probe = df.select(
+        F.col(id_col).alias("s_id"),
+        F.col(band_col).alias("s_band"),
+        F.col(vec_col).alias("s_vec"),
+        F.explode(F.array(*[(bucket + off) for off in (-1, 0, 1)])).alias("_bucket"),
+    )
+    build = df.select(
+        F.col(id_col).alias("t_id"),
+        F.col(band_col).alias("t_band"),
+        F.col(vec_col).alias("t_vec"),
+        bucket.alias("_bucket"),
+    )
+
+    def pair_block(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"s_id": [], "t_id": [], "cos": []})
+        S = np.stack([np.asarray(v, dtype=np.float64) for v in left["s_vec"]])
+        T = np.stack([np.asarray(v, dtype=np.float64) for v in right["t_vec"]])
+        dot = np.zeros((len(left), len(right)))
+        ns = np.zeros(len(left))
+        nt = np.zeros(len(right))
+        for i in range(S.shape[1]):  # sequential over dims = fold order
+            dot += np.outer(S[:, i], T[:, i])
+            ns += S[:, i] * S[:, i]
+            nt += T[:, i] * T[:, i]
+        cos = dot / np.outer(np.sqrt(ns), np.sqrt(nt))
+        s_band = left["s_band"].to_numpy()
+        t_band = right["t_band"].to_numpy()
+        s_id = left["s_id"].to_numpy()
+        t_id = right["t_id"].to_numpy()
+        ok = (np.abs(s_band[:, None] - t_band[None, :]) <= band) & (
+            s_id[:, None] != t_id[None, :]
+        )
+        si, ti = np.nonzero(ok)
+        return pd.DataFrame({"s_id": s_id[si], "t_id": t_id[ti], "cos": cos[si, ti]})
+
+    return (
+        probe.groupby("_bucket")
+        .cogroup(build.groupby("_bucket"))
+        .applyInPandas(pair_block, schema="s_id long, t_id long, cos double")
+    )

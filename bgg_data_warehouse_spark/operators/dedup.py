@@ -45,6 +45,43 @@ def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc, sh) rows — k-word shingles as 64-bit hashes, built relationally.
+
+    Two scale lessons baked in:
+
+    - shingle identity is a hash of k consecutive TOKEN HASHES, never a
+      concatenated string — each token is hashed once and everything
+      downstream moves longs (64-bit collisions are negligible);
+    - shingles are assembled with ``posexplode`` + ``lead()`` over a
+      per-doc window instead of array higher-order functions. Array
+      expressions look cheaper but the optimizer inlines the token-hash
+      array into every ``element_at``, re-evaluating the tokenize+hash
+      subtree per position (O(k·n²) per document — measured 10× slower
+      at sf0.1). The window form is one hash-partition shuffle on doc id
+      that the downstream per-doc aggregation REUSES (same partitioning,
+      no second exchange), and it stays inside whole-stage codegen.
+
+    Duplicate shingles are kept: MinHash mins and collect_set consumers
+    are both duplicate-insensitive, so a distinct here would be a wasted
+    aggregation.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok"),
+    ).select("doc", "pos", F.xxhash64("tok").alias("h"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = toks.select(
+        "doc",
+        "h",
+        *[F.lead("h", j).over(w).alias(f"_h{j}") for j in range(1, k)],
+    )
+    return leads.where(F.col(f"_h{k-1}").isNotNull()).select(
+        "doc",
+        F.xxhash64("h", *[f"_h{j}" for j in range(1, k)]).alias("sh"),
+    )
+
+
 def _ordered_pairs(cand: DataFrame, a: str, b: str) -> DataFrame:
     """Canonicalize (a < b) and drop duplicate candidate pairs."""
     return (
@@ -69,15 +106,30 @@ def minhash_lsh_pairs(
     on (band, bucket) → candidate pairs → exact shingle-set Jaccard verify.
     """
     rows_per_band = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    shingle_rows = _shingle_rows(df, id_col, text_col, shingle_k)
+    # ONE per-doc aggregation produces both the signature (num_hashes mins,
+    # duplicate-shingle-insensitive) and the distinct shingle set for exact
+    # verification — and it reuses the window's doc-id partitioning, so the
+    # whole sketch phase costs a single exchange. Documents with no
+    # shingles drop out (nothing to near-dup on).
+    per_doc = shingle_rows.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.col("sh"), F.lit(j))).alias(f"_m{j}")
+            for j in range(num_hashes)
+        ],
+        F.collect_set("sh").alias("shingles"),
+    )
+    sigs = per_doc.select(
+        "doc",
+        "shingles",
+        F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias("sig"),
+    )
 
     buckets = sigs.select(
         "doc",
         F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+    shing = sigs.select("doc", "shingles")
 
     cand = _ordered_pairs(
         buckets.alias("l").join(
@@ -88,7 +140,6 @@ def minhash_lsh_pairs(
         "doc_b",
     )
 
-    shing = sigs.select("doc", "shingles")
     verified = (
         cand.join(shing.withColumnRenamed("doc", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
         .join(shing.withColumnRenamed("doc", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
@@ -122,10 +173,7 @@ def simhash_pairs(
     """
     if max_hamming > num_chunks - 1:
         raise ValueError("pigeonhole LSH requires max_hamming <= num_chunks - 1")
-    sk = df.select(
-        F.col(id_col).alias("doc"),
-        simhash64(word_tokens(F.col(text_col))).alias("sketch"),
-    )
+    sk = _simhash_sketches(df, id_col, text_col)
     chunks = sk.select(
         "doc", "sketch", F.explode(simhash_chunks(F.col("sketch"), num_chunks)).alias("c")
     ).select("doc", "sketch", "c.chunk", "c.value")
@@ -151,39 +199,124 @@ def simhash_pairs(
     )
 
 
+def _simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, sketch) via explode → hash-once → single-pass 64-bit-sum agg.
+
+    Equivalent to functions.hashing.simhash64 (same sign convention) but
+    shaped for scale: tokens explode into a codegen'd hash aggregate with
+    64 conditional sums — one shuffle on doc id, each token hashed exactly
+    once — instead of evaluating 64 interpreted array folds per row.
+    Documents with zero tokens drop out (they have no meaningful sketch
+    and would otherwise all collide on sketch 0).
+    """
+    from functools import reduce
+
+    hashed = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    masks = [F.shiftleft(F.lit(1).cast("long"), i) for i in range(64)]
+    sums = hashed.groupBy("doc").agg(
+        *[
+            F.sum(F.when(F.col("h").bitwiseAND(m) != 0, 1).otherwise(-1)).alias(f"_b{i}")
+            for i, m in enumerate(masks)
+        ]
+    )
+    sketch = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.when(F.col(f"_b{i}") > 0, m).otherwise(F.lit(0).cast("long"))
+            for i, m in enumerate(masks)
+        ],
+    )
+    return sums.select("doc", sketch.alias("sketch"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     *,
     threshold: float = 0.5,
-    max_posting_len: int | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard pairs via an inverted-index self-join.
+    """EXACT token-set Jaccard pairs with prefix filtering (AllPairs/PPJoin).
 
-    distinct (doc, token) → join on token → per-pair intersection count →
-    jaccard with |A|+|B|-∩ union. ``max_posting_len`` drops tokens whose
-    posting list exceeds the cap (skew guard at scale; None = exact).
+    A naive inverted-index self-join explodes on frequent tokens: a token
+    appearing in f documents contributes f² candidate rows, so a common
+    word over a 100 TB corpus is quadratic death. Prefix filtering (Bayardo
+    et al., WWW'07 "Scaling Up All Pairs Similarity Search") makes the
+    index linear while staying exact:
+
+    1. order every document's token set by GLOBAL frequency, rarest first
+       (the canonical order — frequent tokens land at the tail and are
+       never indexed);
+    2. index only each doc's first ``n - ceil(t*n) + 1`` tokens (its
+       *prefix*). Any pair with Jaccard >= t shares >= ceil(t*max(na,nb))
+       tokens, which pigeonholes at least one shared token into both
+       prefixes — so the prefix self-join loses no qualifying pair;
+    3. length filter ``t*na <= nb`` (and symmetric) prunes size-mismatched
+       candidates that cannot reach t;
+    4. verify candidates exactly via array_intersect on the full (small)
+       token-set arrays carried with each doc — no second shuffle over
+       the index.
+
+    At t=0.97 the prefix is 1-2 tokens per doc, so the join touches a tiny
+    fraction of the corpus regardless of token skew.
     """
-    toks = (
-        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("tok"))
+    toksets = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(word_tokens(F.col(text_col))).alias("toks"),
     )
-    if max_posting_len is not None:
-        heavy = toks.groupBy("tok").count().where(F.col("count") > max_posting_len).select("tok")
-        toks = toks.join(F.broadcast(heavy), "tok", "left_anti")
-
-    sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
-
-    inter = (
-        toks.alias("l")
-        .join(toks.alias("r"), "tok")
+    freq = (
+        toksets.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    # canonical order: rarest-first, token text as tiebreak
+    ordered = (
+        toksets.select("doc", F.explode("toks").alias("tok"))
+        .join(F.broadcast(freq), "tok")
+        .groupBy("doc")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("freq", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+        .withColumn("n_tok", F.size("toks"))
+        .withColumn(
+            "prefix",
+            F.slice(
+                F.col("toks"),
+                1,
+                F.greatest(
+                    F.lit(1),
+                    (F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1).cast("int"),
+                ),
+            ),
+        )
+    )
+    index = ordered.select("doc", "toks", "n_tok", F.explode("prefix").alias("tok"))
+    cand = (
+        index.alias("l")
+        .join(index.alias("r"), "tok")
         .where(F.col("l.doc") < F.col("r.doc"))
-        .groupBy(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+        # length filter: |B| must lie in [t*|A|, |A|/t]
+        .where(
+            (F.lit(threshold) * F.col("l.n_tok") <= F.col("r.n_tok"))
+            & (F.lit(threshold) * F.col("r.n_tok") <= F.col("l.n_tok"))
+        )
+        .select(
+            F.col("l.doc").alias("doc_a"),
+            F.col("r.doc").alias("doc_b"),
+            F.col("l.toks").alias("toks_a"),
+            F.col("r.toks").alias("toks_b"),
+            F.col("l.n_tok").alias("n_a"),
+            F.col("r.n_tok").alias("n_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_tok", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_tok", "n_b"), "doc_b")
+        cand.withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")

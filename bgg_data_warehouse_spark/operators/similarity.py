@@ -16,11 +16,15 @@ Three tiers, mirroring how the reference serves k-NN
   assigned to their nearest centroid (nprobe=1..n), and queries search
   only their probe cells.
 
-All distance math is Catalyst expressions (functions/vector.py) — no
-Python UDFs in the hot path.
+Exact distance math is Catalyst expressions (functions/vector.py). The
+one Python crossing is LSH signature generation — a dense matmul, which
+runs as an Arrow-batched pandas UDF over numpy/BLAS (see
+``_hyperplane_buckets_udf`` for why that is the scale-correct shape).
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -35,6 +39,7 @@ def brute_force_topk(
     vec_col: str,
     k: int = 10,
     query_prefix: str = "q_",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query vector.
 
@@ -53,7 +58,7 @@ def brute_force_topk(
         .where(F.col(f"{query_prefix}id") != F.col("nbr_id"))
         .withColumn(
             "cosine_sim",
-            cosine_similarity(F.col(f"{query_prefix}vec"), F.col("nbr_vec")),
+            cosine_similarity(F.col(f"{query_prefix}vec"), F.col("nbr_vec"), dim),
         )
     )
     w = Window.partitionBy(f"{query_prefix}id").orderBy(
@@ -71,31 +76,47 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sig(vec, num_bits: int, seed: int):
-    """Sign-bit signature against pseudo-random hyperplanes.
+def _hyperplane_buckets_udf(num_tables: int, bits_per_table: int, seed: int):
+    """Pandas UDF: embedding -> array of per-table LSH bucket ids.
 
-    Hyperplane h_b component i = hash(b, i) mapped to [-1, 1] — fully
-    deterministic, no RNG state, identical on every executor.
+    Random-hyperplane signatures are a dense matrix multiply
+    (n_vectors x dim) @ (dim x tables*bits) followed by sign-packing.
+    Expressing that with Catalyst higher-order functions costs
+    tables*bits interpreted array folds PER ROW; this is the one spot
+    where the Arrow/pandas path is the scale-correct choice — batches
+    cross to Python once and the hot loop is one vectorized BLAS matmul.
+    Hyperplanes come from a seeded RandomState, so every executor and
+    every run derives the identical family with no broadcast state.
     """
-    def projector(plane: int):
-        # closure, not a default arg — defaults inflate PySpark lambda arity
-        return lambda x, i: x.cast("double") * (
-            (F.pmod(F.xxhash64(F.lit(seed), F.lit(plane), i), F.lit(2000001)) - 1000000)
-            / 1000000.0
-        )
+    import numpy as np
 
-    bits = []
-    for b in range(num_bits):
-        proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), projector(b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for x in bits[1:]:
-        out = out.bitwiseOR(x)
-    return out
+    total_bits = num_tables * bits_per_table
+    weights = 1 << np.arange(bits_per_table, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        planes = np.random.RandomState(seed).standard_normal((mat.shape[1], total_bits))
+        signs = (mat @ planes) > 0
+        per_table = signs.reshape(len(vecs), num_tables, bits_per_table)
+        ids = (per_table * weights).sum(axis=2).astype(np.int64)
+        return pd.Series(list(ids))
+
+    return buckets
+
+
+def _with_lsh_buckets(
+    df, id_col: str, vec_col: str, idn: str, vecn: str,
+    num_tables: int, bits_per_table: int, seed: int,
+):
+    """Attach (table, bucket) rows: one per hash table per vector."""
+    udf = _hyperplane_buckets_udf(num_tables, bits_per_table, seed)
+    out = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(vecn))
+    return out.select(
+        idn, vecn, F.posexplode(udf(F.col(vecn))).alias("table", "bucket")
+    )
 
 
 def lsh_topk(
@@ -108,6 +129,7 @@ def lsh_topk(
     num_tables: int = 8,
     bits_per_table: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane LSH candidate join.
 
@@ -118,29 +140,16 @@ def lsh_topk(
     2^bits × tables).
     """
 
-    def with_buckets(df: DataFrame, idn: str, vecn: str) -> DataFrame:
-        out = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(vecn))
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    _hyperplane_sig(F.col(vecn), bits_per_table, seed + t).alias("bucket"),
-                )
-                for t in range(num_tables)
-            ]
-        )
-        return out.withColumn("bb", F.explode(entries)).select(
-            idn, vecn, "bb.table", "bb.bucket"
-        )
-
-    qb = with_buckets(queries, "query_id", "q_vec")
-    cb = with_buckets(corpus, "nbr_id", "nbr_vec")
+    qb = _with_lsh_buckets(queries, id_col, vec_col, "query_id", "q_vec",
+                           num_tables, bits_per_table, seed)
+    cb = _with_lsh_buckets(corpus, id_col, vec_col, "nbr_id", "nbr_vec",
+                           num_tables, bits_per_table, seed)
 
     cand = (
         qb.join(cb, ["table", "bucket"])
         .where(F.col("query_id") != F.col("nbr_id"))
         .dropDuplicates(["query_id", "nbr_id"])
-        .withColumn("cosine_sim", cosine_similarity(F.col("q_vec"), F.col("nbr_vec")))
+        .withColumn("cosine_sim", cosine_similarity(F.col("q_vec"), F.col("nbr_vec"), dim))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("nbr_id").asc())
     return (
@@ -159,6 +168,7 @@ def ivf_topk(
     *,
     num_cells: int = 16,
     nprobe: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize the corpus into cells, probe a few.
 
@@ -179,7 +189,7 @@ def ivf_topk(
         scored = (
             df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(vecn))
             .crossJoin(F.broadcast(centroids))
-            .withColumn("cent_sim", cosine_similarity(F.col(vecn), F.col("cent_vec")))
+            .withColumn("cent_sim", cosine_similarity(F.col(vecn), F.col("cent_vec"), dim))
         )
         w = Window.partitionBy(idn).orderBy(F.col("cent_sim").desc(), F.col("cell").asc())
         return (
@@ -195,7 +205,7 @@ def ivf_topk(
         query_cells.join(corpus_cells, "cell")
         .where(F.col("query_id") != F.col("nbr_id"))
         .dropDuplicates(["query_id", "nbr_id"])
-        .withColumn("cosine_sim", cosine_similarity(F.col("q_vec"), F.col("nbr_vec")))
+        .withColumn("cosine_sim", cosine_similarity(F.col("q_vec"), F.col("nbr_vec"), dim))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("nbr_id").asc())
     return (
@@ -214,20 +224,11 @@ def embedding_near_dup_pairs(
     num_tables: int = 8,
     bits_per_table: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via the LSH candidate join."""
-    sigs = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                _hyperplane_sig(F.col("vec"), bits_per_table, seed + t).alias("bucket"),
-            )
-            for t in range(num_tables)
-        ]
-    )
-    buckets = sigs.withColumn("bb", F.explode(entries)).select(
-        "doc", "vec", "bb.table", "bb.bucket"
+    buckets = _with_lsh_buckets(
+        df, id_col, vec_col, "doc", "vec", num_tables, bits_per_table, seed
     )
     cand = (
         buckets.alias("l")
@@ -240,7 +241,7 @@ def embedding_near_dup_pairs(
             F.col("r.vec").alias("vec_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("cosine_sim", cosine_similarity(F.col("vec_a"), F.col("vec_b")))
+        .withColumn("cosine_sim", cosine_similarity(F.col("vec_a"), F.col("vec_b"), dim))
         .where(F.col("cosine_sim") >= threshold)
     )
     return cand.select("doc_a", "doc_b", F.round("cosine_sim", 6).alias("cosine_sim"))

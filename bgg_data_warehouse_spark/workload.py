@@ -613,22 +613,21 @@ def band_self_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """game_neighbors pattern (reference definitions/game_neighbors.sqlx:53-93):
     banded self-join prunes candidates, exact cosine ranks, top-k per source.
     The band join is bucketed (operators/band_join.py) — never all-pairs."""
-    from .functions.vector import cosine_similarity
-    from .operators.band_join import band_self_join
+    from .operators.band_join import banded_cosine_pairs
     from .operators.latest import topk_per_key
 
+    # cogrouped per-bucket matrix cosine: each vector crosses to Arrow once
+    # per bucket instead of once per PAIR (see banded_cosine_pairs)
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = band_self_join(emb, "vec_id", "label", 1.0).withColumn(
-        "cos", cosine_similarity(F.col("s_embedding"), F.col("t_embedding"))
-    )
+    pairs = banded_cosine_pairs(emb, "vec_id", "label", "embedding", 1.0)
     return topk_per_key(
         pairs,
-        ["s_vec_id"],
-        [F.col("cos").desc(), F.col("t_vec_id").asc()],
+        ["s_id"],
+        [F.col("cos").desc(), F.col("t_id").asc()],
         k=5,
     ).select(
-        F.col("s_vec_id").alias("query_id"),
-        F.col("t_vec_id").alias("nbr_id"),
+        F.col("s_id").alias("query_id"),
+        F.col("t_id").alias("nbr_id"),
         F.round("cos", 6).alias("cosine_sim"),
         "rank",
     )
@@ -790,10 +789,14 @@ def _duck_sw(lang: str) -> str:
     """,
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import predict_lang
+    from .functions.text import predict_lang, word_tokens
 
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", predict_lang(F.col("text")).alias("predicted_lang"))
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_toks", word_tokens(F.col("text"))  # tokenize once, score 4 langs
+    )
+    return docs.select(
+        "doc_id", "lang", predict_lang(F.col("text"), F.col("_toks")).alias("predicted_lang")
+    )
 
 
 @query(
@@ -832,10 +835,12 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import quality_score_cols
+    from .functions.text import quality_score_cols, word_tokens
 
-    docs = load_table(spark, sf_dir, "documents")
-    cols = quality_score_cols(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_toks", word_tokens(F.col("text"))
+    )
+    cols = quality_score_cols(F.col("text"), F.col("_toks"))
     return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
