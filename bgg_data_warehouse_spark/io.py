@@ -1,0 +1,157 @@
+"""Layout-aware parquet IO + the reference's write strategies.
+
+Layout policy mirrors `/root/reference/terraform/bigquery.tf` (SURVEY §1.4):
+
+- time-series facts (games, rankings, raw_responses): DAY partition on the
+  load/fetch timestamp + sort by game_id within partitions (partition
+  pruning ≈ BigQuery DAY partitioning; parquet min/max row-group stats on
+  the sorted key ≈ clustering);
+- game_profile: integer-range partition ``game_id_bucket = game_id div
+  1000`` (`definitions/game_profile.sqlx:6-17`) — point lookups touch one
+  bucket directory instead of the full table (the 273.5 MB → 1.9 MB
+  lesson in BASELINE.md);
+- bridge/detail tables: sorted by game_id, unpartitioned.
+
+Write strategies (loader.py semantics): append (S4), overwrite (S5),
+merge_insert_missing (S6), delete_insert (S7). Parquet has no
+transactional MERGE without a table format, so the merge strategies
+rebuild into a staging directory and atomically swap — single-runner
+assumption, exactly the reference's operating model (its lease table is
+best-effort too; SURVEY §7 "genuinely hard" (a)).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.merge import delete_insert, merge_insert_missing
+
+
+@dataclass
+class Layout:
+    partition_cols: list[str] = field(default_factory=list)
+    sort_cols: list[str] = field(default_factory=list)
+    derive: dict[str, str] = field(default_factory=dict)  # col -> SQL expr
+
+
+LAYOUTS: dict[str, Layout] = {
+    "games": Layout(["load_date"], ["game_id"], {"load_date": "to_date(load_timestamp)"}),
+    "rankings": Layout(["load_date"], ["game_id"], {"load_date": "to_date(load_timestamp)"}),
+    "raw_responses": Layout(
+        ["fetch_date"], ["game_id"], {"fetch_date": "to_date(fetch_timestamp)"}
+    ),
+    "request_log": Layout(
+        ["request_date"], [], {"request_date": "to_date(request_timestamp)"}
+    ),
+    "game_profile": Layout(["game_id_bucket"], ["game_id"]),
+    "game_neighbors": Layout([], ["game_id"]),
+}
+
+
+def _path(root: str, name: str) -> str:
+    return os.path.join(root, name)
+
+
+def _apply_layout(df: DataFrame, layout: Layout) -> DataFrame:
+    for col, expr in layout.derive.items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+    if layout.sort_cols:
+        df = df.sortWithinPartitions(*layout.sort_cols)
+    return df
+
+
+def write_table(df: DataFrame, root: str, name: str, mode: str = "overwrite") -> None:
+    layout = LAYOUTS.get(name, Layout())
+    out = _apply_layout(df, layout)
+    writer = out.write.mode(mode)
+    if layout.partition_cols:
+        writer = writer.partitionBy(*layout.partition_cols)
+    writer.parquet(_path(root, name))
+
+
+def append_table(df: DataFrame, root: str, name: str) -> None:
+    """S4 — append-disposition load."""
+    write_table(df, root, name, mode="append")
+
+
+def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
+    return spark.read.parquet(_path(root, name))
+
+
+def table_exists(root: str, name: str) -> bool:
+    p = _path(root, name)
+    return os.path.isdir(p) and any(not e.startswith("_") for e in os.listdir(p))
+
+
+def _rewrite(df: DataFrame, root: str, name: str) -> None:
+    """Materialize a full-table rewrite via staging dir + atomic swap.
+
+    The merged plan reads the live table lazily; writing over it in place
+    would corrupt the scan. Stage next to the target then swap.
+    """
+    final = _path(root, name)
+    staging = f"{final}__stage_{uuid.uuid4().hex[:8]}"
+    layout = LAYOUTS.get(name, Layout())
+    out = _apply_layout(df, layout)
+    writer = out.write.mode("overwrite")
+    if layout.partition_cols:
+        writer = writer.partitionBy(*layout.partition_cols)
+    writer.parquet(staging)
+    backup = f"{final}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(final):
+        os.rename(final, backup)
+    os.rename(staging, final)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+
+
+def merge_insert_missing_table(
+    spark: SparkSession, incoming: DataFrame, root: str, name: str, keys: list[str]
+) -> None:
+    """S6 — dimension MERGE: insert keys never seen, never update."""
+    if not table_exists(root, name):
+        write_table(incoming.dropDuplicates(keys), root, name)
+        return
+    existing = read_table(spark, root, name)
+    _rewrite(merge_insert_missing(existing, incoming, keys), root, name)
+
+
+def delete_insert_table(
+    spark: SparkSession, replacement: DataFrame, root: str, name: str, keys: list[str]
+) -> None:
+    """S7 — bridge/detail refresh: replace all rows for the incoming keys."""
+    if not table_exists(root, name):
+        write_table(replacement, root, name)
+        return
+    existing = read_table(spark, root, name)
+    _rewrite(delete_insert(existing, replacement, keys), root, name)
+
+
+def archive_old_rows(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    ts_col: str,
+    older_than_hours: int = 24,
+    archive_dir: str = "archive",
+) -> int:
+    """S10 — move rows older than the cutoff to a timestamped archive path."""
+    if not table_exists(root, name):
+        return 0
+    df = read_table(spark, root, name)
+    cutoff = F.current_timestamp() - F.expr(f"INTERVAL {older_than_hours} HOURS")
+    old = df.where(F.col(ts_col) < cutoff)
+    n = old.count()
+    if n == 0:
+        return 0
+    stamp = uuid.uuid4().hex[:8]
+    old.write.mode("overwrite").parquet(os.path.join(root, archive_dir, f"{name}_{stamp}"))
+    _rewrite(df.where(F.col(ts_col) >= cutoff), root, name)
+    return n

