@@ -409,10 +409,14 @@ WATERMARK = "2024-01-20 00:00:00"
     """,
 )
 def watermark_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    from .sources.tables import load_events_after
+
+    # the watermark predicate is applied in the raw storage domain so it
+    # pushes into the parquet scan (see load_events_after) — a filter on
+    # the derived ts column would scan every row-group
+    events = load_events_after(spark, sf_dir, WATERMARK)
     return (
-        events.where(F.col("ts") > F.to_timestamp(F.lit(WATERMARK)))
-        .groupBy("event_type")
+        events.groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
             _money_sum(_dec("value")).alias("total_value"),
@@ -1022,3 +1026,157 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = attach_fake_payload(docs, "doc_id", "text")
     return sample_frames(assets, every_n_bytes=128)
+
+
+# ===========================================================================
+# A7 — COUNTIF / ratio request-stats (reference src/api_client/client.py:266-279)
+# F12 — REGEXP_EXTRACT over log text (client.py:277), JSON props extraction
+# ===========================================================================
+
+
+@query(
+    "request_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count_if(value > 10) AS n_high,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS avg_value,
+           round(count_if(value > 10) * 1.0 / count(*), 4) AS high_ratio
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def request_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    n_high = F.count(F.when(F.col("value") > 10, 1))
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        n_high.alias("n_high"),
+        F.round(F.sum(_dec("value")).cast("double") / F.count("*"), 4).alias("avg_value"),
+        F.round(n_high.cast("double") / F.count("*"), 4).alias("high_ratio"),
+    )
+
+
+@query(
+    "regexp_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_value,
+           (CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10 = 0)
+             AS k_round
+    FROM events
+    """,
+)
+def regexp_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("long")
+    return events.select(
+        "event_id", k.alias("k_value"), (k % 10 == 0).alias("k_round")
+    )
+
+
+# ===========================================================================
+# Sessionization — lag-gap + running sum (the classic event-log pattern;
+# extends the reference's event-tracking machinery to true session analysis)
+# ===========================================================================
+
+
+@query(
+    "sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sess = events.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ===========================================================================
+# ROLLUP / PIVOT — multi-level aggregation + conditional-agg pivot
+# ===========================================================================
+
+
+@query(
+    "rollup_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "pivot_status_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           count_if(o_orderstatus = 'O') AS status_o,
+           count_if(o_orderstatus = 'F') AS status_f,
+           count_if(o_orderstatus = 'P') AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+@query("approx_distinct_users")  # approximate by construction → rows-only
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (SURVEY §7.7): the sketch-based cardinality
+    path for 100 TB fact tables where exact COUNT(DISTINCT) would shuffle
+    every value; rsd=0.01 keeps it within ~1% of exact."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    )

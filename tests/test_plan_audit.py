@@ -1,0 +1,89 @@
+"""Physical-plan audits: the scale properties BASELINE.md demands, asserted
+against `.explain` output rather than taken on faith.
+
+1. point lookups push their filter into the parquet scan (PushedFilters);
+2. explicit selects prune the scan schema (ReadSchema ⊂ full table);
+3. the small side of the live-kNN cross join is broadcast;
+4. MERGE emulation plans anti-joins, never a full-table sort/distinct;
+5. oracle-checked relational queries never fall back to row-at-a-time
+   Python (BatchEvalPython) — Arrow paths are allowed only where
+   explicitly designed (LSH signatures, cogrouped cosine, multimodal).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+from tests.conftest import SF_SMALL
+
+
+def executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_point_lookup_pushes_filter_to_scan(spark):
+    df = entrymod.queries()["point_lookup"](spark, SF_SMALL)
+    plan = executed_plan(df)
+    assert "PushedFilters" in plan
+    # the customer-key predicate reaches the customer scan
+    assert "EqualTo(c_custkey,42)" in plan.replace(" ", ""), plan[:2000]
+
+
+def test_explicit_select_prunes_columns(spark):
+    df = entrymod.queries()["latest_snapshot"](spark, SF_SMALL)
+    plan = executed_plan(df)
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l and "events" in l]
+    assert scan_lines, plan[:2000]
+    # props (unused JSON column) must not be read from the events scan
+    assert all("props" not in l for l in scan_lines)
+
+
+def test_knn_bruteforce_broadcasts_query_side(spark):
+    df = entrymod.queries()["knn_bruteforce"](spark, SF_SMALL)
+    plan = executed_plan(df)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_merge_strategies_plan_anti_joins(spark):
+    for name in ("merge_insert_missing", "delete_insert_refresh", "anti_join_pending"):
+        df = entrymod.queries()[name](spark, SF_SMALL)
+        assert "LeftAnti" in optimized_plan(df), name
+
+
+def test_semi_scoped_agg_plans_semi_join(spark):
+    df = entrymod.queries()["semi_scoped_agg"](spark, SF_SMALL)
+    assert "LeftSemi" in optimized_plan(df)
+
+
+# queries allowed to cross into Python, by design (documented in each module)
+ARROW_ALLOWED = {
+    "knn_lsh",
+    "embedding_near_dup",
+    "band_self_join_knn",
+    "multimodal_features",
+    "multimodal_frame_sample",
+}
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_no_row_at_a_time_python(spark, name):
+    df = entrymod.queries()[name](spark, SF_SMALL)
+    plan = executed_plan(df)
+    assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python UDFs"
+    if name not in ARROW_ALLOWED:
+        assert "ArrowEvalPython" not in plan and "FlatMapCoGroupsInPandas" not in plan and (
+            "MapInPandas" not in plan
+        ), f"{name} unexpectedly crosses into Python"
+
+
+def test_incremental_filter_reaches_scan(spark):
+    df = entrymod.queries()["watermark_increment"](spark, SF_SMALL)
+    plan = executed_plan(df)
+    # the watermark predicate must appear as a pushed filter or scan filter
+    assert "GreaterThan" in plan, plan[:2000]
