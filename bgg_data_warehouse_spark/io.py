@@ -112,6 +112,15 @@ def _rewrite(df: DataFrame, root: str, name: str) -> None:
         shutil.rmtree(backup)
 
 
+def rewrite_table(df: DataFrame, root: str, name: str) -> None:
+    """Overwrite a table whose new contents READ from the old contents.
+
+    ``write_table(mode="overwrite")`` would delete the files the lazy plan
+    is still scanning; this stages + swaps instead.
+    """
+    _rewrite(df, root, name)
+
+
 def merge_insert_missing_table(
     spark: SparkSession, incoming: DataFrame, root: str, name: str, keys: list[str]
 ) -> None:
