@@ -159,3 +159,56 @@ class ModelDag:
                 raise KeyError(f"model {name!r} missing inputs: {missing}")
             out[name] = fn(out)
         return out
+
+    def run_persisted(
+        self,
+        spark,
+        tables: dict[str, DataFrame],
+        root: str,
+        targets: list[str] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Execute and MATERIALIZE per model policy (the Dataform run).
+
+        - ``view``: computed, fed downstream, never written;
+        - ``table``: full rebuild (CREATE OR REPLACE semantics);
+        - ``incremental``: MERGE by uniqueKey into the existing table —
+          fresh rows replace matched keys, unmatched keys persist. The
+          reference's watermark scoping of *inputs* (I1) composes on top
+          via streaming.incremental; the runner owns only the write side.
+
+        Downstream models read the PERSISTED table (not the in-memory
+        plan), exactly like Dataform's ref() — so an incremental model's
+        consumers see merged history, not just this run's slice.
+        """
+        from .. import io
+        from ..operators.merge import delete_insert
+
+        out = dict(tables)
+        for name in self.order(targets):
+            deps, fn, policy = self.registry[name]
+            missing = [d for d in deps if d not in out]
+            if missing:
+                raise KeyError(f"model {name!r} missing inputs: {missing}")
+            df = fn(out)
+            if policy == "view":
+                out[name] = df
+                continue
+            keys = UNIQUE_KEYS.get(name)
+            if policy == "incremental" and keys and io.table_exists(root, name):
+                existing = io.read_table(spark, root, name)
+                io.rewrite_table(delete_insert(existing, df, keys), root, name)
+            else:
+                io.write_table(df, root, name)
+            out[name] = io.read_table(spark, root, name)
+        return out
+
+
+# uniqueKey declarations for incremental models, mirroring the reference's
+# Dataform configs (e.g. games_features.sqlx `uniqueKey: ["game_id"]`)
+UNIQUE_KEYS: dict[str, list[str]] = {
+    "games_active": ["game_id"],
+    "games_features": ["game_id"],
+    "bgg_predictions": ["game_id"],
+    "user_collection_predictions": ["username", "game_id", "outcome"],
+    "game_similarity_search": ["game_id"],
+}

@@ -62,3 +62,58 @@ def run_foreach_batch(df: DataFrame, sink, mode: str = "update"):
     q = df.writeStream.outputMode(mode).foreachBatch(sink).start()
     q.processAllAvailable()
     return q
+
+
+def dedup_stream_stateful(events: DataFrame, *, ttl_minutes: int | None = 60) -> DataFrame:
+    """Custom stateful operator: streaming exactly-once-ish dedup by event_id.
+
+    The streaming analogue of the fetch_in_progress lease table (I3 —
+    `/root/reference/src/modules/response_fetcher.py:60-64`): per-key state
+    remembers ids already emitted; a processing-time timeout expires state
+    after ``ttl_minutes`` exactly like the 30-minute lease expiry. Built on
+    ``applyInPandasWithState`` — the GroupState API with Arrow batches.
+
+    Keys are hash-partitioned ``event_id % 64`` groups so state stays
+    bounded per key and scales with executor count, not with key count.
+
+    ``ttl_minutes=None`` disables the timeout — needed for bounded tests:
+    with ProcessingTimeTimeout the query keeps scheduling state-cleanup
+    micro-batches, so ``processAllAvailable`` never drains.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    state_schema = "seen array<long>"
+
+    def dedup(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        rows = []
+        for pdf in pdfs:
+            for _, r in pdf.iterrows():
+                eid = int(r["event_id"])
+                if eid not in seen:
+                    seen.add(eid)
+                    rows.append(r)
+        state.update((list(seen),))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        cols = ["event_id", "ts", "user_id", "event_type", "value"]
+        yield pd.DataFrame(rows)[cols] if rows else pd.DataFrame(columns=cols)
+
+    keyed = events.withColumn("shard", F.pmod(F.col("event_id"), F.lit(64)))
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )

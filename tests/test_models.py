@@ -168,3 +168,44 @@ def test_game_profile_nested_blocks(built):
         # predictions block: NULL struct or fully-formed struct (F5 guard)
         if r.predictions is not None:
             assert r.predictions.predicted_rating is not None
+
+
+def test_run_persisted_materializes_and_merges(spark, tables, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bgg_data_warehouse_spark import io
+    from bgg_data_warehouse_spark.plans import models as M
+
+    root = str(tmp_path)
+    dag = ModelDag()
+    out1 = dag.run_persisted(spark, tables, root, targets=["game_profile"])
+    # tables persisted; views not
+    assert io.table_exists(root, "games_active")
+    assert io.table_exists(root, "game_profile")
+    assert not io.table_exists(root, "filter_options_combined")
+    # profile written under its bucket layout
+    assert any(
+        d.startswith("game_id_bucket=") for d in os.listdir(f"{root}/game_profile")
+    )
+    rating_before = {
+        r.game_id: r.geek_rating for r in out1["games_active"].collect()
+    }
+
+    # incremental cycle: one game gets a newer snapshot with a new rating
+    newer = (
+        tables["games"]
+        .where("game_id = 1")
+        .orderBy(F.col("load_timestamp").desc())
+        .limit(1)
+        .withColumn("load_timestamp", F.expr("load_timestamp + INTERVAL 10 DAYS"))
+        .withColumn("bayes_average", F.lit(9.99))
+    )
+    out2 = dag.run_persisted(
+        spark, {**tables, "games": newer}, root, targets=["games_active"]
+    )
+    after = {r.game_id: r.geek_rating for r in out2["games_active"].collect()}
+    assert after[1] == 9.99  # merged: key 1 replaced
+    assert len(after) == len(rating_before)  # all other keys persisted
+    assert all(after[g] == rating_before[g] for g in after if g != 1)

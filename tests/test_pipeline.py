@@ -355,3 +355,27 @@ def test_streaming_windowed_counts(spark, tmp_path):
         assert len(got) == batch.count()
     finally:
         q.stop()
+
+
+def test_stateful_streaming_dedup(spark, tmp_path):
+    """applyInPandasWithState dedups replayed events across micro-batches."""
+    from bgg_data_warehouse_spark.sources.tables import load_table
+    from bgg_data_warehouse_spark.streaming import ingest
+
+    land = str(tmp_path / "dup_landing")
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    # write the SAME events twice -> two files -> duplicate stream input
+    events.write.mode("append").parquet(land)
+    events.write.mode("append").parquet(land)
+
+    stream = ingest.read_event_stream(spark, land)
+    q = ingest.run_to_memory(
+        ingest.dedup_stream_stateful(stream, ttl_minutes=None), "dedup_out", mode="append"
+    )
+    try:
+        got = spark.sql("SELECT event_id FROM dedup_out").collect()
+        ids = [r.event_id for r in got]
+        assert len(ids) == len(set(ids)), "duplicates leaked through state"
+        assert sorted(set(ids)) == sorted(r.event_id for r in events.collect())
+    finally:
+        q.stop()
