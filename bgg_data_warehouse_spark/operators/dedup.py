@@ -119,11 +119,12 @@ def minhash_lsh_pairs(
         ],
         F.collect_set("sh").alias("shingles"),
     )
+    # cached: buckets self-join reads it twice, the verify join twice more
     sigs = per_doc.select(
         "doc",
         "shingles",
         F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias("sig"),
-    )
+    ).cache()
 
     buckets = sigs.select(
         "doc",
@@ -174,9 +175,13 @@ def simhash_pairs(
     if max_hamming > num_chunks - 1:
         raise ValueError("pigeonhole LSH requires max_hamming <= num_chunks - 1")
     sk = _simhash_sketches(df, id_col, text_col)
-    chunks = sk.select(
-        "doc", "sketch", F.explode(simhash_chunks(F.col("sketch"), num_chunks)).alias("c")
-    ).select("doc", "sketch", "c.chunk", "c.value")
+    chunks = (
+        sk.select(
+            "doc", "sketch", F.explode(simhash_chunks(F.col("sketch"), num_chunks)).alias("c")
+        )
+        .select("doc", "sketch", "c.chunk", "c.value")
+        .cache()  # both sides of the candidate self-join read this
+    )
 
     cand = (
         chunks.alias("l")
@@ -262,10 +267,13 @@ def ngram_jaccard_pairs(
     At t=0.97 the prefix is 1-2 tokens per doc, so the join touches a tiny
     fraction of the corpus regardless of token skew.
     """
+    # cached: consumed by the freq count AND the canonical reorder (and the
+    # ordered index below feeds both sides of the self-join) — without
+    # caching, tokenization reruns once per branch
     toksets = df.select(
         F.col(id_col).alias("doc"),
         F.array_distinct(word_tokens(F.col(text_col))).alias("toks"),
-    )
+    ).cache()
     freq = (
         toksets.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
@@ -295,7 +303,9 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    index = ordered.select("doc", "toks", "n_tok", F.explode("prefix").alias("tok"))
+    index = ordered.select(
+        "doc", "toks", "n_tok", F.explode("prefix").alias("tok")
+    ).cache()
     cand = (
         index.alias("l")
         .join(index.alias("r"), "tok")
