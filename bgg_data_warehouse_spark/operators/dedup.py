@@ -25,14 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import (
-    hamming64,
-    minhash_bands,
-    minhash_signature,
-    simhash64,
-    simhash_chunks,
-)
-from ..functions.text import word_shingles, word_tokens
+from ..functions.hashing import hamming64, minhash_bands, simhash_chunks
+from ..functions.text import word_tokens
 
 
 def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, dot_product, l2_norm
+from ..functions.vector import cosine_similarity
 
 
 def brute_force_topk(

@@ -1,0 +1,60 @@
+"""Deterministic text vectorization: hashing-trick count vectors.
+
+Bridges the text and vector halves of the pipeline without any model:
+tokens hash into ``dim`` buckets (feature hashing / "hashing trick"),
+counts accumulate per bucket, and the L2-normalized result feeds the same
+ANN / near-dup operators the float-embedding column uses. All JVM-side:
+explode → hash → pivot-free aggregation → array assembly, one shuffle on
+the doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_tokens
+
+
+def hashed_count_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    dim: int = 64,
+    normalize: bool = True,
+) -> DataFrame:
+    """(doc, vector: array<double>) — hashed token counts, optionally L2-normed.
+
+    Bucket = xxhash64(token) mod dim. The per-doc aggregation builds a
+    bucket→count map (partial aggregation keeps the shuffle at
+    O(docs·distinct_buckets)), then densifies to a fixed-width array.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int"))
+    counts = toks.groupBy("doc", "bucket").agg(F.count("*").alias("n"))
+    per_doc = counts.groupBy("doc").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "n"))).alias("m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")), F.lit(0)).cast("double"),
+    )
+    out = per_doc.withColumn("vector", vec).drop("m")
+    if normalize:
+        # norm materialized as a column: referenced once per element in the
+        # transform below — as a raw expression it would re-run the whole
+        # fold per element (the HOF-inlining trap)
+        out = out.withColumn(
+            "_norm",
+            F.sqrt(F.aggregate(F.col("vector"), F.lit(0.0), lambda acc, x: acc + x * x)),
+        )
+        out = out.withColumn(
+            "vector",
+            F.when(F.col("_norm") == 0, F.col("vector")).otherwise(
+                F.transform(F.col("vector"), lambda x: x / F.col("_norm"))
+            ),
+        ).drop("_norm")
+    return out

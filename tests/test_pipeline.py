@@ -379,3 +379,44 @@ def test_stateful_streaming_dedup(spark, tmp_path):
         assert sorted(set(ids)) == sorted(r.event_id for r in events.collect())
     finally:
         q.stop()
+
+
+# ----------------------------------------------------------- refresher
+
+
+def test_refresh_candidates_band_policy(spark):
+    from bgg_data_warehouse_spark.streaming.refresher import refresh_candidates
+
+    now = datetime(2026, 3, 1, 12, 0, 0)
+    games = spark.createDataFrame(
+        [
+            (1, 2025),  # 7-day band
+            (2, 2020),  # 30-day band
+            (3, 2005),  # 90-day band
+            (4, 1990),  # 180-day band
+            (5, None),  # null-year band (14 days)
+            (6, 2025),  # fresh fetch → excluded
+            (7, 2025),  # in-progress → excluded
+        ],
+        "game_id long, year_published long",
+    )
+    fetched = spark.createDataFrame(
+        [
+            (1, now - timedelta(days=8), "success"),    # stale for 7d band
+            (2, now - timedelta(days=10), "success"),   # fresh for 30d band
+            (3, now - timedelta(days=100), "success"),  # stale for 90d band
+            (4, now - timedelta(days=100), "success"),  # fresh for 180d band
+            (6, now - timedelta(days=1), "success"),
+            (7, now - timedelta(days=30), "success"),
+        ],
+        "game_id long, fetch_timestamp timestamp, fetch_status string",
+    )
+    in_progress = spark.createDataFrame([(7,)], "game_id long")
+    got = refresh_candidates(games, fetched, in_progress, now=now).collect()
+    ids = [r.game_id for r in got]
+    # 5 never fetched (null-year band), 1 stale, 3 stale; 2/4 fresh; 6 fresh; 7 leased
+    assert set(ids) == {1, 3, 5}
+    # priority: newest year first (1=2025, 3=2005, 5=null-year last)
+    assert ids == [1, 3, 5]
+    days = {r.game_id: r.refresh_days for r in got}
+    assert days == {1: 7, 3: 90, 5: 14}
