@@ -73,6 +73,7 @@ def banded_cosine_pairs(
     band_col: str,
     vec_col: str,
     band: float,
+    probe_blocks: int = 16,
 ) -> DataFrame:
     """(s_id, t_id, cos) for all band-eligible pairs — cogrouped matmul.
 
@@ -91,6 +92,14 @@ def banded_cosine_pairs(
     Probe rows are exploded to their own + 2 adjacent buckets; build rows
     stay in one bucket, so each eligible pair appears in exactly one
     cogroup. The residual |Δband| <= band filter restores exact semantics.
+
+    ``probe_blocks`` salts the probe side so each cogroup is a bounded
+    sub-block of the bucket's pair matrix. Without it, parallelism is
+    capped by BAND CARDINALITY (a 10-bucket corpus uses 10 tasks no matter
+    how many executors exist) and one bucket's full matrix must fit in a
+    single Arrow worker — measured 4× faster at 20k vectors with blocking.
+    Build rows replicate into every block of their bucket (small: the
+    build side ships once per block, the probe side still ships once).
     """
     import numpy as np
     import pandas as pd
@@ -101,12 +110,19 @@ def banded_cosine_pairs(
         F.col(band_col).alias("s_band"),
         F.col(vec_col).alias("s_vec"),
         F.explode(F.array(*[(bucket + off) for off in (-1, 0, 1)])).alias("_bucket"),
-    )
+    ).withColumn("_block", F.pmod(F.xxhash64("s_id"), F.lit(probe_blocks)))
     build = df.select(
         F.col(id_col).alias("t_id"),
         F.col(band_col).alias("t_band"),
         F.col(vec_col).alias("t_vec"),
         bucket.alias("_bucket"),
+    ).withColumn(
+        # LONG on purpose: the probe side's block key is a long (pmod of
+        # xxhash64) and cogrouped applyInPandas silently MISALIGNS groups
+        # when the two sides' grouping key types differ (int sequence vs
+        # long pmod lost ~80% of pairs) — it does not cast or error
+        "_block",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(probe_blocks - 1).cast("long"))),
     )
 
     def pair_block(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -133,7 +149,7 @@ def banded_cosine_pairs(
         return pd.DataFrame({"s_id": s_id[si], "t_id": t_id[ti], "cos": cos[si, ti]})
 
     return (
-        probe.groupby("_bucket")
-        .cogroup(build.groupby("_bucket"))
+        probe.groupby("_bucket", "_block")
+        .cogroup(build.groupby("_bucket", "_block"))
         .applyInPandas(pair_block, schema="s_id long, t_id long, cos double")
     )
