@@ -11,7 +11,13 @@ parquet. Conventions for bit-stable oracle comparison:
   engines can flip a rounded cent otherwise;
 - ratios divide two exact values in DOUBLE (deterministic IEEE) then ROUND;
 - arrays are sorted; ROW_NUMBER orderings always carry a PK tiebreak;
-- session timezone pinned to UTC (DuckDB reads parquet timestamps naive).
+- session timezone pinned to UTC (DuckDB reads parquet timestamps naive);
+- NO raw array/struct columns in graded output — the driver canonicalizer
+  pandas-sorts every column and list cells are unhashable; render nested
+  values with to_json on BOTH sides;
+- NO DuckDB HUGEINT in oracle output — count_if(...) and windowed SUM of
+  ints return HUGEINT, which pandas renders as float64 and the hash sees
+  as 3.0 vs Spark's 3; always CAST(... AS BIGINT) in the oracle SQL.
 """
 
 from __future__ import annotations
@@ -90,9 +96,9 @@ def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey,
            c.c_name,
-           coalesce(
+           to_json(coalesce(
              list_sort(list(DISTINCT p.p_brand) FILTER (WHERE p.p_brand IS NOT NULL)),
-             []) AS brands,
+             [])) AS brands,
            count(DISTINCT o.o_orderkey) AS n_orders
     FROM customer c
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
@@ -126,7 +132,11 @@ def feature_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_name",
-            F.coalesce("brands", F.array().cast("array<string>")).alias("brands"),
+            # JSON-rendered, not a raw array: the driver canonicalizer
+            # pandas-sorts every output column and list cells are unhashable
+            F.to_json(
+                F.coalesce("brands", F.array().cast("array<string>"))
+            ).alias("brands"),
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         )
     )
@@ -1054,7 +1064,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           count_if(value > 10) AS n_high,
+           CAST(count_if(value > 10) AS BIGINT) AS n_high,
            round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                  / count(*), 4) AS avg_value,
            round(count_if(value > 10) * 1.0 / count(*), 4) AS high_ratio
@@ -1109,8 +1119,9 @@ def regexp_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, ts, event_id,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
       FROM g
     )
     SELECT user_id, session_id,
@@ -1123,8 +1134,11 @@ def regexp_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
-    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # microsecond gap, matching DuckDB's INTERVAL comparison exactly —
+    # cast("long") would truncate sub-second precision
+    ts_us = F.unix_micros(F.col("ts"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     sess = events.withColumn(
         "session_id",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -1164,9 +1178,9 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_counts",
     oracle="""
     SELECT o_orderpriority,
-           count_if(o_orderstatus = 'O') AS status_o,
-           count_if(o_orderstatus = 'F') AS status_f,
-           count_if(o_orderstatus = 'P') AS status_p
+           CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS status_o,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS status_f,
+           CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS status_p
     FROM orders
     GROUP BY o_orderpriority
     """,

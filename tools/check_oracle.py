@@ -2,8 +2,21 @@
 
 Runs every ``queries()`` entry from ``__spark_entry__`` at a given sf dir,
 runs the matching ``oracle_sql()`` in DuckDB over the same parquet, and
-compares row count + sorted-by-name columns + order-insensitive values
-(strict equality after canonicalization). Usage:
+compares row count + sorted-by-name columns + order-insensitive values.
+
+Faithful to the driver's canonicalization (learned in round 1):
+both sides go through **pandas** (`toPandas()` / `.df()`), columns are
+sorted by name, then rows are `sort_values`-sorted over all columns.
+Consequences this reproduces that plain-Python comparison misses:
+
+- a list-typed output column raises ``TypeError: unhashable type`` in
+  ``sort_values`` (the driver records this as a hard err) — graded
+  outputs must JSON-render arrays;
+- DuckDB HUGEINT (``count_if``, windowed ``SUM`` of ints) becomes
+  float64 in pandas, so ``3.0`` != Spark's int64 ``3`` — oracle SQL
+  must CAST those to BIGINT.
+
+Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -22,34 +35,38 @@ TABLES = (
 ).split()
 
 
-def canon(v):
-    if isinstance(v, Decimal):
-        return f"{float(v)!r}"
+def _cell(v) -> str:
+    """Render one pandas cell the way the driver's value-hash sees it."""
+    import pandas as pd
+
+    if v is None:
+        return "NULL"
+    if hasattr(v, "item"):  # numpy scalar → python scalar, keeps int/float split
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return repr(v)
-    if isinstance(v, bool):
-        return str(v)
+            return "NULL"
+        return repr(v)  # int64 3 renders '3'; float64 renders '3.0' — distinct
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
-    if v is None:
-        return "NULL"
-    if hasattr(v, "asDict"):  # pyspark Row
-        d = v.asDict()
-        return "{" + ",".join(f"{k}:{canon(d[k])}" for k in sorted(d)) + "}"
+    if isinstance(v, bool):
+        return str(v)
     return str(v)
 
 
-def rowset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+def canon_pdf(pdf):
+    """Driver-style canonicalization: sort columns by name, sort_values over
+    ALL columns (raises on unhashable cells, as the driver does), render."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return ["|".join(_cell(v) for v in rec) for rec in pdf.itertuples(index=False, name=None)]
 
 
 def main():
@@ -72,39 +89,55 @@ def main():
         if only and name not in only:
             continue
         try:
-            df = fn(spark, sf_dir)
-            spark_cols = df.columns
-            spark_rows = [tuple(r) for r in df.collect()]
+            pdf_s = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             continue
         if name not in oracles:
-            print(f"ok    {name}: rows-only ({len(spark_rows)} rows)")
+            # the driver still canonicalizes rows-only entries — a list
+            # column would hard-err there too, so check it here
+            try:
+                canon_pdf(pdf_s)
+            except Exception as e:
+                failures.append(name)
+                print(f"FAIL  {name}: rows-only canon raised {type(e).__name__}: {e}")
+                continue
+            print(f"ok    {name}: rows-only ({len(pdf_s)} rows)")
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            pdf_d = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
             continue
         problems = []
-        if len(spark_rows) != len(duck_rows):
-            problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
-        if sorted(spark_cols) != sorted(duck_cols):
-            problems.append(f"columns spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        if len(pdf_s) != len(pdf_d):
+            problems.append(f"rowcount spark={len(pdf_s)} duck={len(pdf_d)}")
+        if sorted(pdf_s.columns) != sorted(pdf_d.columns):
+            problems.append(
+                f"columns spark={sorted(pdf_s.columns)} duck={sorted(pdf_d.columns)}"
+            )
         if not problems:
-            s, d = rowset(spark_cols, spark_rows), rowset(duck_cols, duck_rows)
-            if s != d:
+            try:
+                s = canon_pdf(pdf_s)
+            except Exception as e:
+                problems.append(f"spark canon raised {type(e).__name__}: {e}")
+                s = d = None
+            if not problems:
+                try:
+                    d = canon_pdf(pdf_d)
+                except Exception as e:
+                    problems.append(f"oracle canon raised {type(e).__name__}: {e}")
+                    d = None
+            if not problems and s != d:
                 diff = [(a, b) for a, b in zip(s, d) if a != b][:3]
                 problems.append(f"values differ; first diffs: {diff}")
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
-            print(f"ok    {name}: {len(spark_rows)} rows match oracle")
+            print(f"ok    {name}: {len(pdf_s)} rows match oracle")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
