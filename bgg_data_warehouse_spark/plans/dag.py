@@ -33,6 +33,8 @@ REGISTRY: dict[str, tuple[tuple[str, ...], ModelFn, str]] = {
             "game_mechanics", "mechanics",
             "game_designers", "designers",
             "game_publishers", "publishers",
+            "game_artists", "artists",
+            "game_families", "families",
         ),
         M.games_features,
         "incremental",
@@ -110,6 +112,7 @@ REGISTRY: dict[str, tuple[tuple[str, ...], ModelFn, str]] = {
             "player_count_recommendations",
             "bgg_predictions",
             "bgg_game_embeddings",
+            "bgg_game_coordinates",
             "game_neighbors",
         ),
         M.game_profile,

@@ -17,11 +17,21 @@ from ..functions.hashing import content_fingerprint
 from ..operators.latest import latest_per_key, topk_per_key
 
 ENTITY_FILTERS = {
-    # filter_* models: (bridge table, dim table, dim id col)
+    # filter_* models: (bridge table, dim table, dim id col) — the reference
+    # builds filter models for exactly these four entities
     "categories": ("game_categories", "categories", "category_id"),
     "mechanics": ("game_mechanics", "mechanics", "mechanic_id"),
     "designers": ("game_designers", "designers", "designer_id"),
     "publishers": ("game_publishers", "publishers", "publisher_id"),
+}
+
+ENTITY_ARRAYS = {
+    # games_features aggregates SIX entity arrays
+    # (`definitions/games_features.sqlx:14-60,84-89`): the four filterable
+    # ones plus artists and families
+    **ENTITY_FILTERS,
+    "artists": ("game_artists", "artists", "artist_id"),
+    "families": ("game_families", "families", "family_id"),
 }
 
 
@@ -59,10 +69,11 @@ def games_active(t: dict[str, DataFrame]) -> DataFrame:
 def games_features(t: dict[str, DataFrame]) -> DataFrame:
     """Feature table (`definitions/games_features.sqlx:14-98`): per-entity
     ARRAY_AGG of names (A2) behind LEFT JOINs (J3) with empty-array
-    defaults (F4), LN feature (F1), hurdle flag (F5)."""
+    defaults (F4), LN feature (F1), hurdle flag (F5). All six entity
+    arrays (`games_features.sqlx:47-58` adds artists + families)."""
     ga = t["games_active"]
     out = ga
-    for ent, (bridge, dim, id_col) in ENTITY_FILTERS.items():
+    for ent, (bridge, dim, id_col) in ENTITY_ARRAYS.items():
         names = (
             t[bridge]
             .join(t[dim], id_col)
@@ -79,7 +90,7 @@ def games_features(t: dict[str, DataFrame]) -> DataFrame:
         "geek_rating",
         "complexity",
         "description",
-        *[F.coalesce(F.col(e), F.array().cast("array<string>")).alias(e) for e in ENTITY_FILTERS],
+        *[F.coalesce(F.col(e), F.array().cast("array<string>")).alias(e) for e in ENTITY_ARRAYS],
         F.log(F.col("users_rated") + 1).alias("log_users_rated"),
         (F.col("users_rated") >= 25).alias("rating_hurdle"),
     )
@@ -484,11 +495,22 @@ def game_profile(t: dict[str, DataFrame]) -> DataFrame:
         "game_id",
         F.struct("embedding", "embedding_model", "embedding_version").alias("embedding_block"),
     )
+    # coordinates block (`game_profile.sqlx:101-108`): struct built BEFORE
+    # the left join, so a game without coordinates gets a NULL struct (not
+    # a struct of NULLs) — same F5 guard as the predictions block
+    coords = t["bgg_game_coordinates"].select(
+        "game_id",
+        F.struct(
+            "umap_1", "umap_2", "pca_1", "pca_2",
+            "embedding_model", "embedding_version",
+        ).alias("coordinates"),
+    )
     nbrs = t["game_neighbors"]
     prof = (
         ga.join(pc, "game_id", "left")
         .join(pred, "game_id", "left")
         .join(emb, "game_id", "left")
+        .join(coords, "game_id", "left")
         .join(nbrs, "game_id", "left")
     )
     return prof.select(
@@ -506,6 +528,7 @@ def game_profile(t: dict[str, DataFrame]) -> DataFrame:
         ).alias("player_counts"),
         "predictions",  # NULL struct (not struct of NULLs) when no prediction
         "embedding_block",
+        "coordinates",  # NULL struct when the game has no coordinates row
         F.coalesce(
             "similar",
             F.array().cast("array<struct<rank:int,neighbor_id:long,score:double>>"),

@@ -301,6 +301,7 @@ def core_fixture_tables(spark, n_games: int = 60, seed: int = 7):
         }
         for gid in range(1, n_games + 1)
         for version in (1, 2)
+        if gid % 13 != 0  # some games without coordinates → NULL-struct case
     ]
     game_coordinates = spark.createDataFrame(coord_rows, schemas.GAME_COORDINATES_LANDING)
 

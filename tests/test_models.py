@@ -65,14 +65,26 @@ def test_games_active_matches_duckdb_oracle(spark, tables, built):
 
 
 def test_games_features_arrays_and_hurdle(built):
+    from bgg_data_warehouse_spark.plans.models import ENTITY_ARRAYS, ENTITY_FILTERS
+
+    # all SIX reference entity arrays (games_features.sqlx:14-60), while the
+    # filter_* surface stays at the reference's four
+    assert set(ENTITY_ARRAYS) == {
+        "categories", "mechanics", "designers", "publishers", "artists", "families",
+    }
+    assert len(ENTITY_FILTERS) == 4
     gf = built["games_features"]
     rows = {r.game_id: r for r in gf.collect()}
     for r in rows.values():
-        assert r.categories == sorted(r.categories)  # deterministic arrays
-        assert isinstance(r.categories, list)  # empty array, never null
+        for ent in ENTITY_ARRAYS:
+            vals = getattr(r, ent)
+            assert vals == sorted(vals)  # deterministic arrays
+            assert isinstance(vals, list)  # empty array, never null
         assert r.rating_hurdle == (r.users_rated >= 25)
     # a game divisible by 13 has no bridge rows → empty arrays
     assert rows[13].categories == []
+    assert rows[13].artists == []
+    assert rows[13].families == []
 
 
 def test_best_player_counts_manual_case(spark, built):
@@ -168,6 +180,14 @@ def test_game_profile_nested_blocks(built):
         # predictions block: NULL struct or fully-formed struct (F5 guard)
         if r.predictions is not None:
             assert r.predictions.predicted_rating is not None
+        # coordinates block (game_profile.sqlx:101-108): games without a
+        # coordinates row get a NULL block, NOT a struct of NULLs
+        if r.game_id % 13 == 0:
+            assert r.coordinates is None
+        else:
+            assert r.coordinates is not None
+            assert r.coordinates.umap_1 is not None
+            assert r.coordinates.embedding_version == 2  # latest version
 
 
 def test_run_persisted_materializes_and_merges(spark, tables, tmp_path):
