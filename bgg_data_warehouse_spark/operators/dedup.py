@@ -30,12 +30,22 @@ from ..functions.text import word_tokens
 
 
 def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
-    """Keep the lowest-id row per distinct content value (W1 on content)."""
-    w = Window.partitionBy(content_col).orderBy(F.col(id_col).asc())
+    """Keep the lowest-id row per distinct content value (W1 on content).
+
+    Fingerprint-first: the shuffle key is ``xxhash64(content)`` — 8 bytes —
+    not the document itself, so at 100 TB the exchange never carries full
+    document bytes as keys. Exactness is preserved by windowing on
+    ``(fingerprint, content)``: rows only share a group when the CONTENT
+    matches, so a 64-bit collision between two different documents still
+    keeps both (they sort into different groups within the same hash
+    partition — tiny, since collision groups are at most a handful of rows).
+    """
+    w = Window.partitionBy("_fp", content_col).orderBy(F.col(id_col).asc())
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        df.withColumn("_fp", F.xxhash64(F.col(content_col)))
+        .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_fp")
     )
 
 

@@ -178,11 +178,15 @@ def ivf_topk(
     Corpus rows are assigned to their nearest centroid; queries search
     their ``nprobe`` nearest cells only.
     """
+    # orderBy(...).limit(n) plans as TakeOrderedAndProject — per-partition
+    # top-n then a tiny merge — unlike a partitionless row_number Window,
+    # which would funnel the whole corpus through one task. The centroid's
+    # own source id doubles as the cell label (cells only need to agree
+    # between corpus assignment and query probing, not be 0..n-1).
     centroids = (
-        corpus.select(F.col(id_col).alias("cent_src"), F.col(vec_col).alias("cent_vec"))
-        .withColumn("_rn", F.row_number().over(Window.orderBy(F.col("cent_src").asc())))
-        .where(F.col("_rn") <= num_cells)
-        .select((F.col("_rn") - 1).alias("cell"), "cent_vec")
+        corpus.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
+        .orderBy(F.col("cell").asc())
+        .limit(num_cells)
     )
 
     def assign(df: DataFrame, idn: str, vecn: str, n_assign: int) -> DataFrame:

@@ -82,6 +82,28 @@ def test_no_row_at_a_time_python(spark, name):
         ), f"{name} unexpectedly crosses into Python"
 
 
+def test_ann_plans_have_no_global_window_or_limitless_sort(spark):
+    """A partitionless Window funnels the whole corpus through one task —
+    the r1 ivf_topk centroid-selection bug. Centroid top-n must plan as
+    TakeOrderedAndProject; no ANN plan may contain a global WindowExec."""
+    for name in ("knn_ivf", "knn_lsh", "knn_bruteforce", "doc_vector_knn"):
+        plan = executed_plan(entrymod.queries()[name](spark, SF_SMALL))
+        # a global Window (or global Sort/Limit mid-plan) materializes as an
+        # Exchange SinglePartition — none may appear anywhere in an ANN plan
+        assert "SinglePartition" not in plan, f"{name}: single-partition exchange"
+    ivf = executed_plan(entrymod.queries()["knn_ivf"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in ivf
+
+
+def test_dedup_exact_shuffles_fingerprint_first(spark):
+    """The dedup_exact exchange must hash-partition on the xxhash64
+    fingerprint (first key), not on raw document text alone."""
+    plan = executed_plan(entrymod.queries()["dedup_exact"](spark, SF_SMALL))
+    assert "xxhash64" in plan, plan[:2000]
+    exch = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert any("_fp" in l for l in exch), exch
+
+
 def test_incremental_filter_reaches_scan(spark):
     df = entrymod.queries()["watermark_increment"](spark, SF_SMALL)
     plan = executed_plan(df)
