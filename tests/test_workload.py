@@ -11,7 +11,7 @@ import duckdb
 import pytest
 
 from tests.conftest import SF_SMALL
-from tools.check_oracle import TABLES, rowset
+from tools.check_oracle import TABLES, canon_pdf
 
 import __spark_entry__ as entrymod
 
@@ -37,17 +37,14 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize("name", ALL_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
-    df = entrymod.queries()[name](spark, SF_SMALL)
-    spark_cols = df.columns
-    spark_rows = [tuple(r) for r in df.collect()]
+    pdf_s = entrymod.queries()[name](spark, SF_SMALL).toPandas()
     if name not in ORACLES:
-        # rows-only contract: deterministic rerun must agree with itself
-        again = [tuple(r) for r in entrymod.queries()[name](spark, SF_SMALL).collect()]
-        assert sorted(map(str, spark_rows)) == sorted(map(str, again))
+        # rows-only contract: the driver still canonicalizes (list columns
+        # would hard-err) and a deterministic rerun must agree with itself
+        again = entrymod.queries()[name](spark, SF_SMALL).toPandas()
+        assert canon_pdf(pdf_s) == canon_pdf(again)
         return
-    res = duck.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
-    assert sorted(spark_cols) == sorted(duck_cols)
-    assert len(spark_rows) == len(duck_rows)
-    assert rowset(spark_cols, spark_rows) == rowset(duck_cols, duck_rows)
+    pdf_d = duck.execute(ORACLES[name]).df()
+    assert sorted(pdf_s.columns) == sorted(pdf_d.columns)
+    assert len(pdf_s) == len(pdf_d)
+    assert canon_pdf(pdf_s) == canon_pdf(pdf_d)
