@@ -64,6 +64,42 @@ def run_foreach_batch(df: DataFrame, sink, mode: str = "update"):
     return q
 
 
+_DEDUP_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def make_dedup_handler(ttl_minutes: int | None):
+    """Build the applyInPandasWithState handler for stateful dedup.
+
+    Module-level so tests can drive the timeout branch with a fake
+    GroupState instead of waiting out a processing-time TTL.
+    """
+    import pandas as pd
+
+    def dedup(key, pdfs, state):
+        if state.hasTimedOut:
+            # TTL fired for this shard: actually free the state (emit
+            # nothing). Without this the handler would re-update and
+            # re-arm the timeout, so 'seen' sets would grow forever in a
+            # long-running stream — the lease analogue must expire.
+            state.remove()
+            yield pd.DataFrame(columns=_DEDUP_COLS)
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        rows = []
+        for pdf in pdfs:
+            for _, r in pdf.iterrows():
+                eid = int(r["event_id"])
+                if eid not in seen:
+                    seen.add(eid)
+                    rows.append(r)
+        state.update((list(seen),))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        yield pd.DataFrame(rows)[_DEDUP_COLS] if rows else pd.DataFrame(columns=_DEDUP_COLS)
+
+    return dedup
+
+
 def dedup_stream_stateful(events: DataFrame, *, ttl_minutes: int | None = 60) -> DataFrame:
     """Custom stateful operator: streaming exactly-once-ish dedup by event_id.
 
@@ -80,30 +116,14 @@ def dedup_stream_stateful(events: DataFrame, *, ttl_minutes: int | None = 60) ->
     with ProcessingTimeTimeout the query keeps scheduling state-cleanup
     micro-batches, so ``processAllAvailable`` never drains.
     """
-    import pandas as pd
-
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = (
         "event_id long, ts timestamp, user_id long, event_type string, value double"
     )
     state_schema = "seen array<long>"
 
-    def dedup(key, pdfs, state: GroupState):
-        seen = set(state.get[0]) if state.exists else set()
-        rows = []
-        for pdf in pdfs:
-            for _, r in pdf.iterrows():
-                eid = int(r["event_id"])
-                if eid not in seen:
-                    seen.add(eid)
-                    rows.append(r)
-        state.update((list(seen),))
-        if ttl_minutes is not None:
-            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
-        cols = ["event_id", "ts", "user_id", "event_type", "value"]
-        yield pd.DataFrame(rows)[cols] if rows else pd.DataFrame(columns=cols)
-
+    dedup = make_dedup_handler(ttl_minutes)
     keyed = events.withColumn("shard", F.pmod(F.col("event_id"), F.lit(64)))
     timeout_conf = (
         GroupStateTimeout.ProcessingTimeTimeout

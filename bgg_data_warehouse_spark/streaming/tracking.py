@@ -97,7 +97,11 @@ def unprocessed_responses(
 ) -> DataFrame:
     """Pending process work (`response_processor.py:182-209`): latest
     response per game (W1), minus already-processed record_ids (J4),
-    oldest-first priority (O3), LIMIT batch."""
+    minus records that exhausted their process attempts (I4 — the
+    reference's ResponseProcessor caps at max_retries=3, so a payload
+    that fails to parse every time eventually leaves the queue instead
+    of being re-selected forever), oldest-first priority (O3), LIMIT
+    batch."""
     latest = (
         raw_responses.withColumn(
             "_rn",
@@ -114,9 +118,16 @@ def unprocessed_responses(
     done = processed_responses.where(
         F.col("process_status").isin("success", "no_response")
     ).select("record_id")
+    capped = (
+        processed_responses.groupBy("record_id")
+        .agg(F.count("*").alias("_attempts"))
+        .where(F.col("_attempts") >= MAX_ATTEMPTS)
+        .select("record_id")
+    )
     return (
         latest.join(ok, "record_id", "left_semi")
         .join(done, "record_id", "left_anti")
+        .join(capped, "record_id", "left_anti")
         .orderBy(F.col("fetch_timestamp").asc(), F.col("record_id"))
         .limit(batch)
     )

@@ -214,6 +214,31 @@ def test_unprocessed_responses_dedups_and_orders(spark):
     assert [r.record_id for r in got] == ["d", "b"]
 
 
+def test_unprocessed_responses_caps_attempts(spark):
+    # A payload that fails parsing forever (status 'parse_error', never in the
+    # done set) must leave the queue once MAX_ATTEMPTS status rows exist —
+    # mirroring the reference ResponseProcessor's max_retries=3.
+    raw = spark.createDataFrame(
+        [{"game_id": 1, "response_data": "bad", "fetch_timestamp": T0, "record_id": "a"}],
+        schemas.RAW_RESPONSES,
+    )
+    fetched = spark.createDataFrame(
+        [{"record_id": "a", "game_id": 1, "fetch_timestamp": T0, "fetch_status": "success"}],
+        schemas.FETCHED_RESPONSES,
+    )
+    processed = spark.createDataFrame([], schemas.PROCESSED_RESPONSES)
+    for attempt in range(1, tracking.MAX_ATTEMPTS + 1):
+        assert tracking.unprocessed_responses(raw, fetched, processed).count() == 1
+        failure = spark.createDataFrame(
+            [{"record_id": "a", "process_timestamp": T0 + timedelta(hours=attempt),
+              "process_status": "parse_error", "process_attempt": 0,
+              "error_message": "boom"}],
+            schemas.PROCESSED_RESPONSES,
+        )
+        processed = tracking.record_process_results(processed, failure)
+    assert tracking.unprocessed_responses(raw, fetched, processed).count() == 0
+
+
 def test_record_process_results_attempt_numbering(spark):
     processed = spark.createDataFrame(
         [{"record_id": "x", "process_timestamp": T0, "process_status": "error",
@@ -379,6 +404,38 @@ def test_stateful_streaming_dedup(spark, tmp_path):
         assert sorted(set(ids)) == sorted(r.event_id for r in events.collect())
     finally:
         q.stop()
+
+
+def test_stateful_dedup_ttl_removes_state():
+    """The timeout branch must free state (I3 lease expiry), not re-arm it."""
+    import pandas as pd
+
+    from bgg_data_warehouse_spark.streaming import ingest
+
+    class FakeState:
+        def __init__(self):
+            self.hasTimedOut = True
+            self.exists = True
+            self.get = ([1, 2, 3],)
+            self.removed = False
+            self.updated = False
+            self.rearmed = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, value):
+            self.updated = True
+
+        def setTimeoutDuration(self, ms):
+            self.rearmed = True
+
+    state = FakeState()
+    handler = ingest.make_dedup_handler(ttl_minutes=60)
+    out = list(handler((0,), iter([pd.DataFrame({"event_id": [1]})]), state))
+    assert state.removed, "timed-out state was not removed"
+    assert not state.updated and not state.rearmed, "timeout branch re-armed state"
+    assert sum(len(p) for p in out) == 0, "timeout branch emitted rows"
 
 
 # ----------------------------------------------------------- refresher
