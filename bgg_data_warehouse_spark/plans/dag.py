@@ -15,6 +15,7 @@ from collections.abc import Callable
 from graphlib import TopologicalSorter
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from . import models as M
 
@@ -121,6 +122,21 @@ REGISTRY: dict[str, tuple[tuple[str, ...], ModelFn, str]] = {
 }
 
 
+def scope_to_changed(df: DataFrame, changed_keys: DataFrame | None) -> DataFrame:
+    """J6 changed-keys scoping (`games_features.sqlx:15-18`): semi-join an
+    input to the small changed-key set so an incremental run re-aggregates
+    ONLY changed keys — the reference's 8 s-vs-4 h lesson. The key set is
+    broadcast (it's a watermark slice, tiny by construction), so the heavy
+    input is filtered in place with no shuffle. Inputs lacking the key
+    columns (dimension tables) pass through untouched."""
+    if changed_keys is None:
+        return df
+    kcols = changed_keys.columns
+    if not all(c in df.columns for c in kcols):
+        return df
+    return df.join(F.broadcast(changed_keys), kcols, "left_semi")
+
+
 class ModelDag:
     """Run the model DAG over a registry of source DataFrames."""
 
@@ -169,6 +185,7 @@ class ModelDag:
         tables: dict[str, DataFrame],
         root: str,
         targets: list[str] | None = None,
+        changed_keys: DataFrame | None = None,
     ) -> dict[str, DataFrame]:
         """Execute and MATERIALIZE per model policy (the Dataform run).
 
@@ -177,7 +194,13 @@ class ModelDag:
         - ``incremental``: MERGE by uniqueKey into the existing table —
           fresh rows replace matched keys, unmatched keys persist. The
           reference's watermark scoping of *inputs* (I1) composes on top
-          via streaming.incremental; the runner owns only the write side.
+          via streaming.incremental; the runner owns the write side AND,
+          when ``changed_keys`` is given, the J6 input scoping: every
+          keyed input of an incremental model is semi-joined to the
+          changed-key set before the model body runs, so only changed
+          keys are re-aggregated (`games_features.sqlx:15-18`). Full-
+          rebuild models ignore ``changed_keys`` — they see full inputs,
+          like the reference's non-incremental configs.
 
         Downstream models read the PERSISTED table (not the in-memory
         plan), exactly like Dataform's ref() — so an incremental model's
@@ -192,12 +215,21 @@ class ModelDag:
             missing = [d for d in deps if d not in out]
             if missing:
                 raise KeyError(f"model {name!r} missing inputs: {missing}")
-            df = fn(out)
+            keys = UNIQUE_KEYS.get(name)
+            merge_into_existing = (
+                policy == "incremental" and keys and io.table_exists(root, name)
+            )
+            if merge_into_existing and changed_keys is not None:
+                scoped = dict(out)
+                for d in deps:
+                    scoped[d] = scope_to_changed(out[d], changed_keys)
+                df = fn(scoped)
+            else:
+                df = fn(out)
             if policy == "view":
                 out[name] = df
                 continue
-            keys = UNIQUE_KEYS.get(name)
-            if policy == "incremental" and keys and io.table_exists(root, name):
+            if merge_into_existing:
                 existing = io.read_table(spark, root, name)
                 io.rewrite_table(delete_insert(existing, df, keys), root, name)
             else:

@@ -39,6 +39,14 @@ def watermark_filter(source: DataFrame, ts_col: str, wm) -> DataFrame:
     return source if wm is None else source.where(F.col(ts_col) > F.lit(wm))
 
 
+def changed_key_set(source: DataFrame, ts_col: str, wm, key_cols: Sequence[str]) -> DataFrame:
+    """Distinct keys in the watermark slice — the reference's
+    ``games_to_process`` CTE (`games_features.sqlx:8-12`). Feed this to
+    ``ModelDag.run_persisted(changed_keys=...)`` to scope every keyed
+    input of the incremental models (J6)."""
+    return watermark_filter(source, ts_col, wm).select(*key_cols).distinct()
+
+
 def merge_by_unique_key(
     existing: DataFrame,
     fresh: DataFrame,
@@ -61,6 +69,32 @@ def merge_by_unique_key(
     return merged.drop("_src")
 
 
+def incremental_dag_cycle(
+    spark: SparkSession,
+    dag,
+    tables: dict[str, DataFrame],
+    root: str,
+    targets: Sequence[str] | None = None,
+    *,
+    source_name: str = "games",
+    ts_col: str = "load_timestamp",
+    key_cols: Sequence[str] = ("game_id",),
+    wm_model: str = "games_active",
+) -> dict[str, DataFrame]:
+    """One end-to-end incremental Dataform run (I1 + J6): derive the
+    changed-key set from the landing source past the persisted watermark,
+    then run the DAG with every incremental model's keyed inputs scoped
+    to it (`games_features.sqlx:8-18`). First run (no watermark table
+    yet) falls back to a full build."""
+    if not io.table_exists(root, wm_model):
+        return dag.run_persisted(spark, tables, root, list(targets) if targets else None)
+    wm = high_watermark(io.read_table(spark, root, wm_model), ts_col)
+    changed = changed_key_set(tables[source_name], ts_col, wm, list(key_cols))
+    return dag.run_persisted(
+        spark, tables, root, list(targets) if targets else None, changed_keys=changed
+    )
+
+
 def incremental_refresh(
     spark: SparkSession,
     root: str,
@@ -73,9 +107,10 @@ def incremental_refresh(
 ) -> DataFrame:
     """Run one incremental cycle against a persisted target table.
 
-    build() receives the watermark-scoped source slice (I1 + the J6
-    changed-keys discipline is the builder's concern) and returns rows to
-    merge. First run = full refresh.
+    build() receives the watermark-scoped source slice (I1) and returns
+    rows to merge; for the DAG-wide J6 changed-keys scoping see
+    ``ModelDag.run_persisted(changed_keys=...)`` + ``changed_key_set``.
+    First run = full refresh.
     """
     if not io.table_exists(root, name):
         out = build(source)

@@ -229,3 +229,69 @@ def test_run_persisted_materializes_and_merges(spark, tables, tmp_path):
     assert after[1] == 9.99  # merged: key 1 replaced
     assert len(after) == len(rating_before)  # all other keys persisted
     assert all(after[g] == rating_before[g] for g in after if g != 1)
+
+
+def test_run_persisted_changed_keys_recomputes_only_changed(spark, tables, tmp_path):
+    """J6 wired into the DAG (`games_features.sqlx:15-18`): an incremental
+    cycle with a changed-key set re-aggregates ONLY the changed games.
+    Proof: the categories dim is renamed between cycles — only the changed
+    game may observe the rename; every other game's row must be carried
+    through the merge verbatim."""
+    from pyspark.sql import functions as F
+
+    from bgg_data_warehouse_spark import io
+    from bgg_data_warehouse_spark.plans.dag import scope_to_changed
+    from bgg_data_warehouse_spark.streaming.incremental import (
+        changed_key_set,
+        high_watermark,
+        incremental_dag_cycle,
+    )
+
+    root = str(tmp_path)
+    dag = ModelDag()
+    out1 = dag.run_persisted(spark, tables, root, targets=["games_features"])
+    feats_before = {r.game_id: r for r in out1["games_features"].collect()}
+    # pick a changed game guaranteed to have category links
+    target_gid = min(g for g, r in feats_before.items() if r.categories)
+
+    newer = (
+        tables["games"]
+        .where(F.col("game_id") == target_gid)
+        .orderBy(F.col("load_timestamp").desc())
+        .limit(1)
+        .withColumn("load_timestamp", F.expr("load_timestamp + INTERVAL 10 DAYS"))
+        .withColumn("users_rated", F.lit(777))
+    )
+    renamed_cats = tables["categories"].withColumn(
+        "name", F.concat(F.col("name"), F.lit(" vNEW"))
+    )
+    wm = high_watermark(io.read_table(spark, root, "games_active"), "load_timestamp")
+    all_games = tables["games"].unionByName(newer)
+    changed = changed_key_set(all_games, "load_timestamp", wm, ["game_id"])
+    assert [r.game_id for r in changed.collect()] == [target_gid]
+
+    # plan audit: the scoping is a broadcast semi join — no shuffle of the
+    # heavy input, the 100 TB shape
+    scoped_plan = (
+        scope_to_changed(tables["games"], changed)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in scoped_plan and "Broadcast" in scoped_plan, scoped_plan[:2000]
+
+    out2 = incremental_dag_cycle(
+        spark,
+        dag,
+        {**tables, "games": all_games, "categories": renamed_cats},
+        root,
+        targets=["games_features"],
+    )
+    after = {r.game_id: r for r in out2["games_features"].collect()}
+    assert len(after) == len(feats_before)
+    assert after[target_gid].users_rated == 777
+    assert after[target_gid].categories and all(
+        c.endswith(" vNEW") for c in after[target_gid].categories
+    ), "changed game was not re-aggregated against fresh inputs"
+    for gid, row in feats_before.items():
+        if gid == target_gid:
+            continue
+        assert after[gid] == row, f"unchanged game {gid} was recomputed"
