@@ -74,6 +74,10 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
         F.col(id_col).alias("doc"),
         F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok"),
     ).select("doc", "pos", F.xxhash64("tok").alias("h"))
+    if k == 1:
+        # degenerate shingle = single token: the sketch becomes a MinHash
+        # over token sets (no window needed — nothing to chain)
+        return toks.select("doc", F.xxhash64("h").alias("sh"))
     w = Window.partitionBy("doc").orderBy("pos")
     leads = toks.select(
         "doc",

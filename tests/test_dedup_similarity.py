@@ -49,6 +49,30 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_dups):
     assert all(a not in (4, 5) and b not in (4, 5) for a, b in got)
 
 
+def test_minhash_verified_equals_exact_jaccard(spark):
+    """The oracle-gated verifier configuration (shingle_k=1, 16 bands × 2
+    rows, τ=0.97) must reproduce the EXACT all-pairs token-Jaccard result
+    on the gate data — recall floor 1.0 at this threshold."""
+    from bgg_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    approx = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text",
+            shingle_k=1, num_hashes=32, bands=16, jaccard_threshold=0.97,
+        ).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.97).collect()
+    }
+    assert approx == exact
+
+
 def test_simhash_finds_planted_near_dups(spark, docs_with_dups):
     from bgg_data_warehouse_spark.operators.dedup import simhash_pairs
 
