@@ -57,7 +57,9 @@ class GameReader:
         return doc
 
     def get_features(self, game_id: int) -> dict | None:
-        """R3 block reader — explicit columns only (no SELECT *)."""
+        """R3 block reader — explicit columns only (no SELECT *); carries
+        the per-player-count block like the reference's ``get_features``
+        (`readers/games.py:83-91`)."""
         rows = (
             self.tables["games_features"]
             .select("game_id", "name", "categories", "mechanics", "complexity", "geek_rating")
@@ -65,7 +67,63 @@ class GameReader:
             .limit(1)
             .collect()
         )
+        if not rows:
+            return None
+        doc = rows[0].asDict(recursive=True)
+        doc["player_counts"] = self.get_player_counts(game_id)
+        return doc
+
+    def get_player_counts(self, game_id: int) -> list[dict]:
+        """Per-player-count rows, read from ``player_count_recommendations``
+        ONLY (`readers/games.py:67-81`) — ``/players`` must never pay for a
+        games_features scan. Empty list for an unknown game."""
+        rows = (
+            self.tables["player_count_recommendations"]
+            .where(F.col("game_id") == game_id)
+            .orderBy("player_count")
+            .collect()
+        )
+        return [r.asDict() for r in rows]
+
+    def get_predictions(self, game_id: int) -> dict | None:
+        """Latest prediction row; None when the game has no prediction —
+        a legitimate state, the router serves it as 200/null. This is the
+        one reader that keeps SELECT * on purpose: the column set is owned
+        by the ML pipeline (`readers/games.py:103-110`)."""
+        rows = (
+            self.tables["bgg_predictions"]
+            .where(F.col("game_id") == game_id)
+            .limit(1)
+            .collect()
+        )
         return rows[0].asDict(recursive=True) if rows else None
+
+    def get_embedding(self, game_id: int) -> dict | None:
+        """UMAP/PCA coordinates (`readers/games.py:120-131`); None if the
+        game was never embedded."""
+        rows = (
+            self.tables["bgg_game_coordinates"]
+            .select(
+                "game_id", "umap_1", "umap_2", "pca_1", "pca_2",
+                "embedding_model", "embedding_version", "created_ts",
+            )
+            .where(F.col("game_id") == game_id)
+            .limit(1)
+            .collect()
+        )
+        return rows[0].asDict(recursive=True) if rows else None
+
+    def get_provenance(self, game_id: int) -> list[dict]:
+        """Fetch-history provenance rows (`readers/games.py` PROVENANCE_COLUMNS),
+        newest first."""
+        rows = (
+            self.tables["fetched_responses"]
+            .select("record_id", "game_id", "fetch_timestamp", "fetch_status")
+            .where(F.col("game_id") == game_id)
+            .orderBy(F.col("fetch_timestamp").desc())
+            .collect()
+        )
+        return [r.asDict() for r in rows]
 
     def get_similar(
         self,
