@@ -1,0 +1,171 @@
+"""Deterministic sampling / splitting / mixing / packing for training-data
+pipelines.
+
+The four operations every LLM data pipeline runs between "corpus" and
+"training shards", each expressed as pure Catalyst transforms — no RNG
+state, no driver loops, no Python crossing — so they are reproducible
+run-to-run, partition-count-independent, and shuffle-lean at 100 TB:
+
+- ``train_test_split``  — hash each id into [0, 1000) and band the range
+  by split weights. Membership is a pure function of the id, so a re-run
+  (or a late-arriving shard) lands every row in the same split without
+  coordination. One narrow projection; zero shuffles.
+- ``mix_sources``       — per-source keep-rates via the same hash bands
+  (down-weight a crawl, up-weight curated text). Zero shuffles.
+- ``stratified_sample`` — exactly n per stratum, chosen by hash order
+  (deterministic "random"): one shuffle on the stratum key.
+- ``pack_sequences``    — concatenate documents in a deterministic order
+  and cut the stream into fixed token-budget training sequences: pack id
+  = floor(running-token-offset / budget). One window shuffle per group.
+
+Hashing: ``default_bucket`` uses xxhash64 (fast, JVM-side) — the right
+choice in production. The graded queries instead pass ``md5_bucket``,
+which both Spark and DuckDB can compute bit-identically, so the whole
+family is oracle-checkable — same plan shape, different hash expression.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKETS = 1000
+
+
+def default_bucket(col: Column) -> Column:
+    """xxhash64 bucket in [0, BUCKETS) — production default."""
+    return F.pmod(F.xxhash64(col), F.lit(BUCKETS))
+
+
+def md5_bucket(col: Column) -> Column:
+    """md5-derived bucket in [0, BUCKETS), computable bit-identically in
+    any engine with md5/substr/ascii — used by the oracle-gated queries.
+    Three hex chars → 4096 combinations folded mod 1000."""
+    h = F.md5(col.cast("string"))
+    return (
+        F.ascii(F.substring(h, 1, 1)) * 65536
+        + F.ascii(F.substring(h, 2, 1)) * 256
+        + F.ascii(F.substring(h, 3, 1))
+    ) % BUCKETS
+
+
+def md5_bucket_sql(expr: str) -> str:
+    """The DuckDB-side rendering of ``md5_bucket`` for oracle SQL."""
+    h = f"md5(CAST({expr} AS VARCHAR))"
+    return (
+        f"(ascii(substr({h},1,1))*65536 + ascii(substr({h},2,1))*256 "
+        f"+ ascii(substr({h},3,1))) % {BUCKETS}"
+    )
+
+
+def train_test_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    *,
+    bucket_fn: Callable[[Column], Column] = default_bucket,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by banding the hash range.
+
+    ``weights`` maps split name → fraction (must sum to ≤ 1; any hash
+    remainder falls into the LAST split, so {"train": .8, "val": .1,
+    "test": .1} is exact). Assignment is a pure per-row function — no
+    shuffle, no sampling state, stable under reruns and repartitioning.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split weights sum to {total} > 1")
+    b = bucket_fn(F.col(id_col))
+    expr = None
+    edge = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        edge += weights[name]
+        cond = b < F.lit(int(round(edge * BUCKETS)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def mix_sources(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 1.0,
+    bucket_fn: Callable[[Column], Column] = default_bucket,
+) -> DataFrame:
+    """Weighted source mixing: keep a deterministic ``rates[source]``
+    fraction of each source's rows (hash-banded, so the kept set is
+    stable and nested: rate 0.2 ⊂ rate 0.5). Unlisted sources keep
+    ``default_rate``. Pure filter — zero shuffles."""
+    for src, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {src!r} must be in [0,1], got {r}")
+    b = bucket_fn(F.col(id_col))
+    thresh = F.lit(int(round(default_rate * BUCKETS)))
+    for src, r in rates.items():
+        thresh = F.when(F.col(source_col) == src, F.lit(int(round(r * BUCKETS)))).otherwise(
+            thresh
+        )
+    return df.where(b < thresh)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    n_per_stratum: int,
+    *,
+    bucket_fn: Callable[[Column], Column] = default_bucket,
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, selected by hash order
+    (deterministic, uniform-ish, reproducible). One shuffle on the
+    stratum key; the per-group top-n plans as WindowGroupLimit, so each
+    task keeps only n rows — no full sort of the stratum."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        bucket_fn(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    *,
+    group_cols: Sequence[str] = (),
+    pack_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+) -> DataFrame:
+    """Concatenation packing: documents are laid end-to-end in ``id_col``
+    order (within each group) and the token stream is cut every ``budget``
+    tokens — the standard "concat then chunk" LLM pretraining layout.
+    Each row gets the pack it STARTS in (``pack_col``) and its token
+    offset within the stream (``offset_col``).
+
+    Shape at scale: one running-sum window per group — a single hash
+    exchange on the group key. With no ``group_cols`` the window is
+    global; pass a shard/source column at 100 TB so the exchange is
+    parallel (sequences never cross shards in real pipelines anyway).
+    """
+    w = Window.partitionBy(*[F.col(c) for c in group_cols] or [F.lit(0)]).orderBy(id_col)
+    start = F.coalesce(
+        F.sum(token_count_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    return df.withColumn(offset_col, start).withColumn(
+        pack_col, (F.col(offset_col) / F.lit(budget)).cast("long")
+    )

@@ -837,6 +837,119 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Sampling / splitting / mixing / packing (LLM-pipeline extension)
+#
+# Every query here uses operators.sampling with its md5_bucket hasher —
+# the deterministic hash both Spark and DuckDB compute bit-identically —
+# so the whole family is fully oracle-gated. Production callers use the
+# default xxhash64 bucket; the plan shape is identical.
+# ===========================================================================
+
+from .operators.sampling import md5_bucket, md5_bucket_sql  # noqa: E402
+
+_B = md5_bucket_sql("doc_id")
+
+
+@query(
+    "split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_B} < 800 THEN 'train'
+                WHEN {_B} < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/val/test split — membership is a pure
+    function of doc_id: zero shuffles, rerun-stable, exact band edges."""
+    from .operators.sampling import train_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_test_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, bucket_fn=md5_bucket
+    ).select("doc_id", "split")
+
+
+@query(
+    "mix_sources",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_B} < CASE WHEN source = 'src1' THEN 250
+                      WHEN source = 'src2' THEN 500
+                      ELSE 1000 END
+    """,
+)
+def mix_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: keep 25% of src1, 50% of src2, all else —
+    a deterministic hash-band filter, zero shuffles, nested keep-sets."""
+    from .operators.sampling import mix_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_sources(
+        docs, "doc_id", "source", {"src1": 0.25, "src2": 0.5}, bucket_fn=md5_bucket
+    ).select("doc_id", "source")
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_B}, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language, chosen by hash order — deterministic
+    'random' sampling, one shuffle on the stratum key, WindowGroupLimit
+    keeps per-task memory at n rows."""
+    from .operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", "lang", 20, bucket_fn=md5_bucket).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(COALESCE(SUM(tok) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS pack_offset,
+           CAST(COALESCE(SUM(tok) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT)
+             AS pack_id
+    FROM (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')) AS tok
+      FROM documents
+    )
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing at a 2048-token budget, sharded
+    by source so the running-sum window parallelizes (one hash exchange
+    on the shard key — sequences never cross shards)."""
+    from .functions.text import word_tokens
+    from .operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(word_tokens(F.col("text"))).alias("tok")
+    )
+    return pack_sequences(
+        docs, "doc_id", "tok", 2048, group_cols=("source",)
+    ).select("doc_id", "source", "pack_offset", "pack_id")
+
+
+# ===========================================================================
 # Text analysis (LLM-pipeline extension)
 # ===========================================================================
 

@@ -1,0 +1,117 @@
+"""Behavioral + plan tests for the sampling/splitting/mixing/packing family."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bgg_data_warehouse_spark.operators.sampling import (
+    default_bucket,
+    md5_bucket,
+    mix_sources,
+    pack_sequences,
+    stratified_sample,
+    train_test_split,
+)
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_split_is_exhaustive_stable_and_shuffle_free(docs):
+    out = train_test_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # proportions within loose tolerance of the weights
+    assert abs(counts["train"] / total - 0.8) < 0.1
+    # membership is a pure row function: the split itself plans no Exchange
+    assert "Exchange" not in _plan(
+        train_test_split(docs, "doc_id", {"train": 0.8, "val": 0.2}).select("doc_id", "split")
+    )
+    # rerun-stable
+    again = train_test_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).isEmpty()
+
+
+def test_split_rejects_bad_weights(docs):
+    with pytest.raises(ValueError):
+        train_test_split(docs, "doc_id", {})
+    with pytest.raises(ValueError):
+        train_test_split(docs, "doc_id", {"a": 0.9, "b": 0.9})
+
+
+def test_mix_rates_are_nested_and_shuffle_free(docs):
+    half = mix_sources(docs, "doc_id", "source", {"src1": 0.5})
+    fifth = mix_sources(docs, "doc_id", "source", {"src1": 0.2})
+    kept_half = {r.doc_id for r in half.where("source = 'src1'").collect()}
+    kept_fifth = {r.doc_id for r in fifth.where("source = 'src1'").collect()}
+    assert kept_fifth <= kept_half, "hash-banded keep-sets must be nested"
+    n_src1 = docs.where("source = 'src1'").count()
+    assert 0 < len(kept_half) < n_src1
+    # untouched sources keep everything
+    assert half.where("source = 'src2'").count() == docs.where("source = 'src2'").count()
+    assert "Exchange" not in _plan(half)
+    with pytest.raises(ValueError):
+        mix_sources(docs, "doc_id", "source", {"src1": 1.5})
+
+
+def test_stratified_sample_exact_n_and_group_limit(docs):
+    out = stratified_sample(docs, "doc_id", "lang", 5)
+    sizes = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    avail = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(5, avail[lang]), lang
+    assert set(sizes) == set(avail)
+    # deterministic across reruns
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in stratified_sample(docs, "doc_id", "lang", 5).collect())
+    assert a == b
+    # the per-group top-n plans as a group-limit, not a full stratum sort
+    assert "WindowGroupLimit" in _plan(out)
+
+
+def test_pack_sequences_invariants(docs):
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), r"\s+")).alias("tok")
+    )
+    out = pack_sequences(toks, "doc_id", "tok", 512, group_cols=("source",))
+    rows = out.orderBy("source", "doc_id").collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        # offsets are the running sum of prior token counts, starting at 0
+        run = 0
+        for r in rs:
+            assert r.pack_offset == run, (src, r.doc_id)
+            assert r.pack_id == run // 512
+            run += r.tok
+        # pack ids are monotone and start at 0
+        assert rs[0].pack_id == 0
+    # exactly one window exchange on the shard key — never SinglePartition
+    plan = _plan(out)
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") <= 2  # AQE may show reused/final exchanges
+
+
+def test_buckets_are_deterministic_and_in_range(spark):
+    df = spark.range(0, 2000).select(
+        default_bucket(F.col("id")).alias("x"), md5_bucket(F.col("id")).alias("m")
+    )
+    agg = df.agg(
+        F.min("x"), F.max("x"), F.min("m"), F.max("m"), F.countDistinct("x"), F.countDistinct("m")
+    ).collect()[0]
+    assert agg[0] >= 0 and agg[1] < 1000 and agg[2] >= 0 and agg[3] < 1000
+    assert agg[4] > 500 and agg[5] > 500  # spread over the range
