@@ -50,7 +50,7 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_dups):
 
 
 def test_minhash_verified_equals_exact_jaccard(spark):
-    """The oracle-gated verifier configuration (shingle_k=1, 16 bands × 2
+    """The oracle-gated verifier configuration (shingle_k=1, 8 bands × 2
     rows, τ=0.97) must reproduce the EXACT all-pairs token-Jaccard result
     on the gate data — recall floor 1.0 at this threshold."""
     from bgg_data_warehouse_spark.operators.dedup import (
@@ -63,7 +63,7 @@ def test_minhash_verified_equals_exact_jaccard(spark):
         (r.doc_a, r.doc_b): r.jaccard
         for r in minhash_lsh_pairs(
             docs, "doc_id", "text",
-            shingle_k=1, num_hashes=32, bands=16, jaccard_threshold=0.97,
+            shingle_k=1, num_hashes=16, bands=8, jaccard_threshold=0.97,
         ).collect()
     }
     exact = {
