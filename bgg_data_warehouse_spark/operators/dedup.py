@@ -22,11 +22,24 @@ shingles.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hamming64, minhash_bands, simhash_chunks
 from ..functions.text import word_tokens
+
+# Multiply-read intermediates (signatures+shingle sets, the prefix index)
+# are pinned through this hook. The default — executor-memory cache — is
+# right for single-node runs; at 100 TB pass a checkpoint/table writer
+# (e.g. lambda df: spark.read.parquet(write(df))) so the pinned set lives
+# on storage instead of RAM and survives executor loss.
+Pin = Callable[[DataFrame], DataFrame]
+
+
+def _default_pin(df: DataFrame) -> DataFrame:
+    return df.cache()
 
 
 def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -107,6 +120,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
+    pin: Pin = _default_pin,
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, jaccard) via MinHash + banded LSH.
 
@@ -127,12 +141,14 @@ def minhash_lsh_pairs(
         ],
         F.collect_set("sh").alias("shingles"),
     )
-    # cached: buckets self-join reads it twice, the verify join twice more
-    sigs = per_doc.select(
-        "doc",
-        "shingles",
-        F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias("sig"),
-    ).cache()
+    # pinned: buckets self-join reads it twice, the verify join twice more
+    sigs = pin(
+        per_doc.select(
+            "doc",
+            "shingles",
+            F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias("sig"),
+        )
+    )
 
     buckets = sigs.select(
         "doc",
@@ -173,6 +189,7 @@ def simhash_pairs(
     *,
     max_hamming: int = 3,
     num_chunks: int = 4,
+    pin: Pin = _default_pin,
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, hamming) via SimHash + pigeonhole LSH.
 
@@ -183,12 +200,10 @@ def simhash_pairs(
     if max_hamming > num_chunks - 1:
         raise ValueError("pigeonhole LSH requires max_hamming <= num_chunks - 1")
     sk = _simhash_sketches(df, id_col, text_col)
-    chunks = (
+    chunks = pin(  # both sides of the candidate self-join read this
         sk.select(
             "doc", "sketch", F.explode(simhash_chunks(F.col("sketch"), num_chunks)).alias("c")
-        )
-        .select("doc", "sketch", "c.chunk", "c.value")
-        .cache()  # both sides of the candidate self-join read this
+        ).select("doc", "sketch", "c.chunk", "c.value")
     )
 
     cand = (
@@ -250,6 +265,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     *,
     threshold: float = 0.5,
+    pin: Pin = _default_pin,
 ) -> DataFrame:
     """EXACT token-set Jaccard pairs with prefix filtering (AllPairs/PPJoin).
 
@@ -275,13 +291,15 @@ def ngram_jaccard_pairs(
     At t=0.97 the prefix is 1-2 tokens per doc, so the join touches a tiny
     fraction of the corpus regardless of token skew.
     """
-    # cached: consumed by the freq count AND the canonical reorder (and the
+    # pinned: consumed by the freq count AND the canonical reorder (and the
     # ordered index below feeds both sides of the self-join) — without
-    # caching, tokenization reruns once per branch
-    toksets = df.select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(word_tokens(F.col(text_col))).alias("toks"),
-    ).cache()
+    # pinning, tokenization reruns once per branch
+    toksets = pin(
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(word_tokens(F.col(text_col))).alias("toks"),
+        )
+    )
     freq = (
         toksets.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
@@ -311,9 +329,9 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    index = ordered.select(
-        "doc", "toks", "n_tok", F.explode("prefix").alias("tok")
-    ).cache()
+    index = pin(
+        ordered.select("doc", "toks", "n_tok", F.explode("prefix").alias("tok"))
+    )
     cand = (
         index.alias("l")
         .join(index.alias("r"), "tok")

@@ -100,6 +100,37 @@ def test_ngram_jaccard_exact_pairs(spark, docs_with_dups):
     assert (1, 3) in pairs and pairs[(1, 3)] > 0.8
 
 
+def test_pin_hook_replaces_cache(spark, docs_with_dups):
+    """The 100 TB materialization hook: a custom pin (here localCheckpoint,
+    standing in for a table write) is used for every multiply-read
+    intermediate instead of executor-memory cache, with identical results."""
+    from bgg_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    calls = []
+
+    def pin(df):
+        calls.append(df)
+        return df.localCheckpoint()
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            docs_with_dups, "doc_id", "text", jaccard_threshold=0.5, pin=pin
+        ).collect()
+    }
+    assert len(calls) == 1 and (1, 2) in got
+    got2 = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(
+            docs_with_dups, "doc_id", "text", threshold=0.5, pin=pin
+        ).collect()
+    }
+    assert len(calls) == 3 and (1, 2) in got2
+
+
 def test_lsh_recall_against_bruteforce(spark):
     from bgg_data_warehouse_spark.operators.similarity import brute_force_topk, lsh_topk
 
