@@ -40,6 +40,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
+        # each query is timed standalone: drop cached intermediates left by
+        # the previous query so LRU eviction can't cascade into recomputes
+        # mid-measurement (the dedup family pins its sketch/index sets)
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

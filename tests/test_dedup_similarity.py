@@ -50,7 +50,7 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_dups):
 
 
 def test_minhash_verified_equals_exact_jaccard(spark):
-    """The oracle-gated verifier configuration (shingle_k=1, 8 bands × 2
+    """The oracle-gated verifier configuration (shingle_k=1, 8 bands × 6
     rows, τ=0.97) must reproduce the EXACT all-pairs token-Jaccard result
     on the gate data — recall floor 1.0 at this threshold."""
     from bgg_data_warehouse_spark.operators.dedup import (
@@ -63,7 +63,7 @@ def test_minhash_verified_equals_exact_jaccard(spark):
         (r.doc_a, r.doc_b): r.jaccard
         for r in minhash_lsh_pairs(
             docs, "doc_id", "text",
-            shingle_k=1, num_hashes=16, bands=8, jaccard_threshold=0.97,
+            shingle_k=1, num_hashes=48, bands=8, jaccard_threshold=0.97,
         ).collect()
     }
     exact = {
@@ -98,6 +98,40 @@ def test_ngram_jaccard_exact_pairs(spark, docs_with_dups):
     }
     assert pairs[(1, 2)] == 1.0
     assert (1, 3) in pairs and pairs[(1, 3)] > 0.8
+
+
+def test_minhash_verify_tokens_reports_token_jaccard(spark, docs_with_dups):
+    """verify_tokens=True: candidates from shingle buckets, reported
+    jaccard computed on TOKEN sets (here 16/17 for the one-word swap)."""
+    from bgg_data_warehouse_spark.operators.dedup import minhash_lsh_pairs
+
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs_with_dups, "doc_id", "text",
+            shingle_k=3, jaccard_threshold=0.5, verify_tokens=True,
+        ).collect()
+    }
+    assert jac[(1, 2)] == 1.0
+    assert jac[(1, 3)] == round(16 / 17, 4)
+
+
+def test_minhash_pairs_sub_shingle_docs(spark):
+    """Docs shorter than one shingle still pair when identical (whole-doc
+    fallback shingle) and never pair when different."""
+    from bgg_data_warehouse_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "other text"), (4, "tiny")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", shingle_k=3, jaccard_threshold=0.9
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}
 
 
 def test_pin_hook_replaces_cache(spark, docs_with_dups):

@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for operator algebra: invariants that
+must hold for ANY input, not just fixtures — merge semantics, packing
+arithmetic, split exhaustiveness, exact-dedup idempotence."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.data_too_large],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # key
+        st.integers(min_value=0, max_value=5),  # version
+        st.text(alphabet="abcde", min_size=0, max_size=4),  # payload
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(old=rows_strategy, new=rows_strategy)
+@settings(**SETTINGS)
+def test_merge_by_unique_key_semantics(spark, old, new):
+    """MERGE: per key, the best row under order_by wins across BOTH sides,
+    with fresh beating existing on exact order ties (in DAG use order_by
+    is the freshness timestamp, so fresh rows win outright); no key
+    appears twice and no key disappears."""
+    from bgg_data_warehouse_spark.streaming.incremental import merge_by_unique_key
+
+    schema = "k long, v long, payload string"
+    existing = spark.createDataFrame(old, schema)
+    fresh = spark.createDataFrame(new, schema)
+    merged = {
+        r.k: (r.v, r.payload)
+        for r in merge_by_unique_key(
+            existing, fresh, ["k"], [F.col("v").desc(), F.col("payload").desc()]
+        ).collect()
+    }
+
+    expect: dict[int, tuple] = {}
+    for src, rows in ((0, old), (1, new)):
+        for k, v, p in rows:
+            if k not in expect or (v, p, src) > expect[k]:
+                expect[k] = (v, p, src)
+    assert merged == {k: (v, p) for k, (v, p, _) in expect.items()}
+
+
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40),
+    budget=st.integers(min_value=1, max_value=512),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_arithmetic(spark, toks, budget):
+    """Offsets are the exclusive running sum; pack ids are offset // budget."""
+    from bgg_data_warehouse_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, tok long"
+    )
+    got = {
+        r.doc_id: (r.pack_offset, r.pack_id)
+        for r in pack_sequences(df, "doc_id", "tok", budget).collect()
+    }
+    run = 0
+    for i, t in enumerate(toks):
+        assert got[i] == (run, run // budget)
+        run += t
+
+
+@given(
+    ids=st.lists(st.integers(min_value=-(2**40), max_value=2**40), unique=True, max_size=40),
+    w1=st.integers(min_value=1, max_value=8),
+    w2=st.integers(min_value=1, max_value=8),
+)
+@settings(**SETTINGS)
+def test_split_exhaustive_and_disjoint(spark, ids, w1, w2):
+    """Every row lands in exactly one split regardless of weights/ids."""
+    from bgg_data_warehouse_spark.operators.sampling import train_test_split
+
+    if not ids:
+        return
+    total = w1 + w2 + 2
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    out = train_test_split(
+        df, "id", {"a": w1 / total, "b": w2 / total, "c": 2 / total}
+    ).collect()
+    assert len(out) == len(ids)
+    assert {r.split for r in out} <= {"a", "b", "c"}
+
+
+@given(rows=st.lists(st.text(alphabet="xy", min_size=0, max_size=3), max_size=30))
+@settings(**SETTINGS)
+def test_dedup_exact_idempotent_and_minimal(spark, rows):
+    """dedup_exact keeps exactly one row per distinct content — the lowest
+    id — and is idempotent."""
+    from bgg_data_warehouse_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+    once = dedup_exact(df, "text", "doc_id")
+    got = {(r.doc_id, r.text) for r in once.collect()}
+    expect = {}
+    for i, t in enumerate(rows):
+        if t not in expect:
+            expect[t] = i
+    assert got == {(i, t) for t, i in expect.items()}
+    twice = dedup_exact(once, "text", "doc_id")
+    assert {(r.doc_id, r.text) for r in twice.collect()} == got
