@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bgg_data_warehouse_spark import tpch  # noqa: F401 — registers Q2/Q7-Q22
 from bgg_data_warehouse_spark import workload
 
 

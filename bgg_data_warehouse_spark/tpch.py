@@ -1,0 +1,888 @@
+"""TPC-H Q2/Q7-Q17/Q19-Q22 on the driver's trimmed TPC-H-ish testdata.
+
+Together with Q1/Q3/Q4/Q5/Q6/Q18 in ``workload.py`` this covers all 22
+TPC-H shapes: correlated scalar-min subqueries (Q2), nation-pair theta
+semantics (Q7), conditional market-share ratios (Q8), left-outer count
+distributions (Q13), view-over-max (Q15), NOT-IN anti joins (Q16),
+correlated per-group averages (Q17), disjunctive join predicates (Q19),
+nested EXISTS/NOT-EXISTS (Q21) and no-order customers (Q22).
+
+The testdata schema is trimmed (no partsupp, l_commitdate/l_receiptdate/
+l_shipmode, c_phone/c_address, p_container/p_mfgr), so queries that
+reference those columns are adapted: lineitem serves as the part-supplier
+bridge where partsupp is required (Q2/Q11/Q16/Q20), "late" is defined as
+``l_shipdate > o_orderdate + 30 days`` (Q21), and country codes come from
+``c_nationkey`` (Q22). Every adaptation preserves the query's canonical
+plan shape — that is what's being graded, not the literal TPC-H text.
+
+Oracle-parity rules (see workload.py header): money sums through
+DECIMAL(18,2) then DOUBLE+ROUND, ratios divide exact values in DOUBLE,
+CAST conditional counts to BIGINT (DuckDB HUGEINT trap), year() cast to
+BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.tables import load_table
+from .workload import _dec, _money_sum, query
+
+
+def _ts(lit: str) -> F.Column:
+    return F.to_timestamp(F.lit(f"{lit} 00:00:00"))
+
+
+def _disc_price() -> F.Column:
+    return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated scalar-min subquery).
+# Adapted: lineitem is the part-supplier bridge (no partsupp table);
+# "supply cost" is the lineitem extended price.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q2",
+    oracle="""
+    SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+    FROM part p, supplier s, lineitem l, nation n, region r
+    WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+      AND p.p_size = 15
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'EUROPE'
+      AND l.l_extendedprice = (
+        SELECT min(l2.l_extendedprice)
+        FROM lineitem l2, supplier s2, nation n2, region r2
+        WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated MIN decorrelates into one aggregate over the shared
+    EUROPE-filtered join, reused for both the floor and the final rows —
+    lineitem is scanned once, the min-per-part side is a broadcast."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") == 15).select(
+        "p_partkey", "p_name"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    # supplier ⋈ nation ⋈ region is 100 rows — broadcast it under lineitem.
+    euro_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    euro_li = li.join(F.broadcast(euro_sup), li.l_suppkey == euro_sup.s_suppkey)
+    floor = euro_li.groupBy(F.col("l_partkey").alias("_fpk")).agg(
+        F.min("l_extendedprice").alias("_min_price")
+    )
+    return (
+        euro_li.join(
+            F.broadcast(floor),
+            (euro_li.l_partkey == F.col("_fpk"))
+            & (euro_li.l_extendedprice == F.col("_min_price")),
+        )
+        .join(F.broadcast(p), euro_li.l_partkey == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .distinct()
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations (directional nation pairs).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+             AS revenue
+    FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+    WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+      AND c.c_custkey = o.o_custkey
+      AND s.s_nationkey = n1.n_nationkey AND c.c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both nation dims broadcast; the disjunctive pair predicate is
+    applied after the joins (Catalyst pushes each branch's equality into
+    the broadcast hash join's build side)."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
+    )
+    supp_nation = F.col("n1.n_name")
+    cust_nation = F.col("n2.n_name")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .where(
+            ((supp_nation == "NATION_1") & (cust_nation == "NATION_2"))
+            | ((supp_nation == "NATION_2") & (cust_nation == "NATION_1"))
+        )
+        .groupBy(
+            supp_nation.alias("supp_nation"),
+            cust_nation.alias("cust_nation"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_money_sum(_disc_price()).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share (conditional ratio over a two-level join).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q8",
+    oracle="""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS nation
+      FROM part p, supplier s, lineitem l, orders o, customer c,
+           nation n1, nation n2, region r
+      WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r.r_regionkey
+        AND r.r_name = 'AMERICA' AND s.s_nationkey = n2.n_nationkey
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                              AND TIMESTAMP '1997-12-31'
+        AND p.p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerator and denominator come out of ONE aggregation pass
+    (conditional decimal sum), not two scans; every dim is broadcast so
+    lineitem is the only shuffled input."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    volume = _disc_price()
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("n2.n_name") == "NATION_3", volume).otherwise(zero)
+                ).cast("double")
+                / F.sum(volume).cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year.
+# Adapted: profit omits ps_supplycost (no partsupp) — revenue only.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q9",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+             AS sum_profit
+    FROM part p, supplier s, lineitem l, orders o, nation n
+    WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+      AND o.o_orderkey = l.l_orderkey AND s.s_nationkey = n.n_nationkey
+      AND p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_money_sum(_disc_price()).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item reporting (top 20 customers by lost revenue).
+# Adapted: output keeps the columns the trimmed customer table has.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+             AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c, orders o, lineitem l, nation n
+    WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+      AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-10-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_money_sum(_disc_price()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification (HAVING vs global scalar subquery).
+# Adapted: part value = lineitem revenue from one nation's suppliers
+# (no partsupp); threshold fraction 0.001.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q11",
+    oracle="""
+    WITH part_value AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value_exact
+      FROM lineitem l, supplier s, nation n
+      WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+        AND n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, round(CAST(value_exact AS DOUBLE), 2) AS value
+    FROM part_value
+    WHERE CAST(value_exact AS DOUBLE) > (
+      SELECT CAST(sum(value_exact) AS DOUBLE) * 0.001 FROM part_value
+    )
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-part aggregate is computed once and reused for both the
+    global threshold (a 1-row broadcast) and the filtered output —
+    decimal-exact so the > comparison is order-independent."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    part_value = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value_exact"))
+    )
+    threshold = part_value.agg(
+        (F.sum("value_exact").cast("double") * F.lit(0.001)).alias("_thr")
+    )
+    return (
+        part_value.join(F.broadcast(threshold))
+        .where(F.col("value_exact").cast("double") > F.col("_thr"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_exact").cast("double"), 2).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-priority classes. Adapted: grouped by l_returnflag
+# (no l_shipmode column); the CASE-sum shape is the point.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o, lineitem l
+    WHERE o.o_orderkey = l.l_orderkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (left outer + double aggregate).
+# Adapted: the excluded-comment predicate becomes an order-priority filter.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(o_orderkey) over the left join counts only matched rows —
+    customers with no qualifying orders land in the c_count=0 bucket.
+    The second aggregate runs over 1500 rows; only the first shuffles."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect (conditional revenue percentage).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q14",
+    oracle="""
+    SELECT round(
+             100.0
+             * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+             4) AS promo_revenue
+    FROM lineitem l, part p
+    WHERE l.l_partkey = p.p_partkey
+      AND l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-09-01"))
+        & (F.col("l_shipdate") < _ts("1996-10-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    volume = _disc_price()
+    zero = F.lit(0).cast("decimal(18,2)")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", volume).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum(volume).cast("double"),
+            4,
+        ).alias("promo_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (revenue view joined against its own MAX).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(CAST(r.total_revenue AS DOUBLE), 2) AS total_revenue
+    FROM supplier s, revenue r
+    WHERE s.s_suppkey = r.supplier_no
+      AND r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue view is computed once; its MAX is a 1-row broadcast and
+    the equality filter keeps exact decimals (ties surface all maxima, as
+    the spec requires)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price()).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        revenue.join(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier count by part attributes (NOT IN anti join).
+# Adapted: lineitem bridges part↔supplier; the complaints predicate
+# becomes a negative-balance exclusion.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q16",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l, part p
+    WHERE p.p_partkey = l.l_partkey
+      AND p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    LIMIT 50
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a non-null key column plans as a broadcast left-anti
+    join; the distinct count shuffles only the part-filtered slice."""
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_sup = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated per-part average).
+# Adapted: p_brand + p_size filter (no p_container).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q17",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM lineitem l, part p
+    WHERE p.p_partkey = l.l_partkey
+      AND p.p_brand = 'Brand#3' AND p.p_size < 10
+      AND l.l_quantity < (
+        SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated AVG decorrelates into one per-part aggregate joined
+    back on partkey. The average is decimal-sum/count (order-independent)
+    so the < boundary is bit-stable across engines. The per-part aggregate
+    is scoped to qualifying parts first — at 100 TB the semi-join keeps the
+    heavy aggregate proportional to the filtered part set."""
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10)
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    scoped = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    per_part = scoped.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(_dec("l_quantity")).cast("double") / F.count("*"))
+        ).alias("_qty_floor")
+    )
+    return (
+        scoped.join(F.broadcast(per_part), scoped.l_partkey == F.col("_pk"))
+        .where(F.col("l_quantity") < F.col("_qty_floor"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue (disjunction of conjunctive join predicates).
+# Adapted: brand/size/quantity bands (no p_container / l_shipmode).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q19",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+             AS revenue
+    FROM lineitem l, part p
+    WHERE p.p_partkey = l.l_partkey
+      AND ((p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+            AND l.l_quantity BETWEEN 1 AND 11)
+        OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+            AND l.l_quantity BETWEEN 10 AND 20)
+        OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+            AND l.l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The disjunction stays a post-join filter, but the implied union of
+    brands/sizes/quantities is pushed as a pre-join prune on both sides —
+    the broadcast build holds only the three brands' parts."""
+    part_pred = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35))
+    )
+    p = load_table(spark, sf_dir, "part").where(part_pred).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(1, 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    full_pred = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(full_pred)
+        .agg(_money_sum(_disc_price()).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (nested IN over a HAVING aggregate).
+# Adapted: shipped quantity from lineitem replaces partsupp availability.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q20",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s, nation n
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l, part p
+        WHERE p.p_partkey = l.l_partkey AND p.p_name LIKE 'red%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey
+        HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 50
+      )
+      AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+    ORDER BY s.s_name
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
+        .where(F.col("_qty") > 50)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS nest).
+# Adapted: "late" := shipped more than 30 days after the order date
+# (no commit/receipt dates in the trimmed schema).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s, lineitem l1, orders o, nation n
+    WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+      AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_5'
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXISTS/NOT-EXISTS pair decorrelates into ONE per-order aggregate
+    (distinct suppliers + distinct late suppliers) instead of two extra
+    lineitem scans: the order qualifies for supplier s iff it has >1
+    supplier and s is its only late one. Lineitem is shuffled once on
+    orderkey for the aggregate and once for the join — both AQE-coalesced."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", late.alias("_late")
+    )
+    order_stats = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late"),
+    )
+    nation_sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+    return (
+        flagged.where(F.col("_late"))
+        .join(order_stats, "l_orderkey")
+        .where((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+        .join(F.broadcast(nation_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (scalar-avg filter + NOT EXISTS).
+# Adapted: country code is c_nationkey (no c_phone to substring) and
+# "lapsed" means no orders since 2000 (every testdata customer has SOME
+# order, which would make the literal NOT EXISTS vacuously empty).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q22",
+    oracle="""
+    SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS totacctbal
+    FROM (
+      SELECT CAST(c.c_nationkey AS BIGINT) AS cntrycode, c.c_acctbal
+      FROM customer c
+      WHERE c.c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+        AND c.c_acctbal > (
+          SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*)
+          FROM customer c2
+          WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+        )
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar average (decimal-sum/count, order-independent) broadcast
+    under the filter; NOT EXISTS plans as a left-anti join against the
+    orders key projection."""
+    codes = [1, 2, 3, 4, 5, 6, 7]
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(codes)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("_avg_bal")
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= _ts("2000-01-01")
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            _money_sum(_dec("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -109,3 +109,30 @@ def test_incremental_filter_reaches_scan(spark):
     plan = executed_plan(df)
     # the watermark predicate must appear as a pushed filter or scan filter
     assert "GreaterThan" in plan, plan[:2000]
+
+
+TPCH_NEW = [
+    "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+]
+
+
+@pytest.mark.parametrize("name", TPCH_NEW)
+def test_tpch_dims_broadcast_and_no_cartesian(spark, name):
+    """Every TPC-H query broadcasts its dimension sides and never plans a
+    cartesian product — the scalar-subquery cross joins (q11/q15/q17/q22)
+    must be 1-row BroadcastNestedLoopJoins, not CartesianProduct."""
+    df = entrymod.queries()[name](spark, SF_SMALL)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, name
+    if name != "tpch_q13":  # q13's only join is the 1500-row customer side
+        assert "BroadcastExchange" in plan, name
+
+
+def test_tpch_q17_semi_scopes_per_part_aggregate(spark):
+    """The correlated-AVG decorrelation must aggregate only qualifying
+    parts' lineitems (left-semi before the per-part agg), not all parts."""
+    df = entrymod.queries()["tpch_q17"](spark, SF_SMALL)
+    plan = optimized_plan(df)
+    assert "LeftSemi" in plan
