@@ -50,9 +50,12 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_dups):
 
 
 def test_minhash_verified_equals_exact_jaccard(spark):
-    """The oracle-gated verifier configuration (shingle_k=1, 8 bands × 6
+    """The oracle-gated verifier configuration (shingle_k=1, 2 bands × 24
     rows, τ=0.97) must reproduce the EXACT all-pairs token-Jaccard result
-    on the gate data — recall floor 1.0 at this threshold."""
+    on the gate data — recall floor 1.0 at this threshold. Depth
+    rationale: with the generator's 31-token vocabulary, j >= 0.97 is
+    only reachable by identical token sets, which collide in every band
+    at any depth (see workload.dedup_minhash_verified)."""
     from bgg_data_warehouse_spark.operators.dedup import (
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
@@ -63,7 +66,7 @@ def test_minhash_verified_equals_exact_jaccard(spark):
         (r.doc_a, r.doc_b): r.jaccard
         for r in minhash_lsh_pairs(
             docs, "doc_id", "text",
-            shingle_k=1, num_hashes=48, bands=8, jaccard_threshold=0.97,
+            shingle_k=1, num_hashes=48, bands=2, jaccard_threshold=0.97,
         ).collect()
     }
     exact = {
