@@ -1,0 +1,118 @@
+"""Connected components over a pair graph — duplicate-cluster collapse.
+
+A near-dup stage (MinHash/SimHash/Jaccard) emits PAIRS; a training-data
+pipeline needs CLUSTERS: every document mapped to one canonical
+representative so the cluster can be collapsed to a single kept doc.
+Pairs are the edges of an undirected graph; the canonical id is the
+minimum doc id reachable from each node (= min id in its component).
+
+Implementation is hash-min label propagation, the standard distributed
+CC algorithm: every node starts labeled with itself, and each round
+every node takes the min of its own label and its neighbors' labels,
+until a fixed point. Rounds needed = graph diameter. Dedup-cluster
+graphs are dense blobs with tiny diameter (every member pairs with most
+others), so 2-3 rounds close them; the iteration cap is a guard, not a
+budget.
+
+Scale notes (100 TB):
+
+- each round is one shuffle: labels ⋈ edges (hash-partitioned on node)
+  then a min-aggregate — no driver-side graph state, labels never leave
+  the cluster. The driver loop only reads a changed-row COUNT per round
+  (a scalar), which is orchestration, not data movement.
+- lineage is truncated every round (localCheckpoint) — without it the
+  plan doubles per iteration and the optimizer chokes around round 8.
+- for adversarial graphs (long chains, diameter ≫ rounds) switch to the
+  large-star/small-star algorithm (Kiveris et al., "Connected Components
+  in MapReduce and Beyond", SoCC'14) which converges in O(log² n)
+  rounds; hash-min is the right default for dedup clusters where the
+  diameter is structurally small.
+
+Reference parity: the reference has no cluster-collapse operator (its
+dedup is exact-key MERGE, services/../load.py); this extends the near-dup
+family SURVEY §2.9 scopes for LLM-pipeline use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Map every node of the undirected pair graph to its component min.
+
+    Returns (node, canonical) for every node appearing in ``edges``;
+    ``canonical`` is the smallest node id in the component. Raises if the
+    fixed point is not reached within ``max_iter`` rounds (dedup-cluster
+    graphs converge in a handful; hitting the cap means the input is not
+    a near-dup pair graph — see module docstring for the O(log² n)
+    alternative).
+    """
+    # Undirect the edges once; both orientations are needed so the min
+    # can flow either way across a pair.
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("canonical"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbor labels: for edge (a,b), a's current label is a
+        # candidate for b. Union with own label, take the min.
+        candidates = und.join(
+            labels.withColumnRenamed("node", "a"), "a"
+        ).select(F.col("b").alias("node"), "canonical")
+        new_labels = (
+            labels.union(candidates)
+            .groupBy("node")
+            .agg(F.min("canonical").alias("canonical"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.canonical") != F.col("o.canonical"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "the input graph's diameter exceeds the hash-min budget"
+    )
+
+
+def collapse_clusters(
+    docs: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """(doc, canonical, is_kept) for EVERY doc: cluster members map to the
+    cluster min, singletons to themselves. ``is_kept`` marks the one row
+    per cluster a dedup pipeline retains. The component mapping is tiny
+    relative to the corpus (only docs that appear in a pair), so the
+    final join broadcasts it under the full doc scan."""
+    comp = connected_components(pairs, pair_a, pair_b)
+    return docs.select(F.col(id_col).alias("doc")).join(
+        F.broadcast(comp.withColumnRenamed("node", "doc")), "doc", "left_outer"
+    ).select(
+        "doc",
+        F.coalesce("canonical", F.col("doc")).alias("canonical"),
+        (F.coalesce("canonical", F.col("doc")) == F.col("doc")).alias("is_kept"),
+    )

@@ -818,6 +818,66 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cluster_collapse",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT DISTINCT doc_id AS doc, tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS t(tok)
+    ), sizes AS (
+      SELECT doc, count(*) AS n_tok FROM toks GROUP BY doc
+    ), inter AS (
+      SELECT l.doc AS doc_a, r.doc AS doc_b, count(*) AS i
+      FROM toks l JOIN toks r ON l.tok = r.tok AND l.doc < r.doc
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON inter.doc_a = sa.doc
+      JOIN sizes sb ON inter.doc_b = sb.doc
+      WHERE i * 1.0 / (sa.n_tok + sb.n_tok - i) >= 0.97
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    ), comp AS (
+      SELECT node, min(label) AS canonical FROM walk GROUP BY node
+    )
+    SELECT d.doc_id AS doc,
+           coalesce(c.canonical, d.doc_id) AS canonical,
+           coalesce(c.canonical, d.doc_id) = d.doc_id AS is_kept
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER collapse: pairs → connected components → one kept
+    representative per cluster (operators/components.py, hash-min label
+    propagation). The oracle walks the same pair graph with a recursive
+    CTE — min reachable id == component min — so the distributed
+    fixed-point iteration is hash-checked exactly, not just row-counted.
+    Pairs come from the oracle-matched minhash-verified config, so the
+    edge sets are identical by the dedup_minhash_verified gate."""
+    from .operators.components import collapse_clusters
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_k=1,
+        num_hashes=48,
+        bands=2,
+        jaccard_threshold=0.97,
+    )
+    return collapse_clusters(docs, "doc_id", pairs)
+
+
 @query("dedup_simhash")  # sketch-based → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_pairs

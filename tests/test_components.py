@@ -1,0 +1,76 @@
+"""connected_components / collapse_clusters — fixed cases + property test
+against a driver-side union-find on random graphs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from bgg_data_warehouse_spark.operators.components import (
+    collapse_clusters,
+    connected_components,
+)
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = connected_components(df, "src", "dst")
+    return {r.node: r.canonical for r in got.collect()}
+
+
+def test_chain_ring_and_singleton_pair(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 round), ring 10-11-12-10,
+    # isolated pair 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)]
+    got = _run(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_min_flows_against_edge_direction(spark):
+    # canonical must reach nodes only connected "upstream" of the min id
+    got = _run(spark, [(5, 9), (1, 9)])
+    assert got == {5: 1, 9: 1, 1: 1}
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_random_graph_matches_union_find(spark, seed):
+    rng = random.Random(seed)
+    nodes = list(range(60))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(45)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _run(spark, edges) == _uf_components(edges)
+
+
+def test_collapse_marks_one_kept_per_cluster(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id: long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (6, 7)], "doc_a: long, doc_b: long"
+    )
+    out = {r.doc: (r.canonical, r.is_kept) for r in
+           collapse_clusters(docs, "doc_id", pairs).collect()}
+    assert out == {
+        0: (0, True), 1: (1, True), 2: (2, True), 3: (1, False),
+        4: (4, True), 5: (1, False), 6: (6, True), 7: (6, False),
+    }
+    kept = [d for d, (_, k) in out.items() if k]
+    assert sorted(kept) == [0, 1, 2, 4, 6]
