@@ -1348,6 +1348,49 @@ def regexp_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# As-of join — point-in-time feature attachment (operators/asof.py); the
+# anti-leakage join every training-data pipeline needs. DuckDB's native
+# ASOF JOIN is the oracle.
+# ===========================================================================
+
+
+@query(
+    "asof_feature_join",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts, c.value AS click_value,
+           p.value AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+      SELECT user_id AS p_user, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ) p ON c.user_id = p.p_user AND c.ts >= p.p_ts
+    """,
+)
+def asof_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click gets the user's most recent purchase value at that
+    instant (backward-inclusive, never the future). The union-window
+    formulation costs ONE hash shuffle on user_id — no range-join pair
+    blowup — and is gated against DuckDB's native ASOF JOIN."""
+    from .operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["last_purchase_value"],
+    )
+
+
+# ===========================================================================
 # Sessionization — lag-gap + running sum (the classic event-log pattern;
 # extends the reference's event-tracking machinery to true session analysis)
 # ===========================================================================
