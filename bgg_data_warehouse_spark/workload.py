@@ -1391,6 +1391,81 @@ def asof_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Time-range join — bucketized interval join (operators/range_join.py):
+# "activity in the hour before each error", zero-activity rows kept.
+# ===========================================================================
+
+
+@query(
+    "range_join_recent_activity",
+    oracle="""
+    WITH err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), act AS (
+      SELECT user_id, ts, value FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ), hits AS (
+      SELECT e.event_id, count(*) AS n_recent,
+             sum(CAST(a.value AS DECIMAL(18,2))) AS v_recent
+      FROM err e JOIN act a ON a.user_id = e.user_id
+        AND a.ts >= e.ts - INTERVAL 1 HOUR AND a.ts < e.ts
+      GROUP BY e.event_id
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           CAST(coalesce(h.n_recent, 0) AS BIGINT) AS n_recent,
+           round(CAST(coalesce(h.v_recent, CAST(0 AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS recent_value
+    FROM err e LEFT JOIN hits h ON h.event_id = e.event_id
+    """,
+)
+def range_join_recent_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event: count + value of the same user's purchase/click
+    activity in the preceding hour. The bucketized range join shuffles
+    once on (user, hour-bucket) with candidates bounded by the true match
+    volume — the naive theta form degenerates to per-user cross products.
+    Errors with no recent activity survive via the left join (count 0)."""
+    from .operators.range_join import time_range_join
+
+    events = load_table(spark, sf_dir, "events")
+    err = events.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    act = events.where(F.col("event_type").isin("purchase", "click")).select(
+        "user_id", F.col("ts").alias("a_ts"), F.col("value").alias("a_value")
+    )
+    hits = (
+        time_range_join(
+            err,
+            act,
+            on="user_id",
+            left_ts="ts",
+            right_ts="a_ts",
+            lower_micros=-3_600_000_000,
+            upper_micros=0,
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(_dec("a_value")).alias("_v"),
+        )
+    )
+    zero_dec = F.lit(0).cast("decimal(18,2)")
+    return (
+        err.join(hits.withColumnRenamed("event_id", "_eid"),
+                 err.event_id == F.col("_eid"), "left_outer")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce("_n", F.lit(0)).alias("n_recent"),
+            F.round(F.coalesce("_v", zero_dec).cast("double"), 2).alias(
+                "recent_value"
+            ),
+        )
+    )
+
+
+# ===========================================================================
 # Sessionization — lag-gap + running sum (the classic event-log pattern;
 # extends the reference's event-tracking machinery to true session analysis)
 # ===========================================================================
