@@ -1622,6 +1622,103 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# GROUPING SETS / time-range frames / ntile — the remaining analytic-SQL
+# shapes (CUBE and ROLLUP are covered above)
+# ===========================================================================
+
+
+@query(
+    "grouping_sets_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form CUBE/ROLLUP specialize):
+    per-status totals, per-priority totals, and the grand total in one
+    pass — one shuffle, each input row expanded to its member sets, with
+    grouping() flags disambiguating NULL-as-all from NULL-as-value."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count("*").alias("n"),
+        F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("total"),
+    )
+
+
+@query(
+    "trailing_window_sum",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS trailing_1h
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def trailing_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (not row-count): each purchase carries the
+    user's trailing-1-hour purchase total. Range frames are peer-
+    inclusive at equal timestamps, so the result is deterministic without
+    a tiebreak. One shuffle on user_id; the frame scan is linear (sliding
+    aggregation), never quadratic."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(_dec("value")).over(w).cast("double"), 2).alias(
+            "trailing_1h"
+        ),
+    )
+
+
+@query(
+    "ntile_value_buckets",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pr
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def ntile_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth bucketing (ntile) + relative rank per event type; the
+    (value, event_id) ordering carries a PK tiebreak so bucket edges are
+    engine-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+# ===========================================================================
 # TPC-H classics — the canonical OLAP shapes (pricing summary, shipping
 # priority, local-supplier volume), decimal-exact vs the oracle
 # ===========================================================================
