@@ -96,6 +96,102 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    max_iter: int = 40,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    SoCC'14) — the O(log² n)-round variant for graphs whose diameter is
+    NOT structurally small (long chains, adversarial shapes) where
+    hash-min label propagation would need diameter rounds.
+
+    Each round rewrites the edge set against per-node minima:
+
+    - large-star: for every node u, connect each strictly-larger
+      neighbor v > u to m(u) = min(u's neighborhood ∪ {u});
+    - small-star: for every node u, connect each neighbor v <= u
+      (and u itself) to m(u).
+
+    Both steps are one groupBy(node) min + one join — two shuffles per
+    round, no driver-side graph state — and monotonically contract every
+    component toward its minimum until the edge set is a star centered on
+    it. Returns (node, canonical) like ``connected_components``.
+    """
+    # canonical undirected edge list, self-loops dropped
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighborhoods in both directions: (node, nbr)
+        nbrs = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+            e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+        m = (
+            nbrs.groupBy("node")
+            .agg(F.min("nbr").alias("_mn"))
+            .select("node", F.least("_mn", "node").alias("m"))
+        )
+        # large-star: strictly larger neighbors attach to the min
+        ls = (
+            nbrs.join(m, "node")
+            .where(F.col("nbr") > F.col("node"))
+            .select(F.col("nbr").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star: u itself and smaller-or-equal neighbors attach
+        ss = (
+            nbrs.join(m, "node")
+            .where(F.col("nbr") <= F.col("node"))
+            .select(F.col("nbr").alias("u"), F.col("m").alias("v"))
+            .union(m.select(F.col("node").alias("u"), F.col("m").alias("v")))
+        )
+        new_e = (
+            ls.union(ss)
+            .where(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged when every edge points at a component minimum that is
+        # itself edge-stable: the edge set stops changing
+        if (
+            new_e.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(new_e).limit(1).count() == 0
+        ):
+            e = new_e
+            break
+        e = new_e
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # the fixed point is a star: every non-min node has exactly one edge
+    # to its component min
+    labels = e.select(F.col("v").alias("node"), F.col("u").alias("canonical"))
+    mins = all_nodes.join(
+        labels.select(F.col("node").alias("n2")),
+        F.col("node") == F.col("n2"),
+        "left_anti",
+    ).select("node", F.col("node").alias("canonical"))
+    return labels.union(mins)
+
+
 def collapse_clusters(
     docs: DataFrame,
     id_col: str,

@@ -74,3 +74,26 @@ def test_collapse_marks_one_kept_per_cluster(spark):
     }
     kept = [d for d, (_, k) in out.items() if k]
     assert sorted(kept) == [0, 1, 2, 4, 6]
+
+
+def test_star_variant_matches_hash_min_on_chain_and_random(spark):
+    from bgg_data_warehouse_spark.operators.components import (
+        connected_components_star,
+    )
+
+    # 40-node chain: diameter 39 — the shape hash-min is slowest on and
+    # large-star/small-star closes in O(log n) rounds
+    chain = [(i, i + 1) for i in range(40)]
+    rng = random.Random(99)
+    rand = [(rng.randrange(50), rng.randrange(50)) for _ in range(35)]
+    rand = [(a, b) for a, b in rand if a != b]
+    for edges in (chain, rand, [(3, 3), (1, 2)]):
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        got = {
+            r.node: r.canonical
+            for r in connected_components_star(df, "src", "dst").collect()
+        }
+        want = _uf_components([(a, b) for a, b in edges if a != b])
+        # star variant also reports self-loop-only nodes as singletons
+        for n, c in want.items():
+            assert got[n] == c, (edges, n)
