@@ -878,6 +878,52 @@ def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse_clusters(docs, "doc_id", pairs)
 
 
+@query(
+    "benchmark_contamination",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(len(l) - 2),
+                    i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
+      FROM arr WHERE len(l) >= 3
+    ), bench AS (
+      SELECT DISTINCT sh FROM sh WHERE source = 'src1'
+    ), train AS (
+      SELECT doc_id, sh FROM sh WHERE source <> 'src1'
+    )
+    SELECT t.doc_id AS doc,
+           count(*) AS n_shingles,
+           count(b.sh) AS n_hit,
+           round(count(b.sh) * 1.0 / count(*), 6) AS contamination,
+           count(b.sh) * 1.0 / count(*) >= 0.2 AS flagged
+    FROM train t LEFT JOIN bench b ON b.sh = t.sh
+    GROUP BY t.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan (operators/contamination.py): every non-src1
+    document scored by the share of its distinct 3-gram shingles that
+    appear in the src1 'benchmark' pool. The pool is broadcast under one
+    training-corpus scan — at 100 TB the benchmark side is MBs, so this
+    stays a single wide scan with a map-side semi lookup."""
+    from .operators.contamination import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.where(F.col("source") != "src1"),
+        docs.where(F.col("source") == "src1"),
+        "doc_id",
+        "text",
+        n=3,
+        flag_threshold=0.2,
+    )
+
+
 @query("dedup_simhash")  # sketch-based → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_pairs
