@@ -924,6 +924,96 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.sampling import md5_bucket, md5_bucket_sql  # noqa: E402
+
+
+@query(
+    "curation_pipeline",
+    oracle="""
+    WITH RECURSIVE arrd AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents WHERE lang = 'en'
+    ), elig AS (
+      SELECT doc_id FROM arrd WHERE n_tok BETWEEN 10 AND 1000
+    ), toks AS (
+      SELECT DISTINCT d.doc_id AS doc, tok
+      FROM documents d
+      JOIN elig e ON e.doc_id = d.doc_id,
+           UNNEST(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                              x -> x <> '')) AS t(tok)
+    ), sizes AS (
+      SELECT doc, count(*) AS n_tok FROM toks GROUP BY doc
+    ), inter AS (
+      SELECT l.doc AS doc_a, r.doc AS doc_b, count(*) AS i
+      FROM toks l JOIN toks r ON l.tok = r.tok AND l.doc < r.doc
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON inter.doc_a = sa.doc
+      JOIN sizes sb ON inter.doc_b = sb.doc
+      WHERE i * 1.0 / (sa.n_tok + sb.n_tok - i) >= 0.97
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    ), comp AS (
+      SELECT node, min(label) AS canonical FROM walk GROUP BY node
+    ), kept AS (
+      SELECT e.doc_id
+      FROM elig e LEFT JOIN comp c ON c.node = e.doc_id
+      WHERE c.canonical IS NULL OR c.canonical = e.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN {B} < 800 THEN 'train'
+                WHEN {B} < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM kept
+    """.replace("{B}", md5_bucket_sql("doc_id")),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation, the composition a real training-data
+    run executes: language filter → token-length filter → near-dup
+    cluster collapse (one kept doc per cluster) → deterministic
+    train/val/test split. Every stage is the already-gated operator —
+    this query gates their COMPOSITION (filters push to the scan, the
+    dedup runs only on the eligible slice, split is a pure hash of the
+    id). Output: (doc_id, split) for the curated corpus."""
+    from .operators.components import collapse_clusters
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.sampling import train_test_split
+    from .functions.text import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.where(
+        (F.col("lang") == "en")
+        & F.size(word_tokens(F.col("text"))).between(10, 1000)
+    )
+    pairs = minhash_lsh_pairs(
+        eligible,
+        "doc_id",
+        "text",
+        shingle_k=1,
+        num_hashes=48,
+        bands=2,
+        jaccard_threshold=0.97,
+    )
+    kept = (
+        collapse_clusters(eligible, "doc_id", pairs)
+        .where(F.col("is_kept"))
+        .select(F.col("doc").alias("doc_id"))
+    )
+    return train_test_split(
+        kept, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        bucket_fn=md5_bucket,
+    ).select("doc_id", "split")
+
+
 @query("dedup_simhash")  # sketch-based → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_pairs
