@@ -69,6 +69,7 @@ def connected_components(
         .select("node", F.col("node").alias("canonical"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = None
     for _ in range(max_iter):
         # neighbor labels: for edge (a,b), a's current label is a
         # candidate for b. Union with own label, take the min.
@@ -81,15 +82,14 @@ def connected_components(
             .agg(F.min("canonical").alias("canonical"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.canonical") != F.col("o.canonical"))
-            .count()
-        )
+        # labels are monotonically non-increasing, so the fixed point is
+        # reached exactly when the label sum stops falling — a scalar
+        # aggregate instead of a join-based diff
+        cur_sum = new_labels.agg(F.sum("canonical")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "the input graph's diameter exceeds the hash-min budget"
