@@ -201,12 +201,13 @@ def collapse_clusters(
 ) -> DataFrame:
     """(doc, canonical, is_kept) for EVERY doc: cluster members map to the
     cluster min, singletons to themselves. ``is_kept`` marks the one row
-    per cluster a dedup pipeline retains. The component mapping is tiny
-    relative to the corpus (only docs that appear in a pair), so the
-    final join broadcasts it under the full doc scan."""
+    per cluster a dedup pipeline retains. The component mapping carries
+    no broadcast hint — it is proportional to the CLUSTERED doc count,
+    which under heavy duplication approaches corpus size; the planner/AQE
+    broadcasts it only when runtime stats show it is small."""
     comp = connected_components(pairs, pair_a, pair_b)
     return docs.select(F.col(id_col).alias("doc")).join(
-        F.broadcast(comp.withColumnRenamed("node", "doc")), "doc", "left_outer"
+        comp.withColumnRenamed("node", "doc"), "doc", "left_outer"
     ).select(
         "doc",
         F.coalesce("canonical", F.col("doc")).alias("canonical"),

@@ -19,6 +19,16 @@ Oracle-parity rules (see workload.py header): money sums through
 DECIMAL(18,2) then DOUBLE+ROUND, ratios divide exact values in DOUBLE,
 CAST conditional counts to BIGINT (DuckDB HUGEINT trap), year() cast to
 BIGINT on both sides.
+
+Broadcast policy (100 TB honesty): explicit ``F.broadcast`` hints go
+ONLY on sides whose cardinality is fixed regardless of scale factor —
+nation/region (25/5 rows forever) and 1-row scalar subquery results.
+Supplier/customer/part subsets and fact-derived aggregates (per-part
+mins/avgs, per-supplier sums) grow linearly with SF: they carry no hint,
+so the static planner auto-broadcasts them from parquet size stats at
+bench scale while AQE keeps the decision runtime-correct at any scale —
+a hinted broadcast of a grows-with-data side is an OOM at 1000
+executors, silently planted at sf0.1.
 """
 
 from __future__ import annotations
@@ -68,7 +78,10 @@ def _disc_price() -> F.Column:
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The correlated MIN decorrelates into one aggregate over the shared
     EUROPE-filtered join, reused for both the floor and the final rows —
-    lineitem is scanned once, the min-per-part side is a broadcast."""
+    lineitem is scanned once. The per-part floor is keyed by a fact-table
+    key, so it gets NO broadcast hint: at bench scale the planner/AQE
+    broadcasts it from runtime stats, at 100 TB it degrades to a shuffle
+    join instead of an OOM (see module broadcast policy)."""
     p = load_table(spark, sf_dir, "part").where(F.col("p_size") == 15).select(
         "p_partkey", "p_name"
     )
@@ -78,23 +91,24 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
-    # supplier ⋈ nation ⋈ region is 100 rows — broadcast it under lineitem.
+    # nation/region are fixed-size; the EUROPE supplier slice is
+    # SF-proportional and auto-broadcasts from stats when small.
     euro_sup = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    euro_li = li.join(F.broadcast(euro_sup), li.l_suppkey == euro_sup.s_suppkey)
+    euro_li = li.join(euro_sup, li.l_suppkey == euro_sup.s_suppkey)
     floor = euro_li.groupBy(F.col("l_partkey").alias("_fpk")).agg(
         F.min("l_extendedprice").alias("_min_price")
     )
     return (
         euro_li.join(
-            F.broadcast(floor),
+            floor,
             (euro_li.l_partkey == F.col("_fpk"))
             & (euro_li.l_extendedprice == F.col("_min_price")),
         )
-        .join(F.broadcast(p), euro_li.l_partkey == p.p_partkey)
+        .join(p, euro_li.l_partkey == p.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .distinct()
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
@@ -140,9 +154,9 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nation = F.col("n1.n_name")
     cust_nation = F.col("n2.n_name")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1.n_nationkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2.n_nationkey"))
         .where(
@@ -191,8 +205,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numerator and denominator come out of ONE aggregation pass
-    (conditional decimal sum), not two scans; every dim is broadcast so
-    lineitem is the only shuffled input."""
+    (conditional decimal sum), not two scans; fixed dims are hinted,
+    SF-proportional ones auto-broadcast from stats at bench scale."""
     p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select(
         "p_partkey"
     )
@@ -210,10 +224,10 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = _disc_price()
     zero = F.lit(0).cast("decimal(18,2)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
         .join(F.broadcast(r), F.col("n1.n_regionkey") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
@@ -264,8 +278,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy(
@@ -315,8 +329,8 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_money_sum(_disc_price()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
@@ -361,7 +375,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
     part_value = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("value_exact"))
@@ -492,7 +506,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_partkey", "l_extendedprice", "l_discount")
     volume = _disc_price()
     zero = F.lit(0).cast("decimal(18,2)")
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
         F.round(
             F.lit(100.0)
             * F.sum(F.when(F.col("p_type") == "PROMO", volume).otherwise(zero)).cast(
@@ -545,7 +559,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(top))
         .where(F.col("total_revenue") == F.col("_max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -580,8 +594,9 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT IN over a non-null key column plans as a broadcast left-anti
-    join; the distinct count shuffles only the part-filtered slice."""
+    """NOT IN over a non-null key column plans as a left-anti join
+    (broadcast at bench scale via stats); the distinct count shuffles only
+    the part-filtered slice."""
     p = load_table(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
@@ -592,8 +607,8 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad_sup, li.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -634,7 +649,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    scoped = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    scoped = li.join(p, li.l_partkey == p.p_partkey, "left_semi")
     per_part = scoped.groupBy(F.col("l_partkey").alias("_pk")).agg(
         (
             F.lit(0.2)
@@ -642,7 +657,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_qty_floor")
     )
     return (
-        scoped.join(F.broadcast(per_part), scoped.l_partkey == F.col("_pk"))
+        scoped.join(per_part, scoped.l_partkey == F.col("_pk"))
         .where(F.col("l_quantity") < F.col("_qty_floor"))
         .agg(
             F.round(
@@ -677,7 +692,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The disjunction stays a post-join filter, but the implied union of
     brands/sizes/quantities is pushed as a pre-join prune on both sides —
-    the broadcast build holds only the three brands' parts."""
+    the join's build side holds only the three brands' parts."""
     part_pred = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25))
@@ -707,7 +722,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .where(full_pred)
         .agg(_money_sum(_disc_price()).alias("revenue"))
     )
@@ -746,7 +761,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1997-01-01"))
     ).select("l_partkey", "l_suppkey", "l_quantity")
     heavy = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        li.join(p, li.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(_dec("l_quantity")).alias("_qty"))
         .where(F.col("_qty") > 50)
@@ -756,7 +771,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
-        .join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
@@ -819,7 +834,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.where(F.col("_late"))
         .join(order_stats, "l_orderkey")
         .where((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
-        .join(F.broadcast(nation_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation_sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
