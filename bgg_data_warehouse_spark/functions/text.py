@@ -139,6 +139,37 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+# PII patterns shared with the DuckDB oracle. Kept to the syntax subset
+# that Java regex (Spark) and RE2 (DuckDB) interpret identically:
+# character classes, bounded repetition, ASCII \b word boundaries — no
+# lookaround (RE2 has none), no backreferences.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_IDNUM = r"\b[0-9]{8,}\b"
+
+
+def pii_redact_cols(text: Column) -> dict[str, Column]:
+    """Match counts + redacted text for the standard PII scrub pass of a
+    training-data pipeline: emails, IPv4 literals, and long digit runs
+    (account/phone/SSN-shaped ids).
+
+    Replacement order matters and is fixed: emails first (their local
+    part may contain digit runs), then IPv4 (dotted digits must not be
+    eaten as id numbers — the \\b anchors already prevent that, the
+    order makes it structural), then bare digit runs. All counts are
+    computed on the ORIGINAL text so they are order-independent.
+    """
+    redacted = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_IPV4, "<IP>")
+    redacted = F.regexp_replace(redacted, PII_IDNUM, "<ID>")
+    return {
+        "n_email": F.regexp_count(text, F.lit(PII_EMAIL)).cast("long"),
+        "n_ipv4": F.regexp_count(text, F.lit(PII_IPV4)).cast("long"),
+        "n_idnum": F.regexp_count(text, F.lit(PII_IDNUM)).cast("long"),
+        "redacted": redacted,
+    }
+
+
 def char_shingles(text: Column, k: int = 5) -> Column:
     """k-character shingles of the lowercased text."""
     t = F.lower(text)

@@ -724,6 +724,46 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.where(F.col("vec_id") < 10), emb, "vec_id", "embedding", k=10)
 
 
+@query(
+    "knn_ivf_exact",
+    oracle=f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             {_DUCK_COS.format(a='q.embedding', b='c.embedding')} AS cos
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT query_id, nbr_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, nbr_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, nbr_id, round(cos, 6) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with ``nprobe == num_cells`` probes every cell, so the search
+    is exhaustive and the index machinery (centroid table, cell
+    assignment, probe join, re-rank) is hash-gated against the plain
+    brute-force SQL. Same plan as ``knn_ivf`` — only the probe budget
+    differs — so a green gate here vouches for the whole IVF code path;
+    the nprobe<cells variant stays rows-only because which neighbors it
+    MISSES is index-dependent by design."""
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb,
+        "vec_id",
+        "embedding",
+        k=10,
+        num_cells=16,
+        nprobe=16,
+    )
+
+
 @query("embedding_near_dup")  # LSH candidate generation → rows-only check
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_near_dup_pairs
@@ -1290,6 +1330,163 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("fingerprint"),
         F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t
+    ), tokstats AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
+      FROM tok GROUP BY doc_id
+    ), g AS (
+      SELECT doc_id,
+             concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) AS gram
+      FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+      WHERE len(toks) >= 3
+    ), pg AS (
+      SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+    ), gstats AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_grams,
+             CAST(count(*) AS BIGINT) AS distinct_grams,
+             CAST(max(c) AS BIGINT) AS top_c
+      FROM pg GROUP BY doc_id
+    )
+    SELECT ts.doc_id, ts.n_tokens, ts.distinct_tokens,
+           round(1 - ts.distinct_tokens / CAST(ts.n_tokens AS DOUBLE), 6)
+             AS dup_token_frac,
+           gs.n_grams, gs.distinct_grams,
+           round(1 - gs.distinct_grams / CAST(gs.n_grams AS DOUBLE), 6)
+             AS dup_gram_frac,
+           round(gs.top_c / CAST(gs.n_grams AS DOUBLE), 6) AS top_gram_share
+    FROM tokstats ts JOIN gstats gs ON gs.doc_id = ts.doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate-token
+    fraction, duplicate-3-gram fraction, and the share of the single
+    most repeated 3-gram. High values mark boilerplate/spam documents a
+    curation pass drops. Shingling is posexplode+lead — O(n) per doc and
+    one reused exchange (the array-HOF form re-inlines tokenization per
+    position; see operators/dedup.py) — and both aggregates are partial
+    (map-side) groupBys on (doc, token|gram), so the plan is two
+    shuffle-light aggregations joined on doc_id, never a self-join.
+    Docs with < 3 tokens have no trigrams and are excluded on both sides
+    (inner join), same rule as ngram_contamination."""
+    from .functions.text import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(word_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    tokstats = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("tok").alias("distinct_tokens"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            "tok",
+            F.lead("tok", 1).over(w).alias("_t1"),
+            F.lead("tok", 2).over(w).alias("_t2"),
+        )
+        .where(F.col("_t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "_t1", "_t2").alias("gram"))
+    )
+    gstats = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count("*").alias("distinct_grams"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return tokstats.join(gstats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "distinct_tokens",
+        F.round(F.lit(1) - dbl("distinct_tokens") / dbl("n_tokens"), 6).alias(
+            "dup_token_frac"
+        ),
+        "n_grams",
+        "distinct_grams",
+        F.round(F.lit(1) - dbl("distinct_grams") / dbl("n_grams"), 6).alias(
+            "dup_gram_frac"
+        ),
+        F.round(dbl("top_c") / dbl("n_grams"), 6).alias("top_gram_share"),
+    )
+
+
+@query(
+    "pii_redact",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                    '@example.com or 10.', CAST(doc_id % 256 AS VARCHAR),
+                    '.0.1 ref ',
+                    CAST(90000000 + doc_id AS VARCHAR)) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\\b[0-9]{8,}\\b')) AS BIGINT)
+             AS n_idnum,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+             '\\b[0-9]{8,}\\b', '<ID>', 'g')) AS redacted_fp
+    FROM aug
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and redact emails, IPv4 literals, and long
+    digit runs. The synthetic corpus contains no PII, so both sides
+    append the SAME deterministic PII spans per doc before redacting —
+    the gate then checks the regex semantics and replacement order
+    produce byte-identical redacted text (compared by md5). Pure
+    Catalyst regexp expressions over one scan; patterns restricted to
+    the Java-regex ∩ RE2 subset (functions/text.py PII_*)."""
+    from .functions.text import pii_redact_cols
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 ref "),
+            (F.lit(90000000) + F.col("doc_id")).cast("string"),
+        ).alias("text"),
+    )
+    cols = pii_redact_cols(F.col("text"))
+    return aug.select(
+        "doc_id",
+        cols["n_email"].alias("n_email"),
+        cols["n_ipv4"].alias("n_ipv4"),
+        cols["n_idnum"].alias("n_idnum"),
+        F.md5(cols["redacted"].cast("binary")).alias("redacted_fp"),
     )
 
 

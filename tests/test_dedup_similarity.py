@@ -191,6 +191,26 @@ def test_ivf_returns_k_per_query(spark):
     assert all(n == 10 for n in counts.values())
 
 
+def test_ivf_exhaustive_probe_equals_bruteforce(spark):
+    """nprobe == num_cells makes IVF exhaustive: identical rows (ids,
+    sims, ranks) to brute force — the property the knn_ivf_exact oracle
+    gate checks at the driver."""
+    from bgg_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(queries, emb, "vec_id", "embedding", k=10)
+    ivf = ivf_topk(
+        queries, emb, "vec_id", "embedding", k=10, num_cells=8, nprobe=8
+    )
+    e = {(r.query_id, r.nbr_id, r.cosine_sim, r.rank) for r in exact.collect()}
+    i = {(r.query_id, r.nbr_id, r.cosine_sim, r.rank) for r in ivf.collect()}
+    assert e == i
+
+
 def test_brute_force_excludes_self_and_ranks_desc(spark):
     from bgg_data_warehouse_spark.operators.similarity import brute_force_topk
 

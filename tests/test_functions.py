@@ -143,3 +143,46 @@ def test_simhash_near_duplicates_have_small_hamming(spark):
     ).collect()
     assert dist[0].d <= 16  # near-dup: minority of bits flipped
     assert dist[1].d > dist[0].d  # unrelated text is farther
+
+
+def test_pii_redact_cols_counts_and_replacement_order(spark):
+    from bgg_data_warehouse_spark.functions.text import pii_redact_cols
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.org and root@h.io, ip 10.0.0.1, acct 123456789."),
+            (2, "no pii here at all"),
+            (3, "192.168.001.255 padded octets still ipv4; 1234567 is too short"),
+        ],
+        "id long, text string",
+    )
+    cols = pii_redact_cols(F.col("text"))
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id", *[c.alias(n) for n, c in cols.items()]
+        ).collect()
+    }
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_idnum) == (2, 1, 1)
+    assert rows[1].redacted == "mail <EMAIL> and <EMAIL>, ip <IP>, acct <ID>."
+    assert (rows[2].n_email, rows[2].n_ipv4, rows[2].n_idnum) == (0, 0, 0)
+    assert rows[2].redacted == "no pii here at all"  # untouched
+    # dotted octets are IPs, not id numbers; 7 digits is below threshold
+    assert (rows[3].n_ipv4, rows[3].n_idnum) == (1, 0)
+    assert "<IP> padded" in rows[3].redacted and "1234567 is" in rows[3].redacted
+
+
+def test_repetition_stats_matches_python(spark, tmp_path):
+    from bgg_data_warehouse_spark.workload import repetition_stats
+
+    text = "a b c a b c x"  # 7 tokens, 4 distinct; 5 trigrams, 4 distinct
+    df = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = repetition_stats(spark, str(tmp_path)).collect()[0]
+    assert (r.n_tokens, r.distinct_tokens) == (7, 4)
+    assert (r.n_grams, r.distinct_grams) == (5, 4)
+    assert abs(r.dup_token_frac - round(1 - 4 / 7, 6)) < 1e-9
+    assert abs(r.top_gram_share - round(2 / 5, 6)) < 1e-9  # "a b c" twice
