@@ -1334,6 +1334,45 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                          (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                      AS DOUBLE), 2) AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-busting salted join (operators/skew.py): lineitem (the side a
+    hot order key would skew) is spread over 8 sub-keys, orders is
+    replicated to match, and the join key becomes (orderkey, salt). The
+    oracle is the PLAIN join — salting must be row-invisible; only the
+    partitioning changes. This is the static-plan skew discipline for
+    the paths AQE's runtime skew split cannot reach (cogroup/stateful/
+    streaming joins)."""
+    from .operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "o_orderkey", salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        _money_sum(
+            _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+        ).alias("revenue"),
+    )
+
+
+@query(
     "repetition_stats",
     oracle="""
     WITH t AS (

@@ -91,3 +91,55 @@ def test_band_self_join_matches_naive_theta_join(spark):
     # no duplicate pairs from the 3-bucket explode
     pairs = [(r.s_id, r.t_id) for r in band_self_join(df, "id", "cx", band).collect()]
     assert len(pairs) == len(set(pairs))
+
+
+def test_salted_join_row_identical_to_plain_join(spark):
+    from bgg_data_warehouse_spark.operators.skew import salted_join
+
+    # hot key 1 dominates; keys 2/3 sparse; key 4 only on the left
+    left = spark.createDataFrame(
+        [(1, i) for i in range(200)] + [(2, 900), (3, 901), (4, 902)],
+        "k long, lv long",
+    )
+    right = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (5, "z")], "k long, rv string"
+    )
+
+    plain_inner = {(r.k, r.lv, r.rv) for r in left.join(right, "k").collect()}
+    salted_inner = {
+        (r.k, r.lv, r.rv)
+        for r in salted_join(left, right, "k", salts=4).collect()
+    }
+    assert salted_inner == plain_inner and len(plain_inner) == 401
+
+    plain_left = {
+        (r.k, r.lv, r.rv) for r in left.join(right, "k", "left").collect()
+    }
+    salted_left = {
+        (r.k, r.lv, r.rv)
+        for r in salted_join(left, right, "k", salts=4, how="left").collect()
+    }
+    assert salted_left == plain_left  # unmatched keys 3/4 kept exactly once
+
+
+def test_salted_join_spreads_hot_key_and_keys_join_on_salt(spark):
+    from bgg_data_warehouse_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, i) for i in range(500)], "k long, lv long")
+    right = spark.createDataFrame([(1, "x")], "k long, rv string")
+    out = salted_join(left, right, "k", salts=8)
+    # the hot key's rows actually use >1 sub-key (the whole point)
+    from bgg_data_warehouse_spark.operators.skew import SALT_COL
+    from pyspark.sql import functions as F2
+
+    salts_used = (
+        left.withColumn(
+            SALT_COL, F2.pmod(F2.xxhash64("k", "lv"), F2.lit(8)).cast("int")
+        )
+        .select(SALT_COL)
+        .distinct()
+        .count()
+    )
+    assert salts_used > 1
+    # and the physical join key includes the salt column
+    assert "_salt" in out._jdf.queryExecution().executedPlan().toString()
