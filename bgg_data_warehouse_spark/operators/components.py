@@ -136,6 +136,24 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    def _sig(df: DataFrame) -> tuple:
+        """One-scan aggregate signature of an edge set: count + endpoint
+        sums + an order-independent hash sum. A per-round exceptAll diff
+        would cost two extra full scans every round; the signature is one
+        tiny agg job, and the exact exceptAll check runs ONCE, only to
+        confirm the round the signature stops moving."""
+        # decimal(38,0) sums: ANSI mode is on, and a long sum of 64-bit
+        # hashes (or of 100 TB worth of node ids) would overflow-error
+        dec = "decimal(38,0)"
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("u").cast(dec)).alias("su"),
+            F.sum(F.col("v").cast(dec)).alias("sv"),
+            F.sum(F.xxhash64("u", "v").cast(dec)).alias("h"),
+        ).collect()[0]
+        return (r.n, r.su, r.sv, r.h)
+
+    sig = _sig(e)
     for _ in range(max_iter):
         # neighborhoods in both directions: (node, nbr)
         nbrs = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
@@ -146,21 +164,16 @@ def connected_components_star(
             .agg(F.min("nbr").alias("_mn"))
             .select("node", F.least("_mn", "node").alias("m"))
         )
-        # large-star: strictly larger neighbors attach to the min
-        ls = (
+        # star rewrite: EVERY neighbor of u, and u itself, attaches to
+        # m(u). This is large-star (nbr > node) and small-star
+        # (nbr <= node, plus the self edge) fused into one join — the
+        # two branches filter the same (nbrs ⋈ m) with complementary
+        # predicates, so the union is the unfiltered join and Spark
+        # runs ONE join per round instead of two.
+        new_e = (
             nbrs.join(m, "node")
-            .where(F.col("nbr") > F.col("node"))
-            .select(F.col("nbr").alias("u"), F.col("m").alias("v"))
-        )
-        # small-star: u itself and smaller-or-equal neighbors attach
-        ss = (
-            nbrs.join(m, "node")
-            .where(F.col("nbr") <= F.col("node"))
             .select(F.col("nbr").alias("u"), F.col("m").alias("v"))
             .union(m.select(F.col("node").alias("u"), F.col("m").alias("v")))
-        )
-        new_e = (
-            ls.union(ss)
             .where(F.col("u") != F.col("v"))
             .select(
                 F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
@@ -168,15 +181,16 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # converged when every edge points at a component minimum that is
-        # itself edge-stable: the edge set stops changing
-        if (
+        # converged when the edge set stops changing: cheap signature
+        # comparison every round, exact exceptAll confirmation once
+        new_sig = _sig(new_e)
+        if new_sig == sig and (
             new_e.exceptAll(e).limit(1).count() == 0
             and e.exceptAll(new_e).limit(1).count() == 0
         ):
             e = new_e
             break
-        e = new_e
+        e, sig = new_e, new_sig
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"

@@ -919,6 +919,51 @@ def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "components_star_chains",
+    oracle="""
+    WITH RECURSIVE nxt AS (
+      SELECT o_orderkey AS k,
+             lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderkey) AS nk
+      FROM orders
+    ), e0 AS (
+      SELECT k AS a, nk AS b FROM nxt WHERE nk IS NOT NULL
+    ), edges AS (
+      SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+    ), walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    )
+    SELECT node, CAST(min(label) AS BIGINT) AS canonical
+    FROM walk GROUP BY node
+    """,
+)
+def components_star_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star CC on a HIGH-diameter graph: each customer's
+    orders chained in key order (diameter ≈ orders-per-customer, the
+    shape where hash-min label propagation needs diameter rounds but
+    star converges in O(log² n)). The oracle's recursive CTE walks the
+    same chains, so the star fixed point is hash-checked exactly —
+    complementing dedup_cluster_collapse, which gates hash-min on
+    low-diameter dup blobs."""
+    from .operators.components import connected_components_star
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = (
+        orders.select(
+            F.col("o_orderkey").alias("src"),
+            F.lead("o_orderkey").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    return connected_components_star(edges, "src", "dst").select(
+        "node", F.col("canonical").cast("long").alias("canonical")
+    )
+
+
+@query(
     "benchmark_contamination",
     oracle="""
     WITH arr AS (
