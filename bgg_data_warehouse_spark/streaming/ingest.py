@@ -49,6 +49,47 @@ def windowed_counts(
     )
 
 
+def interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding ``horizon`` (click-to-buy
+    attribution). Both sides are watermarked and the join condition
+    time-bounds BOTH event times, so Spark can expire join state — an
+    unbounded stream-stream join would buffer both streams forever.
+    State per key ≈ rows inside (watermark + horizon), independent of
+    stream length: the property that keeps this runnable on an
+    unbounded 100 TB/day feed."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        "purchase_value",
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str = "append"):
     """Drive a streaming frame through the memory sink until drained."""
     q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()

@@ -382,6 +382,46 @@ def test_streaming_windowed_counts(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join returns exactly the pairs the
+    equivalent batch range join returns (state expiry must not drop
+    in-horizon matches in a bounded replay)."""
+    from bgg_data_warehouse_spark.sources.tables import load_table
+    from bgg_data_warehouse_spark.streaming import ingest
+
+    land = str(tmp_path / "join_landing")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    events.write.parquet(land)
+    stream = ingest.read_event_stream(spark, land)
+    clicks = stream.where(F.col("event_type") == "click")
+    purchases = stream.where(F.col("event_type") == "purchase")
+    q = ingest.run_to_memory(
+        ingest.interval_join(clicks, purchases), "attrib", mode="append"
+    )
+    try:
+        got = {
+            (r.purchase_id, r.click_id)
+            for r in spark.sql("SELECT * FROM attrib").collect()
+        }
+        b = events.alias("c").join(
+            events.alias("p"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("c.event_type") == "click")
+            & (F.col("p.event_type") == "purchase")
+            & (F.col("c.ts") <= F.col("p.ts"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        want = {
+            (r.pid, r.cid)
+            for r in b.select(
+                F.col("p.event_id").alias("pid"), F.col("c.event_id").alias("cid")
+            ).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
+
+
 def test_stateful_streaming_dedup(spark, tmp_path):
     """applyInPandasWithState dedups replayed events across micro-batches."""
     from bgg_data_warehouse_spark.sources.tables import load_table
