@@ -54,3 +54,38 @@ def topk_per_key(
     """Top-k rows per key tuple, ranked 1..k (rank column kept)."""
     w = Window.partitionBy(*keys).orderBy(*_cols(order_by))
     return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def validity_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    order_by: Sequence[Column | str] | None = None,
+    *,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """SCD type-2 derivation: turn a change/snapshot log into validity
+    intervals — each version valid from its own timestamp until the next
+    version's (NULL + ``is_current`` for the open latest version).
+
+    The reference keeps daily snapshot models and re-derives
+    "current" with latest-per-key (W1); validity intervals are the
+    other half of that coin — the history table that answers
+    point-in-time questions (and the batch twin of what the as-of join
+    consumes). Same cost shape as W1: ONE hash shuffle on the keys,
+    in-partition sort, a single ``lead`` — no self-join against the
+    next version.
+
+    ``order_by`` defaults to (ts, …) and must end in a deterministic
+    tiebreak when versions can share a timestamp.
+    """
+    order = _cols(order_by) if order_by is not None else [F.col(ts_col).asc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(ts_col).over(w)
+    return (
+        df.withColumn(valid_from, F.col(ts_col))
+        .withColumn(valid_to, nxt)
+        .withColumn(current_col, nxt.isNull())
+    )

@@ -431,6 +431,37 @@ def latest_version_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
 
 
+@query(
+    "scd2_intervals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+             AS valid_to,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) IS NULL
+             AS is_current
+    FROM orders
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history from a change log (operators/latest.py::
+    validity_intervals): each customer's orders become versioned rows
+    valid [own date, next date), open-ended + is_current for the
+    latest. One shuffle on the key, one lead — the point-in-time
+    history table the as-of join (asof_feature_join) consumes."""
+    from .operators.latest import validity_intervals
+
+    orders = load_table(spark, sf_dir, "orders")
+    return validity_intervals(
+        orders,
+        ["o_custkey"],
+        "o_orderdate",
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+    ).select("o_custkey", "o_orderkey", "valid_from", "valid_to", "is_current")
+
+
 # ---------------------------------------------------------------------------
 # I1 — high-watermark incremental filter (reference
 # definitions/games_features.sqlx:11,99 ${when(incremental(), ...)})

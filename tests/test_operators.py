@@ -143,3 +143,30 @@ def test_salted_join_spreads_hot_key_and_keys_join_on_salt(spark):
     assert salts_used > 1
     # and the physical join key includes the salt column
     assert "_salt" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_validity_intervals_tile_without_overlap(spark):
+    from datetime import date
+
+    from bgg_data_warehouse_spark.operators.latest import validity_intervals
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, date(2024, 1, 1)),
+            (1, 11, date(2024, 3, 1)),
+            (1, 12, date(2024, 2, 1)),
+            (2, 20, date(2024, 5, 5)),
+        ],
+        "k long, ver long, d date",
+    )
+    out = validity_intervals(
+        df, ["k"], "d", [F.col("d").asc(), F.col("ver").asc()]
+    ).collect()
+    by_ver = {r.ver: r for r in out}
+    # intervals tile: each version's valid_to is the next version's from
+    assert by_ver[10].valid_to == by_ver[12].valid_from == date(2024, 2, 1)
+    assert by_ver[12].valid_to == by_ver[11].valid_from == date(2024, 3, 1)
+    # exactly one open current row per key
+    assert by_ver[11].valid_to is None and by_ver[11].is_current
+    assert by_ver[20].valid_to is None and by_ver[20].is_current
+    assert sum(r.is_current for r in out) == 2
