@@ -164,3 +164,52 @@ def archive_old_rows(
     old.write.mode("overwrite").parquet(os.path.join(root, archive_dir, f"{name}_{stamp}"))
     _rewrite(df.where(F.col(ts_col) >= cutoff), root, name)
     return n
+
+
+def compact_table(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> int:
+    """Small-file compaction: rewrite the table into files of roughly
+    ``target_file_bytes``, preserving the table's layout (partition
+    columns, in-file sort).
+
+    Streaming/incremental appends (S4/S8) accrete one small file per
+    micro-batch; at 100 TB a scan of millions of KB-sized files is
+    throttled by file-open overhead and footer reads, not I/O. BigQuery
+    repacks storage internally — on Spark the engine owns it. Sizing
+    uses the CURRENT on-disk byte size (compression-realistic, no row
+    sampling); the rewrite is one ``repartition`` (round-robin shuffle)
+    into the staging dir and an atomic swap, so concurrent lazy readers
+    of the old files are never corrupted. Returns the new file count
+    (0 = table absent or already compact).
+    """
+    if not table_exists(root, name):
+        return 0
+    path = _path(root, name)
+    total = 0
+    n_files = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(dirpath, f))
+                n_files += 1
+    want = max(1, -(-total // target_file_bytes))  # ceil div
+    if n_files <= max(want, min_files - 1):
+        return 0
+    df = read_table(spark, root, name)
+    layout = LAYOUTS.get(name, Layout())
+    if layout.partition_cols:
+        # spread within each partition dir; partitionBy re-splits files
+        out = df.repartition(want, *layout.partition_cols)
+    else:
+        out = df.repartition(want)
+    _rewrite(out, root, name)
+    n_new = 0
+    for dirpath, _dirs, files in os.walk(path):
+        n_new += sum(1 for f in files if f.endswith(".parquet"))
+    return n_new
