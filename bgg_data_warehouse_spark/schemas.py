@@ -10,6 +10,7 @@ the one registry replacing all three. Layer = namespace prefix
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -273,3 +274,61 @@ LANDING_TABLES: dict[str, T.StructType] = {
     "collection_predictions_landing": COLLECTION_PREDICTIONS_LANDING,
     "collection_models_registry": COLLECTION_MODELS_REGISTRY,
 }
+
+
+def conform(df, schema: T.StructType, *, extras: str = "error"):
+    """Pre-write schema conformance — the Spark analogue of the
+    reference's ``prepare_for_bigquery`` (processor.py:619-666) plus its
+    additive ALTER TABLE evolution (setup_bigquery.py:257-265).
+
+    - REQUIRED (non-nullable) columns must be present: hard error.
+    - Missing NULLABLE columns are added as typed NULLs (the write-side
+      half of additive evolution; the read side is free — an explicit
+      ``spark.read.schema(...)`` fills columns absent from old parquet
+      footers with NULL, so old files never need rewriting).
+    - Present columns are cast to the declared type (safe ``cast`` — the
+      registry is the single source of truth, unlike the reference's
+      three redundant schema copies).
+    - ``extras``: 'error' (default) rejects undeclared columns — the
+      registry must be updated FIRST, mirroring the reference's
+      evolve-then-load discipline; 'drop' discards them; 'keep' appends
+      them after the declared columns (caller has pre-evolved frames).
+    """
+    have = {f.name for f in df.schema.fields}
+    missing_required = [
+        f.name for f in schema.fields if not f.nullable and f.name not in have
+    ]
+    if missing_required:
+        raise ValueError(f"required columns absent: {missing_required}")
+    declared = {f.name for f in schema.fields}
+    undeclared = [c for c in df.columns if c not in declared]
+    if undeclared and extras == "error":
+        raise ValueError(
+            f"undeclared columns {undeclared}: evolve the schema registry "
+            "first (additive evolution), or pass extras='drop'|'keep'"
+        )
+    cols = [
+        (
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+        )
+        for f in schema.fields
+    ]
+    if undeclared and extras == "keep":
+        cols += [F.col(c) for c in undeclared]
+    return df.select(*cols)
+
+
+def validate_no_all_null_columns(df, columns: list[str] | None = None) -> list[str]:
+    """Reference's all-null guard (processor.py:646-664): returns the
+    names of columns that are entirely NULL (empty = pass). ONE
+    aggregate job — never a per-column count loop."""
+    cols = columns or df.columns
+    row = df.agg(
+        *[F.count(F.col(c)).alias(c) for c in cols]
+    ).collect()[0]
+    total = df.count()
+    if total == 0:
+        return []
+    return [c for c in cols if row[c] == 0]

@@ -120,3 +120,63 @@ def test_python_literal_payload_parses_like_json(parsed):
     rows = parsed.where("game_id = 13").collect()
     assert len(rows) == 2
     assert rows[0].asDict() == rows[1].asDict()
+
+
+def test_conform_additive_evolution_and_guards(spark):
+    from pyspark.sql import types as T
+
+    from bgg_data_warehouse_spark import schemas
+
+    target = T.StructType(
+        [
+            T.StructField("game_id", T.LongType(), nullable=False),
+            T.StructField("name", T.StringType()),
+            T.StructField("year", T.LongType()),
+        ]
+    )
+    # old-shape frame: missing the newly added nullable 'year', int-typed id
+    df = spark.createDataFrame([(1, "go"), (2, "chess")], "game_id int, name string")
+    out = schemas.conform(df, target)
+    assert [f.name for f in out.schema.fields] == ["game_id", "name", "year"]
+    assert dict(out.dtypes)["game_id"] == "bigint"
+    assert all(r.year is None for r in out.collect())
+
+    # missing REQUIRED column is a hard error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="required"):
+        schemas.conform(
+            spark.createDataFrame([("x",)], "name string"), target
+        )
+    # undeclared column: error by default, droppable explicitly
+    extra = spark.createDataFrame(
+        [(1, "go", "BAD")], "game_id long, name string, rogue string"
+    )
+    with _pytest.raises(ValueError, match="evolve the schema registry"):
+        schemas.conform(extra, target)
+    assert "rogue" not in schemas.conform(extra, target, extras="drop").columns
+
+    # all-null guard flags fully-null columns only
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "a long, b string"
+    )
+    assert schemas.validate_no_all_null_columns(nulls) == ["b"]
+
+
+def test_additive_evolution_read_side_fills_nulls(spark, tmp_path):
+    """Old parquet files never need rewriting: an explicit read schema
+    fills absent columns with NULL (the free half of additive evolution
+    conform() documents)."""
+    from pyspark.sql import types as T
+
+    old = spark.createDataFrame([(1, "go")], "game_id long, name string")
+    old.write.parquet(f"{tmp_path}/t")
+    evolved = T.StructType(
+        [
+            T.StructField("game_id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("year", T.LongType()),
+        ]
+    )
+    got = spark.read.schema(evolved).parquet(f"{tmp_path}/t").collect()
+    assert got[0].year is None and got[0].name == "go"
