@@ -136,3 +136,37 @@ def test_tpch_q17_semi_scopes_per_part_aggregate(spark):
     df = entrymod.queries()["tpch_q17"](spark, SF_SMALL)
     plan = optimized_plan(df)
     assert "LeftSemi" in plan
+
+
+def test_asof_join_single_exchange_no_range_blowup(spark):
+    """The as-of join must plan as the union-window form: ONE hash
+    exchange on the key, no (Broadcast)NestedLoopJoin from a range
+    condition (the O(matches²) failure shape)."""
+    plan = executed_plan(
+        entrymod.queries()["asof_feature_join"](spark, SF_SMALL)
+    )
+    assert "NestedLoopJoin" not in plan
+    # the union-window shuffle partitions on the join key (aliased _k)
+    assert "hashpartitioning(_k" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """The time-range join must plan as an equi-join on (key, bucket) —
+    never a theta/nested-loop join with the range predicate applied to
+    a per-key cross product."""
+    plan = executed_plan(
+        entrymod.queries()["range_join_recent_activity"](spark, SF_SMALL)
+    )
+    assert "NestedLoopJoin" not in plan
+    assert "_bkt" in plan or "bucket" in plan
+
+
+def test_salted_join_keys_include_salt(spark):
+    """The salted join's exchange must carry the salt sub-key so a hot
+    key spreads across tasks."""
+    plan = executed_plan(
+        entrymod.queries()["salted_join_revenue"](spark, SF_SMALL)
+    )
+    assert "_salt" in plan
+    assert "NestedLoopJoin" not in plan
