@@ -102,6 +102,7 @@ def connected_components_star(
     dst: str,
     *,
     max_iter: int = 40,
+    canonical_edges: bool = False,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.,
     SoCC'14) — the O(log² n)-round variant for graphs whose diameter is
@@ -120,16 +121,20 @@ def connected_components_star(
     component toward its minimum until the edge set is a star centered on
     it. Returns (node, canonical) like ``connected_components``.
     """
-    # canonical undirected edge list, self-loops dropped
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .select(
-            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    # canonical undirected edge list, self-loops dropped.
+    # ``canonical_edges=True`` lets callers whose pair source already
+    # guarantees distinct (min, max) pairs — lead()-derived chains,
+    # dedup pair generators emitting a < b — skip the prep shuffle.
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not canonical_edges:
+        e = (
+            e.where(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .distinct()
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = e.localCheckpoint(eager=True)
     all_nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))

@@ -989,9 +989,11 @@ def components_star_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dst").isNotNull())
     )
-    return connected_components_star(edges, "src", "dst").select(
-        "node", F.col("canonical").cast("long").alias("canonical")
-    )
+    # lead() over an ascending sort emits distinct (smaller, larger)
+    # pairs by construction — the prep canonicalize shuffle is skippable
+    return connected_components_star(
+        edges, "src", "dst", canonical_edges=True
+    ).select("node", F.col("canonical").cast("long").alias("canonical"))
 
 
 @query(
