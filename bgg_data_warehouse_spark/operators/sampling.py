@@ -169,3 +169,62 @@ def pack_sequences(
     return df.withColumn(offset_col, start).withColumn(
         pack_col, (F.col(offset_col) / F.lit(budget)).cast("long")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking: split each document into overlapping
+    token windows of ``chunk_tokens``, starting every ``stride`` tokens
+    — the context-window prep step for embedding models and long-doc
+    training. Output: (doc, chunk_idx, n_chunk_tokens, chunk_text);
+    chunk k covers tokens [k*stride, k*stride + chunk_tokens). The final
+    chunk may be short; empty docs produce no chunks.
+
+    Plan shape: posexplode the token array ONCE, compute the (small)
+    range of chunk ids containing each position arithmetically, explode
+    that, and re-assemble with one (doc, chunk) aggregate — two narrow
+    generators and ONE shuffle. The tempting direct form —
+    ``transform(sequence(...), k -> slice(toks, ...))`` — re-inlines the
+    tokenization per chunk (the interpreted-HOF O(n²) trap measured in
+    operators/dedup.py) and is why this is relational instead.
+    """
+    if stride < 1 or chunk_tokens < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    from ..functions.text import word_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    # chunk ids whose window [k*stride, k*stride + chunk_tokens) holds pos
+    lo = F.greatest(
+        F.lit(0),
+        F.ceil((F.col("pos") - F.lit(chunk_tokens) + 1) / F.lit(stride)).cast(
+            "long"
+        ),
+    )
+    hi = F.floor(F.col("pos") / F.lit(stride)).cast("long")
+    hits = toks.select(
+        "doc",
+        "pos",
+        "tok",
+        F.explode(F.sequence(lo, hi)).alias("chunk_idx"),
+    )
+    return (
+        hits.groupBy("doc", "chunk_idx")
+        .agg(
+            F.count("*").alias("n_chunk_tokens"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ).getField("tok"),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

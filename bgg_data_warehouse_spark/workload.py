@@ -1549,6 +1549,42 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS doc,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc, CAST(k AS BIGINT) AS chunk_idx,
+             list_slice(toks, k * 48 + 1, k * 48 + 64) AS chunk
+      FROM t,
+           unnest(generate_series(0,
+             CAST(floor((len(toks) - 1) / 48.0) AS BIGINT))) AS u(k)
+      WHERE len(toks) >= 1
+    )
+    SELECT doc, chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM c
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/sampling.py::chunk_documents):
+    64-token windows every 48 tokens — the context-window prep for
+    embedding/long-doc training. Relational two-generator plan with one
+    shuffle; the array-slice HOF form would re-inline tokenization per
+    chunk (O(n²) trap)."""
+    from .operators.sampling import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, stride=48
+    )
+
+
+@query(
     "pii_redact",
     oracle="""
     WITH aug AS (

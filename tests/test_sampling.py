@@ -115,3 +115,22 @@ def test_buckets_are_deterministic_and_in_range(spark):
     ).collect()[0]
     assert agg[0] >= 0 and agg[1] < 1000 and agg[2] >= 0 and agg[3] < 1000
     assert agg[4] > 500 and agg[5] > 500  # spread over the range
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from bgg_data_warehouse_spark.operators.sampling import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    out = {
+        r.chunk_idx: r
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=4, stride=3
+        ).collect()
+    }
+    # windows: [0:4) [3:7) [6:10) [9:10) — overlap 1 token, short tail
+    assert sorted(out) == [0, 1, 2, 3]
+    assert out[0].chunk_text == "w0 w1 w2 w3"
+    assert out[1].chunk_text == "w3 w4 w5 w6"
+    assert out[2].chunk_text == "w6 w7 w8 w9"
+    assert out[3].chunk_text == "w9" and out[3].n_chunk_tokens == 1
