@@ -1876,6 +1876,44 @@ def asof_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_feature_join_segmented",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts, c.value AS click_value,
+           p.value AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+      SELECT user_id AS p_user, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ) p ON c.user_id = p.p_user AND c.ts >= p.p_ts
+    """,
+)
+def asof_feature_join_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-resilient as-of variant (operators/asof.py::
+    asof_join_segmented): heavy carry partitioned by (user, day-bucket),
+    per-user state reduced to one row per bucket — a hot user's window
+    work spreads across its time span instead of one task. Gated by the
+    SAME DuckDB ASOF oracle as asof_feature_join: both plans, identical
+    rows."""
+    from .operators.asof import asof_join_segmented
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return asof_join_segmented(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["last_purchase_value"],
+    )
+
+
 # ===========================================================================
 # Time-range join — bucketized interval join (operators/range_join.py):
 # "activity in the hour before each error", zero-activity rows kept.

@@ -101,3 +101,64 @@ def test_single_shuffle_plan(spark):
     # one hash-partition exchange on the key — no join node, no range blowup
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_segmented_matches_plain_asof(spark):
+    from bgg_data_warehouse_spark.operators.asof import asof_join_segmented
+
+    left, right = _frames(spark)
+    got = {
+        r.id: r.px
+        for r in asof_join_segmented(
+            left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["px"]
+        ).collect()
+    }
+    assert got == {1: 100.0, 2: 110.0, 3: None, 4: 200.0, 5: None}
+
+
+def test_segmented_bucket_boundaries_exact(spark):
+    """Tiny buckets force every cross-bucket carry path: a left row whose
+    match is many buckets earlier, an in-bucket match, and a same-bucket
+    LATER right row that must NOT leak backward through the summary."""
+    from bgg_data_warehouse_spark.operators.asof import asof_join_segmented
+
+    left = spark.createDataFrame(
+        [
+            (1, "k", _ts("2024-01-03T00:00:10")),  # carry across 2 empty days
+            (2, "k", _ts("2024-01-01T00:00:05")),  # in-bucket predecessor
+            (3, "k", _ts("2024-01-01T00:00:01")),  # bucket's right row is LATER
+        ],
+        "id: long, k: string, ts: timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", _ts("2024-01-01T00:00:03"), 1.0),
+        ],
+        "k: string, ts: timestamp, px: double",
+    )
+    got = {
+        r.id: r.px
+        for r in asof_join_segmented(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["px"], bucket_micros=86_400_000_000,
+        ).collect()
+    }
+    assert got == {1: 1.0, 2: 1.0, 3: None}
+
+
+def test_segmented_plan_partitions_by_key_and_bucket(spark):
+    from bgg_data_warehouse_spark.operators.asof import asof_join_segmented
+
+    left, right = _frames(spark)
+    plan = (
+        asof_join_segmented(
+            left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["px"]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # heavy pass is per-(key, bucket): an exchange keyed on _k AND _b
+    assert re.search(r"hashpartitioning\(_k#\d+, _b#\d+", plan), plan[:1500]
