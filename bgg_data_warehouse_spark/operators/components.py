@@ -45,6 +45,7 @@ def connected_components(
     dst: str,
     *,
     max_iter: int = 25,
+    canonical_edges: bool = False,
 ) -> DataFrame:
     """Map every node of the undirected pair graph to its component min.
 
@@ -56,13 +57,16 @@ def connected_components(
     alternative).
     """
     # Undirect the edges once; both orientations are needed so the min
-    # can flow either way across a pair.
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # can flow either way across a pair. ``canonical_edges=True`` (the
+    # pair source already guarantees distinct a < b pairs — every dedup
+    # pair generator here does) skips the dedup shuffle: the two
+    # orientations are then disjoint and individually distinct.
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    if not canonical_edges:
+        und = und.distinct()
+    und = und.localCheckpoint(eager=True)
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
@@ -84,8 +88,11 @@ def connected_components(
         )
         # labels are monotonically non-increasing, so the fixed point is
         # reached exactly when the label sum stops falling — a scalar
-        # aggregate instead of a join-based diff
-        cur_sum = new_labels.agg(F.sum("canonical")).collect()[0][0]
+        # aggregate instead of a join-based diff. decimal(38,0): ANSI
+        # mode would overflow-error a long sum of 10⁹ node ids.
+        cur_sum = new_labels.agg(
+            F.sum(F.col("canonical").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = new_labels
         if cur_sum == prev_sum:
             return labels
@@ -217,6 +224,8 @@ def collapse_clusters(
     pairs: DataFrame,
     pair_a: str = "doc_a",
     pair_b: str = "doc_b",
+    *,
+    canonical_pairs: bool = False,
 ) -> DataFrame:
     """(doc, canonical, is_kept) for EVERY doc: cluster members map to the
     cluster min, singletons to themselves. ``is_kept`` marks the one row
@@ -224,7 +233,9 @@ def collapse_clusters(
     no broadcast hint — it is proportional to the CLUSTERED doc count,
     which under heavy duplication approaches corpus size; the planner/AQE
     broadcasts it only when runtime stats show it is small."""
-    comp = connected_components(pairs, pair_a, pair_b)
+    comp = connected_components(
+        pairs, pair_a, pair_b, canonical_edges=canonical_pairs
+    )
     return docs.select(F.col(id_col).alias("doc")).join(
         comp.withColumnRenamed("node", "doc"), "doc", "left_outer"
     ).select(

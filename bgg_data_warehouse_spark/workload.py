@@ -946,7 +946,8 @@ def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=2,
         jaccard_threshold=0.97,
     )
-    return collapse_clusters(docs, "doc_id", pairs)
+    # minhash_lsh_pairs canonicalizes (a < b, deduped) -> skip the CC prep shuffle
+    return collapse_clusters(docs, "doc_id", pairs, canonical_pairs=True)
 
 
 @query(
@@ -1122,7 +1123,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=0.97,
     )
     kept = (
-        collapse_clusters(eligible, "doc_id", pairs)
+        collapse_clusters(eligible, "doc_id", pairs, canonical_pairs=True)
         .where(F.col("is_kept"))
         .select(F.col("doc").alias("doc_id"))
     )
