@@ -402,3 +402,89 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    span_tokens: int = 50,
+) -> DataFrame:
+    """Exact duplicate-SPAN removal across the corpus — the sub-document
+    half of dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", 2022): any ``span_tokens``-token window
+    that appears anywhere else in the corpus is removed from every
+    occurrence EXCEPT the first (ordered by (doc, pos)), token-exactly.
+    Whole-doc dedup misses boilerplate embedded in otherwise-unique
+    pages; this catches it.
+
+    Relational formulation (the paper uses a suffix array, which is not
+    a distributed-friendly structure):
+
+      tokens → sliding span strings (posexplode + lead, the O(n)
+      shingle shape) → per-span occurrence ranking (one window keyed on
+      the span) → non-first occurrences explode to their covered token
+      positions → anti-join tokens against covered positions →
+      re-assemble per doc.
+
+    Two shuffles dominate: the span ranking (key = span string, value
+    rows ∝ corpus tokens × 1, each carrying the span — at 100 TB switch
+    the ranking key to ``xxhash64(span)`` and verify the rare collision
+    groups, the same fingerprint-first discipline as ``dedup_exact``)
+    and the final per-doc re-assembly. Output keeps EVERY input doc:
+    (doc, n_tokens, n_kept, text_dedup), text_dedup being the
+    lowercased kept tokens joined by single spaces.
+    """
+    from ..functions.text import word_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = toks.select(
+        "doc",
+        "pos",
+        "tok",
+        *[F.lead("tok", j).over(w).alias(f"_t{j}") for j in range(1, span_tokens)],
+    )
+    spans = leads.where(F.col(f"_t{span_tokens-1}").isNotNull()).select(
+        "doc",
+        "pos",
+        F.concat_ws(" ", "tok", *[f"_t{j}" for j in range(1, span_tokens)]).alias(
+            "span"
+        ),
+    )
+    ws = Window.partitionBy("span").orderBy("doc", "pos")
+    dup_tail = (
+        spans.withColumn("_rn", F.row_number().over(ws))
+        .where(F.col("_rn") > 1)
+        .select("doc", "pos")
+    )
+    covered = dup_tail.select(
+        "doc",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(span_tokens - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = toks.join(covered, ["doc", "pos"], "left_anti")
+    agg = kept.groupBy("doc").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))).getField("tok"),
+            " ",
+        ).alias("text_dedup"),
+    )
+    totals = toks.groupBy("doc").agg(F.count("*").alias("n_tokens"))
+    base = df.select(F.col(id_col).alias("doc"))
+    return (
+        base.join(totals, "doc", "left")
+        .join(agg, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )

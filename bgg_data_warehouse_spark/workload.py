@@ -809,6 +809,63 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "substring_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS doc,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc, CAST(i AS BIGINT) AS pos, toks[i] AS tok
+      FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+    ), g AS (
+      SELECT doc, CAST(i AS BIGINT) AS pos,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                       toks[i+4], toks[i+5], toks[i+6], toks[i+7]) AS span
+      FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+    ), ranked AS (
+      SELECT doc, pos,
+             ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc, pos) AS rn
+      FROM g
+    ), covered AS (
+      SELECT DISTINCT doc, CAST(p AS BIGINT) AS pos
+      FROM ranked, unnest(generate_series(pos, pos + 7)) AS u(p)
+      WHERE rn > 1
+    ), kept AS (
+      SELECT tok.doc, tok.pos, tok.tok
+      FROM tok ANTI JOIN covered
+        ON covered.doc = tok.doc AND covered.pos = tok.pos
+    ), agg AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+      FROM kept GROUP BY doc
+    ), totals AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY doc
+    )
+    SELECT d.doc_id AS doc,
+           coalesce(totals.n_tokens, 0) AS n_tokens,
+           coalesce(agg.n_kept, 0) AS n_kept,
+           coalesce(agg.text_dedup, '') AS text_dedup
+    FROM documents d
+    LEFT JOIN totals ON totals.doc = d.doc_id
+    LEFT JOIN agg ON agg.doc = d.doc_id
+    """,
+)
+def substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (operators/dedup.py::substring_dedup):
+    every 8-token span seen elsewhere in the corpus is cut from all but
+    its first occurrence, token-exactly — the duplicated-boilerplate
+    remover whole-doc dedup cannot express. The oracle re-derives the
+    identical removal in SQL, so the span ranking, coverage explosion,
+    anti-join, and re-assembly are all hash-checked."""
+    from .operators.dedup import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup(docs, "doc_id", "text", span_tokens=8)
+
+
+@query(
     "dedup_exact",
     oracle="""
     SELECT doc_id, lang, source, n_chars

@@ -240,3 +240,26 @@ def test_hashed_count_vectors_deterministic_and_normalized(spark):
     }
     assert 2.0 in raw[1]
     assert sum(raw[1]) == 4.0  # 4 tokens total
+
+
+def test_substring_dedup_removes_later_spans_only(spark):
+    from bgg_data_warehouse_spark.operators.dedup import substring_dedup
+
+    span = "a b c d e f g h"  # 8 tokens, shared verbatim
+    df = spark.createDataFrame(
+        [
+            (1, span + " unique1"),
+            (2, "z " + span + " w"),
+            (3, "totally different words only here now ok fine yes"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc: r for r in substring_dedup(
+        df, "doc_id", "text", span_tokens=8).collect()}
+    # first occurrence (doc 1) intact
+    assert got[1].text_dedup == span + " unique1" and got[1].n_kept == 9
+    # doc 2 loses exactly the duplicated span, keeps its unique tokens
+    assert got[2].text_dedup == "z w" and got[2].n_kept == 2
+    assert got[2].n_tokens == 10
+    # untouched doc unchanged
+    assert got[3].n_kept == got[3].n_tokens == 9
