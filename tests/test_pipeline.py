@@ -447,6 +447,45 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         q.stop()
 
 
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Stop/restart against the same checkpoint dir must not reprocess
+    already-committed input files (exactly-once file source) — the
+    recovery contract a long-running ingest relies on."""
+    from bgg_data_warehouse_spark.sources.tables import load_table
+    from bgg_data_warehouse_spark.streaming import ingest
+
+    land = str(tmp_path / "ckpt_landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    first = events.limit(100)
+    first.write.mode("append").parquet(land)
+
+    def run_once():
+        q = (
+            ingest.read_event_stream(spark, land)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 100
+    # second batch lands while the stream is DOWN; restart picks up only it
+    events.limit(150).write.mode("append").parquet(land)
+    run_once()
+    got = spark.read.parquet(out)
+    # restart processed ONLY the newly appended files (150 rows); the
+    # first 100 committed rows were not re-emitted
+    assert got.count() == n1 + 150
+    run_once()  # third run with no new files: nothing added
+    assert spark.read.parquet(out).count() == n1 + 150
+
+
 def test_stateful_streaming_dedup(spark, tmp_path):
     """applyInPandasWithState dedups replayed events across micro-batches."""
     from bgg_data_warehouse_spark.sources.tables import load_table
