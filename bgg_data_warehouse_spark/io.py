@@ -213,3 +213,42 @@ def compact_table(
     for dirpath, _dirs, files in os.walk(path):
         n_new += sum(1 for f in files if f.endswith(".parquet"))
     return n_new
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    root: str,
+    name: str,
+    *,
+    buckets: int,
+    key_cols: list[str],
+    database: str = "bucketed",
+) -> str:
+    """Write a hash-bucketed, in-bucket-sorted table; joins and
+    aggregations between tables bucketed the same way on the same keys
+    plan with ZERO Exchange (the scan's bucketing satisfies the
+    distribution requirement).
+
+    This is the co-located-join discipline for 100 TB fact⋈fact joins
+    where neither side broadcasts: pay the bucketing shuffle ONCE at
+    write time, then every downstream join/groupBy on the bucket keys is
+    shuffle-free (`test_plan_audit.py::test_bucketed_join_is_exchange_free`).
+    Bucket metadata lives in the session catalog (``bucketBy`` requires
+    ``saveAsTable``); the parquet files land under ``root/name`` like
+    every other table. Returns the qualified table name to read back
+    with ``spark.table(...)``.
+    """
+    spark = df.sparkSession
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {database} "
+        f"LOCATION '{os.path.join(root, '_bucket_db')}'"
+    )
+    qualified = f"{database}.{name}"
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, *key_cols)
+        .sortBy(*key_cols)
+        .option("path", _path(root, name))
+        .saveAsTable(qualified)
+    )
+    return qualified

@@ -170,3 +170,30 @@ def test_salted_join_keys_include_salt(spark):
     )
     assert "_salt" in plan
     assert "NestedLoopJoin" not in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed on the join key: the join must contain NO
+    Exchange — the write-time bucketing shuffle is reused by every
+    downstream join (the 100 TB fact⋈fact co-location discipline)."""
+    from pyspark.sql import functions as F2
+
+    from bgg_data_warehouse_spark import io
+
+    root = str(tmp_path)
+    a = spark.range(2000).select(F2.col("id").alias("k"), (F2.col("id") * 2).alias("v"))
+    b = spark.range(900).select(F2.col("id").alias("k"), (F2.col("id") * 3).alias("w"))
+    ta = io.write_bucketed_table(a, root, "fact_a", buckets=8, key_cols=["k"])
+    tb = io.write_bucketed_table(b, root, "fact_b", buckets=8, key_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(ta).join(spark.table(tb), "k")
+        plan = executed_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:1500]
+        assert j.count() == 900
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bucketed.fact_a")
+        spark.sql("DROP TABLE IF EXISTS bucketed.fact_b")
