@@ -210,7 +210,11 @@ def chunk_documents(
         ),
     )
     hi = F.floor(F.col("pos") / F.lit(stride)).cast("long")
-    hits = toks.select(
+    # stride > chunk_tokens leaves GAP tokens belonging to no chunk:
+    # there lo > hi, and F.sequence(lo, hi) would silently produce a
+    # DESCENDING sequence (wrong chunks) instead of an empty one — filter
+    # the gap rows out before exploding.
+    hits = toks.where(hi >= lo).select(
         "doc",
         "pos",
         "tok",

@@ -134,3 +134,24 @@ def test_chunk_documents_overlap_and_tail(spark):
     assert out[1].chunk_text == "w3 w4 w5 w6"
     assert out[2].chunk_text == "w6 w7 w8 w9"
     assert out[3].chunk_text == "w9" and out[3].n_chunk_tokens == 1
+
+
+def test_chunk_documents_gap_sampling_stride_exceeds_chunk(spark):
+    """stride > chunk_tokens = sampled (non-covering) chunking: gap
+    tokens belong to NO chunk and must not be mis-assigned (the
+    descending-F.sequence trap)."""
+    from bgg_data_warehouse_spark.operators.sampling import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    out = {
+        r.chunk_idx: r
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=2, stride=4
+        ).collect()
+    }
+    # windows: [0:2) [4:6) [8:10) — w2/w3/w6/w7 fall in gaps
+    assert sorted(out) == [0, 1, 2]
+    assert out[0].chunk_text == "w0 w1"
+    assert out[1].chunk_text == "w4 w5"
+    assert out[2].chunk_text == "w8 w9"
