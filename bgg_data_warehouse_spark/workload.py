@@ -432,6 +432,71 @@ def latest_version_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "full_outer_reconcile",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_custkey IS NOT NULL AS in_customers,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders
+    FROM customer c FULL OUTER JOIN o ON o.o_custkey = c.c_custkey
+    """,
+)
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation audit: FULL OUTER join between the customer
+    dimension and per-customer order counts — surviving rows flag
+    dimension entries with no facts and facts with no dimension entry
+    (FK-drift detection, the standard warehouse data-quality sweep)."""
+    customer = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return customer.select("c_custkey").join(
+        o, customer.c_custkey == o.o_custkey, "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("in_customers"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+@query(
+    "except_intersect_keys",
+    oracle="""
+    SELECT 'only_customers' AS side, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT c_custkey FROM customer
+          EXCEPT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'in_both' AS side, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT c_custkey FROM customer
+          INTERSECT SELECT o_custkey FROM orders)
+    """,
+)
+def except_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT set semantics (distinct variants — Spark
+    ``subtract`` / ``intersect``), the remaining §2.7 set-operation
+    cells: customers who never ordered vs customers present on both
+    sides. Both plan as hash aggregates + joins, no global sort."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    only = cust.subtract(ords).agg(F.count("*").alias("n")).select(
+        F.lit("only_customers").alias("side"), F.col("n")
+    )
+    both = cust.intersect(ords).agg(F.count("*").alias("n")).select(
+        F.lit("in_both").alias("side"), F.col("n")
+    )
+    return only.unionByName(both)
+
+
+@query(
     "scd2_intervals",
     oracle="""
     SELECT o_custkey, o_orderkey,
