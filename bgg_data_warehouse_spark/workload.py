@@ -432,6 +432,60 @@ def latest_version_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuzzy_match_parts",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey AS k, p_name AS n,
+             string_split(p_name, ' ')[1] AS blk
+      FROM part
+    ), cand AS (
+      SELECT a.k AS src, b.k AS dst,
+             CAST(levenshtein(a.n, b.n) AS BIGINT) AS dist
+      FROM p a JOIN p b ON a.blk = b.blk AND a.k <> b.k
+    ), ranked AS (
+      SELECT src, dst, dist,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+      FROM cand
+    )
+    SELECT src AS p_partkey, dst AS best_match, dist
+    FROM ranked WHERE rn = 1 AND dist <= 6
+    """,
+)
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching: each part's nearest same-block
+    neighbor by Levenshtein edit distance (blocking key = first name
+    token, the classic entity-resolution move that keeps the candidate
+    join linear in block mass instead of corpus²). Spark's
+    ``levenshtein`` and DuckDB's agree exactly, so the whole
+    block→pair→rank pipeline is hash-gated."""
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("n"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    cand = (
+        p.alias("a")
+        .join(p.alias("b"), "blk")
+        .where(F.col("a.k") != F.col("b.k"))
+        .select(
+            F.col("a.k").alias("src"),
+            F.col("b.k").alias("dst"),
+            F.levenshtein(F.col("a.n"), F.col("b.n")).cast("long").alias("dist"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("dist") <= 6))
+        .select(
+            F.col("src").alias("p_partkey"),
+            F.col("dst").alias("best_match"),
+            "dist",
+        )
+    )
+
+
+@query(
     "full_outer_reconcile",
     oracle="""
     WITH o AS (
