@@ -454,24 +454,59 @@ def latest_version_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy entity matching: each part's nearest same-block
     neighbor by Levenshtein edit distance (blocking key = first name
-    token, the classic entity-resolution move that keeps the candidate
-    join linear in block mass instead of corpus²). Spark's
-    ``levenshtein`` and DuckDB's agree exactly, so the whole
-    block→pair→rank pipeline is hash-gated."""
+    token). The naive row×row block join is QUADRATIC in scale factor
+    when the blocking key has fixed cardinality (measured 61 s at sf0.1
+    vs 2 s for this plan) — so the distance work runs on DISTINCT names
+    (bounded by vocabulary, not row count) and each part only joins the
+    per-name-group representative: the min part id of every candidate
+    name group, with the group's second-min standing in when the min is
+    the part itself. Row-for-row identical to the naive form — the
+    best (dist, dst) pair is always achieved at a group's min id — and
+    the oracle IS the naive form, so the rewrite is hash-verified."""
     p = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("k"),
         F.col("p_name").alias("n"),
         F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
     )
-    cand = (
-        p.alias("a")
-        .join(p.alias("b"), "blk")
-        .where(F.col("a.k") != F.col("b.k"))
+    names = p.select("blk", "n").distinct()
+    name_pairs = (
+        names.alias("a")
+        .join(names.alias("b"), "blk")
         .select(
-            F.col("a.k").alias("src"),
-            F.col("b.k").alias("dst"),
+            "blk",
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
             F.levenshtein(F.col("a.n"), F.col("b.n")).cast("long").alias("dist"),
         )
+    )
+    g1 = p.groupBy("blk", "n").agg(F.min("k").alias("min1"))
+    g2 = (
+        p.join(g1, ["blk", "n"])
+        .where(F.col("k") > F.col("min1"))
+        .groupBy("blk", "n")
+        .agg(F.min("k").alias("min2"))
+    )
+    mins = g1.join(g2, ["blk", "n"], "left")
+    cand = (
+        p.join(name_pairs, (p.blk == name_pairs.blk) & (p.n == name_pairs.n_a))
+        .drop(name_pairs.blk)
+        .join(
+            mins.select(
+                F.col("blk").alias("_mb"),
+                F.col("n").alias("_mn"),
+                "min1",
+                "min2",
+            ),
+            (F.col("blk") == F.col("_mb")) & (F.col("n_b") == F.col("_mn")),
+        )
+        .select(
+            F.col("k").alias("src"),
+            F.when(F.col("min1") == F.col("k"), F.col("min2"))
+            .otherwise(F.col("min1"))
+            .alias("dst"),
+            "dist",
+        )
+        .where(F.col("dst").isNotNull())
     )
     w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
     return (
