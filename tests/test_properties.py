@@ -115,3 +115,79 @@ def test_dedup_exact_idempotent_and_minimal(spark, rows):
     assert got == {(i, t) for t, i in expect.items()}
     twice = dedup_exact(once, "text", "doc_id")
     assert {(r.doc_id, r.text) for r in twice.collect()} == got
+
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=10_000),  # ts seconds
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(left=asof_rows, right=asof_rows)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """Both as-of formulations must agree with pandas merge_asof
+    (an independent reference implementation) on ANY input: backward,
+    inclusive, per-key. Right side deduped per (key, ts) first — as-of
+    is ill-defined otherwise (documented contract)."""
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from bgg_data_warehouse_spark.operators.asof import (
+        asof_join,
+        asof_join_segmented,
+    )
+
+    ldf = spark.createDataFrame(
+        [(i, k, datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None))
+         for i, (k, t) in enumerate(left)],
+        "id long, k long, ts timestamp",
+    )
+    rseen = {}
+    for k, t in right:
+        rseen[(k, t)] = float(k * 100_000 + t)
+    rrows = [
+        (k, datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None), v)
+        for (k, t), v in rseen.items()
+    ]
+    rdf = spark.createDataFrame(rrows, "k long, ts timestamp, px double")
+
+    got_w = {
+        r.id: r.px
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", value_cols=["px"]
+        ).collect()
+    }
+    got_s = {
+        r.id: r.px
+        for r in asof_join_segmented(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["px"], bucket_micros=1_000_000_000,  # ~17 min buckets
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        {"id": pd.array(range(len(left)), dtype="int64"),
+         "k": pd.array([k for k, _ in left], dtype="int64"),
+         "ts": pd.to_datetime([pd.Timestamp(t, unit="s") for _, t in left])}
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        {"k": pd.array([k for k, _, _ in rrows], dtype="int64"),
+         "ts": pd.to_datetime([t for _, t, _ in rrows]),
+         "px": pd.array([v for _, _, v in rrows], dtype="float64")}
+    ).sort_values("ts", kind="stable")
+    if len(lp):
+        ref = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+        want = {
+            int(r.id): (None if pd.isna(r.px) else float(r.px))
+            for r in ref.itertuples()
+        }
+    else:
+        want = {}
+    assert got_w == want
+    assert got_s == want
