@@ -127,6 +127,13 @@ def connected_components_star(
     round, no driver-side graph state — and monotonically contract every
     component toward its minimum until the edge set is a star centered on
     it. Returns (node, canonical) like ``connected_components``.
+
+    Measured round profile (sf0.1 order chains, 135k edges, local[32]):
+    converges in 7 rounds at ~1 s/round; the edge set transiently
+    inflates to ~4.1× input (558k) in rounds 1–3 before collapsing to
+    the star fixed point. The inflation is inherent to attaching every
+    neighbor to m(u); per-round wall time is scheduling-bound at this SF
+    (the convergence-signature job after each checkpoint costs ~0.05 s).
     """
     # canonical undirected edge list, self-loops dropped.
     # ``canonical_edges=True`` lets callers whose pair source already
