@@ -2707,3 +2707,336 @@ def doc_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(
         vecs.where(F.col("doc") < 10), vecs, "doc", "vector", k=5
     )
+
+
+# ===========================================================================
+# Iterative algorithms: clustering + graph ranking (LLM-pipeline extension)
+# ===========================================================================
+
+
+@query(
+    "kmeans_embeddings",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ), c0 AS (
+      SELECT id AS cluster, qv AS cv FROM q ORDER BY id LIMIT 4
+    ), d1 AS (
+      SELECT q.id, c0.cluster,
+             CAST(list_sum(list_transform(list_zip(q.qv, c0.cv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+      FROM q CROSS JOIN c0
+    ), a1 AS (
+      SELECT id, cluster FROM (
+        SELECT id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+        FROM d1) WHERE rn = 1
+    ), c1 AS (
+      SELECT cluster, list(cv_d ORDER BY dim) AS cv FROM (
+        SELECT a1.cluster, u.dim,
+               CAST(floor(sum(q.qv[u.dim]) * 1.0 / count(*)) AS BIGINT) AS cv_d
+        FROM a1 JOIN q USING (id),
+             unnest(generate_series(1, 64)) AS u(dim)
+        GROUP BY a1.cluster, u.dim)
+      GROUP BY cluster
+    ), d2 AS (
+      SELECT q.id, c1.cluster,
+             CAST(list_sum(list_transform(list_zip(q.qv, c1.cv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+      FROM q CROSS JOIN c1
+    ), a2 AS (
+      SELECT id, cluster FROM (
+        SELECT id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+        FROM d2) WHERE rn = 1
+    ), c2 AS (
+      SELECT cluster, list(cv_d ORDER BY dim) AS cv FROM (
+        SELECT a2.cluster, u.dim,
+               CAST(floor(sum(q.qv[u.dim]) * 1.0 / count(*)) AS BIGINT) AS cv_d
+        FROM a2 JOIN q USING (id),
+             unnest(generate_series(1, 64)) AS u(dim)
+        GROUP BY a2.cluster, u.dim)
+      GROUP BY cluster
+    ), d3 AS (
+      SELECT q.id, c2.cluster,
+             CAST(list_sum(list_transform(list_zip(q.qv, c2.cv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+      FROM q CROSS JOIN c2
+    )
+    SELECT id, cluster, dist FROM (
+      SELECT id, cluster, dist,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+      FROM d3) WHERE rn = 1
+    """,
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized Lloyd k-means (operators/clustering.py): k=4, two
+    centroid updates, integer distances — the semantic-dedup /
+    corpus-bucketing primitive. Assignment is a shuffle-free broadcast
+    argmin; the oracle replays the identical integer recurrence in SQL,
+    so the gate is a bit-exact hash match (impossible with float
+    accumulation, whose reduction order differs across engines)."""
+    from .operators.clustering import kmeans_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_quantized(emb, "vec_id", "embedding", k=4, iters=2, scale=1000)
+
+
+@query(
+    "pagerank_bipartite",
+    oracle="""
+    WITH pe AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), e AS (
+      SELECT 'p' || CAST(p AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst
+      FROM pe
+      UNION ALL
+      SELECT 's' || CAST(s AS VARCHAR), 'p' || CAST(p AS VARCHAR) FROM pe
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM e
+    ), deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes
+    ), m1 AS (
+      SELECT e.dst AS node, CAST(sum(r0.rank // deg.deg) AS BIGINT) AS mass
+      FROM e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT n.node,
+             CAST(150000 + ((coalesce(m1.mass, 0) * 85) // 100) AS BIGINT)
+               AS rank
+      FROM nodes n LEFT JOIN m1 ON m1.node = n.node
+    ), m2 AS (
+      SELECT e.dst AS node, CAST(sum(r1.rank // deg.deg) AS BIGINT) AS mass
+      FROM e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT n.node,
+             CAST(150000 + ((coalesce(m2.mass, 0) * 85) // 100) AS BIGINT)
+               AS rank
+      FROM nodes n LEFT JOIN m2 ON m2.node = n.node
+    ), m3 AS (
+      SELECT e.dst AS node, CAST(sum(r2.rank // deg.deg) AS BIGINT) AS mass
+      FROM e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT n.node,
+             CAST(150000 + ((coalesce(m3.mass, 0) * 85) // 100) AS BIGINT)
+               AS rank
+      FROM nodes n LEFT JOIN m3 ON m3.node = n.node
+    )
+    SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 25
+    """,
+)
+def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-scaled PageRank (operators/pagerank.py) over the
+    part<->supplier bipartite graph from lineitem, 3 rounds, top 25.
+    The iterative-join counterpart to connected components; exact
+    fixed-point arithmetic makes a 3-round recurrence hash-gateable."""
+    from .operators.pagerank import pagerank_integer
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pe = li.distinct()
+    edges = pe.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).unionAll(
+        pe.select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+    )
+    ranks = pagerank_integer(edges, "src", "dst", rounds=3, scale=1_000_000)
+    return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(25)
+
+
+# ===========================================================================
+# Text retrieval: BM25 scoring + corpus n-gram statistics
+# ===========================================================================
+
+_BM25_TERMS = ("join", "merge", "spark", "vector")
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_duck_tokens()}) AS tok FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tot
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE tok IN ('join', 'merge', 'spark', 'vector')
+      GROUP BY doc_id, tok
+    ), dfc AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf GROUP BY tok
+    ), contrib AS (
+      SELECT tf.doc_id, tf.tok,
+             ln((s.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.n_tokens
+                               / (CAST(s.tot AS DOUBLE) / s.n_docs))) AS c
+      FROM tf
+      JOIN dfc USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    ), scored AS (
+      SELECT doc_id,
+             round(coalesce(max(CASE WHEN tok = 'join' THEN c END), 0)
+                 + coalesce(max(CASE WHEN tok = 'merge' THEN c END), 0)
+                 + coalesce(max(CASE WHEN tok = 'spark' THEN c END), 0)
+                 + coalesce(max(CASE WHEN tok = 'vector' THEN c END), 0),
+               4) AS bm25
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75, Lucene idf) for a fixed
+    term set, top-20 docs. One tokenize pass feeds doc lengths AND term
+    frequencies; df/N/avgdl are tiny aggregates joined broadcast-style.
+    The four per-term contributions are summed in a FIXED left-to-right
+    order on both engines (per-term conditional aggs, no SUM over an
+    unordered group) so double addition cannot reorder; ln/div are
+    deterministic IEEE ops. Scale: two shuffles on doc_id + one on the
+    4-row term table; never materializes a doc x term matrix."""
+    from .functions.text import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tot")
+    )
+    tf = (
+        toks.where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfc), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            )
+            * (F.col("tf") * 2.2)
+            / (
+                F.col("tf")
+                + 1.2
+                * (
+                    0.25
+                    + 0.75
+                    * F.col("n_tokens")
+                    / (F.col("tot").cast("double") / F.col("n_docs"))
+                )
+            ),
+        )
+    )
+    term_sum = None
+    for t in _BM25_TERMS:  # fixed association order, mirrored in the oracle
+        piece = F.coalesce(F.max(F.when(F.col("tok") == t, F.col("c"))), F.lit(0.0))
+        term_sum = piece if term_sum is None else term_sum + piece
+    scored = contrib.groupBy("doc_id").agg(F.round(term_sum, 4).alias("bm25"))
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(20)
+
+
+@query(
+    "top_ngrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_duck_tokens()} AS toks FROM documents
+    ), g AS (
+      SELECT lang, concat_ws(' ', toks[i], toks[i + 1]) AS gram
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2
+    ), counted AS (
+      SELECT lang, gram, CAST(count(*) AS BIGINT) AS n
+      FROM g GROUP BY lang, gram
+    )
+    SELECT lang, gram, n, rank FROM (
+      SELECT lang, gram, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, gram) AS rank
+      FROM counted) WHERE rank <= 10
+    """,
+)
+def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics: top-10 bigrams per language — the
+    vocabulary/boilerplate profiling pass of a curation pipeline.
+    Shingles via posexplode+lead (the one-exchange pattern shared with
+    repetition_stats), then a partial-aggregating (lang, gram) count and
+    a per-lang top-k window over the already-aggregated counts."""
+    from .functions.text import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.posexplode(word_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select("lang", "doc_id", "tok", F.lead("tok", 1).over(w).alias("_t1"))
+        .where(F.col("_t1").isNotNull())
+        .select("lang", F.concat_ws(" ", "tok", "_t1").alias("gram"))
+    )
+    counted = grams.groupBy("lang", "gram").agg(F.count("*").alias("n"))
+    rw = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= 10)
+        .select("lang", "gram", "n", "rank")
+    )
+
+
+@query(
+    "knn_lsh_exact",
+    oracle=f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             {_DUCK_COS.format(a='q.embedding', b='c.embedding')} AS cos
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT query_id, nbr_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, nbr_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, nbr_id, round(cos, 6) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def knn_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane LSH with ``bits_per_table=0``: every vector lands in
+    the single signature bucket, so the candidate join is exhaustive and
+    the whole LSH code path (signature UDF, bucket join, dedup, re-rank)
+    is hash-gated against the brute-force SQL — the ``knn_ivf_exact``
+    trick applied to the second ANN tier. The production bits>0 variant
+    stays rows-only because which neighbors it misses is
+    signature-dependent by design."""
+    from .operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb,
+        "vec_id",
+        "embedding",
+        k=10,
+        num_tables=1,
+        bits_per_table=0,
+    )
