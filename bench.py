@@ -38,12 +38,22 @@ def main() -> None:
     # warmup: touch every table + JIT the scan/shuffle machinery
     force(qs["latest_snapshot"](spark, sf_dir))
 
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        keep = only.split(",")
+        qs = {n: qs[n] for n in keep if n in qs}
+
+    import gc
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         # each query is timed standalone: drop cached intermediates left by
         # the previous query so LRU eviction can't cascade into recomputes
-        # mid-measurement (the dedup family pins its sketch/index sets)
+        # mid-measurement (the dedup family pins its sketch/index sets);
+        # gc.collect() releases Python refs to localCheckpoint'd RDDs so
+        # the ContextCleaner frees their executor-memory blocks too
         spark.catalog.clearCache()
+        gc.collect()
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

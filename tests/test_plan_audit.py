@@ -64,6 +64,7 @@ def test_semi_scoped_agg_plans_semi_join(spark):
 # queries allowed to cross into Python, by design (documented in each module)
 ARROW_ALLOWED = {
     "knn_lsh",
+    "knn_lsh_exact",
     "embedding_near_dup",
     "band_self_join_knn",
     "multimodal_features",
