@@ -61,10 +61,11 @@ _PRIORITY = [
     "multimodal_frame_sample",
     # all 22 TPC-H, never driver-verified
     *[f"tpch_q{i}" for i in range(1, 23)],
+    # newly exact-gated this round (real PPM decode path)
+    "multimodal_features",
     # green anchors (regression sentinels from r02)
     "dedup_minhash_verified",
     "knn_ivf_exact",
-    "curation_pipeline",
 ]
 
 

@@ -65,12 +65,140 @@ def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - real codec absent
-    """Real image decode — unavailable in this environment by design."""
+def make_ppm(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """Serialize a binary-PPM (P6) image. ``pixel_bytes`` must be exactly
+    ``width * height * 3`` RGB bytes."""
+    n = width * height * 3
+    if len(pixel_bytes) != n:
+        raise ValueError(f"need {n} pixel bytes, got {len(pixel_bytes)}")
+    return f"P6\n{width} {height}\n255\n".encode() + pixel_bytes
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL image decode for the codec-free formats: binary PPM (P6) and
+    uncompressed 24-bit BMP. Returns ``(width, height, rgb_bytes)`` where
+    ``rgb_bytes`` is the raw ``width*height*3`` pixel array (row-major,
+    RGB). Formats that need a real codec library (JPEG/PNG/...) raise
+    ``NotImplementedError`` — those libs are not in this container.
+    """
+    if payload[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single-ws> data
+        import re
+
+        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        if not m:
+            raise ValueError("malformed PPM header")
+        w, h, maxval = (int(g) for g in m.groups())
+        if maxval != 255:
+            raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+        data = payload[m.end() : m.end() + w * h * 3]
+        if len(data) != w * h * 3:
+            raise ValueError("truncated PPM pixel data")
+        return w, h, data
+    if payload[:2] == b"BM":
+        import struct
+
+        # BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER
+        data_offset = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError("only uncompressed 24-bit BMP supported")
+        row_stride = (w * 3 + 3) & ~3  # rows padded to 4-byte boundary
+        rows = []
+        # BMP stores rows bottom-up (positive height), BGR order
+        for r in range(abs(h)):
+            src_row = abs(h) - 1 - r if h > 0 else r
+            off = data_offset + src_row * row_stride
+            row = payload[off : off + w * 3]
+            rows.append(
+                b"".join(row[i * 3 : i * 3 + 3][::-1] for i in range(w))
+            )
+        return w, abs(h), b"".join(rows)
     raise NotImplementedError(
-        "image codecs are not installed in this container; "
-        "use extract_image_features (deterministic stub) instead"
+        "real codecs (JPEG/PNG/...) are not installed in this container; "
+        "supported codec-free formats: binary PPM (P6), uncompressed 24-bit BMP"
     )
+
+
+def attach_ppm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build an asset table whose payloads are VALID binary-PPM images
+    deterministically derived from a text column: dimensions from the
+    text length, pixels = the utf-8 text bytes cycled to fill w*h*3.
+
+    Because the derivation is pure and the corpus is ASCII, a SQL oracle
+    can compute the decoded statistics analytically from the text alone
+    — which is what upgrades ``multimodal_features`` from rows-only to an
+    exact hash gate. The synthesis itself is fixture plumbing; the graded
+    operator is the DECODE path (``extract_image_features`` →
+    ``decode_image``).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = text.encode("utf-8")
+                w = len(raw) % 13 + 4
+                h = len(raw) % 7 + 3
+                n = w * h * 3
+                reps = -(-n // len(raw))  # ceil
+                payloads.append(make_ppm(w, h, (raw * reps)[:n]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"format": "image/x-portable-pixmap", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+DECODED_FEATURES_SCHEMA = (
+    "asset_id long, format string, width int, height int, "
+    "n_pixel_bytes long, sum_pixel_bytes long"
+)
+
+
+def extract_decoded_features(assets: DataFrame) -> DataFrame:
+    """Feature extraction through the REAL decode path: every payload is
+    parsed by ``decode_image`` (PPM/BMP) and the statistics are computed
+    from the actual pixel array. Arrow-batched ``mapInPandas``: batches
+    cross into Python once, the pixel loop is numpy-backed, and scan
+    parallelism is the parquet split count — the same shape a 100 TB
+    image lake needs (decode happens where the bytes already are)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in (
+                "asset_id", "format", "width", "height",
+                "n_pixel_bytes", "sum_pixel_bytes",
+            )}
+            # integer outputs ONLY: float stats (means etc.) belong in the
+            # Catalyst plan on top of these exact sums, so engine-side SQL
+            # rounding matches the oracle's (Python round() is banker's,
+            # SQL round is half-up — a hash-gate footgun)
+            for aid, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h, rgb = decode_image(bytes(payload))
+                arr = np.frombuffer(rgb, dtype=np.uint8)
+                out["asset_id"].append(aid)
+                out["format"].append(None if meta is None else meta["format"])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixel_bytes"].append(arr.size)
+                out["sum_pixel_bytes"].append(int(arr.sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=DECODED_FEATURES_SCHEMA)
 
 
 def _fake_dims(first: int, n: int) -> tuple[int, int]:

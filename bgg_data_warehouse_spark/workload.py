@@ -1979,13 +1979,53 @@ def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@query("multimodal_features")  # mapInPandas decode stub → rows-only check
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             length(text) AS L,
+             length(text) % 13 + 4 AS w,
+             length(text) % 7 + 3 AS h,
+             list_transform(range(1, length(text) + 1),
+                            i -> unicode(substr(text, CAST(i AS INT), 1))) AS bytes
+      FROM documents
+    ), c AS (
+      SELECT doc_id, L, w, h, w * h * 3 AS n,
+             list_sum(bytes) AS s_all, bytes
+      FROM b
+    ), s AS (
+      SELECT doc_id, w, h, n,
+             (n // L) * s_all
+             + coalesce(list_sum(list_slice(bytes, 1, n % L)), 0) AS sp
+      FROM c
+    )
+    SELECT doc_id AS asset_id,
+           'image/x-portable-pixmap' AS format,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(n AS BIGINT) AS n_pixel_bytes,
+           CAST(sp AS BIGINT) AS sum_pixel_bytes,
+           round(sp * 1.0 / n, 4) AS mean_byte
+    FROM s
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .multimodal import attach_fake_payload, extract_image_features
+    """Image features through the REAL decode path (multimodal.py
+    decode_image): payloads are valid binary-PPM images synthesized from
+    the text column, decoded by an actual PPM parser, stats computed from
+    the actual pixel array. The oracle reproduces the decoded statistics
+    analytically (pixels = text bytes cycled into w*h*3), so the decode
+    path is hash-gated exactly — upgraded from rows-only (VERDICT r02
+    item 7)."""
+    from .multimodal import attach_ppm_payload, extract_decoded_features
 
     docs = load_table(spark, sf_dir, "documents")
-    assets = attach_fake_payload(docs, "doc_id", "text")
-    return extract_image_features(assets)
+    assets = attach_ppm_payload(docs, "doc_id", "text")
+    return extract_decoded_features(assets).withColumn(
+        "mean_byte",
+        F.round(F.col("sum_pixel_bytes") / F.col("n_pixel_bytes"), 4),
+    )
 
 
 @query("multimodal_frame_sample")  # 1→N fan-out via mapInPandas → rows-only

@@ -42,11 +42,65 @@ def test_extract_image_features_deterministic(spark, assets):
     assert r.mean_byte == sum(b"abcdef" * 30) / 180
 
 
-def test_real_decode_is_stubbed():
+def test_real_decode_unsupported_format_raises():
     from bgg_data_warehouse_spark.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_ppm_roundtrip():
+    from bgg_data_warehouse_spark.multimodal import decode_image, make_ppm
+
+    pixels = bytes(range(2 * 3 * 3))  # 2x3 image, 18 RGB bytes
+    w, h, rgb = decode_image(make_ppm(2, 3, pixels))
+    assert (w, h, rgb) == (2, 3, pixels)
+
+
+def test_bmp_decode_bottom_up_bgr_padded():
+    from bgg_data_warehouse_spark.multimodal import decode_image
+
+    import struct
+
+    # hand-built 2x2 uncompressed 24-bit BMP. Rows bottom-up, BGR,
+    # 4-byte-aligned stride (2*3=6 -> stride 8, 2 pad bytes).
+    # target RGB (row-major, top-down):
+    #   (1,2,3) (4,5,6)
+    #   (7,8,9) (10,11,12)
+    row_top = bytes([3, 2, 1, 6, 5, 4]) + b"\x00\x00"
+    row_bot = bytes([9, 8, 7, 12, 11, 10]) + b"\x00\x00"
+    pixel_data = row_bot + row_top  # bottom row stored first
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    offset = 14 + len(info)
+    header = b"BM" + struct.pack("<IHHI", offset + len(pixel_data), 0, 0, offset)
+    w, h, rgb = decode_image(header + info + pixel_data)
+    assert (w, h) == (2, 2)
+    assert rgb == bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
+
+
+def test_ppm_synthesis_matches_analytic_expectation(spark):
+    from bgg_data_warehouse_spark.multimodal import (
+        attach_ppm_payload,
+        extract_decoded_features,
+    )
+
+    texts = [(1, "hello world"), (2, "a" * 50)]
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    rows = {
+        r.asset_id: r
+        for r in extract_decoded_features(
+            attach_ppm_payload(df, "doc_id", "text")
+        ).collect()
+    }
+    for doc_id, text in texts:
+        raw = text.encode()
+        w, h = len(raw) % 13 + 4, len(raw) % 7 + 3
+        n = w * h * 3
+        reps = -(-n // len(raw))
+        expected = (raw * reps)[:n]
+        r = rows[doc_id]
+        assert (r.width, r.height, r.n_pixel_bytes) == (w, h, n)
+        assert r.sum_pixel_bytes == sum(expected)
 
 
 def test_frame_sample_fanout(spark, assets):
