@@ -43,7 +43,7 @@ _PRIORITY = [
     "cube_order_stats",
     "grouping_sets_stats",
     "value_percentiles",
-    "approx_distinct_users",
+    "distinct_users_exact",
     "trailing_window_sum",
     "ntile_value_buckets",
     "regexp_json_extract",

