@@ -13,7 +13,6 @@ from the payload bytes alone (stable across engines and runs).
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -46,7 +45,9 @@ IMAGE_FEATURES_SCHEMA = (
     "width int, height int, mean_byte double"
 )
 
-FRAME_SAMPLE_SCHEMA = "asset_id long, frame_index int, frame_offset_bytes long, frame_hash long"
+FRAME_SAMPLE_SCHEMA = (
+    "asset_id long, frame_index int, frame_offset_bytes long, frame_md5 string"
+)
 
 
 def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -250,13 +251,15 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     so downstream dedup/similarity operators have real inputs to chew on.
     """
 
+    import hashlib
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: dict[str, list] = {
                 "asset_id": [],
                 "frame_index": [],
                 "frame_offset_bytes": [],
-                "frame_hash": [],
+                "frame_md5": [],
             }
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 if payload is None:
@@ -266,8 +269,9 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
                     out["asset_id"].append(aid)
                     out["frame_index"].append(idx)
                     out["frame_offset_bytes"].append(off)
-                    # crc32, not hash(): Python's hash() is salted per process
-                    out["frame_hash"].append(zlib.crc32(bytes(window)))
+                    # md5, not hash()/crc32: process-stable AND present in
+                    # every SQL engine, so the fan-out is oracle-gateable
+                    out["frame_md5"].append(hashlib.md5(bytes(window)).hexdigest())
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(batches, schema=FRAME_SAMPLE_SCHEMA)

@@ -2028,8 +2028,22 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample")  # 1→N fan-out via mapInPandas → rows-only
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(i AS INT) AS frame_index,
+           CAST(i * 128 AS BIGINT) AS frame_offset_bytes,
+           md5(substr(text, CAST(i * 128 + 1 AS INT), 128)) AS frame_md5
+    FROM documents,
+         UNNEST(range(0, (length(text) + 127) // 128)) AS t(i)
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame fan-out via mapInPandas. Exact hash gate (was
+    rows-only): the fake payload is the utf-8 text bytes, so each
+    128-byte frame's md5 equals DuckDB's md5 of the matching substr —
+    gating the fan-out row multiplicity, offsets, and window content."""
     from .multimodal import attach_fake_payload, sample_frames
 
     docs = load_table(spark, sf_dir, "documents")

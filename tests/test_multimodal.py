@@ -114,4 +114,12 @@ def test_frame_sample_fanout(spark, assets):
     assert len(per_asset[2]) == 1
     assert len(per_asset[3]) == 1
     assert [f.frame_index for f in sorted(per_asset[1], key=lambda x: x.frame_index)] == [0, 1, 2]
-    assert all(f.frame_hash >= 0 for f in out)
+    import hashlib
+    import re
+
+    assert all(re.fullmatch(r"[0-9a-f]{32}", f.frame_md5) for f in out)
+    # frame 1 of asset 1: bytes [64, 128) of its payload
+    payload = b"abcdef" * 30
+    want = hashlib.md5(payload[64:128]).hexdigest()
+    frame1 = next(f for f in per_asset[1] if f.frame_index == 1)
+    assert frame1.frame_md5 == want
