@@ -62,6 +62,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # the driver canonicalizes results via toPandas(); Arrow makes
+        # that a columnar transfer instead of row-by-row pickling
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
     }.items():
         try:
             spark.conf.set(k, v)

@@ -49,6 +49,18 @@ def sf_dirs(tmp_path_factory):
     return dirs
 
 
+def test_all_testdata_tables_load(spark):
+    """Generator-drift canary: every table at sf0.001 must load and have
+    rows. When the driver's testdata changes shape again, this fails in
+    one obvious place instead of 40 query gates."""
+    from bgg_data_warehouse_spark.sources.tables import TESTDATA_TABLES, load_table
+
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, "/root/testdata/sf0.001", name)
+        assert df.count() > 0, name
+        df.limit(1).collect()
+
+
 def test_encoding_sniff(sf_dirs):
     assert _events_ts_encoding(f"{sf_dirs['us']}/events.parquet") == "native"
     assert _events_ts_encoding(f"{sf_dirs['ns']}/events.parquet") == "nanos"
