@@ -66,6 +66,9 @@ _PRIORITY = [
     # green anchors (regression sentinels from r02)
     "dedup_minhash_verified",
     "knn_ivf_exact",
+    # position 51+: next-up if the driver widens its window
+    "dedup_simhash_verified",
+    "curation_pipeline",
 ]
 
 

@@ -89,15 +89,17 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_chunks(sketch: Column, num_chunks: int = 4) -> Column:
-    """Split a 64-bit sketch into ``num_chunks`` equal bit-chunks.
+def simhash_chunks(sketch: Column, num_chunks: int = 4, n_bits: int = 64) -> Column:
+    """Split an ``n_bits``-wide sketch into ``num_chunks`` equal bit-chunks.
 
     Pigeonhole LSH for Hamming distance: two sketches within distance
     ``num_chunks - 1`` must agree on at least one chunk, so candidate
     pairs = equi-join on (chunk_index, chunk_value). Returns
-    array<struct<chunk:int, value:long>>.
+    array<struct<chunk:int, value:long>>. ``n_bits`` must match the
+    sketch width — chunking a 32-bit sketch as 64 would make the upper
+    chunks constant 0 and degenerate the candidate join to all-pairs.
     """
-    width = 64 // num_chunks
+    width = n_bits // num_chunks
     entries = []
     for c in range(num_chunks):
         shifted = F.shiftrightunsigned(sketch, c * width)

@@ -223,6 +223,15 @@ def minhash_lsh_pairs(
     return verified
 
 
+def md5_bucket_hash(tok):
+    """Low 32 bits of md5 as a long — the SQL-portable sketch hash.
+    DuckDB computes the identical value as
+    ``CAST(('0x' || substr(md5(tok), 25, 8)) AS BIGINT)``, which is what
+    lets a simhash query be oracle hash-gated. xxhash64 remains the
+    default (one JVM intrinsic vs an md5 + hex parse)."""
+    return F.conv(F.substring(F.md5(tok), 25, 8), 16, 10).cast("long")
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -231,6 +240,8 @@ def simhash_pairs(
     max_hamming: int = 3,
     num_chunks: int = 4,
     pin: Pin = _default_pin,
+    hash_fn=None,
+    n_bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, hamming) via SimHash + pigeonhole LSH.
 
@@ -240,10 +251,12 @@ def simhash_pairs(
     """
     if max_hamming > num_chunks - 1:
         raise ValueError("pigeonhole LSH requires max_hamming <= num_chunks - 1")
-    sk = _simhash_sketches(df, id_col, text_col)
+    sk = _simhash_sketches(df, id_col, text_col, hash_fn=hash_fn, n_bits=n_bits)
     chunks = pin(  # both sides of the candidate self-join read this
         sk.select(
-            "doc", "sketch", F.explode(simhash_chunks(F.col("sketch"), num_chunks)).alias("c")
+            "doc",
+            "sketch",
+            F.explode(simhash_chunks(F.col("sketch"), num_chunks, n_bits)).alias("c"),
         ).select("doc", "sketch", "c.chunk", "c.value")
     )
 
@@ -268,22 +281,27 @@ def simhash_pairs(
     )
 
 
-def _simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc, sketch) via explode → hash-once → single-pass 64-bit-sum agg.
+def _simhash_sketches(
+    df: DataFrame, id_col: str, text_col: str, *, hash_fn=None, n_bits: int = 64
+) -> DataFrame:
+    """(doc, sketch) via explode → hash-once → single-pass n-bit-sum agg.
 
     Equivalent to functions.hashing.simhash64 (same sign convention) but
     shaped for scale: tokens explode into a codegen'd hash aggregate with
-    64 conditional sums — one shuffle on doc id, each token hashed exactly
-    once — instead of evaluating 64 interpreted array folds per row.
-    Documents with zero tokens drop out (they have no meaningful sketch
-    and would otherwise all collide on sketch 0).
+    ``n_bits`` conditional sums — one shuffle on doc id, each token hashed
+    exactly once — instead of evaluating 64 interpreted array folds per
+    row. Documents with zero tokens drop out (they have no meaningful
+    sketch and would otherwise all collide on sketch 0). ``hash_fn``
+    swaps the token hash (default xxhash64; ``md5_bucket_hash`` for the
+    SQL-portable 32-bit variant).
     """
     from functools import reduce
 
+    token_hash = hash_fn or (lambda c: F.xxhash64(c))
     hashed = df.select(
         F.col(id_col).alias("doc"), F.explode(word_tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    masks = [F.shiftleft(F.lit(1).cast("long"), i) for i in range(64)]
+    ).withColumn("h", token_hash(F.col("tok")))
+    masks = [F.shiftleft(F.lit(1).cast("long"), i) for i in range(n_bits)]
     sums = hashed.groupBy("doc").agg(
         *[
             F.sum(F.when(F.col("h").bitwiseAND(m) != 0, 1).otherwise(-1)).alias(f"_b{i}")

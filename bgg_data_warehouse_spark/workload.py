@@ -1346,10 +1346,62 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash")  # sketch-based → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-gate twin: ``dedup_simhash_verified`` (portable md5-derived
+    bits, same pigeonhole machinery, hash-gated vs an all-pairs oracle)."""
     from .operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "dedup_simhash_verified",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS doc, tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS t(tok)
+    ), h AS (
+      SELECT doc, CAST(('0x' || substr(md5(tok), 25, 8)) AS BIGINT) AS h
+      FROM toks
+    ), bits AS (
+      SELECT doc, j,
+             sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, UNNEST(range(0, 32)) AS r(j)
+      GROUP BY doc, j
+    ), sk AS (
+      SELECT doc,
+             sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                      ELSE 0 END) AS sketch
+      FROM bits GROUP BY doc
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(bit_count(xor(a.sketch, b.sketch)) AS INT) AS hamming
+    FROM sk a JOIN sk b ON a.doc < b.doc
+    WHERE bit_count(xor(a.sketch, b.sketch)) <= 3
+    """,
+)
+def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with an EXACT oracle gate (the last sketch family without
+    one): token hash = low 32 bits of md5 — the value DuckDB reproduces
+    with a hex-substr cast — so the oracle computes the identical 32-bit
+    simhash per doc and the full pigeonhole candidate join + hamming filter
+    is hash-checked against a brute-force all-pairs. Pigeonhole is
+    lossless for hamming <= chunks-1, so Spark's bucketed join and the
+    oracle's all-pairs agree EXACTLY, not just statistically."""
+    from .operators.dedup import md5_bucket_hash, simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(
+        docs,
+        "doc_id",
+        "text",
+        max_hamming=3,
+        num_chunks=4,
+        hash_fn=md5_bucket_hash,
+        n_bits=32,
+    ).withColumn("hamming", F.col("hamming").cast("int"))
 
 
 @query(
