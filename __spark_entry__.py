@@ -68,6 +68,7 @@ _PRIORITY = [
     "knn_ivf_exact",
     # position 51+: next-up if the driver widens its window
     "dedup_simhash_verified",
+    "embedding_near_dup_exact",
     "curation_pipeline",
 ]
 

@@ -951,10 +951,43 @@ def knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("embedding_near_dup")  # LSH candidate generation → rows-only check
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-gate twin: ``embedding_near_dup_exact`` (bits_per_table=0 ⇒
+    exhaustive candidate join, hash-gated vs the all-pairs oracle)."""
     from .operators.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+@query(
+    "embedding_near_dup_exact",
+    oracle=f"""
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round({_DUCK_COS.format(a='a.embedding', b='b.embedding')}, 6)
+             AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DUCK_COS.format(a='a.embedding', b='b.embedding')} >= 0.35
+    """,
+)
+def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_near_dup`` with ``bits_per_table=0``: every vector
+    lands in the single signature bucket, so the LSH candidate join is
+    exhaustive and the whole code path (signature UDF, bucket join,
+    dedup, cosine threshold) is hash-gated against the brute-force
+    all-pairs SQL — the ``knn_lsh_exact`` trick applied to the near-dup
+    tier. The production bits>0 variant stays rows-only because which
+    pairs it misses is signature-dependent by design."""
+    from .operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.35,
+        num_tables=1,
+        bits_per_table=0,
+    )
 
 
 # ===========================================================================
