@@ -66,6 +66,7 @@ ARROW_ALLOWED = {
     "knn_lsh",
     "knn_lsh_exact",
     "embedding_near_dup",
+    "embedding_near_dup_exact",
     "band_self_join_knn",
     "multimodal_features",
     "multimodal_frame_sample",
