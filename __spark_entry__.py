@@ -69,6 +69,7 @@ _PRIORITY = [
     # position 51+: next-up if the driver widens its window
     "dedup_simhash_verified",
     "embedding_near_dup_exact",
+    "content_hash_portable",
     "curation_pipeline",
 ]
 

@@ -26,6 +26,22 @@ def content_fingerprint(*cols: Column | str) -> Column:
     return F.xxhash64(F.to_json(F.struct(*cols)))
 
 
+def portable_fingerprint(*cols: Column | str) -> Column:
+    """Change-detection fingerprint whose VALUE is engine-portable: md5
+    over a \\x1f-separated canonical rendering (every column cast to
+    string). Unlike ``content_fingerprint`` (xxhash64-of-JSON, an
+    engine-local value only comparable to itself), this one is
+    reproducible as ``md5(concat_ws(chr(31), ...))`` in any SQL engine —
+    which is what lets a fingerprint query be oracle hash-gated, and
+    what a cross-engine pipeline (Spark writer, non-Spark auditor)
+    needs. \\x1f (ASCII unit separator) cannot appear in the business
+    columns, so the rendering is unambiguous."""
+    rendered = [
+        (F.col(c) if isinstance(c, str) else c).cast("string") for c in cols
+    ]
+    return F.md5(F.concat_ws("\x1f", *rendered))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """MinHash signature: array<long> of length ``num_hashes``.
 

@@ -1943,13 +1943,42 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("content_hash_change")  # engine-local hash values → rows-only check
 def content_hash_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 feature-change hash (reference definitions/game_features_hash.sqlx:9-29):
-    xxhash64(to_json(struct(...))) — compared only to itself across runs."""
+    xxhash64(to_json(struct(...))) — compared only to itself across runs.
+    Exact-gate twin: ``content_hash_portable`` (md5 over a canonical
+    rendering, value reproducible in any SQL engine)."""
     from .functions.hashing import content_fingerprint
 
     orders = load_table(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
         content_fingerprint(
+            F.col("o_custkey"), F.col("o_orderstatus"), F.col("o_orderpriority")
+        ).alias("features_hash"),
+    )
+
+
+@query(
+    "content_hash_portable",
+    oracle="""
+    SELECT o_orderkey,
+           md5(concat_ws(chr(31), CAST(o_custkey AS VARCHAR),
+                         o_orderstatus, o_orderpriority)) AS features_hash
+    FROM orders
+    """,
+)
+def content_hash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 change hash with an engine-portable value (functions/hashing.py
+    ``portable_fingerprint``): md5 over a unit-separator-joined canonical
+    rendering, hash-gated exactly against DuckDB computing the same
+    expression — the twin that proves the fingerprint pipeline, while
+    ``content_hash_change`` keeps the reference's cheaper
+    xxhash64-of-JSON form for engine-internal use."""
+    from .functions.hashing import portable_fingerprint
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        portable_fingerprint(
             F.col("o_custkey"), F.col("o_orderstatus"), F.col("o_orderpriority")
         ).alias("features_hash"),
     )
