@@ -45,6 +45,38 @@ def _read_or_empty(spark: SparkSession, root: str, name: str):
     return spark.createDataFrame([], schemas.RAW_TABLES[name])
 
 
+def _fetch_id_batch(
+    spark: SparkSession,
+    root: str,
+    client: BGGApiClient,
+    ids: list[int],
+    *,
+    now: datetime | None = None,
+) -> int:
+    """Claim → rate-limited fetch → land raw+status → release, for an
+    explicit id list. The shared inner step of every fetch-side command."""
+    if not ids:
+        return 0
+    leases = _read_or_empty(spark, root, "fetch_in_progress")
+    cand_df = spark.createDataFrame([(int(i),) for i in ids], "game_id long")
+    claimed = tracking.claim(tracking.expire_leases(leases, now=now), cand_df, now=now)
+    io.rewrite_table(claimed, root, "fetch_in_progress")
+
+    ts = now or datetime.now(timezone.utc).replace(tzinfo=None)
+    payloads = client.fetch_all(ids)
+    # ids with no item in the response still get a status row
+    payloads = {gid: payloads.get(gid, "") for gid in ids}
+    raw, status = land_responses(spark, payloads, ts)
+    io.append_table(raw.where("response_data <> ''"), root, "raw_responses")
+    io.append_table(status, root, "fetched_responses")
+
+    remaining = tracking.release(
+        io.read_table(spark, root, "fetch_in_progress"), cand_df
+    )
+    io.rewrite_table(remaining, root, "fetch_in_progress")
+    return len(ids)
+
+
 def fetch_stage(
     spark: SparkSession,
     root: str,
@@ -65,27 +97,10 @@ def fetch_stage(
         )
         # materialize the batch: downstream writes swap the very files the
         # lazy candidate plan scans, so later actions must not re-execute it
-        cand_rows = candidates.select("game_id").collect()
-        ids = [r.game_id for r in cand_rows]
+        ids = [r.game_id for r in candidates.select("game_id").collect()]
         if not ids:
             break
-        cand_df = spark.createDataFrame(cand_rows, "game_id long")
-        claimed = tracking.claim(tracking.expire_leases(leases, now=now), cand_df, now=now)
-        io.rewrite_table(claimed, root, "fetch_in_progress")
-
-        ts = now or datetime.now(timezone.utc).replace(tzinfo=None)
-        payloads = client.fetch_all(ids)
-        # ids with no item in the response still get a status row
-        payloads = {gid: payloads.get(gid, "") for gid in ids}
-        raw, status = land_responses(spark, payloads, ts)
-        io.append_table(raw.where("response_data <> ''"), root, "raw_responses")
-        io.append_table(status, root, "fetched_responses")
-
-        remaining = tracking.release(
-            io.read_table(spark, root, "fetch_in_progress"), cand_df
-        )
-        io.rewrite_table(remaining, root, "fetch_in_progress")
-        total += len(ids)
+        total += _fetch_id_batch(spark, root, client, ids, now=now)
     return total
 
 
@@ -155,3 +170,66 @@ def fetch_new_games(
     fetched = fetch_stage(spark, root, client, now=now)
     processed = process_stage(spark, root, load_timestamp=now)
     return fetched, processed
+
+
+def fetch_games(
+    spark: SparkSession,
+    root: str,
+    client: BGGApiClient,
+    game_ids: list[int],
+    *,
+    now: datetime | None = None,
+) -> tuple[int, int]:
+    """On-demand fetch+process of SPECIFIC games — the reference's
+    `python -m src.pipeline.fetch_games` (src/pipeline/fetch_games.py:
+    GAME_IDS env → refresh → process). Unlike ``fetch_new_games`` the ids
+    are fetched even if already fetched (refresh semantics); ids are
+    deduplicated preserving first occurrence like ``parse_game_ids``."""
+    ids = list(dict.fromkeys(int(i) for i in game_ids))
+    fetched = _fetch_id_batch(spark, root, client, ids, now=now)
+    processed = process_stage(spark, root, load_timestamp=now)
+    return fetched, processed
+
+
+def refresh_old_games(
+    spark: SparkSession,
+    root: str,
+    client: BGGApiClient,
+    *,
+    batch: int = 1000,
+    max_loops: int = 10,
+    now: datetime | None = None,
+    dry_run: bool = False,
+) -> tuple[int, int]:
+    """Staleness-band-driven refresh+process — the reference's
+    `python -m src.pipeline.refresh_old_games`
+    (src/pipeline/refresh_old_games.py + modules/response_refresher.py):
+    pick games whose last successful fetch is staler than their
+    publication-year band allows (streaming/refresher.py policy), refetch
+    them, process the responses. ``dry_run`` reports the candidate count
+    without fetching (reference --dry-run)."""
+    from .streaming.refresher import refresh_candidates
+
+    if not io.table_exists(root, "games"):
+        return 0, 0
+    total_fetched = 0
+    for _ in range(max_loops):
+        games = (
+            io.read_table(spark, root, "games")
+            .select("game_id", "year_published")
+            .dropDuplicates(["game_id"])
+        )
+        fetched = _read_or_empty(spark, root, "fetched_responses")
+        leases = tracking.expire_leases(
+            _read_or_empty(spark, root, "fetch_in_progress"), now=now
+        )
+        cand = refresh_candidates(
+            games, fetched, leases, now=now, batch=batch
+        )
+        ids = [r.game_id for r in cand.select("game_id").collect()]
+        if not ids or dry_run:
+            total_fetched += 0 if not dry_run else len(ids)
+            break
+        total_fetched += _fetch_id_batch(spark, root, client, ids, now=now)
+    processed = 0 if dry_run else process_stage(spark, root, load_timestamp=now)
+    return total_fetched, processed

@@ -111,6 +111,51 @@ def test_refetch_replaces_bridges_appends_games(spark, root):
     assert cats == {1026, 2000}  # dimension keeps union of all entities ever seen
 
 
+def test_fetch_games_on_demand_refetches(spark, root):
+    """fetch_games (reference src/pipeline/fetch_games.py): explicit ids
+    are fetched EVEN IF already fetched — refresh semantics — and the
+    id list is deduplicated preserving order."""
+    client = _client({13: CATAN, 99: EDGE_MINIMAL, 404: None})
+    pipeline.fetch_new_games(spark, root, client, now=T0)
+    games_before = io.read_table(spark, root, "games").count()
+
+    T1 = datetime(2026, 4, 3, 12, 0, 0)
+    fetched, processed = pipeline.fetch_games(
+        spark, root, client, [13, 13, 99], now=T1
+    )
+    assert fetched == 2  # deduped; refetched despite prior success
+    assert processed == 2
+    # time-series append: each game gains a second snapshot
+    assert io.read_table(spark, root, "games").count() == games_before + 2
+    assert io.read_table(spark, root, "fetch_in_progress").count() == 0
+
+
+def test_refresh_old_games_band_driven(spark, root):
+    """refresh_old_games (reference src/pipeline/refresh_old_games.py):
+    staleness bands pick the refetch set; a fresh fetch is NOT re-fetched,
+    a stale one is; dry_run only counts."""
+    client = _client({13: CATAN, 99: EDGE_MINIMAL, 404: None})
+    pipeline.fetch_new_games(spark, root, client, now=T0)
+
+    # CATAN year=1995 → 180-day band; EDGE_MINIMAL year=0 → 180-day band
+    # (max_year=1999). Just after T0 nothing is stale:
+    soon = datetime(2026, 4, 2, 12, 0, 0)
+    assert pipeline.refresh_old_games(spark, root, client, now=soon) == (0, 0)
+
+    # 200 days later both are stale; dry_run reports without fetching
+    later = datetime(2026, 10, 20, 12, 0, 0)
+    dry_fetched, dry_processed = pipeline.refresh_old_games(
+        spark, root, client, now=later, dry_run=True
+    )
+    assert (dry_fetched, dry_processed) == (2, 0)
+    assert io.read_table(spark, root, "games").count() == 2  # untouched
+
+    fetched, processed = pipeline.refresh_old_games(spark, root, client, now=later)
+    assert (fetched, processed) == (2, 2)
+    # refreshed games got new success rows → a rerun finds nothing stale
+    assert pipeline.refresh_old_games(spark, root, client, now=later) == (0, 0)
+
+
 def test_incremental_curation_cycle(spark, tmp_path):
     """The signature composition at 100 TB: curation (quality filter +
     PII scrub) runs INCREMENTALLY — a new batch past the curated table's
