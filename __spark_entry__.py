@@ -75,8 +75,9 @@ _PRIORITY = [
 
 
 def _ordered(d: dict) -> dict:
-    missing = [n for n in _PRIORITY if n not in workload.QUERIES]
-    assert not missing, f"priority list names unknown queries: {missing}"
+    # Names missing from the registry are skipped rather than asserted:
+    # a stale priority entry must degrade the ordering, never crash the
+    # driver's import of this module.
     head = {n: d[n] for n in _PRIORITY if n in d}
     tail = {n: v for n, v in d.items() if n not in head}
     return {**head, **tail}
