@@ -70,6 +70,7 @@ _PRIORITY = [
     "dedup_simhash_verified",
     "embedding_near_dup_exact",
     "content_hash_portable",
+    "multimodal_resize",
     "curation_pipeline",
 ]
 

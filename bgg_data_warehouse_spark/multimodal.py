@@ -202,6 +202,48 @@ def extract_decoded_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, schema=DECODED_FEATURES_SCHEMA)
 
 
+def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a decodable image, re-encoded as PPM.
+
+    Source pixel for target (Y, X) is (Y*h // out_h, X*w // out_w) — the
+    standard floor mapping, reproducible analytically by a SQL oracle."""
+    import numpy as np
+
+    w, h, rgb = decode_image(payload)
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    resized = arr[np.ix_(ys, xs)]
+    return make_ppm(out_w, out_h, resized.tobytes())
+
+
+RESIZE_SCHEMA = "asset_id long, width int, height int, resized_md5 string"
+
+
+def resize_images(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Arrow-batched resize over the payload column: decode → nearest-
+    neighbor resample → re-encode, reporting the md5 of the resized pixel
+    array so the transform is content-checkable. Same mapInPandas shape
+    as the other codec operators — decode-where-the-bytes-are."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "asset_id": [], "width": [], "height": [], "resized_md5": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                resized = resize_image(bytes(payload), out_w, out_h)
+                w, h, rgb = decode_image(resized)
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["resized_md5"].append(hashlib.md5(rgb).hexdigest())
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
 def _fake_dims(first: int, n: int) -> tuple[int, int]:
     # deterministic fake decode: dimensions derived from payload bytes
     return (first % 64 + 1, n % 64 + 1)

@@ -2146,6 +2146,45 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, length(text) AS L,
+             length(text) % 13 + 4 AS w,
+             length(text) % 7 + 3 AS h,
+             text
+      FROM documents
+    ), grid AS (
+      SELECT doc_id, text,
+             ((((Y * h) // 5) * w + ((X * w) // 6)) * 3 + c) % L AS src_idx,
+             (Y * 6 + X) * 3 + c AS out_pos
+      FROM b,
+           UNNEST(range(0, 5)) t1(Y),
+           UNNEST(range(0, 6)) t2(X),
+           UNNEST(range(0, 3)) t3(c)
+    )
+    SELECT doc_id AS asset_id,
+           6 AS width, 5 AS height,
+           md5(string_agg(substr(text, CAST(src_idx + 1 AS INT), 1),
+                          '' ORDER BY out_pos)) AS resized_md5
+    FROM grid GROUP BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize through the REAL codec path: decode PPM → nearest-
+    neighbor resample (numpy) → re-encode → md5 of the resized pixel
+    array. The oracle rebuilds the identical byte string analytically
+    (pixels are ASCII text bytes at computable positions, so the SQL
+    string md5 equals the binary md5) — gating the full
+    decode/resample/encode round-trip exactly."""
+    from .multimodal import attach_ppm_payload, resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = attach_ppm_payload(docs, "doc_id", "text")
+    return resize_images(assets, out_w=6, out_h=5)
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id AS asset_id,

@@ -103,6 +103,26 @@ def test_ppm_synthesis_matches_analytic_expectation(spark):
         assert r.sum_pixel_bytes == sum(expected)
 
 
+def test_resize_nearest_neighbor_exact():
+    from bgg_data_warehouse_spark.multimodal import (
+        decode_image,
+        make_ppm,
+        resize_image,
+    )
+
+    # 4x2 source, pixel value = its flat index (RGB triples 0..23)
+    src = make_ppm(4, 2, bytes(range(4 * 2 * 3)))
+    w, h, rgb = decode_image(resize_image(src, 2, 1))
+    assert (w, h) == (2, 1)
+    # target (0,0) -> src (0*2//1=0, 0*4//2=0) = pixel 0 -> bytes 0,1,2
+    # target (0,1) -> src (0, 1*4//2=2)        = pixel 2 -> bytes 6,7,8
+    assert rgb == bytes([0, 1, 2, 6, 7, 8])
+    # upscale revisits source pixels
+    w2, h2, rgb2 = decode_image(resize_image(src, 8, 2))
+    assert (w2, h2) == (8, 2)
+    assert rgb2[0:3] == rgb2[3:6] == bytes([0, 1, 2])
+
+
 def test_frame_sample_fanout(spark, assets):
     from bgg_data_warehouse_spark.multimodal import sample_frames
 

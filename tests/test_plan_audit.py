@@ -70,6 +70,7 @@ ARROW_ALLOWED = {
     "band_self_join_knn",
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_resize",
 }
 
 
