@@ -71,6 +71,7 @@ _PRIORITY = [
     "embedding_near_dup_exact",
     "content_hash_portable",
     "multimodal_resize",
+    "multimodal_audio_features",
     "curation_pipeline",
 ]
 

@@ -202,6 +202,110 @@ def extract_decoded_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, schema=DECODED_FEATURES_SCHEMA)
 
 
+def make_wav(
+    pcm: bytes, *, sample_rate: int = 8000, channels: int = 1, bits: int = 8
+) -> bytes:
+    """Serialize a PCM WAV (RIFF) container — the codec-free audio format."""
+    import struct
+
+    if bits not in (8, 16):
+        raise ValueError("only 8/16-bit PCM supported")
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL audio decode for PCM WAV: walks the RIFF chunk list, returns
+    ``(sample_rate, channels, n_samples, pcm_bytes)``. Compressed codecs
+    (MP3/AAC/...) raise ``NotImplementedError`` — not in this container."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed audio codecs are not installed; supported: PCM WAV"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        chunk = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, block_align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError("only uncompressed 8/16-bit PCM supported")
+    return sample_rate, channels, len(data) // block_align, data
+
+
+def attach_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Asset table of VALID 8-bit mono PCM WAVs: samples = the utf-8 text
+    bytes. Like ``attach_ppm_payload``, the pure derivation is what lets
+    a SQL oracle reproduce the decoded sample statistics analytically."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [make_wav(t.encode("utf-8")) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "meta": [
+                        {"format": "audio/wav", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id long, sample_rate int, channels int, n_samples long, "
+    "sum_samples long, sum_squares long"
+)
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched audio features through the REAL decode path: RIFF
+    walk → PCM array → exact integer moments (float stats like RMS
+    belong in the Catalyst plan on top of these, for oracle-matching
+    SQL rounding)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in (
+                "asset_id", "sample_rate", "channels", "n_samples",
+                "sum_samples", "sum_squares",
+            )}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rate, ch, n, pcm = decode_audio(bytes(payload))
+                arr = np.frombuffer(pcm, dtype=np.uint8)
+                out["asset_id"].append(aid)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_samples"].append(n)
+                out["sum_samples"].append(int(arr.sum(dtype=np.int64)))
+                out["sum_squares"].append(
+                    int((arr.astype(np.int64) ** 2).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
     """Nearest-neighbor resize of a decodable image, re-encoded as PPM.
 

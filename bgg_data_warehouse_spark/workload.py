@@ -2146,6 +2146,47 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+                            i -> CAST(unicode(substr(text, CAST(i AS INT), 1))
+                                      AS BIGINT)) AS bytes
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           8000 AS sample_rate,
+           1 AS channels,
+           CAST(len(bytes) AS BIGINT) AS n_samples,
+           CAST(list_sum(bytes) AS BIGINT) AS sum_samples,
+           CAST(list_sum(list_transform(bytes, x -> x * x)) AS BIGINT)
+             AS sum_squares,
+           round(sqrt(list_sum(list_transform(bytes, x -> x * x))
+                      * 1.0 / len(bytes)), 4) AS rms
+    FROM b
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features through the REAL decode path (multimodal.py
+    decode_audio): payloads are valid 8-bit mono PCM WAVs whose samples
+    are the text bytes, decoded by an actual RIFF/PCM parser. Exact
+    integer moments come from the decoded sample array; RMS is computed
+    in the plan for SQL-rounding parity. The oracle reproduces all of it
+    analytically — audio joins image as an exactly-gated modality."""
+    from .multimodal import attach_wav_payload, extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = attach_wav_payload(docs, "doc_id", "text")
+    return extract_audio_features(assets).withColumn(
+        "rms",
+        F.round(
+            F.sqrt(F.col("sum_squares") / F.col("n_samples")), 4
+        ),
+    )
+
+
+@query(
     "multimodal_resize",
     oracle="""
     WITH b AS (

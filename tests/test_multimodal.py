@@ -103,6 +103,32 @@ def test_ppm_synthesis_matches_analytic_expectation(spark):
         assert r.sum_pixel_bytes == sum(expected)
 
 
+def test_wav_roundtrip_and_chunk_walk():
+    from bgg_data_warehouse_spark.multimodal import decode_audio, make_wav
+
+    pcm = bytes(range(100, 110))
+    rate, ch, n, data = decode_audio(make_wav(pcm, sample_rate=16000))
+    assert (rate, ch, n, data) == (16000, 1, 10, pcm)
+    # 16-bit stereo: n_samples counts frames (block_align = 4)
+    pcm16 = bytes(range(16))
+    rate, ch, n, data = decode_audio(
+        make_wav(pcm16, sample_rate=44100, channels=2, bits=16)
+    )
+    assert (rate, ch, n) == (44100, 2, 4)
+    # odd-sized chunk before data: word-alignment must not derail the walk
+    import struct
+
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    wav = make_wav(pcm)
+    patched = wav[:12] + extra + wav[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert decode_audio(patched)[3] == pcm
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"\xff\xfb\x90\x00 mp3 frame")
+
+
 def test_resize_nearest_neighbor_exact():
     from bgg_data_warehouse_spark.multimodal import (
         decode_image,

@@ -71,6 +71,7 @@ ARROW_ALLOWED = {
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_resize",
+    "multimodal_audio_features",
 }
 
 
