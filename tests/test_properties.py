@@ -191,3 +191,60 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         want = {}
     assert got_w == want
     assert got_s == want
+
+
+# --- multimodal codec roundtrips: decode(encode(x)) == x for ANY payload ---
+
+_pixels = st.integers(min_value=1, max_value=9)
+
+
+@given(w=_pixels, h=_pixels, data=st.data())
+@settings(**SETTINGS)
+def test_ppm_roundtrip_property(w, h, data):
+    from bgg_data_warehouse_spark.multimodal import decode_image, make_ppm
+
+    pix = data.draw(
+        st.binary(min_size=w * h * 3, max_size=w * h * 3), label="pixels"
+    )
+    got_w, got_h, got_rgb = decode_image(make_ppm(w, h, pix))
+    assert (got_w, got_h, got_rgb) == (w, h, pix)
+
+
+@given(
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.sampled_from([1, 2]),
+    bits=st.sampled_from([8, 16]),
+    pcm=st.binary(min_size=0, max_size=64),
+)
+@settings(**SETTINGS)
+def test_wav_roundtrip_property(rate, channels, bits, pcm):
+    from bgg_data_warehouse_spark.multimodal import decode_audio, make_wav
+
+    block = channels * bits // 8
+    pcm = pcm[: len(pcm) - len(pcm) % block]  # whole frames only
+    got_rate, got_ch, got_n, got_pcm = decode_audio(
+        make_wav(pcm, sample_rate=rate, channels=channels, bits=bits)
+    )
+    assert (got_rate, got_ch, got_pcm) == (rate, channels, pcm)
+    assert got_n == len(pcm) // block
+
+
+@given(w=_pixels, h=_pixels, ow=_pixels, oh=_pixels, data=st.data())
+@settings(**SETTINGS)
+def test_resize_property_dims_and_pixel_provenance(w, h, ow, oh, data):
+    """Resized output has exactly the requested dims and every output
+    pixel is SOME source pixel (nearest-neighbor never invents values)."""
+    from bgg_data_warehouse_spark.multimodal import (
+        decode_image,
+        make_ppm,
+        resize_image,
+    )
+
+    pix = data.draw(
+        st.binary(min_size=w * h * 3, max_size=w * h * 3), label="pixels"
+    )
+    rw, rh, rgb = decode_image(resize_image(make_ppm(w, h, pix), ow, oh))
+    assert (rw, rh, len(rgb)) == (ow, oh, ow * oh * 3)
+    src_pixels = {pix[i * 3 : i * 3 + 3] for i in range(w * h)}
+    out_pixels = {rgb[i * 3 : i * 3 + 3] for i in range(ow * oh)}
+    assert out_pixels <= src_pixels
