@@ -23,22 +23,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness grades the FIRST 50 queries in dict
-# order. Round 2 left 43 of 93 unverified (VERDICT r02 "What's wrong" #2),
-# so ordering is explicit: previously-red events queries first, then the
-# r01 hash-red trio, then everything that has never had a driver check
-# (analytic SQL, as-of/range joins, graph/IR ops, all 22 TPC-H), then
-# three high-value green anchors; the long tail of r02-green gates last.
+# order. Round 4 rotation (VERDICT r03 "Next round" #1): promote the five
+# exact-gated queries that have never appeared in a CORRECTNESS artifact
+# (dedup_simhash_verified, embedding_near_dup_exact, content_hash_portable,
+# multimodal_resize, multimodal_audio_features) into the window, demoting
+# five round-3-confirmed mid-list TPC-H entries (q8-q12) to positions 51+.
+# The events-adapter sentinels (latest_snapshot, semi_scoped_agg,
+# watermark_increment, hourly_event_rollup) and the sketch-twin anchors
+# (dedup_minhash_verified, knn_ivf_exact) stay in-window as regression
+# guards; the perf-work targets of this round (pagerank_bipartite,
+# doc_vector_knn, dedup_cluster_collapse via its minhash anchor) also stay
+# so their plan changes remain hash-gated by the driver.
 _PRIORITY = [
-    # previously red (events ts encoding bug, fixed in sources/tables.py)
+    # events-adapter regression sentinels (r03-green, keep in-window)
     "latest_snapshot",
     "semi_scoped_agg",
     "watermark_increment",
     "hourly_event_rollup",
-    # r01 hash-red, fixes never driver-verified
+    # r01 hash-red trio, first driver-confirmed in r03 — keep as sentinels
     "request_stats",
     "sessionize",
     "pivot_status_counts",
-    # analytic SQL, never driver-verified
+    # analytic SQL (r03-green)
     "rollup_returns",
     "cube_order_stats",
     "grouping_sets_stats",
@@ -47,11 +53,12 @@ _PRIORITY = [
     "trailing_window_sum",
     "ntile_value_buckets",
     "regexp_json_extract",
-    # temporal joins, never driver-verified
+    # temporal joins (r03-green)
     "asof_feature_join",
     "asof_feature_join_segmented",
     "range_join_recent_activity",
-    # ANN / graph / IR, never driver-verified
+    # ANN / graph / IR (r03-green; pagerank + doc_vector under perf work
+    # this round, so their hash gates must stay in the driver window)
     "knn_lsh_exact",
     "doc_vector_knn",
     "kmeans_embeddings",
@@ -59,19 +66,22 @@ _PRIORITY = [
     "bm25_search",
     "top_ngrams",
     "multimodal_frame_sample",
-    # all 22 TPC-H, never driver-verified
-    *[f"tpch_q{i}" for i in range(1, 23)],
-    # newly exact-gated this round (real PPM decode path)
-    "multimodal_features",
-    # green anchors (regression sentinels from r02)
-    "dedup_minhash_verified",
-    "knn_ivf_exact",
-    # position 51+: next-up if the driver widens its window
+    # never driver-verified exact gates — the round-4 promotion set
     "dedup_simhash_verified",
     "embedding_near_dup_exact",
     "content_hash_portable",
     "multimodal_resize",
     "multimodal_audio_features",
+    # TPC-H minus the demoted q8-q12 (all 22 r03-green)
+    *[f"tpch_q{i}" for i in range(1, 8)],
+    *[f"tpch_q{i}" for i in range(13, 23)],
+    # real-decode multimodal gate (r03-green)
+    "multimodal_features",
+    # sketch-twin anchors (regression sentinels)
+    "dedup_minhash_verified",
+    "knn_ivf_exact",
+    # position 51+: double-confirmed or next-up if the driver widens
+    *[f"tpch_q{i}" for i in range(8, 13)],
     "curation_pipeline",
 ]
 
