@@ -35,33 +35,10 @@ family SURVEY §2.9 scopes for LLM-pipeline use.
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-@contextmanager
-def _iteration_shuffle_width(spark, n_rows: int, rows_per_partition: int = 500_000):
-    """Temporarily size ``spark.sql.shuffle.partitions`` to the iteration's
-    actual data volume. AQE coalescing handles single queries, but an
-    iterative operator runs many small *independent* jobs whose shuffle
-    width would otherwise stay at the session default — at sf0.1 that is
-    32 tasks of ~4k rows each, pure scheduling overhead (measured 7.5 s →
-    5.7 s for the star loop by narrowing to 8). Only ever *shrinks* below
-    the session width: sizing UP for 100 TB inputs is the session's job
-    (tune_session / cluster conf), not a per-operator guess. Restored on
-    exit; not safe under concurrent queries on the same session (the
-    driver/bench contract runs queries sequentially)."""
-    key = "spark.sql.shuffle.partitions"
-    before = spark.conf.get(key)
-    target = max(8, n_rows // rows_per_partition + 1)
-    try:
-        if target < int(before):
-            spark.conf.set(key, str(target))
-        yield
-    finally:
-        spark.conf.set(key, before)
+from .iterative import iteration_shuffle_width as _iteration_shuffle_width
 
 
 def connected_components(

@@ -3217,7 +3217,20 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
         )
     )
-    ranks = pagerank_integer(edges, "src", "dst", rounds=3, scale=1_000_000)
+    # assume_distinct: pe is DISTINCT and the two orientations are
+    # disjoint by key prefix ("p…"→"s…" vs "s…"→"p…"), so the union is
+    # already duplicate-free — skips a full edge-list shuffle. The edge
+    # count hint (2× lineitem rows ≥ 2× distinct pairs) is a parquet
+    # metadata-only count, so width sizing costs no real job.
+    ranks = pagerank_integer(
+        edges,
+        "src",
+        "dst",
+        rounds=3,
+        scale=1_000_000,
+        assume_distinct=True,
+        n_edges_hint=2 * li.count(),
+    )
     return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(25)
 
 
