@@ -3011,51 +3011,52 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-free text similarity: feature-hash documents into 64-d count
-    vectors (operators/text_vectorize.py) and run the exact cosine top-k —
-    the same ANN path the float-embedding column uses. Upgraded from
-    rows-only to an exact hash gate: the portable rolling-hash bucket is
-    reproduced by the oracle, counts stay integers, and the cosine is one
-    div + sqrt over exact integer dot/norms (bit-identical across
-    engines), rounded to 6dp like knn_bruteforce. Zero-vector docs (none
-    in this corpus — every doc has >=1 token) would null-divide in both
-    engines identically."""
-    from .operators.text_vectorize import hashed_count_vectors
+    """Model-free text similarity: feature-hash documents into 64-bucket
+    count vectors (operators/text_vectorize.py) and run the exact cosine
+    top-k. The math runs on the SPARSE form (hashed_count_sparse): the
+    query-side counts broadcast into a bucket-equi-join and the dot is a
+    JVM hash aggregate — O(nnz) multiply-adds instead of O(dim) lambda
+    evaluations per pair on densified arrays, the shape that survives
+    dim ≫ 64. The inner join naturally drops zero-dot pairs, exactly as
+    the oracle's ``dots`` CTE does; every query has ≥5 positive-dot
+    neighbors so the top-5 is unaffected. Exact hash gate: the portable
+    rolling-hash bucket is reproduced by the oracle, counts stay
+    integers, and the cosine is one div + sqrt over exact integer
+    dot/norms (bit-identical across engines), rounded to 6dp like
+    knn_bruteforce."""
+    from .operators.text_vectorize import hashed_count_sparse
 
     docs = load_table(spark, sf_dir, "documents")
-    vecs = hashed_count_vectors(
-        docs, "doc_id", "text", dim=64, normalize=False, portable=True
-    ).select(
-        "doc",
-        F.col("vector").cast("array<long>").alias("vector"),
-    ).withColumn(
-        "n2",
-        F.aggregate(
-            F.col("vector"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
-        ),
+    # persisted: feeds the query side, the neighbor side and the norms —
+    # without it the tokenize+hash pipeline would execute three times
+    counts = hashed_count_sparse(
+        docs, "doc_id", "text", dim=64, portable=True
+    ).persist()
+    norms = counts.groupBy("doc").agg(
+        F.sum(F.col("n") * F.col("n")).alias("n2")
     )
-    q = vecs.where(F.col("doc") < 10).select(
-        F.col("doc").alias("query_id"),
-        F.col("vector").alias("q_vec"),
-        F.col("n2").alias("q_n2"),
+    q = counts.where(F.col("doc") < 10).select(
+        F.col("doc").alias("query_id"), "bucket", F.col("n").alias("qn")
     )
-    pairs = (
+    dots = (
         F.broadcast(q)
-        .crossJoin(
-            vecs.select(
-                F.col("doc").alias("nbr_id"),
-                F.col("vector").alias("n_vec"),
-                F.col("n2").alias("n_n2"),
-            )
-        )
+        .join(counts.withColumnRenamed("doc", "nbr_id"), "bucket")
         .where(F.col("query_id") != F.col("nbr_id"))
-        .withColumn(
-            "dot",
-            F.aggregate(
-                F.zip_with("q_vec", "n_vec", lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+        .groupBy("query_id", "nbr_id")
+        .agg(F.sum(F.col("qn") * F.col("n")).alias("dot"))
+    )
+    scored = (
+        dots.join(
+            F.broadcast(
+                norms.where(F.col("doc") < 10).select(
+                    F.col("doc").alias("query_id"), F.col("n2").alias("q_n2")
+                )
             ),
+            "query_id",
+        )
+        .join(
+            norms.select(F.col("doc").alias("nbr_id"), F.col("n2").alias("n_n2")),
+            "nbr_id",
         )
         .withColumn(
             "cosine_sim",
@@ -3070,7 +3071,7 @@ def doc_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine_sim").desc(), F.col("nbr_id").asc()
     )
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
         .select("query_id", "nbr_id", "cosine_sim", "rank")
     )
