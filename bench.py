@@ -89,6 +89,10 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "n_queries": len(timings),
+                # methodology marker (ADVICE r03 #5): queries over 2 s
+                # are min-of-2; snapshots are only comparable to
+                # baselines measured under the same policy
+                "timing": "min2_gt2s",
             }
         )
     )

@@ -141,6 +141,15 @@ def attach_ppm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             payloads = []
             for text in pdf[text_col]:
                 raw = text.encode("utf-8")
+                if not raw:
+                    # fail with the invariant spelled out instead of an
+                    # opaque ZeroDivisionError in the executor (ADVICE
+                    # r03 #3) — the synthesis cycles the text bytes, so
+                    # an empty document has no deterministic payload
+                    raise ValueError(
+                        "attach_ppm_payload requires non-empty text; "
+                        "empty document in corpus"
+                    )
                 w = len(raw) % 13 + 4
                 h = len(raw) % 7 + 3
                 n = w * h * 3
@@ -255,6 +264,14 @@ def attach_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if (pdf[text_col].str.len() == 0).any():
+                # same non-empty-corpus invariant as attach_ppm_payload:
+                # a zero-sample WAV would make the mean-amplitude oracles
+                # divide by zero (ADVICE r03 #3)
+                raise ValueError(
+                    "attach_wav_payload requires non-empty text; "
+                    "empty document in corpus"
+                )
             payloads = [make_wav(t.encode("utf-8")) for t in pdf[text_col]]
             yield pd.DataFrame(
                 {

@@ -84,12 +84,28 @@ def _read_events_raw(spark: SparkSession, path: str) -> tuple[DataFrame, TsEncod
     """Read events with ``ts`` left in its storage domain.
 
     ``native`` → ``ts`` is a Spark timestamp column; ``nanos`` → ``ts``
-    is a LongType of epoch-nanos (conf scoped to the read that needs it).
+    is a LongType of epoch-nanos. The legacy conf is genuinely scoped to
+    this one read: Spark captures SQLConf into the plan when the
+    DataFrame is CREATED (verified: a nanos DataFrame built under the
+    flag collects correctly after the flag is restored), so restoring in
+    the ``finally`` cannot break later execution of the returned frame —
+    and a later ns-timestamp read of some OTHER table in the same
+    session correctly fails loudly instead of silently yielding longs
+    (ADVICE r03 #1).
     """
     enc = _events_ts_encoding(path)
-    if enc == "nanos":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(path), enc
+    if enc != "nanos":
+        return spark.read.parquet(path), enc
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        return spark.read.parquet(path), enc
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -61,6 +61,25 @@ def test_all_testdata_tables_load(spark):
         df.limit(1).collect()
 
 
+def test_documents_corpus_is_ascii_and_non_empty(spark):
+    """ASCII + non-empty canary for the multimodal exact gates (ADVICE
+    r03 #2/#3): their oracles equate DuckDB length(text)/unicode(char)
+    (codepoints) with Python len(text.encode('utf-8'))/byte values,
+    which only holds while the corpus is pure ASCII; and the payload
+    synthesizers require non-empty text. If a future testdata generation
+    breaks either invariant, this fails in one obvious place instead of
+    four oracle gates going silently red."""
+    from pyspark.sql import functions as F
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, sf_dir, "documents")
+        bad = docs.where(
+            (F.octet_length("text") != F.char_length("text"))
+            | (F.char_length("text") == 0)
+        ).count()
+        assert bad == 0, f"{sf_dir}: non-ASCII or empty documents present"
+
+
 def test_encoding_sniff(sf_dirs):
     assert _events_ts_encoding(f"{sf_dirs['us']}/events.parquet") == "native"
     assert _events_ts_encoding(f"{sf_dirs['ns']}/events.parquet") == "nanos"
