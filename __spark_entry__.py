@@ -72,8 +72,10 @@ _PRIORITY = [
     "content_hash_portable",
     "multimodal_resize",
     "multimodal_audio_features",
-    # TPC-H minus the demoted q8-q12 (all 22 r03-green)
-    *[f"tpch_q{i}" for i in range(1, 8)],
+    # new this round: stdlib PNG decode gate (demotes tpch_q7)
+    "multimodal_png_features",
+    # TPC-H minus the demoted q7-q12 (all 22 r03-green)
+    *[f"tpch_q{i}" for i in range(1, 7)],
     *[f"tpch_q{i}" for i in range(13, 23)],
     # real-decode multimodal gate (r03-green)
     "multimodal_features",
@@ -81,7 +83,7 @@ _PRIORITY = [
     "dedup_minhash_verified",
     "knn_ivf_exact",
     # position 51+: double-confirmed or next-up if the driver widens
-    *[f"tpch_q{i}" for i in range(8, 13)],
+    *[f"tpch_q{i}" for i in range(7, 13)],
     "curation_pipeline",
 ]
 

@@ -5,10 +5,12 @@ typed metadata struct — the layout a 100 TB multimodal training-data lake
 uses (payload bytes columnar-compressed in parquet, metadata queryable
 without touching bytes). The Spark-side plumbing here is real and tested:
 schemas, Arrow-batched ``mapInPandas`` operators, per-batch shapes. The
-actual codecs are STUBBED deterministically — PIL/ffmpeg style libs are
-not in this container; ``decode_image`` raises ``NotImplementedError``
-when asked for a real decode and every feature extractor derives values
-from the payload bytes alone (stable across engines and runs).
+decoders are REAL for every format a codec-free container can parse —
+binary PPM, uncompressed 24-bit BMP, non-interlaced 8-bit RGB/RGBA PNG
+(stdlib zlib + exact filter reconstruction), PCM WAV — each gated by an
+analytic SQL oracle over synthesized payloads. Formats that need codec
+libraries (JPEG/MP3/...) raise ``NotImplementedError`` — PIL/ffmpeg
+style libs are not in this container.
 """
 
 from __future__ import annotations
@@ -75,13 +77,178 @@ def make_ppm(width: int, height: int, pixel_bytes: bytes) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + pixel_bytes
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def make_png(
+    width: int,
+    height: int,
+    rgb_bytes: bytes,
+    *,
+    alpha_bytes: bytes | None = None,
+    filter_mode: str = "vary",
+) -> bytes:
+    """Serialize a non-interlaced 8-bit PNG (color type 2 RGB, or 6 RGBA
+    when ``alpha_bytes`` is given) using only the stdlib (``zlib``).
+
+    ``filter_mode='vary'`` applies filter type ``row % 5`` per scanline —
+    deliberately exercising every PNG filter (None/Sub/Up/Average/Paeth)
+    so a decode gate over synthesized files proves the full filter
+    reconstruction, not just the trivial path. ``'none'`` writes filter 0
+    rows (what a minimal encoder would emit).
+    """
+    import struct
+    import zlib
+
+    if len(rgb_bytes) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} rgb bytes, got {len(rgb_bytes)}")
+    channels = 3
+    raw = rgb_bytes
+    if alpha_bytes is not None:
+        if len(alpha_bytes) != width * height:
+            raise ValueError("alpha plane must be width*height bytes")
+        channels = 4
+        px = bytearray()
+        for i in range(width * height):
+            px += rgb_bytes[i * 3 : i * 3 + 3]
+            px.append(alpha_bytes[i])
+        raw = bytes(px)
+
+    stride = width * channels
+    body = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = raw[r * stride : (r + 1) * stride]
+        ftype = r % 5 if filter_mode == "vary" else 0
+        body.append(ftype)
+        if ftype == 0:
+            body += row
+        else:
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, c)
+                body.append((row[i] - pred) & 0xFF)
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2 if channels == 3 else 6, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Stdlib PNG decode: non-interlaced 8-bit RGB/RGBA — deflate via
+    ``zlib`` plus the five per-scanline filters reconstructed exactly
+    (RFC 2083). RGBA alpha is stripped so the (width, height, rgb)
+    contract matches PPM/BMP. Palette, 16-bit, grayscale and Adam7
+    interlacing raise ``NotImplementedError`` (honest scope: the formats
+    a codec-free container can't reasonably cover end-to-end are the
+    pre-quantized exotic ones, not baseline truecolor PNG)."""
+    import struct
+    import zlib
+
+    pos = len(_PNG_SIG)
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    "only non-interlaced 8-bit RGB/RGBA PNG supported "
+                    f"(depth={depth}, color_type={color}, interlace={interlace})"
+                )
+            channels = 3 if color == 2 else 4
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        row = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ftype == 1:
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                row[i] = (row[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        if channels == 4:
+            for i in range(0, stride, 4):
+                out += row[i : i + 3]
+        else:
+            out += row
+        prev = row
+    return width, height, bytes(out)
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """REAL image decode for the codec-free formats: binary PPM (P6) and
-    uncompressed 24-bit BMP. Returns ``(width, height, rgb_bytes)`` where
-    ``rgb_bytes`` is the raw ``width*height*3`` pixel array (row-major,
-    RGB). Formats that need a real codec library (JPEG/PNG/...) raise
+    """REAL image decode for the codec-free formats: binary PPM (P6),
+    uncompressed 24-bit BMP, and non-interlaced 8-bit RGB/RGBA PNG
+    (stdlib ``zlib`` deflate + exact filter reconstruction). Returns
+    ``(width, height, rgb_bytes)`` where ``rgb_bytes`` is the raw
+    ``width*height*3`` pixel array (row-major, RGB; PNG alpha stripped).
+    Formats that need a real codec library (JPEG/MP3/...) raise
     ``NotImplementedError`` — those libs are not in this container.
     """
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(payload)
     if payload[:2] == b"P6":
         # header: "P6" <ws> width <ws> height <ws> maxval <single-ws> data
         import re
@@ -118,8 +285,9 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
             )
         return w, abs(h), b"".join(rows)
     raise NotImplementedError(
-        "real codecs (JPEG/PNG/...) are not installed in this container; "
-        "supported codec-free formats: binary PPM (P6), uncompressed 24-bit BMP"
+        "codec libraries (JPEG/...) are not installed in this container; "
+        "supported formats: binary PPM (P6), uncompressed 24-bit BMP, "
+        "non-interlaced 8-bit RGB/RGBA PNG"
     )
 
 
@@ -162,6 +330,44 @@ def attach_ppm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     "payload": payloads,
                     "meta": [
                         {"format": "image/x-portable-pixmap", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+def attach_png_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Asset table of VALID PNGs derived from a text column — same
+    dimension/pixel derivation as ``attach_ppm_payload`` (w = L%13+4,
+    h = L%7+3, pixels = utf-8 bytes cycled), but serialized through the
+    real PNG encoder with per-row filter variation. Decoding these back
+    to the analytically-known pixel array therefore proves deflate + all
+    five filter reconstructions, not container parsing alone."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = text.encode("utf-8")
+                if not raw:
+                    raise ValueError(
+                        "attach_png_payload requires non-empty text; "
+                        "empty document in corpus"
+                    )
+                w = len(raw) % 13 + 4
+                h = len(raw) % 7 + 3
+                n = w * h * 3
+                reps = -(-n // len(raw))  # ceil
+                payloads.append(make_png(w, h, (raw * reps)[:n]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"format": "image/png", "n_bytes": len(p)}
                         for p in payloads
                     ],
                 }

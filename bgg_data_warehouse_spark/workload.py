@@ -2146,6 +2146,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             length(text) AS L,
+             length(text) % 13 + 4 AS w,
+             length(text) % 7 + 3 AS h,
+             list_transform(range(1, length(text) + 1),
+                            i -> unicode(substr(text, CAST(i AS INT), 1))) AS bytes
+      FROM documents
+    ), c AS (
+      SELECT doc_id, L, w, h, w * h * 3 AS n,
+             list_sum(bytes) AS s_all, bytes
+      FROM b
+    ), s AS (
+      SELECT doc_id, w, h, n,
+             (n // L) * s_all
+             + coalesce(list_sum(list_slice(bytes, 1, n % L)), 0) AS sp
+      FROM c
+    )
+    SELECT doc_id AS asset_id,
+           'image/png' AS format,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(n AS BIGINT) AS n_pixel_bytes,
+           CAST(sp AS BIGINT) AS sum_pixel_bytes,
+           round(sp * 1.0 / n, 4) AS mean_byte
+    FROM s
+    """,
+)
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG features through the REAL stdlib decode path (multimodal.py
+    _decode_png): payloads are valid non-interlaced 8-bit RGB PNGs
+    synthesized from the text column with per-row filter variation
+    (None/Sub/Up/Average/Paeth in rotation), decoded via zlib inflate +
+    exact filter reconstruction. The oracle is the same analytic
+    pixel-sum derivation as multimodal_features — identical pixel
+    array, different container — so any unfilter or inflate bug reds
+    the hash. This closes the round-3 caveat that compressed image
+    formats stayed stubbed: baseline truecolor PNG is now a real
+    decode; only codec-library formats (JPEG/MP3) remain out of scope.
+    """
+    from .multimodal import attach_png_payload, extract_decoded_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = attach_png_payload(docs, "doc_id", "text")
+    return extract_decoded_features(assets).withColumn(
+        "mean_byte",
+        F.round(F.col("sum_pixel_bytes") / F.col("n_pixel_bytes"), 4),
+    )
+
+
+@query(
     "multimodal_audio_features",
     oracle="""
     WITH b AS (

@@ -57,6 +57,100 @@ def test_ppm_roundtrip():
     assert (w, h, rgb) == (2, 3, pixels)
 
 
+def test_png_roundtrip_all_filters():
+    from bgg_data_warehouse_spark.multimodal import decode_image, make_png
+
+    # 5 rows so 'vary' exercises filter types 0..4 exactly once each
+    pixels = bytes((i * 37) % 256 for i in range(4 * 5 * 3))
+    for mode in ("vary", "none"):
+        assert decode_image(make_png(4, 5, pixels, filter_mode=mode)) == (
+            4,
+            5,
+            pixels,
+        )
+
+
+def test_png_rgba_alpha_stripped():
+    from bgg_data_warehouse_spark.multimodal import decode_image, make_png
+
+    pixels = bytes(range(2 * 2 * 3))
+    alpha = bytes([0, 128, 255, 7])
+    assert decode_image(make_png(2, 2, pixels, alpha_bytes=alpha)) == (
+        2,
+        2,
+        pixels,
+    )
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    from bgg_data_warehouse_spark.multimodal import decode_image, make_png
+
+    base = make_png(2, 2, bytes(12))
+
+    def with_ihdr(**over):
+        fields = dict(w=2, h=2, depth=8, color=2, comp=0, filt=0, interlace=0)
+        fields.update(over)
+        ihdr = struct.pack(
+            ">IIBBBBB",
+            fields["w"],
+            fields["h"],
+            fields["depth"],
+            fields["color"],
+            fields["comp"],
+            fields["filt"],
+            fields["interlace"],
+        )
+        chunk = b"IHDR" + ihdr
+        return (
+            base[:8]
+            + struct.pack(">I", 13)
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk))
+            + base[8 + 4 + 4 + 13 + 4 :]
+        )
+
+    for bad in (
+        with_ihdr(color=0),  # grayscale
+        with_ihdr(color=3),  # palette
+        with_ihdr(depth=16),  # 16-bit
+        with_ihdr(interlace=1),  # Adam7
+    ):
+        with pytest.raises(NotImplementedError):
+            decode_image(bad)
+
+
+def test_png_synthesis_matches_analytic_expectation(spark):
+    """Same analytic pixel derivation as the PPM gate, through the PNG
+    container: proves the zlib+filter decode reproduces the exact array
+    the oracle computes from the text alone."""
+    from bgg_data_warehouse_spark.multimodal import (
+        attach_png_payload,
+        extract_decoded_features,
+    )
+
+    texts = [(1, "hello world"), (2, "a" * 50), (3, "xyz")]
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    rows = {
+        r.asset_id: r
+        for r in extract_decoded_features(
+            attach_png_payload(df, "doc_id", "text")
+        ).collect()
+    }
+    for doc_id, text in texts:
+        raw = text.encode()
+        w, h = len(raw) % 13 + 4, len(raw) % 7 + 3
+        n = w * h * 3
+        reps = -(-n // len(raw))
+        expected = (raw * reps)[:n]
+        r = rows[doc_id]
+        assert (r.width, r.height, r.n_pixel_bytes) == (w, h, n)
+        assert r.sum_pixel_bytes == sum(expected)
+        assert r.format == "image/png"
+
+
 def test_bmp_decode_bottom_up_bgr_padded():
     from bgg_data_warehouse_spark.multimodal import decode_image
 

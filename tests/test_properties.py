@@ -210,6 +210,25 @@ def test_ppm_roundtrip_property(w, h, data):
     assert (got_w, got_h, got_rgb) == (w, h, pix)
 
 
+@given(w=_pixels, h=_pixels, mode=st.sampled_from(["vary", "none"]), data=st.data())
+@settings(**SETTINGS)
+def test_png_roundtrip_property(w, h, mode, data):
+    """decode(encode(x)) == x for arbitrary pixels under BOTH filter
+    policies — 'vary' walks every PNG filter type across the rows, so
+    this property pins all five reconstructions, and the RGBA branch
+    must strip alpha back to the same RGB array."""
+    from bgg_data_warehouse_spark.multimodal import decode_image, make_png
+
+    pix = data.draw(
+        st.binary(min_size=w * h * 3, max_size=w * h * 3), label="pixels"
+    )
+    assert decode_image(make_png(w, h, pix, filter_mode=mode)) == (w, h, pix)
+    alpha = data.draw(st.binary(min_size=w * h, max_size=w * h), label="alpha")
+    assert decode_image(
+        make_png(w, h, pix, alpha_bytes=alpha, filter_mode=mode)
+    ) == (w, h, pix)
+
+
 @given(
     rate=st.sampled_from([8000, 16000, 44100]),
     channels=st.sampled_from([1, 2]),
