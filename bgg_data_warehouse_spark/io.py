@@ -33,6 +33,32 @@ from pyspark.sql import functions as F
 from .operators.merge import delete_insert, merge_insert_missing
 
 
+def storage_pin(base_dir: str):
+    """Parquet round-trip ``Pin`` (operators/dedup.py): materialize a
+    multiply-read intermediate to storage and read it back, instead of
+    executor-memory cache / localCheckpoint.
+
+    This is the documented 100 TB swap for every iterative/multi-read
+    operator here: the pinned set survives executor loss, truncates
+    lineage exactly like a reliable checkpoint, and its memory footprint
+    is the page cache's problem instead of the block manager's. Each
+    pinned frame gets a unique subdirectory under ``base_dir``; the
+    caller owns the lifecycle of ``base_dir`` (delete it after the
+    consuming job finishes — on a cluster point it at scratch object
+    storage with a TTL policy).
+    """
+    import itertools
+
+    counter = itertools.count()
+
+    def pin(df: DataFrame) -> DataFrame:
+        path = os.path.join(base_dir, f"pin-{next(counter):04d}-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    return pin
+
+
 @dataclass
 class Layout:
     partition_cols: list[str] = field(default_factory=list)

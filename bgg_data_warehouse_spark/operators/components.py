@@ -48,6 +48,7 @@ def connected_components(
     *,
     max_iter: int = 25,
     canonical_edges: bool = False,
+    pin=None,
 ) -> DataFrame:
     """Map every node of the undirected pair graph to its component min.
 
@@ -57,7 +58,17 @@ def connected_components(
     graphs converge in a handful; hitting the cap means the input is not
     a near-dup pair graph — see module docstring for the O(log² n)
     alternative).
+
+    ``pin`` is the per-round materialization hook (same contract as
+    ``operators.dedup.Pin``): default ``localCheckpoint(eager=True)`` —
+    right for single-node runs — or pass ``io.storage_pin(dir)`` so
+    iteration state lives on reliable storage instead of executor block
+    managers, the swap a 100 TB cluster run needs (state survives
+    executor loss; lineage truncated identically).
     """
+    if pin is None:
+        def pin(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
     # Undirect the edges once; both orientations are needed so the min
     # can flow either way across a pair. ``canonical_edges=True`` (the
     # pair source already guarantees distinct a < b pairs — every dedup
@@ -68,13 +79,12 @@ def connected_components(
     )
     if not canonical_edges:
         und = und.distinct()
-    und = und.localCheckpoint(eager=True)
+    und = pin(und)
     with _iteration_shuffle_width(und.sparkSession, und.count()):
-        labels = (
+        labels = pin(
             und.select(F.col("a").alias("node"))
             .distinct()
             .select("node", F.col("node").alias("canonical"))
-            .localCheckpoint(eager=True)
         )
         prev_sum = None
         for _ in range(max_iter):
@@ -83,11 +93,10 @@ def connected_components(
             candidates = und.join(
                 labels.withColumnRenamed("node", "a"), "a"
             ).select(F.col("b").alias("node"), "canonical")
-            new_labels = (
+            new_labels = pin(
                 labels.union(candidates)
                 .groupBy("node")
                 .agg(F.min("canonical").alias("canonical"))
-                .localCheckpoint(eager=True)
             )
             # labels are monotonically non-increasing, so the fixed point
             # is reached exactly when the label sum stops falling — a
