@@ -72,10 +72,12 @@ _PRIORITY = [
     "content_hash_portable",
     "multimodal_resize",
     "multimodal_audio_features",
-    # new this round: stdlib PNG decode gate (demotes tpch_q7)
+    # new this round: stdlib PNG decode + real Y4M video decode gates
+    # (demote tpch_q6/q7)
     "multimodal_png_features",
-    # TPC-H minus the demoted q7-q12 (all 22 r03-green)
-    *[f"tpch_q{i}" for i in range(1, 7)],
+    "multimodal_video_frames",
+    # TPC-H minus the demoted q6-q12 (all 22 r03-green)
+    *[f"tpch_q{i}" for i in range(1, 6)],
     *[f"tpch_q{i}" for i in range(13, 23)],
     # real-decode multimodal gate (r03-green)
     "multimodal_features",
@@ -83,7 +85,7 @@ _PRIORITY = [
     "dedup_minhash_verified",
     "knn_ivf_exact",
     # position 51+: double-confirmed or next-up if the driver widens
-    *[f"tpch_q{i}" for i in range(7, 13)],
+    *[f"tpch_q{i}" for i in range(6, 13)],
     "curation_pipeline",
 ]
 

@@ -571,6 +571,144 @@ def resize_images(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return assets.mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
+def make_y4m(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Serialize a YUV4MPEG2 (Y4M) video — the codec-free video container
+    (raw planar frames behind a text header, the format ffmpeg uses for
+    uncompressed interchange). C444 colorspace so every frame is exactly
+    ``width*height*3`` bytes (one full-resolution plane each for Y, U, V
+    — no chroma-subsampling rounding to complicate analytic oracles)."""
+    n = width * height * 3
+    for i, f in enumerate(frames):
+        if len(f) != n:
+            raise ValueError(f"frame {i}: need {n} bytes, got {len(f)}")
+    header = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C444\n".encode()
+    return header + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def decode_video(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """REAL video decode for Y4M: parses the YUV4MPEG2 stream header and
+    FRAME markers, returns ``(width, height, n_frames, frames)`` with
+    each frame the raw ``width*height*3`` C444 plane bytes. Compressed
+    codecs (H.264/VP9/...) and subsampled colorspaces raise
+    ``NotImplementedError`` — codec libs are not in this container."""
+    magic = b"YUV4MPEG2"
+    if payload[: len(magic)] != magic:
+        raise NotImplementedError(
+            "compressed video codecs are not installed; supported: YUV4MPEG2 (C444)"
+        )
+    eol = payload.index(b"\n")
+    width = height = None
+    cspace = "C420jpeg"  # Y4M default when no C tag present
+    for tag in payload[len(magic) : eol].split():
+        t = tag.decode()
+        if t[0] == "W":
+            width = int(t[1:])
+        elif t[0] == "H":
+            height = int(t[1:])
+        elif t[0] == "C":
+            cspace = t
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W/H")
+    if cspace != "C444":
+        raise NotImplementedError(
+            f"only C444 Y4M supported (got {cspace}); subsampled chroma "
+            "needs resampling choices a codec library should own"
+        )
+    frame_len = width * height * 3
+    frames: list[bytes] = []
+    pos = eol + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        fe = payload.index(b"\n", pos)  # FRAME line may carry parameters
+        data = payload[fe + 1 : fe + 1 + frame_len]
+        if len(data) != frame_len:
+            raise ValueError("truncated Y4M frame")
+        frames.append(data)
+        pos = fe + 1 + frame_len
+    return width, height, len(frames), frames
+
+
+def attach_y4m_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Asset table of VALID Y4M videos derived from a text column: PPM's
+    dimension rule (w = L%13+4, h = L%7+3), n_frames = L%4+2, and frame
+    ``k``'s bytes are the utf-8 text cycled starting at offset ``k`` — a
+    pure rotation, so a SQL oracle rebuilds every frame's exact byte
+    string as ``substr(repeat(text, …), k+1, n)``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = text.encode("utf-8")
+                if not raw:
+                    raise ValueError(
+                        "attach_y4m_payload requires non-empty text; "
+                        "empty document in corpus"
+                    )
+                w = len(raw) % 13 + 4
+                h = len(raw) % 7 + 3
+                nf = len(raw) % 4 + 2
+                n = w * h * 3
+                reps = n // len(raw) + 2  # covers offset + frame length
+                cyc = raw * reps
+                payloads.append(
+                    make_y4m(w, h, [cyc[k : k + n] for k in range(nf)])
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "media_type": "video",
+                    "payload": payloads,
+                    "meta": [
+                        {"format": "video/x-yuv4mpeg", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "asset_id long, width int, height int, n_frames int, "
+    "frame_index int, frame_sum long, frame_md5 string"
+)
+
+
+def extract_video_frames(assets: DataFrame) -> DataFrame:
+    """1→N frame fan-out through the REAL Y4M decode: every payload is
+    parsed by ``decode_video`` and each decoded frame yields one row with
+    its exact byte sum and md5. Same Arrow-batched mapInPandas shape as
+    the other codec operators — at 100 TB the decode runs where the
+    bytes already sit and the fan-out multiplies rows executor-side,
+    never through the driver."""
+    import hashlib
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in (
+                "asset_id", "width", "height", "n_frames",
+                "frame_index", "frame_sum", "frame_md5",
+            )}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, nf, frames = decode_video(bytes(payload))
+                for k, fr in enumerate(frames):
+                    arr = np.frombuffer(fr, dtype=np.uint8)
+                    out["asset_id"].append(aid)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_frames"].append(nf)
+                    out["frame_index"].append(k)
+                    out["frame_sum"].append(int(arr.sum(dtype=np.int64)))
+                    out["frame_md5"].append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=VIDEO_FRAMES_SCHEMA)
+
+
 def _fake_dims(first: int, n: int) -> tuple[int, int]:
     # deterministic fake decode: dimensions derived from payload bytes
     return (first % 64 + 1, n % 64 + 1)

@@ -2279,6 +2279,54 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_frames",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             length(text) AS L,
+             length(text) % 13 + 4 AS w,
+             length(text) % 7 + 3 AS h,
+             length(text) % 4 + 2 AS nf,
+             text
+      FROM documents
+    ), f AS (
+      SELECT doc_id, w, h, nf, k,
+             w * h * 3 AS n,
+             substr(repeat(text, CAST((w * h * 3) // L + 2 AS INT)),
+                    CAST(k + 1 AS INT), CAST(w * h * 3 AS INT)) AS fs
+      FROM b, UNNEST(range(0, nf)) t(k)
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(nf AS INT) AS n_frames,
+           CAST(k AS INT) AS frame_index,
+           CAST(list_sum(list_transform(range(1, n + 1),
+                  i -> unicode(substr(fs, CAST(i AS INT), 1)))) AS BIGINT)
+             AS frame_sum,
+           md5(fs) AS frame_md5
+    FROM f
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frames through a REAL container decode (multimodal.py
+    decode_video): payloads are valid YUV4MPEG2 C444 videos synthesized
+    from the text column (frame k = text bytes cycled from offset k),
+    parsed by an actual Y4M header/FRAME-marker walk, with each decoded
+    frame's exact byte sum and md5. The oracle rebuilds every frame's
+    byte string analytically (a rotation of the cycled text, so
+    substr(repeat(text,…), k+1, n) is the identical ASCII string and its
+    md5/codepoint-sum match the binary ones). Video joins image and
+    audio as an exactly-gated REAL-decode modality — only codec-library
+    formats (H.264/VP9) remain stubbed."""
+    from .multimodal import attach_y4m_payload, extract_video_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = attach_y4m_payload(docs, "doc_id", "text")
+    return extract_video_frames(assets)
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id AS asset_id,

@@ -263,3 +263,58 @@ def test_frame_sample_fanout(spark, assets):
     want = hashlib.md5(payload[64:128]).hexdigest()
     frame1 = next(f for f in per_asset[1] if f.frame_index == 1)
     assert frame1.frame_md5 == want
+
+
+def test_y4m_roundtrip_and_header_params():
+    from bgg_data_warehouse_spark.multimodal import decode_video, make_y4m
+
+    frames = [bytes((i + k) % 256 for i in range(3 * 4 * 3)) for k in range(3)]
+    w, h, nf, got = decode_video(make_y4m(3, 4, frames))
+    assert (w, h, nf) == (3, 4, 3)
+    assert got == frames
+    # FRAME lines may carry parameters after the marker
+    payload = b"YUV4MPEG2 W1 H1 C444\n" + b"FRAME Xparam\n" + bytes([9, 8, 7])
+    assert decode_video(payload) == (1, 1, 1, [bytes([9, 8, 7])])
+
+
+def test_y4m_unsupported_variants_raise():
+    from bgg_data_warehouse_spark.multimodal import decode_video
+
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00\x18ftypmp42")  # MP4 container
+    with pytest.raises(NotImplementedError):
+        decode_video(b"YUV4MPEG2 W2 H2\n")  # default C420 (subsampled)
+    with pytest.raises(NotImplementedError):
+        decode_video(b"YUV4MPEG2 W2 H2 C420\n")
+
+
+def test_y4m_synthesis_matches_analytic_expectation(spark):
+    """Frame k of the synthesized video is the text bytes cycled from
+    offset k — the rotation the SQL oracle rebuilds via substr(repeat)."""
+    import hashlib
+
+    from bgg_data_warehouse_spark.multimodal import (
+        attach_y4m_payload,
+        extract_video_frames,
+    )
+
+    texts = [(1, "hello world"), (2, "ab")]
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    rows = extract_video_frames(
+        attach_y4m_payload(df, "doc_id", "text")
+    ).collect()
+    by_key = {(r.asset_id, r.frame_index): r for r in rows}
+    for doc_id, text in texts:
+        raw = text.encode()
+        w, h = len(raw) % 13 + 4, len(raw) % 7 + 3
+        nf, n = len(raw) % 4 + 2, (len(raw) % 13 + 4) * (len(raw) % 7 + 3) * 3
+        cyc = raw * (n // len(raw) + 2)
+        for k in range(nf):
+            r = by_key[(doc_id, k)]
+            frame = cyc[k : k + n]
+            assert (r.width, r.height, r.n_frames) == (w, h, nf)
+            assert r.frame_sum == sum(frame)
+            assert r.frame_md5 == hashlib.md5(frame).hexdigest()
+    assert len(rows) == sum(
+        len(t.encode()) % 4 + 2 for _, t in texts
+    )
