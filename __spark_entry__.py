@@ -76,16 +76,20 @@ _PRIORITY = [
     # (demote tpch_q6/q7)
     "multimodal_png_features",
     "multimodal_video_frames",
-    # TPC-H minus the demoted q6-q12 (all 22 r03-green)
+    # new this round: bigram-LM perplexity scoring + deterministic
+    # weighted sampling (demote tpch_q13/q14)
+    "bigram_perplexity",
+    "weighted_sample",
+    # TPC-H minus the demoted q6-q14 (all 22 r03-green)
     *[f"tpch_q{i}" for i in range(1, 6)],
-    *[f"tpch_q{i}" for i in range(13, 23)],
+    *[f"tpch_q{i}" for i in range(15, 23)],
     # real-decode multimodal gate (r03-green)
     "multimodal_features",
     # sketch-twin anchors (regression sentinels)
     "dedup_minhash_verified",
     "knn_ivf_exact",
     # position 51+: double-confirmed or next-up if the driver widens
-    *[f"tpch_q{i}" for i in range(6, 13)],
+    *[f"tpch_q{i}" for i in range(6, 15)],
     "curation_pipeline",
 ]
 

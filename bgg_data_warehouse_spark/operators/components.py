@@ -69,17 +69,24 @@ def connected_components(
     if pin is None:
         def pin(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
-    # Undirect the edges once; both orientations are needed so the min
-    # can flow either way across a pair. ``canonical_edges=True`` (the
-    # pair source already guarantees distinct a < b pairs — every dedup
-    # pair generator here does) skips the dedup shuffle: the two
-    # orientations are then disjoint and individually distinct.
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # Materialize the DIRECTED pair set first: union branches are not
+    # common-subexpression-eliminated, so orienting both ways off the raw
+    # ``edges`` plan would run the (potentially expensive — minhash
+    # pair-gen) upstream TWICE inside one job. Pinning before the union
+    # makes the swap branch a cheap re-scan of the checkpoint.
+    base = pin(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    # Undirect the edges; both orientations are needed so the min can
+    # flow either way across a pair. ``canonical_edges=True`` (the pair
+    # source already guarantees distinct a < b pairs — every dedup pair
+    # generator here does) skips the dedup shuffle: the two orientations
+    # are then disjoint and individually distinct.
+    und = base.union(
+        base.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     if not canonical_edges:
-        und = und.distinct()
-    und = pin(und)
+        # the dedup shuffle is real work — pin its result; the canonical
+        # case leaves ``und`` as a zero-cost double-scan of the checkpoint
+        und = pin(und.distinct())
     with _iteration_shuffle_width(und.sparkSession, und.count()):
         labels = pin(
             und.select(F.col("a").alias("node"))

@@ -1,0 +1,124 @@
+"""Bigram language-model perplexity scoring — CCNet-style quality filter.
+
+A standard pretraining-corpus curation step (Wenzek et al., "CCNet:
+Extracting High Quality Monolingual Datasets from Web Crawl Data", 2020)
+scores every document by the perplexity of a small n-gram LM and filters
+or buckets on it. This module trains an add-one-smoothed bigram model
+over the corpus itself and scores each document in the same pass — two
+aggregations and two model joins, all Catalyst expressions.
+
+Plan shape (and why it survives 100 TB):
+
+- bigrams are formed ARRAY-SIDE (``arrays_zip`` of two slices of the
+  token array) before the explode, so bigram formation costs zero
+  shuffles — no per-token window or self-join.
+- the per-(doc, a, b) count is the only shuffle over bigram INSTANCES;
+  every model quantity (corpus bigram counts, preceding-token counts,
+  vocabulary) derives from that pre-aggregated table, which is bounded
+  by Σ distinct-bigrams-per-doc, not by corpus token volume.
+- the model tables join back keyed on (a, b) / (a); they are
+  vocabulary-bounded, so AQE broadcasts them when small and falls back
+  to a hash join on the same key when a 100 TB vocabulary isn't.
+- the vocabulary size is a one-row aggregate crossed in via broadcast —
+  no driver round-trip in the data path.
+
+Exactness policy (same as clustering.py / pagerank.py fixed-point
+arithmetic): the per-bigram log-probability is scaled to an integer —
+``CAST(round(ln(p) * 1e6) AS BIGINT)`` micro-nats — so the per-document
+sum is an INTEGER sum (order-independent, partial-agg safe, bit-equal in
+any engine). The only floating-point steps are one ln() per DISTINCT
+(a, b) pair and one exp() per output row, both computed from exactly
+representable rationals; a cross-engine 1-ulp ln() disagreement only
+matters within ~3e-15 of a micro-nat rounding boundary.
+
+Reference parity: no reference counterpart (the reference curates board
+game metadata, not text corpora) — LLM-pipeline extension in the same
+family as functions/text.py quality_score_cols.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_tokens
+
+MICRO = 1_000_000
+
+
+def doc_bigram_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, a, b, m) — per-document bigram occurrence counts.
+
+    Bigram formation is array-side: zip the token array against itself
+    shifted by one, explode once, count. Documents with fewer than two
+    tokens contribute no rows (they have no bigrams to score).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), word_tokens(F.col(text_col)).alias("_t")
+    ).select(
+        "doc",
+        # greatest(…, 0): slice() rejects negative lengths, which a
+        # zero-token document would otherwise produce
+        F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))).alias("_l"),
+        F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))).alias("_r"),
+    )
+    return (
+        toks.select("doc", F.explode(F.arrays_zip("_l", "_r")).alias("bg"))
+        .select("doc", F.col("bg._l").alias("a"), F.col("bg._r").alias("b"))
+        .groupBy("doc", "a", "b")
+        .agg(F.count("*").alias("m"))
+    )
+
+
+def bigram_perplexity(
+    df: DataFrame, id_col: str, text_col: str, *, micro: int = MICRO
+) -> DataFrame:
+    """(doc, n_bigrams, nll_micro, ppl) for every document with ≥1 bigram.
+
+    Add-one smoothed bigram probability P(b|a) = (C(a,b)+1) / (C(a)+V),
+    where C(a) counts occurrences of ``a`` as a PRECEDING token and V is
+    the bigram-participating vocabulary (distinct tokens appearing in any
+    bigram — identical to the full vocabulary except for tokens that only
+    ever occur in single-token documents). ``nll_micro`` is the exact
+    integer Σ m·round(−ln P · micro); ``ppl`` = exp(nll_micro / n / micro)
+    rounded to 4dp.
+    """
+    doc_bi = doc_bigram_counts(df, id_col, text_col)
+    # every model quantity derives from the PRE-AGGREGATED doc_bi table:
+    # persist it once; it feeds the model build and the scoring join.
+    doc_bi = doc_bi.persist()
+    model = doc_bi.groupBy("a", "b").agg(F.sum("m").alias("cnt"))
+    uni = doc_bi.groupBy("a").agg(F.sum("m").alias("cn"))
+    vocab = (
+        doc_bi.select(F.col("a").alias("tok"))
+        .union(doc_bi.select(F.col("b").alias("tok")))
+        .distinct()
+        .agg(F.count("*").alias("v"))
+    )
+    slog = F.expr(
+        f"CAST(round(ln((cnt + 1) / CAST(cn + v AS DOUBLE)) * {micro}) AS BIGINT)"
+    )
+    scored = (
+        doc_bi.join(model, ["a", "b"])
+        .join(uni, "a")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("_slog", slog)
+        .groupBy("doc")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            (-F.sum(F.col("m") * F.col("_slog"))).alias("nll_micro"),
+        )
+    )
+    return scored.select(
+        "doc",
+        "n_bigrams",
+        "nll_micro",
+        F.round(
+            F.exp(
+                F.col("nll_micro").cast("double")
+                / F.col("n_bigrams")
+                / F.lit(float(micro))
+            ),
+            4,
+        ).alias("ppl"),
+    )

@@ -232,3 +232,46 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis–Spirakis A-ES scheme (IPL 2006): each row gets key
+    u^(1/w) for uniform u, and the k largest keys ARE a weighted sample
+    without replacement. Computed in log space (ln(u)/w, order-
+    preserving) so the only float ops are one ln and one divide.
+
+    ``u`` is not an RNG draw but a deterministic Knuth multiplicative
+    hash of the id — reproducible run-to-run, partition-independent, and
+    bit-identical in any engine with 64-bit integer arithmetic (the
+    id is reduced mod 2^31-1 BEFORE the multiply so the product stays in
+    long range at any id scale). Weights must be >= 1 (token counts,
+    quality scores scaled to ints).
+
+    Shape at scale: one narrow projection + global top-k, which plans as
+    TakeOrderedAndProject — per-partition heaps of k rows, no global
+    sort, no shuffle of the corpus.
+    """
+    h = F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(2147483647))
+        * F.lit(2654435761),
+        F.lit(2147483647),
+    )
+    u = (h + 1) / F.lit(2147483649.0)  # (0, 1]
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.col(weight_col).cast("long").alias("weight"),
+            key.alias(key_col),
+        )
+        .orderBy(F.col(key_col).desc(), F.col("doc").asc())
+        .limit(k)
+    )

@@ -1712,6 +1712,96 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bigram_perplexity",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id AS doc, {_duck_tokens()} AS toks FROM documents
+    ), bi AS (
+      SELECT doc, z[1] AS a, z[2] AS b
+      FROM (SELECT doc, list_zip(toks, toks[2:]) AS zs FROM d),
+           UNNEST(zs) AS t(z)
+      WHERE z[2] IS NOT NULL
+    ), doc_bi AS (
+      SELECT doc, a, b, CAST(count(*) AS BIGINT) AS m FROM bi GROUP BY 1, 2, 3
+    ), model AS (
+      SELECT a, b, CAST(sum(m) AS BIGINT) AS cnt FROM doc_bi GROUP BY 1, 2
+    ), uni AS (
+      SELECT a, CAST(sum(m) AS BIGINT) AS cn FROM doc_bi GROUP BY 1
+    ), vocab AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM (
+        SELECT a AS tok FROM doc_bi UNION SELECT b FROM doc_bi
+      )
+    ), scored AS (
+      SELECT doc,
+             CAST(sum(m) AS BIGINT) AS n_bigrams,
+             CAST(-sum(m * CAST(round(ln((cnt + 1) / CAST(cn + v AS DOUBLE))
+                                      * 1000000) AS BIGINT)) AS BIGINT)
+               AS nll_micro
+      FROM doc_bi JOIN model USING (a, b) JOIN uni USING (a) CROSS JOIN vocab
+      GROUP BY doc
+    )
+    SELECT doc, n_bigrams, nll_micro,
+           round(exp(CAST(nll_micro AS DOUBLE) / n_bigrams / 1000000), 4)
+             AS ppl
+    FROM scored
+    """,
+)
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus quality scoring: train an add-one-smoothed
+    bigram LM over the corpus and score every document's perplexity
+    under it (operators/lm_score.py). The log-probabilities are
+    micro-nat INTEGERS (same fixed-point policy as kmeans/pagerank), so
+    the per-doc sum is order-independent and the oracle hash-gates the
+    whole train+score pipeline exactly."""
+    from .operators.lm_score import bigram_perplexity as _ppl
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _ppl(docs, "doc_id", "text")
+
+
+@query(
+    "weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id AS doc,
+             greatest(CAST(len(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+               AS BIGINT), 1) AS weight
+      FROM documents
+    ), keyed AS (
+      SELECT doc, weight,
+             ln(((doc % 2147483647) * 2654435761 % 2147483647 + 1)
+                / 2147483649.0) / weight AS sample_key
+      FROM w
+    )
+    SELECT doc, weight, round(sample_key, 6) AS sample_key
+    FROM (SELECT * FROM keyed ORDER BY sample_key DESC, doc LIMIT 500)
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES, operators/sampling.py weighted_sample_topk): token
+    count as the weight, top-500 keys = the sample. Plans as
+    TakeOrderedAndProject — no global sort; the hash-uniform is exact
+    integer arithmetic both engines reproduce, so the sample SET is
+    hash-gated, not just counted."""
+    from .functions.text import word_tokens
+    from .operators.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.greatest(
+            F.size(word_tokens(F.col("text"))).cast("long"), F.lit(1).cast("long")
+        ).alias("w"),
+    )
+    out = weighted_sample_topk(w, "doc_id", "w", 500)
+    return out.select(
+        "doc", "weight", F.round("sample_key", 6).alias("sample_key")
+    )
+
+
+@query(
     "salted_join_revenue",
     oracle="""
     SELECT o.o_orderpriority,

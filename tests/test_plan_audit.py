@@ -72,6 +72,8 @@ ARROW_ALLOWED = {
     "multimodal_frame_sample",
     "multimodal_resize",
     "multimodal_audio_features",
+    "multimodal_png_features",
+    "multimodal_video_frames",
 }
 
 

@@ -155,3 +155,55 @@ def test_chunk_documents_gap_sampling_stride_exceeds_chunk(spark):
     assert out[0].chunk_text == "w0 w1"
     assert out[1].chunk_text == "w4 w5"
     assert out[2].chunk_text == "w8 w9"
+
+
+def test_weighted_sample_topk_is_deterministic_and_weight_biased(spark):
+    """A-ES keys: hand-check the key formula on one row, check top-k size,
+    partition-layout independence, and that weight actually biases
+    selection (heavier ids oversampled vs their uniform share)."""
+    import math
+
+    from bgg_data_warehouse_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, 100 if i % 10 == 0 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = weighted_sample_topk(df, "id", "w", 200).collect()
+    assert len(out) == 200
+    # hand-computed key for one sampled row
+    r0 = out[0]
+    h = (r0.doc % 2147483647) * 2654435761 % 2147483647
+    assert abs(r0.sample_key - math.log((h + 1) / 2147483649.0) / r0.weight) < 1e-12
+    # repartitioning must not change the sample (pure row function + global top-k)
+    again = weighted_sample_topk(df.repartition(13), "id", "w", 200).collect()
+    assert {r.doc for r in again} == {r.doc for r in out}
+    # 10% of ids hold weight 100: they should dominate the sample
+    heavy = sum(1 for r in out if r.weight == 100)
+    assert heavy > 100, heavy
+    # plans as a top-k, not a global sort
+    plan = weighted_sample_topk(df, "id", "w", 200)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_perplexity_hand_case(spark):
+    """Two tiny docs with hand-computable smoothed bigram NLL."""
+    import math
+
+    from bgg_data_warehouse_spark.operators.lm_score import bigram_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r.doc: r for r in bigram_perplexity(df, "doc_id", "text").collect()}
+    # corpus bigrams: doc1: (a,b)x2 (b,a)x1; doc2: (a,b) (b,c)
+    # model: C(a,b)=3 C(b,a)=1 C(b,c)=1 ; C(a.)=3 C(b.)=2 ; V={a,b,c}=3
+    def slog(cnt, cn):
+        return round(math.log((cnt + 1) / (cn + 3)) * 1_000_000)
+
+    d1 = -(2 * slog(3, 3) + 1 * slog(1, 2))
+    d2 = -(1 * slog(3, 3) + 1 * slog(1, 2))
+    assert out[1].n_bigrams == 3 and out[1].nll_micro == d1
+    assert out[2].n_bigrams == 2 and out[2].nll_micro == d2
+    assert abs(out[1].ppl - round(math.exp(d1 / 3 / 1e6), 4)) < 1e-9
+    # a single-token / empty doc produces no bigram rows and no error
+    tiny = spark.createDataFrame([(3, "solo"), (4, " ")], "doc_id long, text string")
+    assert bigram_perplexity(tiny, "doc_id", "text").count() == 0
