@@ -3399,18 +3399,30 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pagerank import pagerank_integer
 
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    pe = li.distinct()
-    edges = pe.select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    ).unionAll(
-        pe.select(
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    # Node ids stay LONG through every join and shuffle of the iteration
+    # (parity encodes the side: even = part, odd = supplier); the oracle's
+    # "p…"/"s…" strings are rendered only on the 25 output rows. Long keys
+    # hash/compare/serialize several times cheaper than strings across
+    # 3 rounds × |edges| — the representation a 100-TB graph would use.
+    # localCheckpoint: the distinct pair list feeds BOTH union branches
+    # AND the degree aggregate inside pagerank_integer — pinned, those
+    # are cheap re-scans; unpinned, the lineitem scan + distinct shuffle
+    # would run once per consumer (the bulk of this query's wall time).
+    # The distinct also runs at full session width here, not at the
+    # iteration-narrowed width the loop uses.
+    pe = (
+        li.distinct()
+        .select(
+            (F.col("l_partkey") * 2).alias("p"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
+        .localCheckpoint(eager=True)
+    )
+    edges = pe.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionAll(
+        pe.select(F.col("s").alias("src"), F.col("p").alias("dst"))
     )
     # assume_distinct: pe is DISTINCT and the two orientations are
-    # disjoint by key prefix ("p…"→"s…" vs "s…"→"p…"), so the union is
+    # disjoint by parity ("even→odd" vs "odd→even"), so the union is
     # already duplicate-free — skips a full edge-list shuffle. The edge
     # count hint (2× lineitem rows ≥ 2× distinct pairs) is a parquet
     # metadata-only count, so width sizing costs no real job.
@@ -3423,7 +3435,21 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         assume_distinct=True,
         n_edges_hint=2 * li.count(),
     )
-    return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(25)
+    # re-render the oracle's string ids BEFORE the top-k: ties at the
+    # rank boundary break on the STRING order ('p10' < 'p2'), so the
+    # sort must see the rendered form to match the oracle's LIMIT set
+    named = ranks.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("p"), F.expr("CAST(node DIV 2 AS STRING)")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), F.expr("CAST((node - 1) DIV 2 AS STRING)"))
+        )
+        .alias("node"),
+        "rank",
+    )
+    return named.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(25)
 
 
 # ===========================================================================
