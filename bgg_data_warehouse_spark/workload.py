@@ -1506,6 +1506,82 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT DISTINCT doc_id AS doc, tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS t(tok)
+    ), sizes AS (
+      SELECT doc, count(*) AS n_tok FROM toks GROUP BY doc
+    ), inter AS (
+      SELECT l.doc AS doc_a, r.doc AS doc_b, count(*) AS i
+      FROM toks l JOIN toks r ON l.tok = r.tok AND l.doc < r.doc
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON inter.doc_a = sa.doc
+      JOIN sizes sb ON inter.doc_b = sb.doc
+      WHERE i * 1.0 / (sa.n_tok + sb.n_tok - i) >= 0.97
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    ), comp AS (
+      SELECT node, min(label) AS canonical FROM walk GROUP BY node
+    ), collapsed AS (
+      SELECT d.doc_id AS doc,
+             coalesce(c.canonical, d.doc_id) AS canonical
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc, canonical,
+           CASE WHEN {md5_bucket_sql("canonical")} < 800 THEN 'train'
+                WHEN {md5_bucket_sql("canonical")} < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM collapsed
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup CLUSTERS are the unit
+    of assignment, not documents — hash-banding the cluster canonical
+    keeps every near-duplicate on the same side of the split, closing
+    the train/test contamination hole a doc-level split leaves open
+    (the step real pretraining pipelines run between dedup and
+    sharding). Pure composition of two gated operators: cluster
+    collapse (operators/components.py) feeding the hash-band splitter
+    (operators/sampling.py) keyed on ``canonical``; the split adds ZERO
+    shuffles beyond the dedup itself. The oracle replays the pair graph
+    with a recursive CTE and bands the same md5 bucket, so cluster
+    membership AND split assignment are hash-gated together."""
+    from .operators.components import collapse_clusters
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.sampling import train_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_k=1,
+        num_hashes=48,
+        bands=2,
+        jaccard_threshold=0.97,
+    )
+    collapsed = collapse_clusters(docs, "doc_id", pairs, canonical_pairs=True)
+    return train_test_split(
+        collapsed,
+        "canonical",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        bucket_fn=md5_bucket,
+    ).select("doc", "canonical", "split")
+
+
+@query(
     "mix_sources",
     oracle=f"""
     SELECT doc_id, source

@@ -207,3 +207,17 @@ def test_bigram_perplexity_hand_case(spark):
     # a single-token / empty doc produces no bigram rows and no error
     tiny = spark.createDataFrame([(3, "solo"), (4, " ")], "doc_id long, text string")
     assert bigram_perplexity(tiny, "doc_id", "text").count() == 0
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every member of a near-dup cluster must land in the SAME split —
+    the whole point of splitting on the canonical instead of the doc."""
+    from bgg_data_warehouse_spark.workload import QUERIES
+
+    out = QUERIES["leakage_safe_split"](spark, SF_SMALL).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.canonical, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # and it is a real split, not one bucket
+    assert {r.split for r in out} == {"train", "val", "test"}
