@@ -129,6 +129,57 @@ def _ordered_pairs(cand: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
+def minhash_sketch(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    verify_tokens: bool = False,
+) -> DataFrame:
+    """(doc, shingles, sig) — the per-document MinHash sketch row.
+
+    This IS the persistable dedup-index schema: ``sig`` drives banded
+    candidate generation, ``shingles`` (the distinct shingle — or token,
+    with ``verify_tokens`` — hash set) drives exact verification without
+    re-reading document text. At 100 TB the corpus sketch is written
+    once as a parquet table and each arriving batch is sketched alone
+    (``incremental_minhash_pairs``), so per-batch dedup cost is
+    O(batch + matched buckets), never a corpus re-scan.
+    """
+    shingle_rows = _shingle_rows(df, id_col, text_col, shingle_k)
+    # ONE per-doc aggregation produces both the signature (num_hashes mins,
+    # duplicate-shingle-insensitive) and the distinct shingle set for exact
+    # verification — and it reuses the window's doc-id partitioning, so the
+    # whole sketch phase costs a single exchange. Documents with no
+    # shingles drop out (nothing to near-dup on).
+    per_doc = shingle_rows.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.col("sh"), F.lit(j))).alias(f"_m{j}")
+            for j in range(num_hashes)
+        ],
+        F.collect_set("sh").alias("shingles"),
+    )
+    if verify_tokens and shingle_k != 1:
+        # verification sets = token hashes (1-shingles); same doc-keyed agg
+        # shape, joined onto the signature row (both sides hash-partitioned
+        # by doc, so the join reuses the exchange)
+        tok_sets = (
+            _shingle_rows(df, id_col, text_col, 1)
+            .groupBy("doc")
+            .agg(F.collect_set("sh").alias("_tokset"))
+        )
+        per_doc = per_doc.drop("shingles").join(tok_sets, "doc").withColumnRenamed(
+            "_tokset", "shingles"
+        )
+    return per_doc.select(
+        "doc",
+        "shingles",
+        F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias("sig"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -157,37 +208,15 @@ def minhash_lsh_pairs(
     quantity an exact all-pairs oracle computes.
     """
     rows_per_band = num_hashes // bands
-    shingle_rows = _shingle_rows(df, id_col, text_col, shingle_k)
-    # ONE per-doc aggregation produces both the signature (num_hashes mins,
-    # duplicate-shingle-insensitive) and the distinct shingle set for exact
-    # verification — and it reuses the window's doc-id partitioning, so the
-    # whole sketch phase costs a single exchange. Documents with no
-    # shingles drop out (nothing to near-dup on).
-    per_doc = shingle_rows.groupBy("doc").agg(
-        *[
-            F.min(F.xxhash64(F.col("sh"), F.lit(j))).alias(f"_m{j}")
-            for j in range(num_hashes)
-        ],
-        F.collect_set("sh").alias("shingles"),
-    )
-    if verify_tokens and shingle_k != 1:
-        # verification sets = token hashes (1-shingles); same doc-keyed agg
-        # shape, joined onto the signature row (both sides hash-partitioned
-        # by doc, so the join reuses the exchange)
-        tok_sets = (
-            _shingle_rows(df, id_col, text_col, 1)
-            .groupBy("doc")
-            .agg(F.collect_set("sh").alias("_tokset"))
-        )
-        per_doc = per_doc.drop("shingles").join(tok_sets, "doc").withColumnRenamed(
-            "_tokset", "shingles"
-        )
     # pinned: buckets self-join reads it twice, the verify join twice more
     sigs = pin(
-        per_doc.select(
-            "doc",
-            "shingles",
-            F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias("sig"),
+        minhash_sketch(
+            df,
+            id_col,
+            text_col,
+            shingle_k=shingle_k,
+            num_hashes=num_hashes,
+            verify_tokens=verify_tokens,
         )
     )
 
@@ -206,7 +235,15 @@ def minhash_lsh_pairs(
         "doc_b",
     )
 
-    verified = (
+    return _verify_pairs(cand, shing, jaccard_threshold)
+
+
+def _verify_pairs(
+    cand: DataFrame, shing: DataFrame, jaccard_threshold: float
+) -> DataFrame:
+    """Exact set-Jaccard verification of candidate pairs against the
+    (doc, shingles) table; emits (doc_a, doc_b, jaccard) at ≥ threshold."""
+    return (
         cand.join(shing.withColumnRenamed("doc", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
         .join(shing.withColumnRenamed("doc", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -220,7 +257,71 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
-    return verified
+
+
+def incremental_minhash_pairs(
+    index_sketch: DataFrame,
+    batch_sketch: DataFrame,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    pin: Pin = _default_pin,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new batch, without re-sketching the
+    corpus — the steady-state form of corpus dedup at 100 TB, where the
+    corpus's ``minhash_sketch`` table is persisted once and each arriving
+    batch joins against it.
+
+    Emits every verified pair with at least one endpoint in the batch:
+    batch×index pairs from a band equi-join of the batch's buckets
+    against the index's, plus batch×batch pairs from the batch's own
+    band self-join. The index side is only ever touched through the
+    (band, bucket) equi-join — cost scales with the buckets the batch
+    actually hits, not with corpus size. Index and batch doc ids must be
+    disjoint (the batch is appended AFTER pairing, mirroring the
+    reference's load-then-merge discipline).
+
+    Equivalence contract (gated by the ``dedup_minhash_incremental``
+    query's oracle): the output equals the batch-touching subset of a
+    full-corpus ``minhash_lsh_pairs`` run at the same configuration,
+    because a pair's band collisions don't depend on which side of the
+    index split its documents sit.
+    """
+    rows_per_band = num_hashes // bands
+
+    def _buckets(s: DataFrame) -> DataFrame:
+        return s.select(
+            "doc",
+            F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bb"),
+        ).select("doc", "bb.band", "bb.bucket")
+
+    # the batch sketch is read three times (two bucket joins + verify):
+    # pin it. The index sketch is a persisted table in the steady state;
+    # pinning here keeps the in-query build honest without re-sketching.
+    idx = pin(index_sketch)
+    bat = pin(batch_sketch)
+    ib, bb = _buckets(idx), _buckets(bat)
+    on = ["band", "bucket"]
+    cross = (
+        bb.alias("l")
+        .join(ib.alias("r"), on)
+        .select(F.col("l.doc").alias("_x"), F.col("r.doc").alias("_y"))
+    )
+    self_ = (
+        bb.alias("l")
+        .join(bb.alias("r"), on)
+        .select(F.col("l.doc").alias("_x"), F.col("r.doc").alias("_y"))
+    )
+    cand = _ordered_pairs(
+        cross.unionAll(self_).select(
+            F.least("_x", "_y").alias("doc_a"), F.greatest("_x", "_y").alias("doc_b")
+        ),
+        "doc_a",
+        "doc_b",
+    )
+    shing = idx.select("doc", "shingles").unionAll(bat.select("doc", "shingles"))
+    return _verify_pairs(cand, shing, jaccard_threshold)
 
 
 def md5_bucket_hash(tok):

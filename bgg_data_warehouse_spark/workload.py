@@ -1137,6 +1137,57 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_minhash_incremental",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS doc, tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS t(tok)
+    ), sizes AS (
+      SELECT doc, count(*) AS n_tok FROM toks GROUP BY doc
+    ), inter AS (
+      SELECT l.doc AS doc_a, r.doc AS doc_b, count(*) AS i
+      FROM toks l JOIN toks r ON l.tok = r.tok AND l.doc < r.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.n_tok + sb.n_tok - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc
+    JOIN sizes sb ON inter.doc_b = sb.doc
+    WHERE i * 1.0 / (sa.n_tok + sb.n_tok - i) >= 0.97
+      AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state corpus dedup: the corpus MinHash index is built once
+    (operators/dedup.py minhash_sketch — the persistable (doc, shingles,
+    sig) table) and an arriving batch (doc_id % 10 = 0, ~10% of the
+    corpus) is sketched ALONE and paired against it
+    (incremental_minhash_pairs): batch×index band equi-join + batch
+    self-join, exact token-Jaccard verify. The oracle is the
+    batch-touching subset of the full-corpus all-pairs computation, so
+    the incremental path is hash-gated to produce EXACTLY what a full
+    recompute would — the equivalence that makes per-batch dedup safe at
+    100 TB. Same recall-1 configuration as dedup_minhash_verified
+    (identical token sets collide in every band)."""
+    from .operators.dedup import incremental_minhash_pairs, minhash_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    conf = dict(shingle_k=1, num_hashes=48)
+    index = minhash_sketch(
+        docs.where(F.col("doc_id") % 10 != 0), "doc_id", "text", **conf
+    )
+    batch = minhash_sketch(
+        docs.where(F.col("doc_id") % 10 == 0), "doc_id", "text", **conf
+    )
+    return incremental_minhash_pairs(
+        index, batch, num_hashes=48, bands=2, jaccard_threshold=0.97
+    )
+
+
+@query(
     "dedup_cluster_collapse",
     oracle="""
     WITH RECURSIVE toks AS (

@@ -263,3 +263,37 @@ def test_substring_dedup_removes_later_spans_only(spark):
     assert got[2].n_tokens == 10
     # untouched doc unchanged
     assert got[3].n_kept == got[3].n_tokens == 9
+
+
+def test_incremental_minhash_equals_full_recompute_subset(spark):
+    """The incremental batch-vs-index path must emit exactly the
+    batch-touching subset of the full-corpus pair computation."""
+    from pyspark.sql import functions as F
+
+    from bgg_data_warehouse_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+        minhash_sketch,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    conf = dict(shingle_k=1, num_hashes=48)
+    full = minhash_lsh_pairs(
+        docs, "doc_id", "text", bands=2, jaccard_threshold=0.97, **conf
+    )
+    expected = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in full.where(
+            (F.col("doc_a") % 10 == 0) | (F.col("doc_b") % 10 == 0)
+        ).collect()
+    )
+    index = minhash_sketch(docs.where(F.col("doc_id") % 10 != 0), "doc_id", "text", **conf)
+    batch = minhash_sketch(docs.where(F.col("doc_id") % 10 == 0), "doc_id", "text", **conf)
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in incremental_minhash_pairs(
+            index, batch, num_hashes=48, bands=2, jaccard_threshold=0.97
+        ).collect()
+    )
+    assert got == expected and len(got) > 0
