@@ -267,3 +267,79 @@ def test_resize_property_dims_and_pixel_provenance(w, h, ow, oh, data):
     src_pixels = {pix[i * 3 : i * 3 + 3] for i in range(w * h)}
     out_pixels = {rgb[i * 3 : i * 3 + 3] for i in range(ow * oh)}
     assert out_pixels <= src_pixels
+
+
+@given(
+    corpus=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=24),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_bigram_perplexity_matches_python_reference(spark, corpus):
+    """Train+score on a random corpus must equal a direct Python bigram
+    model: same counts, same integer micro-nat NLL, same perplexity."""
+    import math
+
+    from bgg_data_warehouse_spark.operators.lm_score import bigram_perplexity
+
+    docs = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc: (r.n_bigrams, r.nll_micro) for r in bigram_perplexity(df, "doc_id", "text").collect()}
+
+    bi: dict[tuple, int] = {}
+    per_doc: dict[int, dict] = {}
+    for i, t in docs:
+        toks = [w for w in t.lower().split() if w]
+        d = per_doc.setdefault(i, {})
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+            d[(a, b)] = d.get((a, b), 0) + 1
+    uni: dict[str, int] = {}
+    for (a, _), c in bi.items():
+        uni[a] = uni.get(a, 0) + c
+    vocab = {a for a, _ in bi} | {b for _, b in bi}
+    expect = {}
+    for i, d in per_doc.items():
+        if not d:
+            continue
+        nll = -sum(
+            m * round(math.log((bi[k] + 1) / (uni[k[0]] + len(vocab))) * 1_000_000)
+            for k, m in d.items()
+        )
+        expect[i] = (sum(d.values()), nll)
+    assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000_000),
+            st.integers(min_value=1, max_value=1000),
+        ),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    ),
+    k=st.integers(min_value=1, max_value=20),
+)
+@settings(**SETTINGS)
+def test_weighted_sample_topk_matches_python_reference(spark, rows, k):
+    """The selected SET must equal the Python A-ES computation with the
+    same deterministic hash-uniform, for any ids/weights/k."""
+    import math
+
+    from bgg_data_warehouse_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(rows, "id long, w long") if rows else None
+    if df is None:
+        return
+    got = {r.doc for r in weighted_sample_topk(df, "id", "w", k).collect()}
+
+    def key(i, w):
+        h = (i % 2147483647) * 2654435761 % 2147483647
+        return math.log((h + 1) / 2147483649.0) / w
+
+    expect = {i for i, _ in sorted(rows, key=lambda r: (-key(*r), r[0]))[:k]}
+    assert got == expect
