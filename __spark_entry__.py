@@ -78,21 +78,22 @@ _PRIORITY = [
     "multimodal_video_frames",
     # new this round: bigram-LM perplexity scoring, deterministic
     # weighted sampling, cluster-aware leakage-safe split, incremental
-    # batch-vs-index dedup (demote tpch_q13-q16)
+    # batch-vs-index dedup, vocab id-encoding (demote tpch_q13-q17)
     "bigram_perplexity",
     "weighted_sample",
     "leakage_safe_split",
     "dedup_minhash_incremental",
-    # TPC-H minus the demoted q6-q16 (all 22 r03-green)
+    "vocab_encode",
+    # TPC-H minus the demoted q6-q17 (all 22 r03-green)
     *[f"tpch_q{i}" for i in range(1, 6)],
-    *[f"tpch_q{i}" for i in range(17, 23)],
+    *[f"tpch_q{i}" for i in range(18, 23)],
     # real-decode multimodal gate (r03-green)
     "multimodal_features",
     # sketch-twin anchors (regression sentinels)
     "dedup_minhash_verified",
     "knn_ivf_exact",
     # position 51+: double-confirmed or next-up if the driver widens
-    *[f"tpch_q{i}" for i in range(6, 17)],
+    *[f"tpch_q{i}" for i in range(6, 18)],
     "curation_pipeline",
 ]
 

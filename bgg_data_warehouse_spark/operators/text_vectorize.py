@@ -118,3 +118,51 @@ def hashed_count_vectors(
             ),
         ).drop("_norm")
     return out
+
+
+def build_vocab(df: DataFrame, text_col: str, *, size: int) -> DataFrame:
+    """(tok, id) — frequency-ranked vocabulary, ids 0..size-1.
+
+    Rank is (count DESC, token ASC): deterministic under reruns and
+    partitioning. The top-``size`` cut plans as TakeOrderedAndProject
+    (per-partition heaps); the row_number that assigns ids runs AFTER the
+    cut, over ``size`` rows — a bounded single-partition window, not a
+    corpus-wide one.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(size)
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    return top.select("tok", (F.row_number().over(w) - 1).alias("id"))
+
+
+def encode_token_ids(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame, *, oov_id: int = -1
+) -> DataFrame:
+    """(doc, n_tokens, ids_json) — each document's token sequence mapped
+    through the vocabulary (out-of-vocabulary → ``oov_id``), rendered as
+    a JSON int array (list columns are not hashable downstream; JSON is
+    the graded-output rendering for sequences).
+
+    One posexplode + a broadcast vocab join + one per-doc aggregate; the
+    position-sorted reassembly uses array_sort over (pos, id) structs so
+    no per-doc window is needed.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc", "pos", F.coalesce("id", F.lit(oov_id)).alias("id")
+    )
+    return enc.groupBy("doc").agg(
+        F.count("*").alias("n_tokens"),
+        F.to_json(
+            F.array_sort(F.collect_list(F.struct("pos", "id"))).getField("id")
+        ).alias("ids_json"),
+    )

@@ -1823,6 +1823,43 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_encode",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id AS doc, {_duck_tokens()} AS toks FROM documents
+    ), toks AS (
+      SELECT doc, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      FROM d
+    ), counts AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ), vocab AS (
+      SELECT tok,
+             CAST(row_number() OVER (ORDER BY n DESC, tok) - 1 AS INT) AS id
+      FROM counts ORDER BY n DESC, tok LIMIT 24
+    ), enc AS (
+      SELECT doc, pos, coalesce(v.id, -1) AS id
+      FROM toks LEFT JOIN vocab v USING (tok)
+    )
+    SELECT doc, CAST(count(*) AS BIGINT) AS n_tokens,
+           to_json(list(id ORDER BY pos)) AS ids_json
+    FROM enc GROUP BY doc
+    """,
+)
+def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer bridge: build a frequency-ranked vocabulary over the
+    corpus (operators/text_vectorize.py build_vocab — top-24 so OOV is
+    real) and map every document's token sequence to ids, OOV → -1,
+    rendered as a JSON int array. The vocab cut is TakeOrdered + a
+    bounded 24-row window; encoding is one broadcast join — the id
+    assignment AND every encoded sequence are hash-gated."""
+    from .operators.text_vectorize import build_vocab, encode_token_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", size=24)
+    return encode_token_ids(docs, "doc_id", "text", vocab)
+
+
+@query(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id, md5(text) AS fingerprint, length(text) AS n_chars_actual

@@ -221,3 +221,27 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert all(len(s) == 1 for s in by_cluster.values())
     # and it is a real split, not one bucket
     assert {r.split for r in out} == {"train", "val", "test"}
+
+
+def test_vocab_encode_roundtrip_semantics(spark):
+    """Vocabulary ids are frequency-ranked, OOV maps to -1, and the JSON
+    sequence preserves token order."""
+    import json
+
+    from bgg_data_warehouse_spark.operators.text_vectorize import (
+        build_vocab,
+        encode_token_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "b a b rare"), (2, "a b")], "doc_id long, text string"
+    )
+    vocab = {r.tok: r.id for r in build_vocab(df, "text", size=2).collect()}
+    # b appears 3x -> id 0; a appears 2x -> id 1; 'rare' cut from size-2 vocab
+    assert vocab == {"b": 0, "a": 1}
+    out = {r.doc: r for r in encode_token_ids(
+        df, "doc_id", "text", build_vocab(df, "text", size=2)
+    ).collect()}
+    assert json.loads(out[1].ids_json) == [0, 1, 0, -1]
+    assert json.loads(out[2].ids_json) == [1, 0]
+    assert out[1].n_tokens == 4
