@@ -67,8 +67,10 @@ def main() -> None:
         return time.perf_counter() - t0
 
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name, fn in qs.items():
         t = timed(fn)
+        first_run[name] = round(t, 3)
         # min-of-2 for the expensive tail: this host shows minutes-scale
         # external contention windows (identical plans measured 14 s and
         # 62 s back-to-back), and min-time is the standard way to measure
@@ -91,8 +93,13 @@ def main() -> None:
                 "n_queries": len(timings),
                 # methodology marker (ADVICE r03 #5): queries over 2 s
                 # are min-of-2; snapshots are only comparable to
-                # baselines measured under the same policy
+                # baselines measured under the same policy.
+                # value_single_run / queries_first_run carry the
+                # unreduced first measurements so a single-run baseline
+                # CAN be compared apples-to-apples without re-running.
                 "timing": "min2_gt2s",
+                "value_single_run": round(sum(first_run.values()), 3),
+                "queries_first_run": first_run,
             }
         )
     )

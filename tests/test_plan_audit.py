@@ -203,3 +203,31 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bucketed.fact_a")
         spark.sql("DROP TABLE IF EXISTS bucketed.fact_b")
+
+
+def test_vocab_encode_plans_takeordered_cut_and_broadcast_join(spark):
+    """The vocabulary cut must be a per-partition top-k (TakeOrdered),
+    never a global sort of the token counts, and the encode join must
+    broadcast the vocabulary side."""
+    plan = executed_plan(entrymod.queries()["vocab_encode"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_sample_plans_topk_not_global_sort(spark):
+    """A-ES sampling is a pure projection + top-k: TakeOrderedAndProject,
+    zero exchanges over the corpus."""
+    plan = executed_plan(entrymod.queries()["weighted_sample"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_incremental_dedup_index_only_touched_by_band_equijoin(spark):
+    """The batch-vs-index candidate join must be a hash equi-join on
+    (band, bucket) — never a nested-loop/cartesian over the index."""
+    plan = executed_plan(
+        entrymod.queries()["dedup_minhash_incremental"](spark, SF_SMALL)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "bucket" in plan
