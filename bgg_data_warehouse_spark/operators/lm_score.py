@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import word_tokens
+from .dedup import Pin, _default_pin
 
 MICRO = 1_000_000
 
@@ -71,7 +72,12 @@ def doc_bigram_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def bigram_perplexity(
-    df: DataFrame, id_col: str, text_col: str, *, micro: int = MICRO
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    micro: int = MICRO,
+    pin: Pin = _default_pin,
 ) -> DataFrame:
     """(doc, n_bigrams, nll_micro, ppl) for every document with ≥1 bigram.
 
@@ -85,8 +91,12 @@ def bigram_perplexity(
     """
     doc_bi = doc_bigram_counts(df, id_col, text_col)
     # every model quantity derives from the PRE-AGGREGATED doc_bi table:
-    # persist it once; it feeds the model build and the scoring join.
-    doc_bi = doc_bi.persist()
+    # pin it once; it feeds the model build and the scoring join. The
+    # Pin hook (same contract as dedup.py) keeps lifetime with the
+    # CALLER — the default cache() is released by clearCache()/unpersist
+    # or a storage_pin swap, instead of a per-invocation persist() leak
+    # (ADVICE r04 #2).
+    doc_bi = pin(doc_bi)
     model = doc_bi.groupBy("a", "b").agg(F.sum("m").alias("cnt"))
     uni = doc_bi.groupBy("a").agg(F.sum("m").alias("cn"))
     vocab = (

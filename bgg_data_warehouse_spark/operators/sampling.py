@@ -253,7 +253,9 @@ def weighted_sample_topk(
     bit-identical in any engine with 64-bit integer arithmetic (the
     id is reduced mod 2^31-1 BEFORE the multiply so the product stays in
     long range at any id scale). Weights must be >= 1 (token counts,
-    quality scores scaled to ints).
+    quality scores scaled to ints); a zero/negative/NULL weight would
+    silently produce a ±inf/NULL key and corrupt the sample, so it is
+    guarded at execution time with a clear error (ADVICE r04 #4).
 
     Shape at scale: one narrow projection + global top-k, which plans as
     TakeOrderedAndProject — per-partition heaps of k rows, no global
@@ -265,7 +267,21 @@ def weighted_sample_topk(
         F.lit(2147483647),
     )
     u = (h + 1) / F.lit(2147483649.0)  # (0, 1]
-    key = F.log(u) / F.col(weight_col).cast("double")
+    # weight >= 1 or fail loudly (NULL weight also lands in the error
+    # branch: NULL >= 1 is NULL, not true)
+    w_checked = F.when(
+        F.col(weight_col) >= 1, F.col(weight_col).cast("double")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample_topk: weight must be >= 1, got "),
+                F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
+                F.lit(" for id "),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    key = F.log(u) / w_checked
     return (
         df.select(
             F.col(id_col).alias("doc"),

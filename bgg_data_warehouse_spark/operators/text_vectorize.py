@@ -141,23 +141,45 @@ def build_vocab(df: DataFrame, text_col: str, *, size: int) -> DataFrame:
     return top.select("tok", (F.row_number().over(w) - 1).alias("id"))
 
 
+# Above this many entries a forced broadcast of the vocabulary would
+# bypass AQE's size checks and risk OOMing the driver/executors; the join
+# is left to AQE instead (it still broadcasts when the build side is
+# actually small). ADVICE r04 #4.
+BROADCAST_VOCAB_MAX = 1_000_000
+
+
 def encode_token_ids(
-    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame, *, oov_id: int = -1
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    *,
+    oov_id: int = -1,
+    vocab_size: int | None = None,
 ) -> DataFrame:
     """(doc, n_tokens, ids_json) — each document's token sequence mapped
     through the vocabulary (out-of-vocabulary → ``oov_id``), rendered as
     a JSON int array (list columns are not hashable downstream; JSON is
     the graded-output rendering for sequences).
 
-    One posexplode + a broadcast vocab join + one per-doc aggregate; the
+    One posexplode + a vocab join + one per-doc aggregate; the
     position-sorted reassembly uses array_sort over (pos, id) structs so
-    no per-doc window is needed.
+    no per-doc window is needed. The vocab join is broadcast-HINTED only
+    when the caller states a bound (``vocab_size`` ≤
+    ``BROADCAST_VOCAB_MAX``); otherwise AQE decides from measured size —
+    a 10M-entry vocabulary must degrade to a shuffle join, not be forced
+    past AQE's checks.
     """
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok"),
     )
-    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+    build = (
+        F.broadcast(vocab)
+        if vocab_size is not None and vocab_size <= BROADCAST_VOCAB_MAX
+        else vocab
+    )
+    enc = toks.join(build, "tok", "left").select(
         "doc", "pos", F.coalesce("id", F.lit(oov_id)).alias("id")
     )
     return enc.groupBy("doc").agg(

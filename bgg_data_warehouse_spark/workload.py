@@ -1182,8 +1182,18 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = minhash_sketch(
         docs.where(F.col("doc_id") % 10 == 0), "doc_id", "text", **conf
     )
+    from .operators.dedup import _default_pin
+
+    # index built in-query here (no persisted table to lean on): pin it
+    # explicitly so its two reads don't re-sketch — in the steady state
+    # the index IS a table and index_pin stays None (ADVICE r04 #4).
     return incremental_minhash_pairs(
-        index, batch, num_hashes=48, bands=2, jaccard_threshold=0.97
+        index,
+        batch,
+        num_hashes=48,
+        bands=2,
+        jaccard_threshold=0.97,
+        index_pin=_default_pin,
     )
 
 
@@ -1608,7 +1618,18 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sampling.py) keyed on ``canonical``; the split adds ZERO
     shuffles beyond the dedup itself. The oracle replays the pair graph
     with a recursive CTE and bands the same md5 bucket, so cluster
-    membership AND split assignment are hash-gated together."""
+    membership AND split assignment are hash-gated together.
+
+    The leakage guarantee is bounded by LSH recall at the chosen band
+    configuration (ADVICE r04 #1): a pair the bands never collide is
+    never verified, and its documents can straddle the split. This
+    recall-critical path therefore runs 16 bands × 3 hashes (pair at
+    Jaccard 0.97 collides with prob 1-(1-0.97³)^16 ≈ 1-4e-17,
+    vs ~73% under the generic 2×24 dedup config) — false-positive
+    candidates cost only the exact-Jaccard verify, missed true pairs
+    cost train/test contamination, so the split path trades band cost
+    for recall. Pairs below the 0.97 threshold are out of contract by
+    definition."""
     from .operators.components import collapse_clusters
     from .operators.dedup import minhash_lsh_pairs
     from .operators.sampling import train_test_split
@@ -1620,7 +1641,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         shingle_k=1,
         num_hashes=48,
-        bands=2,
+        bands=16,
         jaccard_threshold=0.97,
     )
     collapsed = collapse_clusters(docs, "doc_id", pairs, canonical_pairs=True)
@@ -1856,7 +1877,7 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     vocab = build_vocab(docs, "text", size=24)
-    return encode_token_ids(docs, "doc_id", "text", vocab)
+    return encode_token_ids(docs, "doc_id", "text", vocab, vocab_size=24)
 
 
 @query(
