@@ -23,28 +23,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness grades the FIRST 50 queries in dict
-# order. Round 4 rotation (VERDICT r03 "Next round" #1): promote the five
-# exact-gated queries that have never appeared in a CORRECTNESS artifact
-# (dedup_simhash_verified, embedding_near_dup_exact, content_hash_portable,
-# multimodal_resize, multimodal_audio_features) into the window, demoting
-# five round-3-confirmed mid-list TPC-H entries (q8-q12) to positions 51+.
-# The events-adapter sentinels (latest_snapshot, semi_scoped_agg,
-# watermark_increment, hourly_event_rollup) and the sketch-twin anchors
-# (dedup_minhash_verified, knn_ivf_exact) stay in-window as regression
-# guards; the perf-work targets of this round (pagerank_bipartite,
-# doc_vector_knn, dedup_cluster_collapse via its minhash anchor) also stay
-# so their plan changes remain hash-gated by the driver.
+# order. Round 5 rotation (VERDICT r04 "Next round" #6): keep the four
+# events sentinels + the two sketch-twin anchors, keep the seven round-4
+# newcomers for one confirmation round, promote the two NEW round-5
+# capabilities (bpe_learn_encode, semantic_dedup), keep doc_vector_knn
+# (still under perf work) hash-gated in-window, rotate TPC-H q1-q5/
+# q18-q22 OUT for q6-q17, and fill the remaining 22 slots with
+# r2-vintage greens whose gating code hasn't had a driver row since
+# round 2 (refreshing the oldest lifetime evidence).
 _PRIORITY = [
-    # events-adapter regression sentinels (r03-green, keep in-window)
+    # events-adapter regression sentinels (green r3+r4, keep in-window)
     "latest_snapshot",
     "semi_scoped_agg",
     "watermark_increment",
     "hourly_event_rollup",
-    # r01 hash-red trio, first driver-confirmed in r03 — keep as sentinels
+    # sketch-twin anchors (regression sentinels)
+    "dedup_minhash_verified",
+    "knn_ivf_exact",
+    # round-4 newcomers — one confirmation round (r4-green)
+    "multimodal_png_features",
+    "multimodal_video_frames",
+    "bigram_perplexity",
+    "weighted_sample",
+    "leakage_safe_split",
+    "dedup_minhash_incremental",
+    "vocab_encode",
+    # NEW round 5: BPE merge-learning tokenizer (model + encodings
+    # hash-gated) and SemDeDup (kmeans + within-cluster near-dup prune)
+    "bpe_learn_encode",
+    "semantic_dedup",
+    # perf-work target this round — plan changes must stay hash-gated
+    "doc_vector_knn",
+    # TPC-H rotation: q6-q17 back in (q1-q5/q18-q22 r4-confirmed, out)
+    *[f"tpch_q{i}" for i in range(6, 18)],
+    # r2-vintage refresh: last driver row was round 2; gating code
+    # unchanged, but lifetime evidence is oldest here
+    "curation_pipeline",
+    "feature_arrays",
+    "dual_rank_topk",
+    "filter_topn",
+    "anti_join_pending",
+    "latest_version_dedup",
+    "staleness_bands",
+    "ratio_guarded",
+    "union_discriminated",
+    "dedup_exact",
+    "point_lookup",
+    "merge_insert_missing",
+    "delete_insert_refresh",
+    "band_self_join_knn",
+    "knn_bruteforce",
+    "doc_fingerprint",
+    "ngram_jaccard",
+    "fuzzy_match_parts",
+    "substring_dedup",
+    "dedup_cluster_collapse",
+    "components_star_chains",
+    "nested_profile",
+    # ---- position 51+: r3/r4-confirmed, next-up if the driver widens
+    *[f"tpch_q{i}" for i in range(1, 6)],
+    *[f"tpch_q{i}" for i in range(18, 23)],
+    "multimodal_features",
     "request_stats",
     "sessionize",
     "pivot_status_counts",
-    # analytic SQL (r03-green)
     "rollup_returns",
     "cube_order_stats",
     "grouping_sets_stats",
@@ -53,48 +95,20 @@ _PRIORITY = [
     "trailing_window_sum",
     "ntile_value_buckets",
     "regexp_json_extract",
-    # temporal joins (r03-green)
     "asof_feature_join",
     "asof_feature_join_segmented",
     "range_join_recent_activity",
-    # ANN / graph / IR (r03-green; pagerank + doc_vector under perf work
-    # this round, so their hash gates must stay in the driver window)
     "knn_lsh_exact",
-    "doc_vector_knn",
     "kmeans_embeddings",
     "pagerank_bipartite",
     "bm25_search",
     "top_ngrams",
     "multimodal_frame_sample",
-    # never driver-verified exact gates — the round-4 promotion set
     "dedup_simhash_verified",
     "embedding_near_dup_exact",
     "content_hash_portable",
     "multimodal_resize",
     "multimodal_audio_features",
-    # new this round: stdlib PNG decode + real Y4M video decode gates
-    # (demote tpch_q6/q7)
-    "multimodal_png_features",
-    "multimodal_video_frames",
-    # new this round: bigram-LM perplexity scoring, deterministic
-    # weighted sampling, cluster-aware leakage-safe split, incremental
-    # batch-vs-index dedup, vocab id-encoding (demote tpch_q13-q17)
-    "bigram_perplexity",
-    "weighted_sample",
-    "leakage_safe_split",
-    "dedup_minhash_incremental",
-    "vocab_encode",
-    # TPC-H minus the demoted q6-q17 (all 22 r03-green)
-    *[f"tpch_q{i}" for i in range(1, 6)],
-    *[f"tpch_q{i}" for i in range(18, 23)],
-    # real-decode multimodal gate (r03-green)
-    "multimodal_features",
-    # sketch-twin anchors (regression sentinels)
-    "dedup_minhash_verified",
-    "knn_ivf_exact",
-    # position 51+: double-confirmed or next-up if the driver widens
-    *[f"tpch_q{i}" for i in range(6, 18)],
-    "curation_pipeline",
 ]
 
 

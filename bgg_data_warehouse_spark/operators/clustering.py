@@ -147,3 +147,91 @@ def kmeans_quantized(
         F.array_sort(F.collect_list(F.struct("cluster", "cv"))).alias("_cents")
     )
     return _assign(vectors, cent_arr).select("id", "cluster", "dist")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1000,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    pin=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then near-duplicate ONLY within clusters — the
+    composition that makes semantic dedup tractable at corpus scale.
+    Returns (id, cluster, kept): ``kept`` = 0 iff the document has a
+    LOWER-id neighbor in its cluster with cosine ≥ ``threshold`` (the
+    deterministic keep-first pruning rule; SemDeDup's keep-one-per-group
+    with an id tie-break).
+
+    Scale shape: the candidate set is the union of per-cluster pair
+    sets, never the corpus cross-product — with ``k`` sized so clusters
+    hold ~(corpus/k) ≈ bounded rows, within-cluster pairs stay
+    quadratic-in-cluster, linear-in-corpus. The plan is: kmeans
+    (shuffle-free broadcast argmin per iteration), one equi-join on
+    ``cluster`` to pair (each side shuffled once on the cluster key),
+    one distinct over pruned ids, one left anti-style mark join.
+    Exactness: cluster labels are integer-exact (kmeans_quantized);
+    cosine is a deterministic left-to-right IEEE fold both engines
+    reproduce bit-identically, so the full output is hash-gateable.
+    """
+    from ..functions.vector import dot_product, l2_norm
+
+    assign = kmeans_quantized(
+        df, id_col, vec_col, k=k, iters=iters, scale=scale
+    ).select("id", "cluster")
+    # `lab` embeds the whole k-means DAG and feeds THREE consumers (both
+    # pair sides + the output mark join): pin it so the clustering runs
+    # once. Norms are per-VECTOR, so they're computed here — the pair
+    # stage then does only a dot per candidate. sqrt(dot(v,v)) is the
+    # same IEEE fold the all-in-one cosine (and the SQL oracle) runs, so
+    # dot/(na*nb) stays bit-identical to cosine_similarity per pair.
+    pin = pin if pin is not None else (lambda d: d.cache())
+    # repartition on id before pinning: the embedding fixture arrives as
+    # ONE file → one partition, and the pair join below is a broadcast
+    # hash join whose parallelism equals the STREAM side's partitioning —
+    # unpartitioned, every within-cluster dot product lands in a single
+    # task (measured 8.8 s for 500k pairs; spread, sub-second).
+    lab = pin(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(assign, "id")
+        .withColumn("_norm", l2_norm(F.col("vec"), dim))
+        .repartition("id")
+    )
+    left = lab.select(
+        "cluster",
+        F.col("id").alias("a"),
+        F.col("vec").alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    right = lab.select(
+        "cluster",
+        F.col("id").alias("b"),
+        F.col("vec").alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    pruned = (
+        left.join(right, "cluster")
+        .where(F.col("a") < F.col("b"))
+        .where(
+            dot_product(F.col("va"), F.col("vb"), dim)
+            / (F.col("na") * F.col("nb"))
+            >= threshold
+        )
+        .select(F.col("b").alias("id"))
+        .distinct()
+        .withColumn("_pruned", F.lit(1))
+    )
+    return lab.join(pruned, "id", "left").select(
+        "id",
+        "cluster",
+        F.when(F.col("_pruned").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("kept"),
+    )

@@ -1880,6 +1880,95 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_token_ids(docs, "doc_id", "text", vocab, vocab_size=24)
 
 
+def _bpe_oracle(num_merges: int) -> str:
+    """DuckDB replay of BPE training: K unrolled merge rounds, each a
+    pair-count aggregate + argmax + a list_reduce fold that applies the
+    merge greedily left-to-right (operators/bpe.py semantics)."""
+    rounds = []
+    for k in range(1, num_merges + 1):
+        rounds.append(
+            f"""
+    , p{k} AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM w{k - 1}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+      GROUP BY 1, 2
+    ), t{k} AS (
+      SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+    ), w{k} AS (
+      SELECT word, freq,
+             CASE WHEN t.a IS NULL THEN syms ELSE
+               list_reduce(
+                 list_prepend(CAST([] AS VARCHAR[]),
+                              list_transform(syms, s -> [s])),
+                 (acc, x) -> CASE WHEN len(acc) > 0
+                                   AND acc[len(acc)] = t.a AND x[1] = t.b
+                             THEN list_append(acc[1:len(acc) - 1], t.a || t.b)
+                             ELSE list_concat(acc, x) END)
+             END AS syms
+      FROM w{k - 1} LEFT JOIN t{k} t ON true
+    )"""
+        )
+    merge_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT 'merge' AS kind, CAST({k - 1} AS BIGINT) AS id, "
+        f"to_json([a, b, CAST(cnt AS VARCHAR)]) AS payload FROM t{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id AS doc, {_duck_tokens()} AS toks FROM documents
+    ), toks AS (
+      SELECT doc, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      FROM d
+    ), w0 AS (
+      SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq,
+             list_transform(range(1, length(tok) + 1),
+                            i -> substr(tok, CAST(i AS INT), 1)) AS syms
+      FROM toks GROUP BY tok
+    ){''.join(rounds)}
+    , pieces AS (
+      SELECT t.doc, t.pos, w.syms
+      FROM toks t JOIN w{num_merges} w ON w.word = t.tok
+    ), docs_out AS (
+      SELECT 'doc' AS kind, doc AS id,
+             to_json(flatten(list(syms ORDER BY pos))) AS payload
+      FROM pieces GROUP BY doc
+    )
+    SELECT kind, id, payload FROM ({merge_rows})
+    UNION ALL
+    SELECT kind, id, payload FROM docs_out
+    """
+
+
+@query("bpe_learn_encode", oracle=_bpe_oracle(8))
+def bpe_learn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training + corpus encoding (operators/bpe.py): 8
+    merges learned over the documents corpus as ONE lazy query (pair
+    counts are vocab-bounded aggregates, the argmax plans as
+    TakeOrderedAndProject, the merge rides a 1-row broadcast — no
+    driver round-trip), then every document encoded through the final
+    word table. Output is union-discriminated: kind='merge' rows carry
+    (rank, [a, b, cnt]) and kind='doc' rows carry the full piece
+    sequence — so the learned MODEL and every ENCODED sequence are
+    hash-gated together against the K-round SQL replay."""
+    from .operators.bpe import encode_bpe, learn_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, words = learn_bpe(docs, "text", num_merges=8)
+    merge_rows = merges.select(
+        F.lit("merge").alias("kind"),
+        F.col("rank").alias("id"),
+        F.to_json(
+            F.array(F.col("a"), F.col("b"), F.col("cnt").cast("string"))
+        ).alias("payload"),
+    )
+    doc_rows = encode_bpe(docs, "doc_id", "text", words).select(
+        F.lit("doc").alias("kind"),
+        F.col("doc").cast("long").alias("id"),
+        F.col("pieces_json").alias("payload"),
+    )
+    return merge_rows.unionAll(doc_rows)
+
+
 @query(
     "doc_fingerprint",
     oracle="""
@@ -3458,10 +3547,10 @@ def doc_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@query(
-    "kmeans_embeddings",
-    oracle="""
-    WITH q AS (
+# The k-means SQL replay (k=4, iters=2, scale=1000, dim=64) is shared by
+# the kmeans_embeddings gate and the semantic_dedup gate (which consumes
+# the final assignment as its clustering stage).
+_KMEANS_CTES = """q AS (
       SELECT vec_id AS id,
              list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))
                AS qv
@@ -3509,7 +3598,13 @@ def doc_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(list_sum(list_transform(list_zip(q.qv, c2.cv),
                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
       FROM q CROSS JOIN c2
-    )
+    )"""
+
+
+@query(
+    "kmeans_embeddings",
+    oracle=f"""
+    WITH {_KMEANS_CTES}
     SELECT id, cluster, dist FROM (
       SELECT id, cluster, dist,
              ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
@@ -3527,6 +3622,54 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_quantized(emb, "vec_id", "embedding", k=4, iters=2, scale=1000)
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""
+    WITH {_KMEANS_CTES}
+    , final AS (
+      SELECT id, cluster FROM (
+        SELECT id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+        FROM d3) WHERE rn = 1
+    ), lab AS (
+      SELECT e.vec_id AS id, f.cluster, e.embedding
+      FROM embeddings e JOIN final f ON f.id = e.vec_id
+    ), prs AS (
+      SELECT r.id AS id
+      FROM lab l JOIN lab r ON l.cluster = r.cluster AND l.id < r.id
+      WHERE {_DUCK_COS.format(a='l.embedding', b='r.embedding')} >= 0.35
+    )
+    SELECT lab.id, lab.cluster,
+           CAST(CASE WHEN p.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM lab LEFT JOIN (SELECT DISTINCT id FROM prs) p ON p.id = lab.id
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/clustering.py semantic_dedup): k-means the
+    embedding space (k=4, two exact integer Lloyd rounds), then prune
+    near-duplicates ONLY within clusters — cosine ≥ 0.35 against a
+    lower-id cluster-mate marks a row pruned (keep-first rule). The
+    oracle replays the identical k-means recurrence (shared
+    _KMEANS_CTES), re-derives the within-cluster pair set exactly, and
+    hash-gates (id, cluster, kept) — clustering AND pruning together.
+    At corpus scale the pair set is per-cluster quadratic only; k grows
+    with the corpus so clusters stay bounded and the join never forms
+    the global cross-product."""
+    from .operators.clustering import semantic_dedup as _sd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _sd(
+        emb,
+        "vec_id",
+        "embedding",
+        k=4,
+        iters=2,
+        scale=1000,
+        threshold=0.35,
+        dim=64,
+    )
 
 
 @query(

@@ -126,3 +126,89 @@ class TestPagerank:
         # symmetric 2-cycle: both nodes identical at every round
         vals = {r["rank"] for r in out.collect()}
         assert len(vals) == 1
+
+
+class TestSemanticDedup:
+    def test_prunes_within_cluster_keeps_across(self, spark):
+        """Two tight blobs (k=2): near-identical vectors inside a blob
+        prune down to the lowest id; parallel (cosine-similar) vectors
+        that land in DIFFERENT clusters are both kept — pruning is
+        cluster-scoped by design."""
+        from bgg_data_warehouse_spark.operators.clustering import semantic_dedup
+
+        rows = [
+            (0, [1.0, 0.0]),      # blob A seed
+            (1, [50.0, 50.0]),    # blob B seed
+            (2, [1.01, 0.0]),     # near-dup of 0 (same cluster) -> pruned
+            (3, [50.5, 50.5]),    # near-dup of 1 (same cluster) -> pruned
+            (4, [0.0, 1.0]),      # blob A, orthogonal to 0 -> kept
+        ]
+        out = {
+            r.id: (r.cluster, r.kept)
+            for r in semantic_dedup(
+                _vec_rows(spark, rows), "id", "vec", k=2, iters=2,
+                threshold=0.99,
+            ).collect()
+        }
+        assert len(out) == 5
+        assert out[0][1] == 1 and out[1][1] == 1  # lowest ids kept
+        assert out[2][1] == 0 and out[3][1] == 0  # higher-id near-dups pruned
+        assert out[4][1] == 1  # dissimilar cluster-mate kept
+        assert out[2][0] == out[0][0] and out[3][0] == out[1][0]
+
+    def test_matches_numpy_reference_on_fixture(self, spark):
+        """(cluster, kept) must equal a numpy replay (same integer
+        k-means + within-cluster cosine + keep-first rule) on the real
+        embeddings fixture."""
+        np = pytest.importorskip("numpy")
+        from bgg_data_warehouse_spark.operators.clustering import semantic_dedup
+        from tests.conftest import SF_SMALL
+
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        got = {
+            r.id: (r.cluster, r.kept)
+            for r in semantic_dedup(
+                emb, "vec_id", "embedding", k=4, iters=2, scale=1000,
+                threshold=0.35,
+            ).collect()
+        }
+        rows = sorted(
+            (r.vec_id, np.array(r.embedding, dtype=np.float64))
+            for r in emb.collect()
+        )
+        ids = [i for i, _ in rows]
+        q = np.stack([np.round(v * 1000) for _, v in rows]).astype(np.int64)
+        # iters+1 assignment passes with iters centroid updates between
+        # them — the operator assigns against the centroids left after
+        # `iters` updates.
+        cents = {ids[j]: q[j].copy() for j in range(4)}
+        assign = {}
+        for it in range(3):
+            assign = {}
+            for j, i in enumerate(ids):
+                best = min(
+                    (int(((q[j] - cv) ** 2).sum()), c)
+                    for c, cv in cents.items()
+                )
+                assign[i] = best[1]
+            if it < 2:
+                members = {}
+                for j, i in enumerate(ids):
+                    members.setdefault(assign[i], []).append(j)
+                cents = {
+                    c: np.floor(q[js].sum(axis=0) / len(js)).astype(np.int64)
+                    for c, js in members.items()
+                }
+        vecs = {i: v for i, v in rows}
+        pruned = set()
+        for j, i in enumerate(ids):
+            for j2, i2 in enumerate(ids):
+                if i2 >= i or assign[i2] != assign[i]:
+                    continue
+                a, b = vecs[i], vecs[i2]
+                cos = float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+                if cos >= 0.35:
+                    pruned.add(i)
+                    break
+        expect = {i: (assign[i], 0 if i in pruned else 1) for i in ids}
+        assert got == expect
