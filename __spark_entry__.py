@@ -49,9 +49,12 @@ _PRIORITY = [
     "dedup_minhash_incremental",
     "vocab_encode",
     # NEW round 5: BPE merge-learning tokenizer (model + encodings
-    # hash-gated) and SemDeDup (kmeans + within-cluster near-dup prune)
+    # hash-gated), SemDeDup (kmeans + within-cluster near-dup prune),
+    # Naive Bayes language classification, α=0.5 temperature mixing
     "bpe_learn_encode",
     "semantic_dedup",
+    "nb_lang_classify",
+    "temperature_mix",
     # perf-work target this round — plan changes must stay hash-gated
     "doc_vector_knn",
     # TPC-H rotation: q6-q17 back in (q1-q5/q18-q22 r4-confirmed, out)
@@ -73,14 +76,14 @@ _PRIORITY = [
     "delete_insert_refresh",
     "band_self_join_knn",
     "knn_bruteforce",
-    "doc_fingerprint",
     "ngram_jaccard",
     "fuzzy_match_parts",
     "substring_dedup",
     "dedup_cluster_collapse",
     "components_star_chains",
-    "nested_profile",
     # ---- position 51+: r3/r4-confirmed, next-up if the driver widens
+    "doc_fingerprint",
+    "nested_profile",
     *[f"tpch_q{i}" for i in range(1, 6)],
     *[f"tpch_q{i}" for i in range(18, 23)],
     "multimodal_features",

@@ -118,6 +118,61 @@ def mix_sources(
     return df.where(b < thresh)
 
 
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    budget: int,
+    *,
+    bucket_fn: Callable[[Column], Column] = default_bucket,
+) -> DataFrame:
+    """Temperature-based source mixing at α = 0.5 (the mT5/multilingual
+    sampling rule, Xue et al. 2021): source s is sampled with
+    probability ∝ p_s^α, flattening the source distribution so
+    low-resource sources are upsampled relative to their share. With a
+    total row ``budget`` T, source s keeps rate
+    min(1, T·√n_s / (Σ√n · n_s)), applied as a deterministic hash band
+    — nested, rerun-stable, coordination-free, like ``mix_sources``.
+
+    α is FIXED at 0.5 because that makes the arithmetic cross-engine
+    exact: sqrt is IEEE correctly-rounded everywhere, each √n_s is
+    scaled to an integer (round(√n·1e6)), the normalizer is an INTEGER
+    sum (order-independent — a double Σ would vary with partial-agg
+    order), and the final rate is one exact-integer-operand division.
+    A general-α pow() differs by ulps across libm implementations and
+    would flake a hash gate.
+
+    Shape at scale: two tiny per-source aggregates + a broadcast rate
+    join + a pure filter — ZERO corpus shuffles.
+    """
+    counts = df.groupBy(F.col(source_col).alias("_src")).agg(
+        F.count("*").alias("_n")
+    )
+    scaled = counts.withColumn(
+        "_sq", F.round(F.sqrt(F.col("_n")) * 1_000_000).cast("long")
+    )
+    tot = scaled.agg(F.sum("_sq").alias("_tot"))
+    rates = scaled.crossJoin(F.broadcast(tot)).select(
+        "_src",
+        F.least(
+            F.lit(BUCKETS),
+            F.round(
+                F.lit(float(BUCKETS))
+                * F.lit(budget)
+                * F.col("_sq")
+                / (F.col("_tot") * F.col("_n"))
+            ).cast("long"),
+        ).alias("_th"),
+    )
+    return (
+        df.join(
+            F.broadcast(rates), F.col(source_col) == F.col("_src")
+        )
+        .where(bucket_fn(F.col(id_col)) < F.col("_th"))
+        .drop("_src", "_th")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

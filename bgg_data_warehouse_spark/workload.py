@@ -1680,6 +1680,42 @@ def mix_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temperature_mix",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ), s AS (
+      SELECT lang, n, CAST(round(sqrt(n) * 1000000) AS BIGINT) AS sq FROM c
+    ), t AS (SELECT CAST(sum(sq) AS BIGINT) AS tot FROM s),
+    r AS (
+      SELECT lang,
+             CAST(least(1000, round(1000.0 * 250 * sq / (tot * n)))
+                  AS BIGINT) AS th
+      FROM s CROSS JOIN t
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r ON r.lang = d.lang
+    WHERE {md5_bucket_sql("d.doc_id")} < r.th
+    """,
+)
+def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style α=0.5 temperature mixing over the language column with
+    a 250-row budget (operators/sampling.py temperature_mix): rare
+    languages keep a larger fraction of their rows than their corpus
+    share, common ones a smaller — the multilingual rebalancing rule —
+    as a pure hash-band filter with ZERO corpus shuffles. Exact gate:
+    √n is correctly-rounded IEEE in both engines, the normalizer is an
+    integer sum, and the keep set is the md5 band both engines compute
+    bit-identically."""
+    from .operators.sampling import md5_bucket, temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs, "doc_id", "lang", 250, bucket_fn=md5_bucket
+    ).select("doc_id", "lang")
+
+
+@query(
     "stratified_sample",
     oracle=f"""
     SELECT doc_id, lang FROM (
@@ -2036,6 +2072,87 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return _ppl(docs, "doc_id", "text")
+
+
+@query(
+    "nb_lang_classify",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id AS doc, lang, {_duck_tokens()} AS toks FROM documents
+    ), toks AS (
+      SELECT doc, lang, unnest(toks) AS tok FROM d
+    ), doc_tok AS (
+      SELECT doc, tok, CAST(count(*) AS BIGINT) AS m FROM toks GROUP BY 1, 2
+    ), tokcnt AS (
+      SELECT lang AS label, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2
+    ), ccls AS (
+      SELECT label, CAST(sum(cnt) AS BIGINT) AS ctot FROM tokcnt GROUP BY 1
+    ), vocab AS (SELECT DISTINCT tok FROM toks),
+    vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    dense AS (
+      SELECT vo.tok, cc.label,
+             CAST(round(ln((coalesce(tc.cnt, 0) + 1)
+                           / CAST(cc.ctot + vs.v AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS lp
+      FROM ccls cc CROSS JOIN vocab vo CROSS JOIN vsize vs
+      LEFT JOIN tokcnt tc ON tc.label = cc.label AND tc.tok = vo.tok
+    ), nd AS (
+      SELECT lang AS label, CAST(count(*) AS BIGINT) AS nd FROM documents
+      GROUP BY 1
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    priors AS (
+      SELECT label,
+             CAST(round(ln(nd / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+               AS pr
+      FROM nd CROSS JOIN tot
+    ), scored AS (
+      SELECT dt.doc, de.label,
+             pr.pr + CAST(sum(dt.m * de.lp) AS BIGINT) AS score
+      FROM doc_tok dt
+      JOIN dense de ON de.tok = dt.tok
+      JOIN priors pr ON pr.label = de.label
+      GROUP BY dt.doc, de.label, pr.pr
+    ), best AS (
+      SELECT doc, label, score,
+             ROW_NUMBER() OVER (PARTITION BY doc
+                                ORDER BY score DESC, label) AS rn
+      FROM scored
+    )
+    SELECT b.doc, dd.lang, b.label AS pred_label, b.score AS score_micro,
+           CAST(CASE WHEN b.label = dd.lang THEN 1 ELSE 0 END AS BIGINT)
+             AS hit
+    FROM best b JOIN documents dd ON dd.doc_id = b.doc
+    WHERE b.rn = 1
+    """,
+)
+def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classification
+    (operators/nb_classify.py): train add-one-smoothed NB on the
+    corpus's own lang labels, classify every document, report the
+    prediction + integer micro-nat score + hit flag. Training is two
+    corpus aggregations; the dense (tok × label) model is
+    vocab-bounded; scoring is one join + an integer argmax with a
+    deterministic label tie-break — the whole train+classify pipeline
+    hash-gates against the SQL replay. The trained twin of the
+    heuristic ``lang_id`` filter."""
+    from .operators.nb_classify import naive_bayes_classify, naive_bayes_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    model, priors = naive_bayes_train(docs, "doc_id", "text", "lang")
+    pred = naive_bayes_classify(docs, "doc_id", "text", model, priors)
+    return pred.join(
+        docs.select(F.col("doc_id").alias("doc"), "lang"), "doc"
+    ).select(
+        "doc",
+        "lang",
+        "pred_label",
+        "score_micro",
+        F.when(F.col("pred_label") == F.col("lang"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("hit"),
+    )
 
 
 @query(

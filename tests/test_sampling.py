@@ -369,3 +369,131 @@ def test_bigram_micronat_rounding_boundary_margin():
         max_pert = max(max_pert, abs(scaled) * 2.0**-52)
     assert min_margin > 1e-4, min_margin
     assert max_pert < min_margin / 100, (max_pert, min_margin)
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    """α=0.5 semantics: keep-rates follow min(1, T·√n/(Σ√n·n)) exactly,
+    so rarer sources keep a LARGER fraction than common ones; the kept
+    set is hash-deterministic and the plan shuffles nothing corpus-wide."""
+    import math
+
+    from bgg_data_warehouse_spark.operators.sampling import (
+        md5_bucket,
+        temperature_mix,
+    )
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = temperature_mix(df, "doc_id", "src", 450, bucket_fn=md5_bucket)
+    got = {r.doc_id for r in out.collect()}
+    # python replay of the exact integer arithmetic
+    ns = {"big": 800, "small": 100}
+    sq = {s: round(math.sqrt(n) * 1_000_000) for s, n in ns.items()}
+    tot = sum(sq.values())
+    th = {
+        s: min(1000, round(1000.0 * 450 * sq[s] / (tot * ns[s])))
+        for s in ns
+    }
+
+    def bucket(i):
+        import hashlib
+
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return (ord(h[0]) * 65536 + ord(h[1]) * 256 + ord(h[2])) % 1000
+
+    expect = {
+        i for i, s in rows if bucket(i) < th["big" if i < 800 else "small"]
+    }
+    assert got == expect
+    kept_small = sum(1 for i in got if i >= 800) / 100
+    kept_big = sum(1 for i in got if i < 800) / 800
+    assert kept_small > kept_big  # temperature upsamples the rare source
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # corpus side joins the broadcast rate table and filters — no
+    # corpus-wide hash exchange (the per-source aggregate is tiny)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_naive_bayes_hand_case_and_tiebreak(spark):
+    """Two cleanly separable classes: NB must recover them; a document
+    scoring identically under both labels must take the smaller label."""
+    from bgg_data_warehouse_spark.operators.nb_classify import (
+        naive_bayes_classify,
+        naive_bayes_train,
+    )
+
+    rows = [
+        (1, "cat cat purr", "a"),
+        (2, "cat purr purr", "a"),
+        (3, "dog dog woof", "b"),
+        (4, "dog woof woof", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab string")
+    model, priors = naive_bayes_train(df, "doc_id", "text", "lab")
+    pred = {
+        r.doc: r.pred_label
+        for r in naive_bayes_classify(df, "doc_id", "text", model, priors).collect()
+    }
+    assert pred == {1: "a", 2: "a", 3: "b", 4: "b"}
+    # perfectly symmetric corpus -> symmetric doc ties to the smaller label
+    sym = spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", "b")], "doc_id long, text string, lab string"
+    )
+    m2, p2 = naive_bayes_train(sym, "doc_id", "text", "lab")
+    tie = spark.createDataFrame(
+        [(9, "x y", "?")], "doc_id long, text string, lab string"
+    )
+    got = naive_bayes_classify(tie, "doc_id", "text", m2, p2).collect()
+    assert got[0].pred_label == "a"
+
+
+def test_naive_bayes_matches_python_reference(spark):
+    """Full integer-micro-nat agreement with a Python NB on the real
+    fixture: scores AND argmax."""
+    import math
+    from collections import Counter, defaultdict
+
+    from bgg_data_warehouse_spark.operators.nb_classify import (
+        naive_bayes_classify,
+        naive_bayes_train,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    model, priors = naive_bayes_train(docs, "doc_id", "text", "lang")
+    got = {
+        r.doc: (r.pred_label, r.score_micro)
+        for r in naive_bayes_classify(
+            docs, "doc_id", "text", model, priors
+        ).collect()
+    }
+    rows = [(r.doc_id, r.text.lower().split(), r.lang) for r in docs.collect()]
+    tokcnt: dict = defaultdict(Counter)
+    nd: Counter = Counter()
+    for _, toks, lab in rows:
+        nd[lab] += 1
+        tokcnt[lab].update(t for t in toks if t)
+    vocab = {t for c in tokcnt.values() for t in c}
+    n = sum(nd.values())
+    lp = {
+        (t, lab): round(
+            math.log((tokcnt[lab][t] + 1) / (sum(tokcnt[lab].values()) + len(vocab)))
+            * 1_000_000
+        )
+        for lab in nd
+        for t in vocab
+    }
+    pr = {lab: round(math.log(nd[lab] / n) * 1_000_000) for lab in nd}
+    expect = {}
+    for doc, toks, _ in rows:
+        toks = [t for t in toks if t]
+        if not toks:
+            continue
+        m = Counter(toks)
+        scores = {
+            lab: pr[lab] + sum(c * lp[(t, lab)] for t, c in m.items())
+            for lab in nd
+        }
+        best = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect[doc] = (best[0], best[1])
+    assert got == expect
