@@ -55,6 +55,7 @@ _PRIORITY = [
     "semantic_dedup",
     "nb_lang_classify",
     "temperature_mix",
+    "knn_quantized",
     # perf-work target this round — plan changes must stay hash-gated
     "doc_vector_knn",
     # TPC-H rotation: q6-q17 back in (q1-q5/q18-q22 r4-confirmed, out)
@@ -68,7 +69,6 @@ _PRIORITY = [
     "anti_join_pending",
     "latest_version_dedup",
     "staleness_bands",
-    "ratio_guarded",
     "union_discriminated",
     "dedup_exact",
     "point_lookup",
@@ -84,6 +84,7 @@ _PRIORITY = [
     # ---- position 51+: r3/r4-confirmed, next-up if the driver widens
     "doc_fingerprint",
     "nested_profile",
+    "ratio_guarded",
     *[f"tpch_q{i}" for i in range(1, 6)],
     *[f"tpch_q{i}" for i in range(18, 23)],
     "multimodal_features",

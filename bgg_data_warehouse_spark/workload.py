@@ -993,6 +993,52 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_quantized",
+    oracle="""
+    WITH mx AS (
+      SELECT max(abs(CAST(v AS DOUBLE))) AS scale
+      FROM embeddings, unnest(embedding) AS u(v)
+    ), q AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS BIGINT))
+               AS qv
+      FROM embeddings CROSS JOIN mx
+    ), dots AS (
+      SELECT a.id AS query_id, b.id AS nbr_id,
+             CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                          p -> p[1] * p[2])) AS BIGINT)
+               AS qdot
+      FROM q a JOIN q b ON b.id <> a.id
+      WHERE a.id < 10
+    ), ranked AS (
+      SELECT query_id, nbr_id, qdot,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY qdot DESC, nbr_id)
+                  AS BIGINT) AS rank
+      FROM dots
+    )
+    SELECT query_id, nbr_id, qdot, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized similarity search (operators/quantization.py):
+    symmetric max-|x| quantization of the embedding corpus (the 4×-IO
+    storage form a 100 TB vector column actually ships in), then exact
+    top-5 by INTEGER quantized dot. The scale is a max-aggregate (no
+    float-sum ordering hazard), quantization is one exact-operand
+    division + correctly-rounded round per component, and scores are
+    integer sums — the whole quantize+search pipeline hash-gates
+    against the SQL replay. Unit tests separately bound recall@5 vs
+    the float-precision ``knn_bruteforce``."""
+    from .operators.quantization import quantize_embeddings, quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = quantize_embeddings(emb, "vec_id", "embedding")
+    return quantized_topk(qv.where(F.col("id") < 10), qv, k=5)
+
+
 # ===========================================================================
 # Dedup family (LLM-pipeline extension; exact + sketch)
 # ===========================================================================
