@@ -56,6 +56,7 @@ _PRIORITY = [
     "nb_lang_classify",
     "temperature_mix",
     "knn_quantized",
+    "trigram_backoff_ppl",
     # perf-work target this round — plan changes must stay hash-gated
     "doc_vector_knn",
     # TPC-H rotation: q6-q17 back in (q1-q5/q18-q22 r4-confirmed, out)
@@ -69,7 +70,6 @@ _PRIORITY = [
     "anti_join_pending",
     "latest_version_dedup",
     "staleness_bands",
-    "union_discriminated",
     "dedup_exact",
     "point_lookup",
     "merge_insert_missing",
@@ -85,6 +85,7 @@ _PRIORITY = [
     "doc_fingerprint",
     "nested_profile",
     "ratio_guarded",
+    "union_discriminated",
     *[f"tpch_q{i}" for i in range(1, 6)],
     *[f"tpch_q{i}" for i in range(18, 23)],
     "multimodal_features",

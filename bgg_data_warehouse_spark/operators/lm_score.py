@@ -71,6 +71,135 @@ def doc_bigram_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def doc_trigram_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, w1, w2, w3, m) — per-document trigram occurrence counts,
+    formed array-side like ``doc_bigram_counts`` (three shifted slices
+    zipped, one explode, one aggregate). Documents under three tokens
+    contribute nothing."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), word_tokens(F.col(text_col)).alias("_t")
+    ).select(
+        "doc",
+        F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 2, F.lit(0))).alias("_a"),
+        F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 2, F.lit(0))).alias("_b"),
+        F.slice(F.col("_t"), 3, F.greatest(F.size("_t") - 2, F.lit(0))).alias("_c"),
+    )
+    return (
+        toks.select("doc", F.explode(F.arrays_zip("_a", "_b", "_c")).alias("t"))
+        .select(
+            "doc",
+            F.col("t._a").alias("w1"),
+            F.col("t._b").alias("w2"),
+            F.col("t._c").alias("w3"),
+        )
+        .groupBy("doc", "w1", "w2", "w3")
+        .agg(F.count("*").alias("m"))
+    )
+
+
+def trigram_backoff_ppl(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    micro: int = MICRO,
+    pin: Pin = _default_pin,
+) -> DataFrame:
+    """(doc, n_trigrams, nll_micro, ppl) — trigram LM with STUPID
+    BACKOFF (Brants et al., "Large Language Models in Machine
+    Translation", EMNLP 2007: S(w3|w1w2) = C(w1w2w3)/C(w1w2), backing
+    off to 0.4·C(w2w3)/C(w2), then 0.16·C(w3)/N, unseen-unigram floor
+    0.16·1/N), trained on ``train_df`` and scoring ``score_df`` — train
+    ≠ score is what makes the backoff paths live (a model scoring its
+    own training corpus never backs off: every observed trigram has a
+    count by construction).
+
+    Same exactness policy as ``bigram_perplexity``: one ln() per
+    DISTINCT scored trigram over exact integer ratios (the backoff
+    multiplier is applied INSIDE the ln argument with fixed
+    parenthesization so both engines compute the identical double),
+    micro-nat integer per-doc sums. Model tables are vocabulary-bounded
+    (trigram/bigram/unigram counts + one scalar N) and join back on
+    their n-gram keys — AQE broadcasts the small ones; every join is a
+    LEFT join so the CASE can select the deepest seen order.
+    """
+    tri_m = (
+        doc_trigram_counts(train_df, id_col, text_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.sum("m").alias("c3"))
+    )
+    bi_inst = doc_bigram_counts(train_df, id_col, text_col)
+    bi_m = bi_inst.groupBy("a", "b").agg(F.sum("m").alias("c2"))
+    toks = train_df.select(
+        F.explode(word_tokens(F.col(text_col))).alias("tok")
+    )
+    uni_m = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    n_tok = toks.agg(F.count("*").alias("n"))
+
+    doc_tri = pin(doc_trigram_counts(score_df, id_col, text_col))
+    joined = (
+        doc_tri.join(tri_m, ["w1", "w2", "w3"], "left")
+        .join(
+            bi_m.select(
+                F.col("a").alias("w1"), F.col("b").alias("w2"),
+                F.col("c2").alias("c12"),
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bi_m.select(
+                F.col("a").alias("w2"), F.col("b").alias("w3"),
+                F.col("c2").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            uni_m.select(F.col("tok").alias("w2"), F.col("c1").alias("cu2")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            uni_m.select(F.col("tok").alias("w3"), F.col("c1").alias("cu3")),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(n_tok))
+    )
+    # parenthesization is part of the gate contract: 0.4 * (a / b), and
+    # the literal 0.16 (NOT 0.4*0.4, which is a different double)
+    slog = F.expr(
+        "CAST(round(CASE"
+        "  WHEN c3 IS NOT NULL THEN ln(c3 / CAST(c12 AS DOUBLE))"
+        "  WHEN c23 IS NOT NULL THEN ln(0.4 * (c23 / CAST(cu2 AS DOUBLE)))"
+        "  ELSE ln(0.16 * (coalesce(cu3, 1) / CAST(n AS DOUBLE)))"
+        f" END * {micro}) AS BIGINT)"
+    )
+    scored = (
+        joined.withColumn("_slog", slog)
+        .groupBy("doc")
+        .agg(
+            F.sum("m").alias("n_trigrams"),
+            (-F.sum(F.col("m") * F.col("_slog"))).alias("nll_micro"),
+        )
+    )
+    return scored.select(
+        "doc",
+        "n_trigrams",
+        "nll_micro",
+        F.round(
+            F.exp(
+                F.col("nll_micro").cast("double")
+                / F.col("n_trigrams")
+                / F.lit(float(micro))
+            ),
+            4,
+        ).alias("ppl"),
+    )
+
+
 def bigram_perplexity(
     df: DataFrame,
     id_col: str,

@@ -2121,6 +2121,78 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "trigram_backoff_ppl",
+    oracle=f"""
+    WITH tr AS (
+      SELECT doc_id AS doc, {_duck_tokens()} AS toks FROM documents
+      WHERE doc_id % 2 = 0
+    ), tr_tri AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3,
+             CAST(count(*) AS BIGINT) AS c3
+      FROM tr, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+      GROUP BY 1, 2, 3
+    ), tr_bi AS (
+      SELECT toks[i] AS a, toks[i+1] AS b, CAST(count(*) AS BIGINT) AS c2
+      FROM tr, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      GROUP BY 1, 2
+    ), tr_uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(toks) AS tok FROM tr) GROUP BY 1
+    ), tr_n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(toks) AS tok FROM tr)
+    ), d AS (
+      SELECT doc_id AS doc, {_duck_tokens()} AS toks FROM documents
+    ), doc_tri AS (
+      SELECT doc, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3,
+             CAST(count(*) AS BIGINT) AS m
+      FROM d, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+      GROUP BY 1, 2, 3, 4
+    ), j AS (
+      SELECT dt.doc, dt.m,
+             CAST(round(CASE
+               WHEN t.c3 IS NOT NULL THEN ln(t.c3 / CAST(b12.c2 AS DOUBLE))
+               WHEN b23.c2 IS NOT NULL
+                 THEN ln(0.4 * (b23.c2 / CAST(u2.c1 AS DOUBLE)))
+               ELSE ln(0.16 * (coalesce(u3.c1, 1) / CAST(tn.n AS DOUBLE)))
+             END * 1000000) AS BIGINT) AS slog
+      FROM doc_tri dt
+      LEFT JOIN tr_tri t
+        ON t.w1 = dt.w1 AND t.w2 = dt.w2 AND t.w3 = dt.w3
+      LEFT JOIN tr_bi b12 ON b12.a = dt.w1 AND b12.b = dt.w2
+      LEFT JOIN tr_bi b23 ON b23.a = dt.w2 AND b23.b = dt.w3
+      LEFT JOIN tr_uni u2 ON u2.tok = dt.w2
+      LEFT JOIN tr_uni u3 ON u3.tok = dt.w3
+      CROSS JOIN tr_n tn
+    ), scored AS (
+      SELECT doc, CAST(sum(m) AS BIGINT) AS n_trigrams,
+             CAST(-sum(m * slog) AS BIGINT) AS nll_micro
+      FROM j GROUP BY doc
+    )
+    SELECT doc, n_trigrams, nll_micro,
+           round(exp(CAST(nll_micro AS DOUBLE) / n_trigrams / 1000000), 4)
+             AS ppl
+    FROM scored
+    """,
+)
+def trigram_backoff_ppl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM with stupid backoff (operators/lm_score.py
+    trigram_backoff_ppl): train on the even-id half of the corpus,
+    score EVERY document — held-out docs hit the backoff chain
+    (trigram → 0.4·bigram → 0.16·unigram → unseen floor) for real,
+    which a self-scoring corpus never does. Micro-nat integer sums,
+    fixed ln-argument parenthesization, hash-gated end to end — the
+    n-gram-order step beyond ``bigram_perplexity`` toward
+    CCNet-style LM filtering."""
+    from .operators.lm_score import trigram_backoff_ppl
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram_backoff_ppl(
+        docs.where(F.col("doc_id") % 2 == 0), docs, "doc_id", "text"
+    )
+
+
+@query(
     "nb_lang_classify",
     oracle=f"""
     WITH d AS (

@@ -343,3 +343,57 @@ def test_weighted_sample_topk_matches_python_reference(spark, rows, k):
 
     expect = {i for i, _ in sorted(rows, key=lambda r: (-key(*r), r[0]))[:k]}
     assert got == expect
+
+
+def test_trigram_backoff_matches_python_reference(spark):
+    """Hand corpus where every backoff level fires — seen trigram,
+    bigram backoff, unigram backoff, and the unseen-unigram floor —
+    checked against a direct Python stupid-backoff computation."""
+    import math
+
+    from bgg_data_warehouse_spark.operators.lm_score import trigram_backoff_ppl
+
+    train_rows = [(0, "a b c a b d"), (2, "b c a c a b")]
+    score_rows = train_rows + [
+        (1, "a b c"),        # seen trigram
+        (3, "c a a b c"),    # unseen trigram 'c a a' -> bigram/uni backoff
+        (5, "a b zzz b c"),  # zzz unseen anywhere -> floor
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    score = spark.createDataFrame(score_rows, "doc_id long, text string")
+    got = {
+        r.doc: (r.n_trigrams, r.nll_micro)
+        for r in trigram_backoff_ppl(train, score, "doc_id", "text").collect()
+    }
+
+    def ngrams(toks, k):
+        return [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+    tri, bi, uni = {}, {}, {}
+    n = 0
+    for _, t in train_rows:
+        toks = t.split()
+        n += len(toks)
+        for g in ngrams(toks, 3):
+            tri[g] = tri.get(g, 0) + 1
+        for g in ngrams(toks, 2):
+            bi[g] = bi.get(g, 0) + 1
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+    expect = {}
+    for doc, t in score_rows:
+        toks = t.split()
+        tris = ngrams(toks, 3)
+        if not tris:
+            continue
+        nll = 0
+        for w1, w2, w3 in tris:
+            if (w1, w2, w3) in tri:
+                s = math.log(tri[(w1, w2, w3)] / float(bi[(w1, w2)]))
+            elif (w2, w3) in bi:
+                s = math.log(0.4 * (bi[(w2, w3)] / float(uni[w2])))
+            else:
+                s = math.log(0.16 * (uni.get(w3, 1) / float(n)))
+            nll -= round(s * 1_000_000)
+        expect[doc] = (len(tris), nll)
+    assert got == expect
