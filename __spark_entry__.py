@@ -57,6 +57,8 @@ _PRIORITY = [
     "temperature_mix",
     "knn_quantized",
     "trigram_backoff_ppl",
+    "inverted_index",
+    "profile_documents",
     # perf-work target this round — plan changes must stay hash-gated
     "doc_vector_knn",
     # TPC-H rotation: q6-q17 back in (q1-q5/q18-q22 r4-confirmed, out)
@@ -64,8 +66,6 @@ _PRIORITY = [
     # r2-vintage refresh: last driver row was round 2; gating code
     # unchanged, but lifetime evidence is oldest here
     "curation_pipeline",
-    "feature_arrays",
-    "dual_rank_topk",
     "filter_topn",
     "anti_join_pending",
     "latest_version_dedup",
@@ -84,6 +84,8 @@ _PRIORITY = [
     # ---- position 51+: r3/r4-confirmed, next-up if the driver widens
     "doc_fingerprint",
     "nested_profile",
+    "feature_arrays",
+    "dual_rank_topk",
     "ratio_guarded",
     "union_discriminated",
     *[f"tpch_q{i}" for i in range(1, 6)],

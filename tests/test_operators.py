@@ -170,3 +170,52 @@ def test_validity_intervals_tile_without_overlap(spark):
     assert by_ver[11].valid_to is None and by_ver[11].is_current
     assert by_ver[20].valid_to is None and by_ver[20].is_current
     assert sum(r.is_current for r in out) == 2
+
+
+def test_inverted_index_postings_and_lookup(spark):
+    """Postings carry exact tf per (term, doc); the summary's JSON list
+    is doc-sorted; term_lookup returns only the asked terms."""
+    import json
+
+    from bgg_data_warehouse_spark.operators.inverted_index import (
+        index_summary,
+        inverted_postings,
+        term_lookup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a c c")], "doc_id long, text string"
+    )
+    postings = inverted_postings(df, "doc_id", "text")
+    rows = {(r.tok, r.doc): r.tf for r in postings.collect()}
+    assert rows == {
+        ("a", 1): 2, ("a", 3): 1, ("b", 1): 1, ("b", 2): 1,
+        ("c", 2): 1, ("c", 3): 2,
+    }
+    summ = {r.tok: r for r in index_summary(postings).collect()}
+    assert summ["a"].df == 2 and summ["a"].cf == 3
+    assert json.loads(summ["c"].postings_json) == [
+        {"doc": 2, "tf": 1}, {"doc": 3, "tf": 2},
+    ]
+    hits = term_lookup(postings, ["a"]).collect()
+    assert {r.tok for r in hits} == {"a"} and len(hits) == 2
+
+
+def test_profile_columns_single_pass_and_nulls(spark):
+    """Null accounting, exact distincts, string-rendered ranges; the
+    plan must contain exactly ONE scan of the input (single-pass)."""
+    from bgg_data_warehouse_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, 5.0), (3, "x", 7.0), (4, "y", 7.0)],
+        "id long, s string, v double",
+    )
+    out = {r.column: r for r in profile_columns(df, ["id", "s", "v"]).collect()}
+    assert out["id"].n_rows == 4 and out["id"].n_null == 0
+    assert out["id"].n_distinct == 4
+    assert (out["id"].min_v, out["id"].max_v) == ("1", "4")
+    assert out["s"].n_null == 1 and out["s"].n_distinct == 2
+    assert out["v"].n_null == 1 and out["v"].n_distinct == 2
+    assert out["v"].min_v == "5.0"
+    plan = profile_columns(df, ["id", "s", "v"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 1

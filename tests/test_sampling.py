@@ -497,3 +497,72 @@ def test_naive_bayes_matches_python_reference(spark):
         best = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         expect[doc] = (best[0], best[1])
     assert got == expect
+
+
+def test_trigram_micronat_rounding_boundary_margin():
+    """trigram_backoff_ppl analog of the lm_score margin check: every
+    distinct scored log-prob argument must sit far from its micro-nat
+    rounding boundary relative to a 1-ulp cross-engine ln() flip."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    rel = con.sql(
+        """
+        WITH tr AS (
+          SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents WHERE doc_id % 2 = 0
+        ), tr_tri AS (
+          SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3,
+                 count(*) AS c3
+          FROM tr, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+          GROUP BY 1, 2, 3
+        ), tr_bi AS (
+          SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS c2
+          FROM tr, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+          GROUP BY 1, 2
+        ), tr_uni AS (
+          SELECT tok, count(*) AS c1
+          FROM (SELECT unnest(toks) AS tok FROM tr) GROUP BY 1
+        ), tr_n AS (
+          SELECT count(*) AS n FROM (SELECT unnest(toks) AS tok FROM tr)
+        ), d AS (
+          SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), doc_tri AS (
+          SELECT DISTINCT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+          FROM d, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+        )
+        SELECT DISTINCT t.c3, b12.c2 AS c12, b23.c2 AS c23, u2.c1 AS cu2,
+                        u3.c1 AS cu3, tn.n
+        FROM doc_tri dt
+        LEFT JOIN tr_tri t ON t.w1=dt.w1 AND t.w2=dt.w2 AND t.w3=dt.w3
+        LEFT JOIN tr_bi b12 ON b12.a=dt.w1 AND b12.b=dt.w2
+        LEFT JOIN tr_bi b23 ON b23.a=dt.w2 AND b23.b=dt.w3
+        LEFT JOIN tr_uni u2 ON u2.tok=dt.w2
+        LEFT JOIN tr_uni u3 ON u3.tok=dt.w3
+        CROSS JOIN tr_n tn
+        """
+    ).fetchall()
+    assert rel
+    min_margin, max_pert = 1.0, 0.0
+    for c3, c12, c23, cu2, cu3, n in rel:
+        if c3 is not None:
+            s = math.log(c3 / float(c12))
+        elif c23 is not None:
+            s = math.log(0.4 * (c23 / float(cu2)))
+        else:
+            s = math.log(0.16 * ((cu3 or 1) / float(n)))
+        scaled = s * 1e6
+        margin = abs(abs(scaled - math.floor(scaled)) - 0.5)
+        min_margin = min(min_margin, margin)
+        max_pert = max(max_pert, abs(scaled) * 2.0**-52)
+    assert min_margin > 1e-4, min_margin
+    assert max_pert < min_margin / 100, (max_pert, min_margin)
