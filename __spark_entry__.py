@@ -59,6 +59,7 @@ _PRIORITY = [
     "trigram_backoff_ppl",
     "inverted_index",
     "profile_documents",
+    "weighted_sample_stratified",
     # perf-work target this round — plan changes must stay hash-gated
     "doc_vector_knn",
     # TPC-H rotation: q6-q17 back in (q1-q5/q18-q22 r4-confirmed, out)
@@ -66,7 +67,6 @@ _PRIORITY = [
     # r2-vintage refresh: last driver row was round 2; gating code
     # unchanged, but lifetime evidence is oldest here
     "curation_pipeline",
-    "filter_topn",
     "anti_join_pending",
     "latest_version_dedup",
     "staleness_bands",
@@ -86,6 +86,7 @@ _PRIORITY = [
     "nested_profile",
     "feature_arrays",
     "dual_rank_topk",
+    "filter_topn",
     "ratio_guarded",
     "union_discriminated",
     *[f"tpch_q{i}" for i in range(1, 6)],

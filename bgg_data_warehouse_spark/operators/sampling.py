@@ -289,6 +289,63 @@ def chunk_documents(
     )
 
 
+def _aes_key(id_col: str, weight_col: str) -> Column:
+    """The Efraimidis–Spirakis key ln(u)/w with the deterministic
+    Knuth-hash uniform and the weight >= 1 guard (see
+    ``weighted_sample_topk`` for the full derivation)."""
+    h = F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(2147483647))
+        * F.lit(2654435761),
+        F.lit(2147483647),
+    )
+    u = (h + 1) / F.lit(2147483649.0)  # (0, 1]
+    w_checked = F.when(
+        F.col(weight_col) >= 1, F.col(weight_col).cast("double")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted sample: weight must be >= 1, got "),
+                F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
+                F.lit(" for id "),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    return F.log(u) / w_checked
+
+
+def weighted_sample_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    stratum_col: str,
+    k: int,
+    *,
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """A-ES weighted sampling without replacement, per stratum: the top
+    ``k`` keys WITHIN each ``stratum_col`` group are that stratum's
+    weighted sample — the balanced-quota form (k per language, k per
+    source) of ``weighted_sample_topk``. One shuffle on the stratum
+    key; the per-group cut plans as WindowGroupLimit so each task holds
+    k rows per group, never a full stratum sort buffer.
+    """
+    key = _aes_key(id_col, weight_col)
+    out = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(stratum_col).alias("stratum"),
+        F.col(weight_col).cast("long").alias("weight"),
+        key.alias(key_col),
+    )
+    w = Window.partitionBy("stratum").orderBy(
+        F.col(key_col).desc(), F.col("doc").asc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     id_col: str,
@@ -316,27 +373,7 @@ def weighted_sample_topk(
     TakeOrderedAndProject — per-partition heaps of k rows, no global
     sort, no shuffle of the corpus.
     """
-    h = F.pmod(
-        F.pmod(F.col(id_col).cast("long"), F.lit(2147483647))
-        * F.lit(2654435761),
-        F.lit(2147483647),
-    )
-    u = (h + 1) / F.lit(2147483649.0)  # (0, 1]
-    # weight >= 1 or fail loudly (NULL weight also lands in the error
-    # branch: NULL >= 1 is NULL, not true)
-    w_checked = F.when(
-        F.col(weight_col) >= 1, F.col(weight_col).cast("double")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("weighted_sample_topk: weight must be >= 1, got "),
-                F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
-                F.lit(" for id "),
-                F.col(id_col).cast("string"),
-            )
-        )
-    )
-    key = F.log(u) / w_checked
+    key = _aes_key(id_col, weight_col)
     return (
         df.select(
             F.col(id_col).alias("doc"),

@@ -2316,6 +2316,59 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_sample_stratified",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id AS doc, lang,
+             greatest(CAST(len(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+               AS BIGINT), 1) AS weight
+      FROM documents
+    ), keyed AS (
+      SELECT doc, lang, weight,
+             ln(((doc % 2147483647) * 2654435761 % 2147483647 + 1)
+                / 2147483649.0) / weight AS sample_key
+      FROM w
+    ), ranked AS (
+      SELECT doc, lang AS stratum, weight,
+             round(sample_key, 6) AS sample_key,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY sample_key DESC, doc)
+                  AS INT) AS rn
+      FROM keyed
+    )
+    SELECT doc, stratum, weight, sample_key, rn FROM ranked WHERE rn <= 20
+    """,
+)
+def weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum A-ES weighted sampling (operators/sampling.py
+    weighted_sample_per_stratum): 20 docs per language, weighted by
+    token count, without replacement — the balanced-quota form of
+    ``weighted_sample``. One shuffle on the stratum key, per-group cut
+    as WindowGroupLimit; the same deterministic integer hash-uniform
+    keys, so each stratum's sample SET is hash-gated."""
+    from .functions.text import word_tokens
+    from .operators.sampling import weighted_sample_per_stratum
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "lang",
+        F.greatest(
+            F.size(word_tokens(F.col("text"))).cast("long"), F.lit(1).cast("long")
+        ).alias("w"),
+    )
+    out = weighted_sample_per_stratum(w, "doc_id", "w", "lang", 20)
+    return out.select(
+        "doc",
+        "stratum",
+        "weight",
+        F.round("sample_key", 6).alias("sample_key"),
+        "rn",
+    )
+
+
+@query(
     "salted_join_revenue",
     oracle="""
     SELECT o.o_orderpriority,

@@ -566,3 +566,34 @@ def test_trigram_micronat_rounding_boundary_margin():
         max_pert = max(max_pert, abs(scaled) * 2.0**-52)
     assert min_margin > 1e-4, min_margin
     assert max_pert < min_margin / 100, (max_pert, min_margin)
+
+
+def test_weighted_sample_per_stratum_matches_python(spark):
+    """Each stratum's sample set equals the Python per-group A-ES
+    computation; groups smaller than k are taken whole."""
+    import math
+
+    from bgg_data_warehouse_spark.operators.sampling import (
+        weighted_sample_per_stratum,
+    )
+
+    rows = [
+        (i, "g1" if i < 30 else ("g2" if i < 40 else "g3"), 1 + i % 7)
+        for i in range(43)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, w long")
+    got = {}
+    for r in weighted_sample_per_stratum(df, "id", "w", "g", 5).collect():
+        got.setdefault(r.stratum, set()).add(r.doc)
+
+    def key(i, w):
+        h = (i % 2147483647) * 2654435761 % 2147483647
+        return math.log((h + 1) / 2147483649.0) / w
+
+    expect = {}
+    for g in ("g1", "g2", "g3"):
+        members = [(i, w) for i, gg, w in rows if gg == g]
+        top = sorted(members, key=lambda r: (-key(*r), r[0]))[:5]
+        expect[g] = {i for i, _ in top}
+    assert got == expect
+    assert len(got["g3"]) == 3  # stratum smaller than k taken whole
