@@ -130,6 +130,10 @@ def learn_bpe(
     ``encode_bpe``). On a corpus with fewer distinct pairs than
     ``num_merges``, later rounds learn nothing and emit no merge row.
     """
+    if num_merges < 1:
+        raise ValueError(
+            f"learn_bpe: num_merges must be >= 1, got {num_merges}"
+        )
     base = _word_counts(df, text_col).select(
         "word", "freq", _char_syms(F.col("word")).alias("syms")
     )

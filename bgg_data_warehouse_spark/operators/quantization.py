@@ -44,6 +44,21 @@ def quantize_embeddings(
         lambda acc, x: F.greatest(acc, F.abs(x)),
     )
     mx = df.agg(F.max(row_max).alias("scale"))
+    # An all-zero (or empty) corpus yields scale=0 and every x/scale
+    # would silently become NULL/NaN, corrupting qv downstream. Fail
+    # loudly at the one row where the degenerate state is visible.
+    mx = mx.select(
+        F.when(F.col("scale") > 0, F.col("scale"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "quantize_embeddings: corpus max |x| is 0 "
+                    "(all-zero or empty input) — cannot quantize"
+                )
+            )
+        )
+        .alias("scale")
+    )
     return df.crossJoin(F.broadcast(mx)).select(
         F.col(id_col).alias("id"),
         F.transform(

@@ -160,7 +160,14 @@ def temperature_mix(
                 F.lit(float(BUCKETS))
                 * F.lit(budget)
                 * F.col("_sq")
-                / (F.col("_tot") * F.col("_n"))
+                # Denominator in DOUBLE: the BIGINT product _tot·_n
+                # overflows int64 once any source holds ~1e9+ rows
+                # (Σ round(√n·1e6) · n), and non-ANSI Spark would wrap
+                # silently while DuckDB errors. The double product is
+                # exact at any scale where the division result still
+                # rounds identically (both engines compute the same
+                # IEEE double), and the oracle mirrors the cast.
+                / (F.col("_tot").cast("double") * F.col("_n"))
             ).cast("long"),
         ).alias("_th"),
     )

@@ -46,14 +46,28 @@ def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(DOCS_SCHEMA).parquet(path)
 
 
-def _prior_batches(index_dir: str, current: str) -> list[str]:
-    if not os.path.isdir(index_dir):
+def _prior_batches(spark: SparkSession, index_dir: str, current: str) -> list[str]:
+    """List prior batch-* index directories through Hadoop's FileSystem.
+
+    A driver-local os.listdir would return [] for any non-local
+    ``index_dir`` (hdfs://, s3a:// — the steady-state deployment) and
+    the sink would silently run with an EMPTY index, dropping every
+    cross-batch pair. The Hadoop API resolves whatever filesystem the
+    URI names, so local paths keep working and remote ones are real.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return []
-    return sorted(
-        os.path.join(index_dir, d)
-        for d in os.listdir(index_dir)
-        if d.startswith("batch-") and os.path.join(index_dir, d) != current
-    )
+    current_name = jvm.org.apache.hadoop.fs.Path(current).getName()
+    out = []
+    for status in fs.listStatus(hpath):
+        p = status.getPath()
+        name = p.getName()
+        if status.isDirectory() and name.startswith("batch-") and name != current_name:
+            out.append(p.toString())
+    return sorted(out)
 
 
 def start_streaming_dedup(
@@ -90,7 +104,7 @@ def start_streaming_dedup(
             "overwrite"
         ).parquet(batch_path)
         batch_sketch = spark.read.parquet(batch_path)
-        prior = _prior_batches(index_dir, batch_path)
+        prior = _prior_batches(spark, index_dir, batch_path)
         index = (
             spark.read.parquet(*prior)
             if prior

@@ -1735,7 +1735,7 @@ def mix_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), t AS (SELECT CAST(sum(sq) AS BIGINT) AS tot FROM s),
     r AS (
       SELECT lang,
-             CAST(least(1000, round(1000.0 * 250 * sq / (tot * n)))
+             CAST(least(1000, round(1000.0 * 250 * sq / (CAST(tot AS DOUBLE) * n)))
                   AS BIGINT) AS th
       FROM s CROSS JOIN t
     )
@@ -3820,13 +3820,14 @@ def doc_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
         )
         .join(
-            # norms is one row per document — broadcast it so attaching
-            # the neighbor norm costs no shuffle of the 10×corpus dots
-            # table (per-doc aggregates are always ≪ the pair table).
-            F.broadcast(
-                norms.select(
-                    F.col("doc").alias("nbr_id"), F.col("n2").alias("n_n2")
-                )
+            # norms is one row per DOCUMENT — at corpus scale a forced
+            # broadcast would ship O(corpus) rows past AQE's size
+            # checks (the exact hazard BROADCAST_VOCAB_MAX guards in
+            # encode_token_ids). No hint: AQE still broadcasts it at
+            # small scale and falls back to a shuffle join when the
+            # corpus outgrows the threshold.
+            norms.select(
+                F.col("doc").alias("nbr_id"), F.col("n2").alias("n_n2")
             ),
             "nbr_id",
         )

@@ -157,3 +157,14 @@ def test_encode_bpe_positions_and_plan(spark):
         for tok in ("ab ba ab" if doc % 2 else "ba ab").split():
             expect.extend([merged] if tok == merged else list(tok))
         assert pieces == expect, (doc, pieces, expect)
+
+
+def test_learn_bpe_rejects_zero_merges(spark):
+    # ADVICE r05: num_merges=0 used to IndexError on merge_rounds[0].
+    import pytest
+
+    from bgg_data_warehouse_spark.operators.bpe import learn_bpe
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    with pytest.raises(ValueError, match="num_merges"):
+        learn_bpe(df, "text", num_merges=0)

@@ -62,3 +62,19 @@ def test_quantized_topk_recall_vs_float_bruteforce(spark):
     ).collect():
         again.setdefault(r.query_id, set()).add(r.nbr_id)
     assert again == got
+
+
+def test_quantize_all_zero_corpus_fails_loudly(spark):
+    # ADVICE r05: scale=0 must raise, never silently emit NULL/NaN qv.
+    import pytest
+
+    from bgg_data_warehouse_spark.operators.quantization import (
+        quantize_embeddings,
+    )
+
+    zeros = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0])], "id2 long, v array<double>"
+    )
+    with pytest.raises(Exception) as ei:
+        quantize_embeddings(zeros, "id2", "v").collect()
+    assert "cannot quantize" in str(ei.value)
