@@ -4331,3 +4331,160 @@ def knn_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_tables=1,
         bits_per_table=0,
     )
+
+
+# ===========================================================================
+# Round 6 — corpus-scale machinery: DSIR selection, sketches, bloom-pruned
+# joins, layout keys, curation verdicts (LLM-pipeline extensions; no
+# reference counterpart — same family as lm_score.py / dedup.py)
+# ===========================================================================
+
+
+def _dsir_fold_sql(expr: str, n: int) -> str:
+    from .operators.importance import md5_fold_sql
+
+    return md5_fold_sql(expr, n)
+
+
+@query(
+    "dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS t(tok)
+    ), cnt AS (
+      SELECT doc, {_dsir_fold_sql('tok', 256)} AS bkt,
+             CAST(count(*) AS BIGINT) AS m
+      FROM toks GROUP BY 1, 2
+    ), flags AS (
+      SELECT doc_id AS doc, lang = 'en' AS tgt FROM documents
+    ), c2 AS (
+      SELECT cnt.doc, bkt, m, tgt FROM cnt JOIN flags USING (doc)
+    ),
+    tb AS (SELECT bkt, CAST(sum(m) AS BIGINT) AS n FROM c2 WHERE tgt GROUP BY 1),
+    tt AS (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) AS tot FROM c2 WHERE tgt),
+    rb AS (SELECT bkt, CAST(sum(m) AS BIGINT) AS n FROM c2 WHERE NOT tgt GROUP BY 1),
+    rt AS (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) AS tot FROM c2 WHERE NOT tgt),
+    spine AS (SELECT CAST(range AS BIGINT) AS bkt FROM range(256)),
+    lt AS (
+      SELECT s.bkt,
+             CAST(round(ln(CAST(coalesce(n, 0) + 1 AS DOUBLE)
+                           / CAST(tot + 256 AS DOUBLE)) * 1000000) AS BIGINT) AS l
+      FROM spine s LEFT JOIN tb ON s.bkt = tb.bkt CROSS JOIN tt
+    ),
+    lr AS (
+      SELECT s.bkt,
+             CAST(round(ln(CAST(coalesce(n, 0) + 1 AS DOUBLE)
+                           / CAST(tot + 256 AS DOUBLE)) * 1000000) AS BIGINT) AS l
+      FROM spine s LEFT JOIN rb ON s.bkt = rb.bkt CROSS JOIN rt
+    )
+    SELECT c2.doc, CAST(sum(m) AS BIGINT) AS n_tokens,
+           CAST(sum(m * (lt.l - lr.l)) AS BIGINT) AS weight_micro
+    FROM c2 JOIN lt ON c2.bkt = lt.bkt JOIN lr ON c2.bkt = lr.bkt
+    WHERE NOT tgt
+    GROUP BY 1
+    ORDER BY weight_micro DESC, doc ASC
+    LIMIT 100
+    """,
+)
+def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score every non-English
+    document by how English-like its hashed-unigram distribution is —
+    log p_target/p_raw under two add-one-smoothed 256-bucket models —
+    and keep the top 100. Integer micro-nat arithmetic makes the whole
+    selection hash-gateable; the models are bucket-bounded (256 rows)
+    so both score joins broadcast, and the top-k plans as
+    TakeOrderedAndProject."""
+    from .operators.importance import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, "doc_id", "text", F.col("lang") == "en",
+        num_buckets=256, top_k=100,
+    )
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH depths AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(d)),
+    grid AS (
+      SELECT d, {_dsir_fold_sql("concat(CAST(d AS VARCHAR), ':', CAST(user_id AS VARCHAR))", 64)} AS bkt,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events CROSS JOIN depths
+      GROUP BY 1, 2
+    ), cand AS (SELECT DISTINCT user_id FROM events),
+    probes AS (
+      SELECT user_id, d,
+             {_dsir_fold_sql("concat(CAST(d AS VARCHAR), ':', CAST(user_id AS VARCHAR))", 64)} AS bkt
+      FROM cand CROSS JOIN depths
+    ), est AS (
+      SELECT user_id, min(coalesce(cnt, 0)) AS est
+      FROM probes LEFT JOIN grid USING (d, bkt)
+      GROUP BY 1
+    ), exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY 1
+    )
+    SELECT est.user_id, est, exact_cnt
+    FROM est JOIN exact USING (user_id)
+    WHERE est >= 30
+    """,
+)
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters over event users: build a 4×64 sketch
+    (shuffle bounded at the GRID size per task by map-side combine,
+    regardless of key cardinality), estimate every candidate's
+    frequency as the min over its 4 counters, keep est ≥ 30, and attach
+    the exact count so the gate proves the CMS overestimate property
+    row by row (est ≥ exact always; equality when uncollided)."""
+    from .operators.sketches import cms_estimate, cms_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_sketch(ev, "user_id", depth=4, width=64)
+    cand = ev.select("user_id").distinct()
+    est = cms_estimate(cand, sketch, "user_id", depth=4, width=64).select(
+        F.col("key").alias("user_id"), "est"
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    return est.where(F.col("est") >= 30).join(exact, "user_id")
+
+
+@query(
+    "bloom_pruned_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, c_acctbal
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+    """,
+)
+def bloom_pruned_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ high-balance BUILDING customers with the orders side
+    Bloom-pruned BEFORE the join shuffle: the build side's keys pack
+    into a 4096-bit broadcast bitmap (512 bytes at ANY scale), the
+    probe test is a pure scan filter, and the exact join drops false
+    positives — so the result is bit-identical to the plain join the
+    oracle runs, while only the surviving fraction of a 100 TB orders
+    table would pay the shuffle. tests/test_operators.py proves the
+    prune actually removes rows and loses none."""
+    from .operators.bloom_join import bloom_pruned_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    probe = orders.select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey")
+    )
+    return bloom_pruned_join(
+        probe, cust, "c_custkey", num_bits=4096, num_hashes=3
+    ).select(
+        "o_orderkey",
+        F.col("c_custkey").alias("o_custkey"),
+        "c_name",
+        "c_acctbal",
+    )
