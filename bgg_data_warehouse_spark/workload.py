@@ -4488,3 +4488,314 @@ def bloom_pruned_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "c_acctbal",
     )
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             len({_duck_tokens()}) AS n_tokens,
+             list_sum(list_transform({_duck_tokens()}, x -> length(x))) AS tok_chars,
+             len(list_filter({_duck_tokens()},
+                             x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+             {_duck_sw('en')} AS n_sw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           n_tokens BETWEEN 5 AND 1000 AS r_wordcount,
+           (n_tokens > 0 AND tok_chars * 1.0 / n_tokens BETWEEN 2 AND 12)
+             AS r_mean_word_len,
+           (n_tokens > 0 AND n_alpha * 1.0 / n_tokens >= 0.8) AS r_alpha,
+           n_sw >= 2 AS r_stopwords,
+           (n_tokens BETWEEN 5 AND 1000
+            AND n_tokens > 0 AND tok_chars * 1.0 / n_tokens BETWEEN 2 AND 12
+            AND n_alpha * 1.0 / n_tokens >= 0.8
+            AND n_sw >= 2) AS keep
+    FROM base
+    """,
+)
+def gopher_quality_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based curation verdict (Rae et al. 2021 §A1.1):
+    per-document booleans for word count, mean word length, alphabetic
+    ratio and stopword presence, plus the conjunctive keep decision —
+    the filter step a pretraining pipeline applies before dedup. Pure
+    Catalyst expressions over the token array; zero shuffles (scan →
+    project)."""
+    from .functions.text import stopword_count, word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0),
+            lambda a, b: a + b,
+        ).alias("tok_chars"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).alias("n_alpha"),
+        stopword_count(toks, "en").alias("n_sw"),
+    )
+    nt = F.col("n_tokens")
+    r_wc = nt.between(5, 1000)
+    r_mwl = (nt > 0) & (F.col("tok_chars") * 1.0 / nt).between(2, 12)
+    r_alpha = (nt > 0) & (F.col("n_alpha") * 1.0 / nt >= 0.8)
+    r_sw = F.col("n_sw") >= 2
+    return base.select(
+        "doc_id",
+        nt.cast("long").alias("n_tokens"),
+        r_wc.alias("r_wordcount"),
+        r_mwl.alias("r_mean_word_len"),
+        r_alpha.alias("r_alpha"),
+        r_sw.alias("r_stopwords"),
+        (r_wc & r_mwl & r_alpha & r_sw).alias("keep"),
+    )
+
+
+@query(
+    "corpus_kl_shift",
+    oracle="""
+    WITH toks AS (
+      SELECT source, tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS t(tok)
+      WHERE source IN ('src1', 'src2')
+    ), vocab AS (SELECT DISTINCT tok FROM toks),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM vocab),
+    c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks WHERE source = 'src1' GROUP BY 1),
+    c2 AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks WHERE source = 'src2' GROUP BY 1),
+    t1 AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tot FROM c1),
+    t2 AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tot FROM c2),
+    scored AS (
+      SELECT vocab.tok,
+             CAST(coalesce(c1.n, 0) AS BIGINT) AS n_src1,
+             CAST(coalesce(c2.n, 0) AS BIGINT) AS n_src2,
+             coalesce(c1.n, 0)
+               * (CAST(round(ln(CAST(coalesce(c1.n, 0) + 1 AS DOUBLE)
+                                / CAST(t1.tot + v.vsz AS DOUBLE)) * 1000000) AS BIGINT)
+                  - CAST(round(ln(CAST(coalesce(c2.n, 0) + 1 AS DOUBLE)
+                                  / CAST(t2.tot + v.vsz AS DOUBLE)) * 1000000) AS BIGINT))
+               AS contrib_micro
+      FROM vocab
+      LEFT JOIN c1 ON vocab.tok = c1.tok
+      LEFT JOIN c2 ON vocab.tok = c2.tok
+      CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN v
+    )
+    SELECT tok, n_src1, n_src2, CAST(contrib_micro AS BIGINT) AS contrib_micro
+    FROM scored
+    ORDER BY contrib_micro DESC, tok ASC
+    LIMIT 30
+    """,
+)
+def corpus_kl_shift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift report: per-token KL(src1‖src2) contributions over
+    add-one-smoothed unigram models, top 30 — the distribution-shift
+    diagnostic run before mixing a new crawl into a pretraining blend.
+    Contributions are integer micro-nat products (n·(l1−l2)), so the
+    report is hash-gated; models are vocabulary-bounded aggregates and
+    the token explode is map-side."""
+    from .functions.text import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.col("source").isin("src1", "src2"))
+        .select("source", F.explode(word_tokens(F.col("text"))).alias("tok"))
+    )
+    c1 = (
+        toks.where(F.col("source") == "src1")
+        .groupBy("tok").agg(F.count("*").alias("_n1"))
+    )
+    c2 = (
+        toks.where(F.col("source") == "src2")
+        .groupBy("tok").agg(F.count("*").alias("_n2"))
+    )
+    vocab = toks.select("tok").distinct()
+    v = vocab.agg(F.count("*").alias("_vsz"))
+    t1 = c1.agg(F.coalesce(F.sum("_n1"), F.lit(0)).alias("_t1"))
+    t2 = c2.agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_t2"))
+
+    def _l(n, tot):
+        return F.round(
+            F.log((n + 1).cast("double") / (tot + F.col("_vsz")).cast("double"))
+            * 1_000_000
+        ).cast("long")
+
+    scored = (
+        vocab.join(c1, "tok", "left")
+        .join(c2, "tok", "left")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "tok",
+            F.coalesce(F.col("_n1"), F.lit(0)).alias("n_src1"),
+            F.coalesce(F.col("_n2"), F.lit(0)).alias("n_src2"),
+            (
+                F.coalesce(F.col("_n1"), F.lit(0))
+                * (
+                    _l(F.coalesce(F.col("_n1"), F.lit(0)), F.col("_t1"))
+                    - _l(F.coalesce(F.col("_n2"), F.lit(0)), F.col("_t2"))
+                )
+            ).alias("contrib_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("contrib_micro").desc(), F.col("tok").asc()
+    ).limit(30)
+
+
+def _zorder_oracle() -> str:
+    from .operators.zorder import zvalue_sql
+
+    z = zvalue_sql(
+        "(user_id & 65535)",
+        "(CAST(floor(epoch(ts) / 3600) AS BIGINT) & 65535)",
+        bits=16,
+    )
+    return f"""
+    WITH coded AS (
+      SELECT event_id,
+             CAST(user_id & 65535 AS BIGINT) AS zx,
+             CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) & 65535 AS BIGINT) AS zy,
+             CAST({z} AS BIGINT) AS zval
+      FROM events
+    )
+    SELECT event_id, zx, zy, zval, CAST(zval >> 20 AS BIGINT) AS zbucket
+    FROM coded
+    """
+
+
+@query("zorder_layout", oracle=_zorder_oracle())
+def zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-code layout keys for two-dimensional data skipping: the
+    events table gets a 32-bit z-value interleaving (user_id, hour) so
+    a range-partitioned write carries zone maps tight on BOTH columns —
+    a reader filtering on either prunes files (the Delta/Iceberg
+    ZORDER BY trick as plain Catalyst bit math, generalizing the
+    reference's single-column RANGE_BUCKET layout,
+    /root/reference/definitions: partition key pattern F14). zbucket
+    (top 12 bits) is the coarse file assignment the writer's
+    repartitionByRange would produce. Unrolled bit expression —
+    whole-stage codegen, no shuffle, no Python."""
+    from .operators.zorder import zvalue
+
+    ev = load_table(spark, sf_dir, "events")
+    zx = F.col("user_id").bitwiseAND(F.lit(65535).cast("long"))
+    zy = (
+        (F.col("ts").cast("long") / 3600)
+        .cast("long")
+        .bitwiseAND(F.lit(65535).cast("long"))
+    )
+    coded = ev.select(
+        "event_id",
+        zx.cast("long").alias("zx"),
+        zy.cast("long").alias("zy"),
+        zvalue(zx, zy, bits=16).alias("zval"),
+    )
+    return coded.select(
+        "event_id", "zx", "zy", "zval",
+        F.shiftright(F.col("zval"), 20).alias("zbucket"),
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source, md5(text) AS fp,
+             CASE WHEN source = 'src1' THEN 1
+                  WHEN source = 'src2' THEN 2 ELSE 3 END AS pri
+      FROM documents
+    ), sized AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS n_copies FROM f GROUP BY 1
+    ), ranked AS (
+      SELECT doc_id, source, fp,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY pri, doc_id) AS rn
+      FROM f
+    )
+    SELECT doc_id, source, ranked.fp, n_copies
+    FROM ranked JOIN sized ON ranked.fp = sized.fp
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a SOURCE-PRIORITY survivorship policy: for each
+    content fingerprint keep the copy from the most-trusted source
+    (src1 > src2 > rest, doc_id tie-break) and record the copy count —
+    the 'prefer curated over crawled' rule every multi-source corpus
+    merge applies. Same one-shuffle W1 shape as dedup_exact (the
+    8-byte fingerprint is the shuffle key), with the policy as the
+    window order."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("fp"),
+        F.when(F.col("source") == "src1", 1)
+        .when(F.col("source") == "src2", 2)
+        .otherwise(3)
+        .alias("pri"),
+    )
+    sized = f.groupBy("fp").agg(F.count("*").alias("n_copies"))
+    w = Window.partitionBy("fp").orderBy(F.col("pri").asc(), F.col("doc_id").asc())
+    kept = (
+        f.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", "fp")
+    )
+    return kept.join(sized, "fp").select("doc_id", "source", "fp", "n_copies")
+
+
+@query(
+    "token_budget_report",
+    oracle=f"""
+    WITH d AS (
+      SELECT len({_duck_tokens()}) AS n FROM documents
+    ), b AS (
+      SELECT CAST(n // 4 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS bucket_tokens
+      FROM d GROUP BY 1
+    )
+    SELECT bucket, n_docs, bucket_tokens,
+           CAST(SUM(bucket_tokens) OVER (ORDER BY bucket) AS BIGINT)
+             AS cum_tokens,
+           round(CAST(SUM(bucket_tokens) OVER (ORDER BY bucket) AS DOUBLE)
+                 / CAST(SUM(bucket_tokens) OVER () AS DOUBLE), 6) AS cum_share
+    FROM b
+    """,
+)
+def token_budget_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram + cumulative token budget: how many
+    documents and tokens fall in each length band and what share of
+    the total budget the bands up to L cover — the planning query
+    behind context-length and packing decisions. One corpus aggregate;
+    the windowed cumulative runs over the BAND table (bounded by
+    max_len/4 rows, not data-sized), so the single-partition window is
+    safe at any scale."""
+    from .functions.text import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(F.size(word_tokens(F.col("text"))).alias("n"))
+    b = d.groupBy((F.col("n") / 4).cast("long").alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("bucket_tokens"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return b.select(
+        "bucket",
+        "n_docs",
+        "bucket_tokens",
+        F.sum("bucket_tokens").over(w_cum).alias("cum_tokens"),
+        F.round(
+            F.sum("bucket_tokens").over(w_cum).cast("double")
+            / F.sum("bucket_tokens").over(w_all).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )

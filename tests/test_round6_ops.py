@@ -1,0 +1,146 @@
+"""Round-6 operator units: bloom join pruning, CMS properties, DSIR
+direction, z-order bijectivity, budget-report invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_bloom_prune_drops_rows_and_loses_none(spark):
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    cust = (
+        spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+        .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000))
+        .select("c_custkey", "c_name")
+    )
+    from bgg_data_warehouse_spark.operators.bloom_join import (
+        bloom_build,
+        bloom_prune,
+        bloom_pruned_join,
+    )
+
+    probe = orders.select("o_orderkey", F.col("o_custkey").alias("c_custkey"))
+    bloom = bloom_build(cust, "c_custkey", num_bits=4096, num_hashes=3)
+    pruned = bloom_prune(probe, "c_custkey", bloom, num_bits=4096, num_hashes=3)
+    n_all, n_pruned = probe.count(), pruned.count()
+    # the filter must actually prune (selective build side) ...
+    assert n_pruned < n_all, (n_pruned, n_all)
+    # ... and the final join must equal the plain join exactly
+    got = sorted(
+        (r.o_orderkey, r.c_custkey)
+        for r in bloom_pruned_join(probe, cust, "c_custkey").collect()
+    )
+    want = sorted(
+        (r.o_orderkey, r.c_custkey) for r in probe.join(cust, "c_custkey").collect()
+    )
+    assert got == want
+    # no true match may be bloom-rejected (zero false negatives)
+    truth = {r.c_custkey for r in cust.collect()}
+    kept = {r.c_custkey for r in pruned.collect()}
+    assert truth & {r.c_custkey for r in probe.collect()} <= kept
+
+
+def test_bloom_bitmap_is_partitioning_invariant(spark):
+    from bgg_data_warehouse_spark.operators.bloom_join import bloom_build
+
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").select("c_custkey")
+    a = bloom_build(cust, "c_custkey", num_bits=1024).collect()[0].bits
+    b = bloom_build(cust.repartition(13), "c_custkey", num_bits=1024).collect()[0].bits
+    assert a == b
+    assert len(a) == 1024 // 64
+
+
+def test_cms_never_underestimates(spark):
+    from bgg_data_warehouse_spark.operators.sketches import cms_estimate, cms_sketch
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    sketch = cms_sketch(ev, "user_id", depth=4, width=32)
+    # grid is bounded by depth × width no matter the key cardinality
+    assert sketch.count() <= 4 * 32
+    cand = ev.select("user_id").distinct()
+    est = {
+        r.key: r.est
+        for r in cms_estimate(cand, sketch, "user_id", depth=4, width=32).collect()
+    }
+    exact = {
+        r.user_id: r.cnt
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+
+
+def test_cms_novel_key_estimates_zero_or_collision(spark):
+    from bgg_data_warehouse_spark.operators.sketches import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([(i % 3,) for i in range(30)], "k long")
+    sketch = cms_sketch(df, "k", depth=4, width=64)
+    novel = spark.createDataFrame([(999999,)], "k long")
+    est = cms_estimate(novel, sketch, "k", depth=4, width=64).collect()[0].est
+    # a never-inserted key can only pick up collision mass, never more
+    # than the heaviest true key's count
+    assert 0 <= est <= 10
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from bgg_data_warehouse_spark.operators.importance import dsir_select
+
+    rows = [
+        (1, "alpha beta gamma", "t"),
+        (2, "alpha beta delta", "t"),
+        (3, "alpha beta gamma delta", "r"),  # target-like
+        (4, "zebra yak xylophone walrus", "r"),  # off-target
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    out = dsir_select(
+        df, "doc_id", "text", F.col("grp") == "t", num_buckets=64, top_k=10
+    ).collect()
+    w = {r.doc: r.weight_micro for r in out}
+    assert w[3] > w[4]
+
+
+def test_zvalue_interleave_roundtrip(spark):
+    from bgg_data_warehouse_spark.operators.zorder import zvalue
+
+    pts = [(x, y) for x in (0, 1, 5, 1000, 65535) for y in (0, 2, 7, 4095, 65535)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = df.select("x", "y", zvalue(F.col("x"), F.col("y"), bits=16).alias("z")).collect()
+
+    def deinterleave(z):
+        x = y = 0
+        for i in range(16):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    for r in got:
+        assert deinterleave(r.z) == (r.x, r.y)
+
+
+def test_zorder_layout_gives_monotone_file_ranges(spark):
+    """Range-partitioned z-values must yield non-overlapping per-file
+    [min, max] zone maps — the property file skipping relies on."""
+    from bgg_data_warehouse_spark.operators.zorder import zorder_layout
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    laid = zorder_layout(ev, "user_id", "event_id", bits=16, num_files=8)
+    ranges = (
+        laid.select(F.spark_partition_id().alias("p"), "zval")
+        .groupBy("p")
+        .agg(F.min("zval").alias("lo"), F.max("zval").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev.hi <= cur.lo
+
+
+def test_token_budget_report_sums_to_one(spark):
+    from bgg_data_warehouse_spark.workload import QUERIES
+
+    rows = QUERIES["token_budget_report"](spark, SF_SMALL).orderBy("bucket").collect()
+    assert rows[-1].cum_share == 1.0
+    assert rows[-1].cum_tokens == sum(r.bucket_tokens for r in rows)
+    assert all(a.cum_tokens < b.cum_tokens for a, b in zip(rows, rows[1:]))
