@@ -23,16 +23,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness grades the FIRST 50 queries in dict
-# order. Round 5 rotation (VERDICT r04 "Next round" #6): keep the four
-# events sentinels + the two sketch-twin anchors, keep the seven round-4
-# newcomers for one confirmation round, promote the two NEW round-5
-# capabilities (bpe_learn_encode, semantic_dedup), keep doc_vector_knn
-# (still under perf work) hash-gated in-window, rotate TPC-H q1-q5/
-# q18-q22 OUT for q6-q17, and fill the remaining 22 slots with
-# r2-vintage greens whose gating code hasn't had a driver row since
-# round 2 (refreshing the oldest lifetime evidence).
+# order. Round 6 rotation (no r5 VERDICT issued; follows the standing
+# pattern): keep the four events sentinels + the two sketch-twin
+# anchors; promote the EIGHT new round-6 capabilities; keep in-window
+# the two queries whose gating code changed this round
+# (temperature_mix — double-denominator overflow fix mirrored in its
+# oracle; doc_vector_knn — forced norms broadcast dropped for AQE);
+# give the remaining round-5 newcomers their one confirmation round;
+# rotate TPC-H q1-q5/q18-q22 back in (q6-q17 r5-confirmed, out); and
+# fill the last 16 slots with the stalest oracle-gated queries (no
+# driver row since r2/r3).
 _PRIORITY = [
-    # events-adapter regression sentinels (green r3+r4, keep in-window)
+    # events-adapter regression sentinels (green r3+r4+r5, keep)
     "latest_snapshot",
     "semi_scoped_agg",
     "watermark_increment",
@@ -40,7 +42,58 @@ _PRIORITY = [
     # sketch-twin anchors (regression sentinels)
     "dedup_minhash_verified",
     "knn_ivf_exact",
-    # round-4 newcomers — one confirmation round (r4-green)
+    # NEW round 6: DSIR importance selection, count-min heavy hitters,
+    # bloom-pruned join, Gopher rule verdicts, corpus KL drift,
+    # z-order layout keys, priority-survivorship dedup, token budget
+    "dsir_importance",
+    "cms_heavy_hitters",
+    "bloom_pruned_join",
+    "gopher_quality_rules",
+    "corpus_kl_shift",
+    "zorder_layout",
+    "dedup_keep_best",
+    "token_budget_report",
+    # gating code CHANGED this round — must stay hash-gated in-window
+    "temperature_mix",
+    "doc_vector_knn",
+    # round-5 newcomers — one confirmation round (r5-green)
+    "bpe_learn_encode",
+    "semantic_dedup",
+    "nb_lang_classify",
+    "knn_quantized",
+    "trigram_backoff_ppl",
+    "inverted_index",
+    "profile_documents",
+    "weighted_sample_stratified",
+    # TPC-H rotation: q1-q5/q18-q22 back in (q6-q17 r5-confirmed, out)
+    *[f"tpch_q{i}" for i in range(1, 6)],
+    *[f"tpch_q{i}" for i in range(18, 23)],
+    # stalest-evidence refresh: last driver row was round 2/3
+    "benchmark_contamination",
+    "chunk_documents",
+    "doc_fingerprint",
+    "dual_rank_topk",
+    "except_intersect_keys",
+    "feature_arrays",
+    "filter_topn",
+    "full_outer_reconcile",
+    "lang_id",
+    "mix_sources",
+    "nested_profile",
+    "pack_sequences",
+    "pii_redact",
+    "quality_score",
+    "ratio_guarded",
+    "repetition_stats",
+    # ---- position 51+: next-up if the driver widens; the remaining
+    # r2/r3-vintage entries lead so they rotate in next round
+    "salted_join_revenue",
+    "scd2_intervals",
+    "split_assign",
+    "stratified_sample",
+    "token_count",
+    "union_discriminated",
+    *[f"tpch_q{i}" for i in range(6, 18)],
     "multimodal_png_features",
     "multimodal_video_frames",
     "bigram_perplexity",
@@ -48,24 +101,6 @@ _PRIORITY = [
     "leakage_safe_split",
     "dedup_minhash_incremental",
     "vocab_encode",
-    # NEW round 5: BPE merge-learning tokenizer (model + encodings
-    # hash-gated), SemDeDup (kmeans + within-cluster near-dup prune),
-    # Naive Bayes language classification, α=0.5 temperature mixing
-    "bpe_learn_encode",
-    "semantic_dedup",
-    "nb_lang_classify",
-    "temperature_mix",
-    "knn_quantized",
-    "trigram_backoff_ppl",
-    "inverted_index",
-    "profile_documents",
-    "weighted_sample_stratified",
-    # perf-work target this round — plan changes must stay hash-gated
-    "doc_vector_knn",
-    # TPC-H rotation: q6-q17 back in (q1-q5/q18-q22 r4-confirmed, out)
-    *[f"tpch_q{i}" for i in range(6, 18)],
-    # r2-vintage refresh: last driver row was round 2; gating code
-    # unchanged, but lifetime evidence is oldest here
     "curation_pipeline",
     "anti_join_pending",
     "latest_version_dedup",
@@ -81,16 +116,6 @@ _PRIORITY = [
     "substring_dedup",
     "dedup_cluster_collapse",
     "components_star_chains",
-    # ---- position 51+: r3/r4-confirmed, next-up if the driver widens
-    "doc_fingerprint",
-    "nested_profile",
-    "feature_arrays",
-    "dual_rank_topk",
-    "filter_topn",
-    "ratio_guarded",
-    "union_discriminated",
-    *[f"tpch_q{i}" for i in range(1, 6)],
-    *[f"tpch_q{i}" for i in range(18, 23)],
     "multimodal_features",
     "request_stats",
     "sessionize",
