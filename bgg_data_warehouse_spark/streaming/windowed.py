@@ -1,0 +1,55 @@
+"""Watermarked windowed aggregation — the streaming twin of
+``hourly_event_rollup``.
+
+``readStream → withWatermark → window-groupBy → writeStream`` is the
+canonical Structured Streaming shape for event-time rollups with
+bounded state: the watermark lets the engine (a) finalize and emit a
+window once event time passes its end + delay (append mode), and (b)
+EVICT that window's state, so a 100 TB/day stream holds only
+``delay / window`` windows of state per key instead of growing forever.
+Rows arriving later than the watermark are dropped — both behaviors are
+pinned by tests/test_streaming_windowed.py (batch-equivalence under
+``complete`` mode, late-row eviction under ``append`` with per-file
+triggers).
+
+Reference parity: the reference's streaming row inserts
+(src/services/live ingest, SURVEY §2 S8) feed the same hourly rollup
+this computes; the watermark/eviction machinery is the Spark-native
+replacement for its cron-driven re-aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_rollup(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed counts/sums with a late-data watermark.
+
+    Works on a streaming OR batch DataFrame (the plan is identical —
+    ``withWatermark`` is a no-op in batch), which is what the
+    equivalence test exploits."""
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )

@@ -4799,3 +4799,98 @@ def token_budget_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_share"),
     )
+
+
+@query(
+    "funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1
+    ), s4 AS (
+      SELECT e.user_id, min(e.ts) AS t4
+      FROM events e JOIN s3 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1
+    )
+    SELECT u.user_id AS user,
+           CAST(CASE WHEN t4 IS NOT NULL THEN 4
+                     WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS steps_completed,
+           t1 AS t_first,
+           t4 AS t_converted
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    LEFT JOIN s4 USING (user_id)
+    """,
+)
+def funnel_steps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup→view→click→purchase funnel progress per user in ONE
+    shuffle (operators/funnel.py): the classic K-self-join formulation
+    the ORACLE runs becomes a per-user array-sorted Catalyst fold —
+    identical answer, 1 shuffle instead of 4 over a 100 TB event log."""
+    from .operators.funnel import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, "user_id", "ts", "event_type",
+        ["signup", "view", "click", "purchase"],
+    )
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    WITH comp AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS idx,
+             CAST(unnest(embedding) AS DECIMAL(28,10)) AS x
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label, idx,
+           round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS centroid
+    FROM comp GROUP BY 1, 2
+    """,
+)
+def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (mean pooling) with an EXACT gate:
+    component sums go through DECIMAL(28,10) — order-independent,
+    partial-agg safe — then one double division + round(6). Output is
+    (label, idx, centroid) rows, not arrays, so the driver's
+    canonicalizer never sees a list cell. Plan: posexplode (map-side) +
+    one groupBy on (label, idx) — cardinality labels × dim, never
+    data-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    )
+    return (
+        exploded.groupBy(
+            F.col("label").cast("long").alias("label"),
+            (F.col("pos") + 1).cast("long").alias("idx"),
+        )
+        .agg(
+            F.sum(F.col("x").cast("decimal(28,10)")).alias("_s"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            "label",
+            "idx",
+            F.round(
+                F.col("_s").cast("double") / F.col("_n").cast("double"), 6
+            ).alias("centroid"),
+        )
+    )
+

@@ -144,3 +144,57 @@ def test_token_budget_report_sums_to_one(spark):
     assert rows[-1].cum_share == 1.0
     assert rows[-1].cum_tokens == sum(r.bucket_tokens for r in rows)
     assert all(a.cum_tokens < b.cum_tokens for a, b in zip(rows, rows[1:]))
+
+
+def test_funnel_fold_matches_join_semantics_hand_case(spark):
+    from datetime import datetime as d
+
+    from bgg_data_warehouse_spark.operators.funnel import funnel_steps
+
+    rows = [
+        # u1 completes all 4 in order
+        (1, d(2024, 1, 1, 0), "signup"), (1, d(2024, 1, 1, 1), "view"),
+        (1, d(2024, 1, 1, 2), "click"), (1, d(2024, 1, 1, 3), "purchase"),
+        # u2: view BEFORE signup must not count; no view after -> step 1
+        (2, d(2024, 1, 1, 0), "view"), (2, d(2024, 1, 1, 1), "signup"),
+        # u3: view at the SAME ts as signup is not strictly after -> 1
+        (3, d(2024, 1, 1, 0), "signup"), (3, d(2024, 1, 1, 0), "view"),
+        # u4: out-of-order purchase first, then the full chain later
+        (4, d(2024, 1, 1, 0), "purchase"), (4, d(2024, 1, 1, 1), "signup"),
+        (4, d(2024, 1, 1, 2), "view"), (4, d(2024, 1, 1, 3), "click"),
+        # u5 never signs up
+        (5, d(2024, 1, 1, 0), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.user: (r.steps_completed, r.t_converted)
+        for r in funnel_steps(
+            df, "user_id", "ts", "event_type",
+            ["signup", "view", "click", "purchase"],
+        ).collect()
+    }
+    assert got[1] == (4, d(2024, 1, 1, 3))
+    assert got[2] == (1, None)
+    assert got[3] == (1, None)
+    assert got[4] == (3, None)
+    assert got[5] == (0, None)
+
+
+def test_funnel_is_partitioning_invariant(spark):
+    from bgg_data_warehouse_spark.operators.funnel import funnel_steps
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    )
+    steps = ["signup", "view", "click", "purchase"]
+    a = sorted(
+        (r.user, r.steps_completed)
+        for r in funnel_steps(ev, "user_id", "ts", "event_type", steps).collect()
+    )
+    b = sorted(
+        (r.user, r.steps_completed)
+        for r in funnel_steps(
+            ev.repartition(17), "user_id", "ts", "event_type", steps
+        ).collect()
+    )
+    assert a == b

@@ -1,0 +1,106 @@
+"""Watermarked windowed rollup (streaming/windowed.py): the streaming
+plan must reproduce the batch hourly rollup, and the watermark must
+actually DROP rows that arrive later than the delay (the state-eviction
+contract a 100 TB/day stream depends on)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    from bgg_data_warehouse_spark.sources.tables import load_table
+    from bgg_data_warehouse_spark.streaming.windowed import windowed_event_rollup
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "ts", "event_type", "value"
+    )
+    landing = str(tmp_path / "landing")
+    ev.write.parquet(landing)
+
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(landing)
+    out = windowed_event_rollup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rollup_complete")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("rollup_complete").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in windowed_event_rollup(ev).collect()  # batch: same plan
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_watermark_drops_too_late_rows(spark, tmp_path):
+    """Two files, one trigger each: file 1 advances the watermark to
+    12:00-2h=10:00; file 2's 05:00 row is beyond the delay and must be
+    dropped, while its 11:30 row (late but inside the delay) counts."""
+    from bgg_data_warehouse_spark.streaming.windowed import windowed_event_rollup
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double"
+        ).coalesce(1).write.mode("append").parquet(str(landing / name))
+
+    d = datetime
+    write_file(
+        "f1",
+        [
+            (d(2024, 1, 1, 9, 15), "click", 1.0),
+            (d(2024, 1, 1, 12, 0), "click", 1.0),  # watermark -> 10:00
+        ],
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing / "*"))
+    )
+    out = windowed_event_rollup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rollup_late")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_file(
+            "f2",
+            [
+                (d(2024, 1, 1, 5, 0), "click", 1.0),  # too late: dropped
+                (d(2024, 1, 1, 11, 30), "click", 1.0),  # in-delay: kept
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(
+        "SELECT window_start, sum(n_events) AS n FROM rollup_late GROUP BY 1"
+    ).collect()
+    by_start = {r.window_start: r.n for r in rows}
+    assert d(2024, 1, 1, 5, 0) not in by_start  # too-late row dropped
+    assert by_start.get(d(2024, 1, 1, 11, 0)) == 1  # in-delay row kept
+    assert by_start.get(d(2024, 1, 1, 9, 0)) == 1
+    assert by_start.get(d(2024, 1, 1, 12, 0)) == 1
