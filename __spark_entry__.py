@@ -25,13 +25,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness harness grades the FIRST 50 queries in dict
 # order. Round 6 rotation (no r5 VERDICT issued; follows the standing
 # pattern): keep the four events sentinels + the two sketch-twin
-# anchors; promote the EIGHT new round-6 capabilities; keep in-window
+# anchors; promote the TWELVE new round-6 capabilities; keep in-window
 # the two queries whose gating code changed this round
 # (temperature_mix — double-denominator overflow fix mirrored in its
 # oracle; doc_vector_knn — forced norms broadcast dropped for AQE);
 # give the remaining round-5 newcomers their one confirmation round;
 # rotate TPC-H q1-q5/q18-q22 back in (q6-q17 r5-confirmed, out); and
-# fill the last 16 slots with the stalest oracle-gated queries (no
+# fill the last 12 slots with the stalest oracle-gated queries (no
 # driver row since r2/r3).
 _PRIORITY = [
     # events-adapter regression sentinels (green r3+r4+r5, keep)
@@ -44,7 +44,8 @@ _PRIORITY = [
     "knn_ivf_exact",
     # NEW round 6: DSIR importance selection, count-min heavy hitters,
     # bloom-pruned join, Gopher rule verdicts, corpus KL drift,
-    # z-order layout keys, priority-survivorship dedup, token budget
+    # z-order layout keys, priority-survivorship dedup, token budget,
+    # one-shuffle funnel, exact centroids, checksum manifest, skew report
     "dsir_importance",
     "cms_heavy_hitters",
     "bloom_pruned_join",
@@ -53,6 +54,10 @@ _PRIORITY = [
     "zorder_layout",
     "dedup_keep_best",
     "token_budget_report",
+    "funnel_steps",
+    "label_centroids",
+    "table_checksum_manifest",
+    "join_skew_report",
     # gating code CHANGED this round — must stay hash-gated in-window
     "temperature_mix",
     "doc_vector_knn",
@@ -81,12 +86,12 @@ _PRIORITY = [
     "mix_sources",
     "nested_profile",
     "pack_sequences",
+    # ---- position 51+: next-up if the driver widens; the remaining
+    # r2/r3-vintage entries lead so they rotate in next round
     "pii_redact",
     "quality_score",
     "ratio_guarded",
     "repetition_stats",
-    # ---- position 51+: next-up if the driver widens; the remaining
-    # r2/r3-vintage entries lead so they rotate in next round
     "salted_join_revenue",
     "scd2_intervals",
     "split_assign",

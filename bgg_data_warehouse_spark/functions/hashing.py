@@ -122,3 +122,26 @@ def simhash_chunks(sketch: Column, num_chunks: int = 4, n_bits: int = 64) -> Col
         value = shifted.bitwiseAND(F.lit((1 << width) - 1).cast("long"))
         entries.append(F.struct(F.lit(c).alias("chunk"), value.alias("value")))
     return F.array(*entries)
+
+
+def md5_fold_wide(col: Column, mod: int) -> Column:
+    """Fold the first 8 md5 hex chars of ``col`` into a long, mod
+    ``mod`` — like operators/importance.py::md5_fold but with ~2^53 of
+    spread before the mod, for checksum use. The accumulator maxes at
+    Σ 102·256^i (i<8) ≈ 2^62.7, inside signed-64, so no overflow at any
+    input. Engine-portable: ``md5_fold_wide_sql`` is the DuckDB
+    rendering."""
+    h = F.md5(col.cast("string"))
+    acc = F.lit(0).cast("long")
+    for i in range(1, 9):
+        acc = acc * 256 + F.ascii(F.substring(h, i, 1))
+    return acc % mod
+
+
+def md5_fold_wide_sql(expr: str, mod: int) -> str:
+    """DuckDB rendering of ``md5_fold_wide`` (same nesting, same values)."""
+    h = f"md5(CAST({expr} AS VARCHAR))"
+    acc = "CAST(0 AS BIGINT)"
+    for i in range(1, 9):
+        acc = f"({acc} * 256 + ascii(substr({h},{i},1)))"
+    return f"({acc} % {mod})"

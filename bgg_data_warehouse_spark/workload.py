@@ -4894,3 +4894,121 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+def _manifest_fp_sql() -> str:
+    """Portable row fingerprint of the orders business columns (the
+    DuckDB twin of portable_fingerprint over the same tuple)."""
+    cols = "o_orderkey, o_custkey, o_orderstatus, o_totalprice"
+    rendered = ", ".join(
+        f"CAST({c} AS VARCHAR)" for c in cols.split(", ")
+    )
+    return f"md5(concat_ws(chr(31), {rendered}))"
+
+
+def _manifest_oracle() -> str:
+    from .functions.hashing import md5_fold_wide_sql
+    from .operators.importance import md5_fold_sql
+
+    fp = _manifest_fp_sql()
+    return f"""
+    WITH rows_fp AS (
+      SELECT {md5_fold_sql('o_orderkey', 32)} AS bucket,
+             {md5_fold_wide_sql(fp, 1000000007)} AS h,
+             o_orderkey
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT) AS checksum,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM rows_fp GROUP BY bucket
+    """
+
+
+@query("table_checksum_manifest", oracle=_manifest_oracle())
+def table_checksum_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine table checksum manifest — the migration-validation
+    op: 32 hash-buckets, each with row count, key range, and an
+    ORDER-INDEPENDENT content checksum (sum of per-row md5-derived
+    residues mod 1e9+7 — partial-agg safe, no collect_list, constant
+    memory per bucket; at n rows/bucket the sum stays < 9.2e18 up to
+    ~9e9 rows/bucket, so size num_buckets to the table). Two engines
+    loading the same table produce the same 32 rows — this is how a
+    Spark writer and a non-Spark auditor agree a 100 TB copy is intact
+    without comparing rows. Reference parity: the conformance/
+    PK-validation family (schemas.py pre-write checks) extended to
+    whole-table content."""
+    from .functions.hashing import md5_fold_wide, portable_fingerprint
+    from .operators.importance import md5_fold
+
+    orders = load_table(spark, sf_dir, "orders")
+    fp = portable_fingerprint(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    rows_fp = orders.select(
+        md5_fold(F.col("o_orderkey"), 32).alias("bucket"),
+        md5_fold_wide(fp, 1_000_000_007).alias("h"),
+        "o_orderkey",
+    )
+    return rows_fp.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("h").alias("checksum"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@query(
+    "join_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nk
+      FROM k
+    ), ranked AS (
+      SELECT key, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS rank
+      FROM k
+    )
+    SELECT rank, key, n,
+           CAST(round(n * 1000000.0 / t) AS BIGINT) AS share_ppm,
+           round(n * 1.0 / (t * 1.0 / nk), 4) AS x_mean
+    FROM ranked CROSS JOIN tot
+    WHERE rank <= 20
+    """,
+)
+def join_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic for a prospective join/groupBy key: the top 20
+    keys by frequency with parts-per-million share and multiple-of-mean
+    ratio — the report that tells an operator whether lineitem.
+    l_orderkey needs salting (operators/skew.py) or AQE skew splitting
+    before a 100 TB join. One aggregate over the key, a 20-row
+    TakeOrdered, two scalar broadcasts; never data-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    tot = k.agg(
+        F.sum("n").alias("_t"), F.count("*").alias("_nk")
+    )
+    # top-20 FIRST via TakeOrderedAndProject (per-partition heaps — no
+    # global single-partition window over the key table), then rank the
+    # 20 survivors; the window touches 20 rows, never the data.
+    top = k.orderBy(F.col("n").desc(), F.col("key").asc()).limit(20)
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "key",
+        "n",
+        F.round(F.col("n") * 1000000.0 / F.col("_t"))
+        .cast("long")
+        .alias("share_ppm"),
+        F.round(
+            F.col("n") * 1.0 / (F.col("_t") * 1.0 / F.col("_nk")), 4
+        ).alias("x_mean"),
+    )
