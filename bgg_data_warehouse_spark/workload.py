@@ -4399,7 +4399,9 @@ def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject."""
     from .operators.importance import dsir_select
 
-    docs = load_table(spark, sf_dir, "documents")
+    # single-file fixture -> widen to real input parallelism before the
+    # tokenize+hash map side (same idiom as clustering.py:204)
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
     return dsir_select(
         docs, "doc_id", "text", F.col("lang") == "en",
         num_buckets=256, top_k=100,
@@ -4442,7 +4444,7 @@ def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     row by row (est ≥ exact always; equality when uncollided)."""
     from .operators.sketches import cms_estimate, cms_sketch
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").repartition("event_id")
     sketch = cms_sketch(ev, "user_id", depth=4, width=64)
     cand = ev.select("user_id").distinct()
     est = cms_estimate(cand, sketch, "user_id", depth=4, width=64).select(
@@ -4477,9 +4479,13 @@ def bloom_pruned_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000))
         .select("c_custkey", "c_name", "c_acctbal")
     )
+    # the fixture is ONE parquet file -> one input split; production
+    # probe tables arrive as thousands of splits. The repartition stands
+    # in for that input parallelism so the scan-side bloom test runs
+    # wide (it is NOT part of the operator: bloom_prune adds no shuffle).
     probe = orders.select(
         "o_orderkey", F.col("o_custkey").alias("c_custkey")
-    )
+    ).repartition("c_custkey")
     return bloom_pruned_join(
         probe, cust, "c_custkey", num_bits=4096, num_hashes=3
     ).select(
