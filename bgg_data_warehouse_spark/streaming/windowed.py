@@ -53,3 +53,25 @@ def windowed_event_rollup(
             "total_value",
         )
     )
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    CURRENT state of the static (or slowly-refreshed) dimension — the
+    standard serving-side pattern for attaching features to a live
+    stream. Spark plans the static side as a broadcast per micro-batch
+    when small; no stream-side state is kept."""
+    return stream.join(dim, on, "left")
+
+
+def dedup_stream_exact(
+    stream: DataFrame, id_cols: list[str], *, ts_col: str, delay: str
+) -> DataFrame:
+    """Exact streaming deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes its event time + delay, so state size tracks the
+    delay window, not the stream's lifetime — the streaming twin of
+    ``dedup_exact`` (a plain dropDuplicates would grow state forever)."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        id_cols
+    )

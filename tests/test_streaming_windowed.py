@@ -104,3 +104,57 @@ def test_watermark_drops_too_late_rows(spark, tmp_path):
     assert by_start.get(d(2024, 1, 1, 11, 0)) == 1  # in-delay row kept
     assert by_start.get(d(2024, 1, 1, 9, 0)) == 1
     assert by_start.get(d(2024, 1, 1, 12, 0)) == 1
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    from bgg_data_warehouse_spark.streaming.windowed import enrich_stream
+
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "user_id long, value double"
+    ).write.parquet(landing)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema("user_id long, value double").parquet(landing)
+    q = (
+        enrich_stream(stream, dim, "user_id")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: r.tier for r in spark.table("enriched").collect()}
+    assert got == {1: "gold", 2: "silver", 3: None}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from datetime import datetime as d
+
+    from bgg_data_warehouse_spark.streaming.windowed import dedup_stream_exact
+
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 9, 0)),
+            (1, d(2024, 1, 1, 9, 5)),  # dup within delay: dropped
+            (2, d(2024, 1, 1, 9, 1)),
+        ],
+        "k long, ts timestamp",
+    ).write.parquet(landing)
+    stream = spark.readStream.schema("k long, ts timestamp").parquet(landing)
+    q = (
+        dedup_stream_exact(stream, ["k"], ts_col="ts", delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("dedup_wm").collect()
+    assert sorted(r.k for r in rows) == [1, 2]
