@@ -154,9 +154,21 @@ def dsir_select(
     """Score every non-target document against the target distribution
     and keep the ``top_k`` by weight (doc id tie-break). One pass builds
     both models; the raw pool is scored without a second tokenize."""
-    counts = hashed_bucket_counts(df, id_col, text_col, num_buckets=num_buckets)
-    flags = df.select(F.col(id_col).alias("doc"), is_target.alias("_is_tgt"))
-    counts = counts.join(flags, "doc")
+    # carry the target flag through the count groupBy (it is
+    # functionally dependent on doc, so the extra key is free) instead
+    # of joining it back afterwards — one corpus-table shuffle saved
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        is_target.alias("_is_tgt"),
+        F.explode(word_tokens(F.col(text_col))).alias("tok"),
+    )
+    counts = (
+        toks.select(
+            "doc", "_is_tgt", md5_fold(F.col("tok"), num_buckets).alias("bkt")
+        )
+        .groupBy("doc", "_is_tgt", "bkt")
+        .agg(F.count("*").alias("m"))
+    )
     t_model = bucket_log_probs(
         counts.where(F.col("_is_tgt")), num_buckets=num_buckets
     )
