@@ -231,3 +231,63 @@ def test_incremental_dedup_index_only_touched_by_band_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band" in plan and "bucket" in plan
+
+
+def test_dsir_plans_takeordered_and_bounded_broadcasts(spark):
+    """The DSIR top-k must be a per-partition heap (TakeOrdered), never
+    a global sort, and the model joins must broadcast (bucket-bounded
+    256-row tables)."""
+    plan = executed_plan(entrymod.queries()["dsir_importance"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_probe_test_is_scan_side(spark):
+    """The Bloom membership test must be a filter over the probe scan
+    with only a single-row bitmap broadcast — the probe side must reach
+    the test without any hash exchange of its own (the pruning happens
+    BEFORE the join shuffle; the fixture repartition is the stand-in
+    input parallelism, not part of the operator)."""
+    from pyspark.sql import functions as F
+
+    from bgg_data_warehouse_spark.operators.bloom_join import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = (
+        spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+        .where(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    bloom = bloom_build(cust, "c_custkey", num_bits=4096)
+    pruned = bloom_prune(orders, "o_custkey", bloom, num_bits=4096)
+    plan = executed_plan(pruned)
+    # the probe subtree (everything above the bitmap's BroadcastExchange)
+    # must be scan -> filter with NO hash exchange; the bounded bitmap
+    # BUILD below the broadcast may shuffle its <= num_bits/64 word rows
+    probe_side = plan.split("BroadcastExchange")[0]
+    assert "FileScan" in probe_side
+    assert "Exchange hashpartitioning" not in probe_side, probe_side[:2000]
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_join_skew_report_plans_topk_not_global_window(spark):
+    """Top-20 must come from TakeOrderedAndProject over the key counts;
+    the rank window may only run on the 20 survivors."""
+    plan = executed_plan(entrymod.queries()["join_skew_report"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cms_sketch_aggregates_with_partial_combine(spark):
+    """The CMS grid build must plan a partial (map-side) aggregate so
+    the shuffle is bounded at grid size per task."""
+    from bgg_data_warehouse_spark.operators.sketches import cms_sketch
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    plan = executed_plan(cms_sketch(ev, "user_id", depth=4, width=64))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
