@@ -58,6 +58,13 @@ _PRIORITY = [
     "label_centroids",
     "table_checksum_manifest",
     "join_skew_report",
+    # NEW round 6 (second batch): CDC change-log replay, hypertable
+    # gap-fill + interpolation, equi-depth optimizer stats,
+    # entity-resolution golden records
+    "cdc_upsert",
+    "gapfill_interpolate",
+    "equidepth_histogram",
+    "entity_resolution",
     # gating code CHANGED this round — must stay hash-gated in-window
     "temperature_mix",
     "doc_vector_knn",
@@ -82,12 +89,12 @@ _PRIORITY = [
     "feature_arrays",
     "filter_topn",
     "full_outer_reconcile",
+    # ---- position 51+: next-up if the driver widens; the remaining
+    # r2/r3-vintage entries lead so they rotate in next round
     "lang_id",
     "mix_sources",
     "nested_profile",
     "pack_sequences",
-    # ---- position 51+: next-up if the driver widens; the remaining
-    # r2/r3-vintage entries lead so they rotate in next round
     "pii_redact",
     "quality_score",
     "ratio_guarded",

@@ -5018,3 +5018,394 @@ def join_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * 1.0 / (F.col("_t") * 1.0 / F.col("_nk")), 4
         ).alias("x_mean"),
     )
+
+
+@query(
+    "cdc_upsert",
+    oracle="""
+    WITH chg AS (
+      SELECT (user_id * 12 + event_id % 12) % 1800 AS custkey,
+             ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             'cdc-' || CAST((user_id * 12 + event_id % 12) % 1800
+                            AS VARCHAR) AS name,
+             value AS bal,
+             upper(event_type) AS seg
+      FROM events
+    ), last AS (
+      SELECT * FROM (
+        SELECT custkey, op, name, bal, seg,
+               ROW_NUMBER() OVER (PARTITION BY custkey
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM chg) WHERE rn = 1
+    )
+    SELECT COALESCE(b.c_custkey, l.custkey) AS custkey,
+           CASE WHEN l.custkey IS NULL THEN b.c_name ELSE l.name END
+             AS name,
+           CASE WHEN l.custkey IS NULL THEN b.c_acctbal ELSE l.bal END
+             AS bal,
+           CASE WHEN l.custkey IS NULL THEN b.c_mktsegment ELSE l.seg END
+             AS seg,
+           CASE WHEN l.custkey IS NULL THEN 'kept'
+                WHEN b.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS change
+    FROM customer b FULL OUTER JOIN last l ON b.c_custkey = l.custkey
+    WHERE l.op IS NULL OR l.op = 'U'
+    """,
+)
+def cdc_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log replay onto a base snapshot — the Delta/Iceberg
+    ``MERGE WHEN MATCHED UPDATE / DELETE WHEN NOT MATCHED INSERT``
+    pattern on plain DataFrames (operators/merge.py::apply_changelog),
+    extending the reference's S6 insert-if-absent + S7 delete-insert
+    loader (loader.py:57-176) to a full upsert+delete log. The events
+    stream plays the role of a Debezium feed: full-row images keyed
+    into customer's key space (keys >= 1500 exercise the INSERT path,
+    'error' events the DELETE path), last-writer-wins on
+    (ts, event_id). One shuffle for the per-key LWW window; the
+    full-outer join reuses the same hash partitioning."""
+    from .operators.merge import apply_changelog
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    key = (F.col("user_id") * 12 + F.col("event_id") % 12) % 1800
+    chg = ev.select(
+        key.alias("custkey"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.concat(F.lit("cdc-"), key.cast("string")).alias("name"),
+        F.col("value").alias("bal"),
+        F.upper("event_type").alias("seg"),
+    )
+    base = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return apply_changelog(
+        base,
+        chg,
+        keys=["custkey"],
+        seq_cols=["ts", "event_id"],
+        tag_col="change",
+    )
+
+
+@query(
+    "gapfill_interpolate",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE user_id < 40
+    ), span AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ), users AS (
+      SELECT DISTINCT user_id FROM e
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM users CROSS JOIN span
+    ), known AS (
+      SELECT user_id, h, value AS v FROM (
+        SELECT user_id, date_trunc('hour', ts) AS h, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e) WHERE rn = 1
+    ), g AS (
+      SELECT grid.user_id, grid.h, known.v,
+             last_value(known.v IGNORE NULLS) OVER (
+               PARTITION BY grid.user_id ORDER BY grid.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN known.v IS NOT NULL THEN grid.h END
+                        IGNORE NULLS) OVER (
+               PARTITION BY grid.user_id ORDER BY grid.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             first_value(known.v IGNORE NULLS) OVER (
+               PARTITION BY grid.user_id ORDER BY grid.h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN known.v IS NOT NULL THEN grid.h END
+                         IGNORE NULLS) OVER (
+               PARTITION BY grid.user_id ORDER BY grid.h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM grid LEFT JOIN known
+        ON grid.user_id = known.user_id AND grid.h = known.h
+    )
+    SELECT user_id, h,
+           CASE WHEN v IS NOT NULL THEN 'actual'
+                WHEN pv IS NULL THEN 'bfill'
+                WHEN nv IS NULL THEN 'ffill'
+                ELSE 'interp' END AS fill_kind,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) *
+                     (CAST(date_diff('hour', ph, h) AS DOUBLE)
+                      / CAST(date_diff('hour', ph, nh) AS DOUBLE))
+           END AS val
+    FROM g
+    """,
+)
+def gapfill_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill: resample each entity's event stream onto a
+    bounded hourly grid (TimescaleDB ``time_bucket_gapfill`` +
+    ``interpolate``/``locf`` semantics) — per grid hour emit the actual
+    last-writer value, a linear interpolation between the neighboring
+    knowns, or a forward/backward fill at the edges. Extends the
+    reference's hourly rollup family (hourly_event_rollup, SURVEY
+    §2 A-patterns) from 'aggregate what exists' to 'materialize what's
+    missing'. Plan shape: one agg for the LWW hour values, a
+    per-entity grid explode (grid size is span-bounded, independent of
+    event count), a co-partitioned left join, and ONE sort per entity
+    reused by all four ignore-nulls frame walks — no self-joins, no
+    data-sized windows beyond the entity's own grid."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 40)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    span = load_table(spark, sf_dir, "events").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    w_hour = Window.partitionBy(
+        "user_id", F.date_trunc("hour", F.col("ts"))
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    known = (
+        ev.withColumn("rn", F.row_number().over(w_hour))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.col("value").alias("v"),
+        )
+    )
+    g = grid.join(known, on=["user_id", "h"], how="left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    g = g.select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    hours = lambda a, b: (
+        (F.col(b).cast("long") - F.col(a).cast("long")) / 3600
+    ).cast("long")
+    # no rounding: both engines run the SAME IEEE double ops in the
+    # same association, so the interpolated bits match exactly; rounding
+    # would INTRODUCE divergence (the fixture values are exact binary
+    # decimals, and x.xxxx5 ties split half-up vs half-even).
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        hours("ph", "h").cast("double") / hours("ph", "nh").cast("double")
+    )
+    return g.select(
+        "user_id",
+        "h",
+        F.when(F.col("v").isNotNull(), "actual")
+        .when(F.col("pv").isNull(), "bfill")
+        .when(F.col("nv").isNull(), "ffill")
+        .otherwise("interp")
+        .alias("fill_kind"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(interp)
+        .alias("val"),
+    )
+
+
+@query(
+    "equidepth_histogram",
+    oracle="""
+    WITH edges AS (
+      SELECT quantile_cont(o_totalprice, 0.1) AS e1,
+             quantile_cont(o_totalprice, 0.2) AS e2,
+             quantile_cont(o_totalprice, 0.3) AS e3,
+             quantile_cont(o_totalprice, 0.4) AS e4,
+             quantile_cont(o_totalprice, 0.5) AS e5,
+             quantile_cont(o_totalprice, 0.6) AS e6,
+             quantile_cont(o_totalprice, 0.7) AS e7,
+             quantile_cont(o_totalprice, 0.8) AS e8,
+             quantile_cont(o_totalprice, 0.9) AS e9
+      FROM orders
+    ), binned AS (
+      SELECT o_totalprice AS v,
+             CAST(1 + CAST(o_totalprice > e1 AS INT)
+                    + CAST(o_totalprice > e2 AS INT)
+                    + CAST(o_totalprice > e3 AS INT)
+                    + CAST(o_totalprice > e4 AS INT)
+                    + CAST(o_totalprice > e5 AS INT)
+                    + CAST(o_totalprice > e6 AS INT)
+                    + CAST(o_totalprice > e7 AS INT)
+                    + CAST(o_totalprice > e8 AS INT)
+                    + CAST(o_totalprice > e9 AS INT) AS BIGINT) AS bin
+      FROM orders CROSS JOIN edges
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+           min(v) AS lo,
+           max(v) AS hi
+    FROM binned GROUP BY bin
+    """,
+)
+def equidepth_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-grade column statistics: an exact 10-bucket EQUI-DEPTH
+    histogram (per-bin row count, NDV, value range) over
+    orders.o_totalprice — the ANALYZE-stats shape CBOs and data
+    profilers collect. Deliberately NOT the ntile formulation: ntile
+    needs a GLOBAL sort of the column. Here the nine bin edges come
+    from one exact-percentile aggregate (bit-identical to DuckDB
+    quantile_cont, proven by value_percentiles), broadcast as a single
+    row, and bin assignment is nine unrolled scan-side comparisons —
+    whole-stage codegen, then ONE hash aggregate on the 10-value bin
+    key. At 100 TB swap the edge pass for percentile_approx and the
+    plan is two scans, zero sorts."""
+    orders = load_table(spark, sf_dir, "orders")
+    edges = orders.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q / 10})").alias(f"e{q}")
+            for q in range(1, 10)
+        ]
+    )
+    bin_col = F.lit(1)
+    for q in range(1, 10):
+        bin_col = bin_col + (
+            F.col("o_totalprice") > F.col(f"e{q}")
+        ).cast("int")
+    binned = (
+        orders.select(F.col("o_totalprice").alias("v"), "o_totalprice")
+        .crossJoin(F.broadcast(edges))
+        .select("v", bin_col.cast("long").alias("bin"))
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("v").alias("ndv"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+
+
+@query(
+    "entity_resolution",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT p_partkey AS k, p_name AS n,
+             string_split(p_name, ' ')[1] AS blk
+      FROM part
+    ), names AS (
+      SELECT blk, n, min(k) AS node FROM p GROUP BY 1, 2
+    ), e0 AS (
+      SELECT a.node AS a, b.node AS b
+      FROM names a JOIN names b
+        ON a.blk = b.blk AND a.node < b.node
+       AND levenshtein(a.n, b.n) <= 4
+    ), edges AS (
+      SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+    ), walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    ), comp AS (
+      SELECT node, min(label) AS canonical FROM walk GROUP BY node
+    ), nc AS (
+      SELECT names.blk, names.n,
+             coalesce(c.canonical, names.node) AS cluster
+      FROM names LEFT JOIN comp c ON c.node = names.node
+    ), parts AS (
+      SELECT p.k, nc.cluster
+      FROM p JOIN nc ON p.blk = nc.blk AND p.n = nc.n
+    ), canon AS (
+      SELECT node AS cluster, n AS canonical_name FROM names
+    ), sized AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM parts GROUP BY 1
+    )
+    SELECT parts.k AS p_partkey, parts.cluster AS cluster_id,
+           canonical_name, cluster_size,
+           parts.k = parts.cluster AS is_canonical
+    FROM parts JOIN canon USING (cluster) JOIN sized USING (cluster)
+    """,
+)
+def entity_resolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy matching (the
+    fuzzy_match_parts family) promoted from best-pair to CLUSTERS —
+    name-level match edges (Levenshtein <= 4 within the first-token
+    block) feed hash-min connected components, then a survivorship rule
+    assigns every part its cluster's canonical record (global min part
+    key) and canonical name. The record-linkage composition every
+    master-data pipeline runs: match -> cluster -> golden record.
+
+    Scale shape: ALL quadratic work (the edit-distance self-join) runs
+    on DISTINCT names — vocabulary-bounded, never row-bounded; the
+    component graph's nodes are name representatives (min part key per
+    name), so CC state is vocabulary-sized too; parts join back by
+    exact name equi-join. Same distinct-name trick the fuzzy_match
+    gate measured at 30x vs the naive row-pair join."""
+    from .operators.components import connected_components
+
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("n"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    names = p.groupBy("blk", "n").agg(F.min("k").alias("node"))
+    ne = (
+        names.alias("a")
+        .join(names.alias("b"), "blk")
+        .where(
+            (F.col("a.node") < F.col("b.node"))
+            & (F.levenshtein(F.col("a.n"), F.col("b.n")) <= 4)
+        )
+        .select(F.col("a.node").alias("a"), F.col("b.node").alias("b"))
+    )
+    comp = connected_components(ne, "a", "b", canonical_edges=True)
+    nc = (
+        names.join(comp, names["node"] == comp["node"], "left")
+        .select(
+            "blk",
+            "n",
+            F.coalesce(comp["canonical"], names["node"]).alias("cluster"),
+        )
+    )
+    parts = p.join(nc, ["blk", "n"]).select("k", "cluster")
+    canon = names.select(
+        F.col("node").alias("cluster"), F.col("n").alias("canonical_name")
+    )
+    sized = parts.groupBy("cluster").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        parts.join(canon, "cluster")
+        .join(sized, "cluster")
+        .select(
+            F.col("k").alias("p_partkey"),
+            F.col("cluster").alias("cluster_id"),
+            "canonical_name",
+            "cluster_size",
+            (F.col("k") == F.col("cluster")).alias("is_canonical"),
+        )
+    )
