@@ -5285,11 +5285,14 @@ def equidepth_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     key. At 100 TB swap the edge pass for percentile_approx and the
     plan is two scans, zero sorts."""
     orders = load_table(spark, sf_dir, "orders")
+    # ONE array-form percentile — a single value-counts buffer serves
+    # all nine cut points. Nine separate percentile() expressions each
+    # build their own NDV-sized map (measured 9x slower at sf0.1).
+    qlist = ",".join(str(q / 10) for q in range(1, 10))
     edges = orders.agg(
-        *[
-            F.expr(f"percentile(o_totalprice, {q / 10})").alias(f"e{q}")
-            for q in range(1, 10)
-        ]
+        F.expr(f"percentile(o_totalprice, array({qlist}))").alias("es")
+    ).select(
+        *[F.col("es").getItem(q - 1).alias(f"e{q}") for q in range(1, 10)]
     )
     bin_col = F.lit(1)
     for q in range(1, 10):
