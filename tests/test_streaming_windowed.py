@@ -158,3 +158,95 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.table("dedup_wm").collect()
     assert sorted(r.k for r in rows) == [1, 2]
+
+
+def test_session_rollup_matches_batch_and_lag_formulation(spark, tmp_path):
+    """Three formulations of 30-minute-gap sessionization must agree:
+    the streaming session_window plan (memory sink), the same plan run
+    as batch, and the lag-gap + running-sum batch sessionize query.
+    (Gap semantics coincide unless an inter-event gap is EXACTLY the
+    30-minute boundary, which microsecond fixture timestamps never
+    produce.)"""
+    from bgg_data_warehouse_spark.sources.tables import load_table
+    from bgg_data_warehouse_spark.streaming.windowed import session_rollup
+    from bgg_data_warehouse_spark.workload import QUERIES
+
+    ev = load_table(spark, SF_SMALL, "events").select("ts", "user_id")
+    landing = str(tmp_path / "landing")
+    ev.write.parquet(landing)
+
+    stream = spark.readStream.schema("ts timestamp, user_id long").parquet(
+        landing
+    )
+    q = (
+        session_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("sess_complete")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def keyset(rows):
+        return {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in rows
+        }
+
+    got_stream = keyset(spark.table("sess_complete").collect())
+    got_batch = keyset(session_rollup(ev).collect())
+    want = keyset(
+        QUERIES["sessionize"](spark, SF_SMALL)
+        .select(
+            "user_id",
+            F.col("session_start"),
+            F.col("session_end"),
+            "n_events",
+        )
+        .collect()
+    )
+    assert got_stream == got_batch == want
+    assert len(want) > 0
+
+
+def test_session_rollup_append_finalizes_closed_sessions(spark, tmp_path):
+    """Append mode emits a session only after the watermark passes its
+    end: file 1's 09:00 burst closes once file 2 advances event time to
+    13:00 (watermark 11:00 > 09:10+gap); file 2's own open session is
+    NOT emitted by availableNow."""
+    from datetime import datetime as d
+
+    from bgg_data_warehouse_spark.streaming.windowed import session_rollup
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "ts timestamp, user_id long").coalesce(
+            1
+        ).write.mode("append").parquet(str(landing / name))
+
+    write_file("f1", [(d(2024, 1, 1, 9, 0), 1), (d(2024, 1, 1, 9, 10), 1)])
+    write_file("f2", [(d(2024, 1, 1, 13, 0), 1)])
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing / "*"))
+    )
+    q = (
+        session_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("sess_append")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("sess_append").collect()
+    assert [
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in rows
+    ] == [(1, d(2024, 1, 1, 9, 0), d(2024, 1, 1, 9, 10), 2)]
