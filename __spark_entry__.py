@@ -65,6 +65,8 @@ _PRIORITY = [
     "gapfill_interpolate",
     "equidepth_histogram",
     "entity_resolution",
+    "sliding_window_distinct",
+    "winsorize_robust",
     # gating code CHANGED this round — must stay hash-gated in-window
     "temperature_mix",
     "doc_vector_knn",
@@ -87,10 +89,10 @@ _PRIORITY = [
     "dual_rank_topk",
     "except_intersect_keys",
     "feature_arrays",
-    "filter_topn",
-    "full_outer_reconcile",
     # ---- position 51+: next-up if the driver widens; the remaining
     # r2/r3-vintage entries lead so they rotate in next round
+    "filter_topn",
+    "full_outer_reconcile",
     "lang_id",
     "mix_sources",
     "nested_profile",

@@ -5412,3 +5412,153 @@ def entity_resolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("k") == F.col("cluster")).alias("is_canonical"),
         )
     )
+
+
+@query(
+    "sliding_window_distinct",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), span AS (
+      SELECT min(day) AS d0, max(day) AS d1 FROM act
+    ), cal AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS wday
+      FROM span
+    ), n7 AS (
+      SELECT c.wday, CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users_7d
+      FROM cal c JOIN act a
+        ON a.day BETWEEN c.wday - INTERVAL 6 DAY AND c.wday
+      GROUP BY 1
+    ), n1 AS (
+      SELECT day AS wday, CAST(count(*) AS BIGINT) AS n_users_1d
+      FROM act GROUP BY 1
+    )
+    SELECT cal.wday AS window_end,
+           COALESCE(n7.n_users_7d, 0) AS n_users_7d,
+           COALESCE(n1.n_users_1d, 0) AS n_users_1d
+    FROM cal LEFT JOIN n7 ON cal.wday = n7.wday
+             LEFT JOIN n1 ON cal.wday = n1.wday
+    """,
+)
+def sliding_window_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day DISTINCT-user counts per calendar day — the
+    rolling-MAU/WAU shape. Spark window functions cannot do
+    COUNT(DISTINCT) over a frame at all, and the naive formulation (the
+    oracle: calendar x activity range join + distinct per window) does
+    7x duplicated distinct work INSIDE a shuffle whose width is
+    windows x users. The scalable rewrite: distinct (user, day) pairs
+    once, then each pair votes into the <= 7 window-ends it can affect
+    via a bounded explode, then ONE distinct + count — expansion factor
+    is exactly the window length, the dedup happens map-side-combinable
+    on (user, window_end), and no per-window state ever materializes.
+    Gated hash-equal against the naive range-join oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    span = act.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("window_end")
+    )
+    votes = (
+        act.crossJoin(F.broadcast(span.select("d1")))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(6))
+            ).alias("i"),
+            "day",
+            "d1",
+        )
+        .select(
+            "user_id",
+            F.expr("timestampadd(DAY, i, day)").alias("window_end"),
+            "d1",
+        )
+        .where(F.col("window_end") <= F.col("d1"))
+        .select("user_id", "window_end")
+        .distinct()
+    )
+    n7 = votes.groupBy("window_end").agg(
+        F.count("*").alias("n_users_7d")
+    )
+    n1 = act.groupBy(F.col("day").alias("window_end")).agg(
+        F.count("*").alias("n_users_1d")
+    )
+    return (
+        cal.join(n7, "window_end", "left")
+        .join(n1, "window_end", "left")
+        .select(
+            "window_end",
+            F.coalesce("n_users_7d", F.lit(0)).alias("n_users_7d"),
+            F.coalesce("n_users_1d", F.lit(0)).alias("n_users_1d"),
+        )
+    )
+
+
+@query(
+    "winsorize_robust",
+    oracle="""
+    WITH s AS (
+      SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+             quantile_cont(o_totalprice, 0.25) AS p25,
+             quantile_cont(o_totalprice, 0.50) AS p50,
+             quantile_cont(o_totalprice, 0.75) AS p75,
+             quantile_cont(o_totalprice, 0.99) AS p99
+      FROM orders
+    )
+    SELECT o_orderkey,
+           o_totalprice AS v,
+           least(greatest(o_totalprice, p01), p99) AS clipped,
+           (least(greatest(o_totalprice, p01), p99) - p50) / (p75 - p25)
+             AS robust_z,
+           (o_totalprice < p01 OR o_totalprice > p99) AS is_clipped
+    FROM orders CROSS JOIN s
+    """,
+)
+def winsorize_robust_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature normalization for training pipelines: winsorize a value
+    column at the 1st/99th percentiles and robust z-score it against
+    median/IQR — the outlier-insensitive scaling step (scikit-learn
+    RobustScaler semantics) that runs before a value feeds a model.
+    All five cut points ride ONE array-percentile aggregate (single
+    value-counts buffer), broadcast as a scalar row; the clip is pure
+    min/max comparisons and the z arithmetic is identical-association
+    IEEE on both engines, so the full row set hash-gates with no
+    rounding anywhere. One aggregate + one scan; swap the edge pass to
+    percentile_approx at 100 TB like equidepth_histogram."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.01,0.25,0.5,0.75,0.99))"
+        ).alias("ps")
+    ).select(
+        F.col("ps").getItem(0).alias("p01"),
+        F.col("ps").getItem(1).alias("p25"),
+        F.col("ps").getItem(2).alias("p50"),
+        F.col("ps").getItem(3).alias("p75"),
+        F.col("ps").getItem(4).alias("p99"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99")
+    )
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .crossJoin(F.broadcast(s))
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("v"),
+            clipped.alias("clipped"),
+            ((clipped - F.col("p50")) / (F.col("p75") - F.col("p25"))).alias(
+                "robust_z"
+            ),
+            (
+                (F.col("o_totalprice") < F.col("p01"))
+                | (F.col("o_totalprice") > F.col("p99"))
+            ).alias("is_clipped"),
+        )
+    )

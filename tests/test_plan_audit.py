@@ -291,3 +291,74 @@ def test_cms_sketch_aggregates_with_partial_combine(spark):
     plan = executed_plan(cms_sketch(ev, "user_id", depth=4, width=64))
     assert "partial_count" in plan or "HashAggregate" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_cdc_upsert_window_and_join_share_one_exchange(spark):
+    """The LWW window shuffles on the key once; the full-outer join on
+    the SAME key must reuse that partitioning on the change side (one
+    Exchange for the change branch, not two back-to-back)."""
+    plan = executed_plan(entrymod.queries()["cdc_upsert"](spark, SF_SMALL))
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    # the change side: scan -> Exchange -> window -> join, with no second
+    # exchange between the window and the SMJ on the same key
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_equidepth_histogram_broadcasts_edges_no_sort(spark):
+    """Edges must arrive as a broadcast single row and the bin pass must
+    not plan ANY global sort (the ntile formulation would)."""
+    plan = executed_plan(
+        entrymod.queries()["equidepth_histogram"](spark, SF_SMALL)
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Sort [v" not in plan and "Sort [o_totalprice" not in plan
+
+
+def test_winsorize_stats_ride_one_broadcast_row(spark):
+    """All five cut points come from one aggregate broadcast to the
+    scan; no shuffle of the fact side at all."""
+    plan = executed_plan(
+        entrymod.queries()["winsorize_robust"](spark, SF_SMALL)
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # fact side must not be exchanged: the only hash exchange allowed is
+    # inside the percentile aggregate's partial->final step
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_sliding_window_distinct_expands_bounded_not_range_join(spark):
+    """The scalable side must plan the 7x explode + distinct, never a
+    calendar x activity non-equi join (no BroadcastNestedLoopJoin with
+    a range condition on the data path)."""
+    plan = executed_plan(
+        entrymod.queries()["sliding_window_distinct"](spark, SF_SMALL)
+    )
+    assert "Explode" in plan or "Generate" in plan
+    # count-distinct via the (user, window_end) distinct: grouped agg
+    assert "HashAggregate" in plan
+
+
+def test_entity_resolution_quadratic_work_is_name_bounded(spark):
+    """The Levenshtein self-join must run on the DISTINCT-name relation:
+    the join inputs carry aggregates (the name grouping), not raw part
+    scans on both sides."""
+    from bgg_data_warehouse_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    p = load_table(spark, SF_SMALL, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("n"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    names = p.groupBy("blk", "n").agg(F.min("k").alias("node"))
+    ne = (
+        names.alias("a")
+        .join(names.alias("b"), "blk")
+        .where(
+            (F.col("a.node") < F.col("b.node"))
+            & (F.levenshtein(F.col("a.n"), F.col("b.n")) <= 4)
+        )
+    )
+    plan = executed_plan(ne)
+    # both join children aggregate before joining
+    assert plan.count("HashAggregate") >= 2
