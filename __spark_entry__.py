@@ -67,6 +67,8 @@ _PRIORITY = [
     "entity_resolution",
     "sliding_window_distinct",
     "winsorize_robust",
+    "mv_incremental_refresh",
+    "holt_trend_forecast",
     # gating code CHANGED this round — must stay hash-gated in-window
     "temperature_mix",
     "doc_vector_knn",
@@ -87,10 +89,10 @@ _PRIORITY = [
     "chunk_documents",
     "doc_fingerprint",
     "dual_rank_topk",
-    "except_intersect_keys",
-    "feature_arrays",
     # ---- position 51+: next-up if the driver widens; the remaining
     # r2/r3-vintage entries lead so they rotate in next round
+    "except_intersect_keys",
+    "feature_arrays",
     "filter_topn",
     "full_outer_reconcile",
     "lang_id",

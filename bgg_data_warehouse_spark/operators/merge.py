@@ -92,6 +92,42 @@ def apply_changelog(
     ).select(*out_cols)
 
 
+def refresh_additive_mv(
+    prior: DataFrame,
+    delta_agg: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Incremental maintenance of an ADDITIVE materialized view.
+
+    ``prior`` is the stored MV state (one row per key tuple, exact
+    partial aggregates in ``sum_cols``); ``delta_agg`` is the new batch
+    aggregated to the same grain. Additive measures (SUM/COUNT — the
+    class incremental view maintenance handles without base re-scan)
+    merge by summing: union + one re-aggregate whose input is
+    MV-size + delta-size, never base-size. Keys present only in one
+    side pass through (their missing side contributes nothing).
+
+    Exactness contract: callers keep measures in DECIMAL/BIGINT so the
+    merged state is bit-equal to a full recompute (decimal addition is
+    associative; doubles would drift between the two paths). Render to
+    double/rounded only at presentation.
+
+    This is the MV twin of the reference's I1 high-watermark
+    incremental pattern (streaming/incremental.py,
+    /root/reference/definitions incremental tables): I1 ships delta
+    ROWS, this ships delta AGGREGATES into pre-aggregated state.
+    """
+    keys = list(keys)
+    cols = [*keys, *sum_cols]
+    return (
+        prior.select(*cols)
+        .unionByName(delta_agg.select(*cols))
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )
+
+
 def merge_insert_missing(
     existing: DataFrame, incoming: DataFrame, keys: Sequence[str]
 ) -> DataFrame:

@@ -114,3 +114,34 @@ def session_rollup(
             "session_end",
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM inner join on a key within a time interval —
+    right-side events joined to each left event they follow within
+    ``within`` (click -> purchase attribution). Both sides carry
+    watermarks and the join condition time-bounds right against left,
+    which is exactly what lets Structured Streaming EVICT buffered rows:
+    a left row leaves state once the right watermark passes
+    left_ts + within; a right row once the left watermark passes its
+    own ts. Without the time bound, stream-stream state grows forever —
+    the condition is a correctness-of-scale requirement, not an
+    optimization. Works identically on batch frames (the equivalence
+    test runs both)."""
+    l = left.withWatermark(left_ts, watermark_delay)
+    r = right.withWatermark(right_ts, watermark_delay)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"interval {within}"))
+    )
+    return l.join(r, cond, "inner")

@@ -5562,3 +5562,187 @@ def winsorize_robust_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_clipped"),
         )
     )
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT c.c_mktsegment AS seg,
+           date_trunc('month', o.o_orderdate) AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def mv_incremental_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the stored MV (monthly
+    revenue per market segment) absorbs a new batch of orders WITHOUT
+    re-scanning the base table — delta rows aggregate to the MV grain
+    and merge into prior state by exact decimal addition
+    (operators/merge.py::refresh_additive_mv). The oracle is the FULL
+    RECOMPUTE over all orders: the defining correctness statement of
+    incremental view maintenance, hash-gated. Here the 'stored' prior
+    state is built from the pre-cutoff partition (in production it IS
+    the MV table — the build is fixture setup, not refresh cost); the
+    refresh path touches delta rows + MV-sized state only. The
+    BigQuery-MV / dbt-incremental pattern the reference's I1
+    high-watermark tables approximate with delta ROWS, completed for
+    pre-aggregated state."""
+    from .operators.merge import refresh_additive_mv
+
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+
+    def mv_agg(df: DataFrame) -> DataFrame:
+        return (
+            df.join(F.broadcast(cust), df["o_custkey"] == cust["c_custkey"])
+            .groupBy(
+                F.col("c_mktsegment").alias("seg"),
+                F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            )
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(_dec("o_totalprice")).alias("rev_exact"),
+            )
+        )
+
+    prior_mv = mv_agg(orders.where(F.col("o_orderdate") < cutoff))
+    delta_agg = mv_agg(orders.where(F.col("o_orderdate") >= cutoff))
+    merged = refresh_additive_mv(
+        prior_mv, delta_agg, keys=["seg", "month"],
+        sum_cols=["n_orders", "rev_exact"],
+    )
+    return merged.select(
+        "seg",
+        "month",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(F.col("rev_exact").cast("double"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "holt_trend_forecast",
+    oracle="""
+    WITH RECURSIVE act AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE user_id < 30 GROUP BY 1, 2
+    ), span AS (
+      SELECT min(day) AS d0, max(day) AS d1
+      FROM (SELECT date_trunc('day', ts) AS day FROM events)
+    ), cal AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM span
+    ), users AS (
+      SELECT DISTINCT user_id FROM act
+    ), daily AS (
+      SELECT u.user_id,
+             ROW_NUMBER() OVER (PARTITION BY u.user_id
+                                ORDER BY c.day) AS rn,
+             CAST(COALESCE(a.y, 0) AS DOUBLE) AS y
+      FROM users u CROSS JOIN cal c
+      LEFT JOIN act a ON a.user_id = u.user_id AND a.day = c.day
+    ), n AS (
+      SELECT CAST(max(rn) AS BIGINT) AS last_rn FROM daily
+    ), hw AS (
+      SELECT user_id, rn, y AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT d.user_id, d.rn,
+             0.5 * d.y + 0.5 * (h.l + h.b),
+             0.5 * ((0.5 * d.y + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+      FROM hw h JOIN daily d
+        ON d.user_id = h.user_id AND d.rn = h.rn + 1
+    )
+    SELECT h.user_id, h.l AS level, h.b AS trend,
+           h.l + 7 * h.b AS forecast_7d
+    FROM hw h CROSS JOIN n WHERE h.rn = n.last_rn
+    """,
+)
+def holt_trend_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity time-series forecasting: Holt's linear-trend double
+    exponential smoothing (alpha = beta = 0.5) over each user's dense
+    daily event counts, emitting final level/trend and a 7-day-ahead
+    forecast — the demand-planning aggregate a warehouse serves next to
+    its rollups. The recurrence is inherently sequential in TIME but
+    the series is CALENDAR-bounded (span days, independent of event
+    count), so each entity folds its own array: one groupBy to daily
+    counts, one calendar densification, then a Catalyst
+    ``aggregate()`` fold over the sorted (day, y) array — no
+    per-step shuffles, no Python, state is two doubles per entity.
+    Both engines run the recurrence with identical association
+    (the oracle replays it as a recursive CTE), so the trajectory is
+    bit-equal with no rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    act = (
+        ev.where(F.col("user_id") < 30)
+        .groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    span = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    cal = span.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    users = act.select("user_id").distinct()
+    daily = (
+        users.crossJoin(F.broadcast(cal))
+        .join(act, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("y"), F.lit(0)).cast("double").alias("y"),
+        )
+    )
+    series = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    # fold: acc = (l, b, i); first element seeds l = y, b = 0
+    fold = F.aggregate(
+        "s",
+        F.struct(
+            F.lit(0.0).alias("l"), F.lit(0.0).alias("b"),
+            F.lit(0).alias("i"),
+        ),
+        lambda acc, x: F.when(
+            acc["i"] == 0,
+            F.struct(
+                x["y"].alias("l"), F.lit(0.0).alias("b"),
+                F.lit(1).alias("i"),
+            ),
+        ).otherwise(
+            F.struct(
+                (F.lit(0.5) * x["y"] + F.lit(0.5) * (acc["l"] + acc["b"]))
+                .alias("l"),
+                (
+                    F.lit(0.5)
+                    * (
+                        (
+                            F.lit(0.5) * x["y"]
+                            + F.lit(0.5) * (acc["l"] + acc["b"])
+                        )
+                        - acc["l"]
+                    )
+                    + F.lit(0.5) * acc["b"]
+                ).alias("b"),
+                (acc["i"] + 1).alias("i"),
+            )
+        ),
+    )
+    return series.select(
+        "user_id",
+        fold["l"].alias("level"),
+        fold["b"].alias("trend"),
+        (fold["l"] + F.lit(7) * fold["b"]).alias("forecast_7d"),
+    )

@@ -255,3 +255,31 @@ def test_gapfill_branches_all_fire(spark):
         .collect()[0]
     )
     assert row.val is not None
+
+
+def test_refresh_additive_mv_equals_recompute_any_cutoff(spark):
+    """IVM contract on a hand case: prior + delta merge == full
+    recompute, including keys present on only one side."""
+    from bgg_data_warehouse_spark.operators.merge import refresh_additive_mv
+
+    prior = spark.createDataFrame(
+        [("a", 2, 10), ("b", 1, 5)], "k string, n long, s long"
+    )
+    delta = spark.createDataFrame(
+        [("b", 3, 7), ("c", 1, 1)], "k string, n long, s long"
+    )
+    out = refresh_additive_mv(prior, delta, keys=["k"], sum_cols=["n", "s"])
+    got = {r.k: (r.n, r.s) for r in out.collect()}
+    assert got == {"a": (2, 10), "b": (4, 12), "c": (1, 1)}
+
+
+def test_mv_refresh_delta_filter_reaches_scan(spark):
+    """The refresh path's delta branch must push the cutoff predicate
+    into the parquet scan — a full base scan on refresh is the exact
+    regression IVM exists to prevent."""
+    from bgg_data_warehouse_spark.workload import QUERIES
+
+    df = QUERIES["mv_incremental_refresh"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+    assert "IsNotNull(o_orderdate)" in plan or "GreaterThanOrEqual" in plan

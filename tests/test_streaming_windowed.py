@@ -250,3 +250,62 @@ def test_session_rollup_append_finalizes_closed_sessions(spark, tmp_path):
         (r.user_id, r.session_start, r.session_end, r.n_events)
         for r in rows
     ] == [(1, d(2024, 1, 1, 9, 0), d(2024, 1, 1, 9, 10), 2)]
+
+
+def test_interval_join_streams_matches_batch(spark, tmp_path):
+    """Stream-stream click->purchase attribution (1h window) must equal
+    the batch interval join of the same frames."""
+    from bgg_data_warehouse_spark.sources.tables import load_table
+    from bgg_data_warehouse_spark.streaming.windowed import (
+        interval_join_streams,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("buy_user"), F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    lc, lb = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    clicks.write.parquet(lc)
+    buys.write.parquet(lb)
+
+    sc = spark.readStream.schema(
+        "user_id long, click_ts timestamp, click_id long"
+    ).parquet(lc)
+    sb = spark.readStream.schema(
+        "buy_user long, buy_ts timestamp, buy_id long"
+    ).parquet(lb)
+    sb = sb.withColumnRenamed("buy_user", "user_id")
+    out = interval_join_streams(
+        sc, sb, key="user_id", left_ts="click_ts", right_ts="buy_ts"
+    ).select("click_id", "buy_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.buy_id) for r in spark.table("attrib").collect()
+    }
+    want = {
+        (r.click_id, r.buy_id)
+        for r in interval_join_streams(
+            clicks,
+            buys.withColumnRenamed("buy_user", "user_id"),
+            key="user_id",
+            left_ts="click_ts",
+            right_ts="buy_ts",
+        )
+        .select("click_id", "buy_id")
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
