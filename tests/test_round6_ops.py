@@ -283,3 +283,34 @@ def test_mv_refresh_delta_filter_reaches_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_orderdate" in plan
     assert "IsNotNull(o_orderdate)" in plan or "GreaterThanOrEqual" in plan
+
+
+def test_jsonl_quarantine_splits_and_guards(spark, tmp_path):
+    """Clean rows parse against the declared schema; malformed lines
+    land in quarantine verbatim; a mostly-corrupt drop raises."""
+    import pytest
+
+    from bgg_data_warehouse_spark.sources.jsonl import (
+        read_jsonl_quarantined,
+    )
+
+    p = tmp_path / "drop.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": 2, "name": "also ok"}\n'
+        "{broken json!!\n"
+        '{"id": 3}\n'  # missing field -> conforms via null, NOT corrupt
+    )
+    batch = read_jsonl_quarantined(
+        spark, str(p), "id long, name string"
+    )
+    assert batch.n_clean == 3 and batch.n_quarantined == 1
+    assert {r.id for r in batch.clean.collect()} == {1, 2, 3}
+    quarantined = batch.quarantine.collect()
+    assert quarantined[0].raw.startswith("{broken")
+    assert quarantined[0].reason == "unparseable_json"
+
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text("{x\n{y\n" '{"id": 9, "name": "lone"}\n')
+    with pytest.raises(ValueError, match="refusing the drop"):
+        read_jsonl_quarantined(spark, str(bad), "id long, name string")
