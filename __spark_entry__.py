@@ -69,6 +69,7 @@ _PRIORITY = [
     "winsorize_robust",
     "mv_incremental_refresh",
     "holt_trend_forecast",
+    "wordpiece_encode",
     # gating code CHANGED this round — must stay hash-gated in-window
     "temperature_mix",
     "doc_vector_knn",
@@ -88,9 +89,9 @@ _PRIORITY = [
     "benchmark_contamination",
     "chunk_documents",
     "doc_fingerprint",
-    "dual_rank_topk",
     # ---- position 51+: next-up if the driver widens; the remaining
     # r2/r3-vintage entries lead so they rotate in next round
+    "dual_rank_topk",
     "except_intersect_keys",
     "feature_arrays",
     "filter_topn",

@@ -5746,3 +5746,106 @@ def holt_trend_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold["b"].alias("trend"),
         (fold["l"] + F.lit(7) * fold["b"]).alias("forecast_7d"),
     )
+
+
+def _wordpiece_oracle(rounds: int, n_multi: int) -> str:
+    """DuckDB replay of WordPiece vocab learning + greedy longest-match
+    encoding: the piece vocabulary CTEs, then ``rounds`` unrolled greedy
+    steps, each four piece-lookup joins + a longest-first CASE
+    (operators/wordpiece.py semantics)."""
+    steps = []
+    for k in range(1, rounds + 1):
+        joins = "\n        ".join(
+            f"LEFT JOIN vocab v{length} ON length(v{length}.piece) = {length} "
+            f"AND s.pos + {length} <= length(s.word) "
+            f"AND v{length}.piece = substr(s.word, s.pos + 1, {length})"
+            for length in (4, 3, 2, 1)
+        )
+        steps.append(
+            f"""
+    , s{k} AS (
+      SELECT word, freq,
+             CASE WHEN pos >= length(word) THEN pos
+                  ELSE pos + plen END AS pos,
+             CASE WHEN pos >= length(word) THEN toks
+                  ELSE list_append(toks, pc) END AS toks
+      FROM (
+        SELECT s.word, s.freq, s.pos, s.toks,
+               COALESCE(v4.piece, v3.piece, v2.piece, v1.piece) AS pc,
+               CASE WHEN v4.piece IS NOT NULL THEN 4
+                    WHEN v3.piece IS NOT NULL THEN 3
+                    WHEN v2.piece IS NOT NULL THEN 2
+                    ELSE 1 END AS plen
+        FROM s{k - 1} s
+        {joins}
+      )
+    )"""
+        )
+    return f"""
+    WITH toks AS (
+      SELECT unnest({_duck_tokens()}) AS tok FROM documents
+    ), w AS (
+      SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM toks GROUP BY 1
+    ), subs AS (
+      SELECT substr(word, CAST(s AS INT), CAST(l AS INT)) AS piece,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM w,
+           unnest(generate_series(1, length(word))) AS a(s),
+           unnest(generate_series(1, 4)) AS b(l)
+      WHERE s + l - 1 <= length(word)
+      GROUP BY 1
+    ), vocab AS (
+      SELECT piece, cnt FROM subs WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM subs WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece LIMIT {n_multi})
+    ), s0 AS (
+      SELECT word, freq, 0 AS pos, CAST([] AS VARCHAR[]) AS toks FROM w
+    ){''.join(steps)}
+    SELECT 'piece' AS kind, piece AS id,
+           to_json([CAST(cnt AS VARCHAR)]) AS payload
+    FROM vocab
+    UNION ALL
+    SELECT 'word' AS kind, word AS id, to_json(toks) AS payload
+    FROM s{rounds}
+    """
+
+
+@query("wordpiece_encode", oracle=_wordpiece_oracle(8, 12))
+def wordpiece_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style tokenizer: learn a piece vocabulary (every
+    character + the top-12 frequency-weighted multi-char substrings,
+    so real words split into a mix of learned pieces and char
+    fallbacks) and encode every distinct corpus word by greedy
+    longest-match-first segmentation — the serving-side algorithm of
+    WordPiece/SentencePiece vocabularies, completing the tokenizer
+    family next to BPE merge-learning (bpe_learn_encode) and id
+    encoding (vocab_encode). Union-discriminated output hash-gates the
+    LEARNED VOCAB and EVERY word's segmentation against an
+    8-unrolled-round SQL replay. All iteration runs on the
+    distinct-word relation (vocabulary-bounded); each round is four
+    parameter-bounded broadcast lookups."""
+    from .functions.text import word_tokens
+    from .operators.wordpiece import build_piece_vocab, wordpiece_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(word_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    vocab = build_piece_vocab(words, n_multi=12, max_piece_len=4)
+    enc = wordpiece_encode(words, vocab, rounds=8)
+    pieces_out = vocab.select(
+        F.lit("piece").alias("kind"),
+        F.col("piece").alias("id"),
+        F.to_json(F.array(F.col("cnt").cast("string"))).alias("payload"),
+    )
+    words_out = enc.select(
+        F.lit("word").alias("kind"),
+        F.col("word").alias("id"),
+        F.to_json(F.col("toks")).alias("payload"),
+    )
+    return pieces_out.unionByName(words_out)

@@ -314,3 +314,34 @@ def test_jsonl_quarantine_splits_and_guards(spark, tmp_path):
     bad.write_text("{x\n{y\n" '{"id": 9, "name": "lone"}\n')
     with pytest.raises(ValueError, match="refusing the drop"):
         read_jsonl_quarantined(spark, str(bad), "id long, name string")
+
+
+def test_wordpiece_greedy_prefers_longest_and_guards(spark):
+    """Longest-match-first on a hand vocab; round budget enforcement;
+    bad round count rejected."""
+    import pytest
+
+    from bgg_data_warehouse_spark.operators.wordpiece import (
+        wordpiece_encode,
+    )
+
+    words = spark.createDataFrame(
+        [("parts", 3), ("pa", 1)], "word string, freq long"
+    )
+    vocab = spark.createDataFrame(
+        [("p", 9), ("a", 9), ("r", 9), ("t", 9), ("s", 9),
+         ("pa", 5), ("par", 4), ("rt", 3)],
+        "piece string, cnt long",
+    )
+    enc = {
+        r.word: r.toks
+        for r in wordpiece_encode(words, vocab, rounds=5).collect()
+    }
+    # 'par' (len 3) beats 'pa' (len 2) at pos 0; then 't','s' fall back
+    assert enc["parts"] == ["par", "t", "s"]
+    assert enc["pa"] == ["pa"]
+
+    with pytest.raises(RuntimeError, match="unfinished"):
+        wordpiece_encode(words, vocab, rounds=1)
+    with pytest.raises(ValueError, match="rounds"):
+        wordpiece_encode(words, vocab, rounds=0)
