@@ -70,6 +70,7 @@ _PRIORITY = [
     "mv_incremental_refresh",
     "holt_trend_forecast",
     "wordpiece_encode",
+    "ann_recall_eval",
     # gating code CHANGED this round — must stay hash-gated in-window
     "temperature_mix",
     "doc_vector_knn",
@@ -88,9 +89,9 @@ _PRIORITY = [
     # stalest-evidence refresh: last driver row was round 2/3
     "benchmark_contamination",
     "chunk_documents",
-    "doc_fingerprint",
     # ---- position 51+: next-up if the driver widens; the remaining
     # r2/r3-vintage entries lead so they rotate in next round
+    "doc_fingerprint",
     "dual_rank_topk",
     "except_intersect_keys",
     "feature_arrays",

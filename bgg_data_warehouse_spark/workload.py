@@ -5849,3 +5849,118 @@ def wordpiece_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.col("toks")).alias("payload"),
     )
     return pieces_out.unionByName(words_out)
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT * FROM embeddings WHERE vec_id < 50
+    ), cent AS (
+      SELECT vec_id AS cell, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ), qcell AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT q.vec_id, q.embedding, cent.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_DUCK_COS.format(a='q.embedding', b='cent.cvec')}
+                   DESC, cent.cell ASC) AS rn
+        FROM q CROSS JOIN cent) WHERE rn = 1
+    ), ccell AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, cent.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_DUCK_COS.format(a='e.embedding', b='cent.cvec')}
+                   DESC, cent.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN cent) WHERE rn = 1
+    ), approx AS (
+      SELECT query_id, nbr_id FROM (
+        SELECT qc.vec_id AS query_id, cc.vec_id AS nbr_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qc.vec_id
+                 ORDER BY
+                   {_DUCK_COS.format(a='qc.embedding', b='cc.embedding')}
+                     DESC, cc.vec_id ASC) AS rank
+        FROM qcell qc JOIN ccell cc
+          ON qc.cell = cc.cell AND qc.vec_id <> cc.vec_id
+      ) WHERE rank <= 10
+    ), exact AS (
+      SELECT query_id, nbr_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY
+                   {_DUCK_COS.format(a='q.embedding', b='c.embedding')}
+                     DESC, c.vec_id ASC) AS rank
+        FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+      ) WHERE rank <= 10
+    ), hits AS (
+      SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM approx a JOIN exact e
+        ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id
+      GROUP BY 1
+    ), per AS (
+      SELECT eq.query_id,
+             CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+             round(COALESCE(h.n_hits, 0) / 10.0, 4) AS recall_at_10
+      FROM (SELECT DISTINCT query_id FROM exact) eq
+      LEFT JOIN hits h ON h.query_id = eq.query_id
+    )
+    SELECT query_id, n_hits, recall_at_10 FROM per
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS query_id,
+           CAST(sum(n_hits) AS BIGINT) AS n_hits,
+           round(sum(n_hits) / (10.0 * count(*)), 4) AS recall_at_10
+    FROM per
+    """,
+)
+def ann_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QUALITY as a first-class, hash-gated query: recall@10
+    of IVF with nprobe=1 (the cheap single-cell probe) against exact
+    brute-force top-10, per query plus a corpus summary row
+    (query_id = -1). Gateable because this IVF index is fully
+    deterministic cross-engine: training-free lowest-id centroids,
+    bit-identical left-fold cosine (functions/vector.py docstring), and
+    explicit (sim DESC, id ASC) tie-breaks — so the oracle replays the
+    ENTIRE index (centroids, both cell assignments, probe, re-rank) in
+    SQL, closing the evidence gap that keeps hash-based ANN variants
+    rows-only. This is the 'measure your index before trusting it'
+    operator every vector-search deployment runs when tuning nprobe.
+    Cost shape: assignment is a broadcast argmin over 16 cells; the
+    probe join is (cell)-bucketed; exact side is the already-gated
+    brute-force plan over 50 queries."""
+    from .operators.similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 50)
+    approx = ivf_topk(
+        q, emb, "vec_id", "embedding", k=10, num_cells=16, nprobe=1
+    ).select("query_id", "nbr_id")
+    exact = brute_force_topk(q, emb, "vec_id", "embedding", k=10).select(
+        "query_id", "nbr_id"
+    )
+    hits = approx.join(exact, ["query_id", "nbr_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("n_hits"))
+    per = (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / 10.0, 4).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+    summary = per.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.sum("n_hits").alias("n_hits"),
+        F.round(F.sum("n_hits") / (10.0 * F.count("*")), 4).alias(
+            "recall_at_10"
+        ),
+    )
+    return per.unionByName(summary)
