@@ -71,6 +71,9 @@ _PRIORITY = [
     "holt_trend_forecast",
     "wordpiece_encode",
     "ann_recall_eval",
+    "retention_cohorts",
+    "ab_test_eval",
+    "corr_matrix",
     # gating code CHANGED this round — must stay hash-gated in-window
     "temperature_mix",
     "doc_vector_knn",
@@ -82,15 +85,16 @@ _PRIORITY = [
     "trigram_backoff_ppl",
     "inverted_index",
     "profile_documents",
-    "weighted_sample_stratified",
     # TPC-H rotation: q1-q5/q18-q22 back in (q6-q17 r5-confirmed, out)
     *[f"tpch_q{i}" for i in range(1, 6)],
     *[f"tpch_q{i}" for i in range(18, 23)],
-    # stalest-evidence refresh: last driver row was round 2/3
-    "benchmark_contamination",
-    "chunk_documents",
     # ---- position 51+: next-up if the driver widens; the remaining
     # r2/r3-vintage entries lead so they rotate in next round
+    # (weighted_sample_stratified r5-green and unchanged, yields its
+    # confirmation slot to the round-6 additions)
+    "weighted_sample_stratified",
+    "benchmark_contamination",
+    "chunk_documents",
     "doc_fingerprint",
     "dual_rank_topk",
     "except_intersect_keys",

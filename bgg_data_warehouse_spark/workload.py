@@ -5964,3 +5964,268 @@ def ann_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return per.unionByName(summary)
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ), sized AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY 1
+    ), active AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            date_trunc('week', e.ts)) / 7 AS BIGINT)
+               AS week_offset
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    ), cells AS (
+      SELECT cohort_week, week_offset,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM active GROUP BY 1, 2
+    )
+    SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+           c.n_active * 1.0 / s.cohort_size AS retention
+    FROM cells c JOIN sized s ON s.cohort_week = c.cohort_week
+    """,
+)
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    grouped by first-activity week, each later week's distinct-active
+    share of the cohort. Two shuffles (first-touch per user, then the
+    (cohort, offset) distinct+count); offsets computed on week-truncated
+    timestamps so the integer division is exact; the retention ratio is
+    an unrounded exact-int division (identical IEEE both engines — no
+    rounding, no ties)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sized = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    active = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                (
+                    F.date_trunc("week", F.col("ts")).cast("long")
+                    - F.col("cohort_week").cast("long")
+                )
+                / 604800
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    cells = active.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )
+    return cells.join(sized, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active") * 1.0 / F.col("cohort_size")).alias("retention"),
+    )
+
+
+@query(
+    "ab_test_eval",
+    oracle="""
+    WITH assign AS (
+      SELECT DISTINCT user_id, user_id % 2 AS variant FROM events
+    ), conv AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value > 150
+    ), arms AS (
+      SELECT a.variant,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(count(c.user_id) AS BIGINT) AS n_converted
+      FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+      GROUP BY 1
+    ), wide AS (
+      SELECT
+        max(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+        max(CASE WHEN variant = 0 THEN n_converted END) AS c_a,
+        max(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+        max(CASE WHEN variant = 1 THEN n_converted END) AS c_b
+      FROM arms
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           c_a * 1.0 / n_a AS rate_a,
+           c_b * 1.0 / n_b AS rate_b,
+           (c_b * 1.0 / n_b) - (c_a * 1.0 / n_a) AS lift,
+           ((c_b * 1.0 / n_b) - (c_a * 1.0 / n_a))
+             / NULLIF(sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
+                    * (1.0 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 0.0) AS z_score
+    FROM wide
+    """,
+)
+def ab_test_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: two-proportion z-test on conversion
+    (did the user ever purchase) between hash-assigned variants —
+    counts exact, rates/lift/pooled-variance z computed in
+    identical-association IEEE doubles from those exact integers (no
+    rounding anywhere, so the gate is bit-exact). Two distinct
+    aggregates plus a 2-row pivot; nothing data-sized past the user
+    dedup."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.select(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).distinct()
+    # conversion = a LARGE purchase; a metric everyone hits makes the
+    # pooled variance zero and the z-score undefined (guarded below)
+    conv = (
+        ev.where(
+            (F.col("event_type") == "purchase") & (F.col("value") > 150)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    arms = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count("_c").alias("n_converted"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(
+            F.when(F.col("variant") == 0, F.col("n_converted"))
+        ).alias("c_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(
+            F.when(F.col("variant") == 1, F.col("n_converted"))
+        ).alias("c_b"),
+    )
+    rate_a = F.col("c_a") * 1.0 / F.col("n_a")
+    rate_b = F.col("c_b") * 1.0 / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")) * 1.0 / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        (rate_b - rate_a).alias("lift"),
+        F.try_divide(
+            rate_b - rate_a,
+            F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            ),
+        ).alias("z_score"),
+    )
+
+
+def _corr_oracle() -> str:
+    """Pairwise Pearson correlations from exact DECIMAL moment sums —
+    generated per column pair so both engines share one formula shape."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    moment_cols = []
+    for c in cols:
+        moment_cols.append(
+            f"CAST(sum(CAST({c} AS DECIMAL(28,10))) AS DOUBLE) AS s_{c}"
+        )
+        moment_cols.append(
+            f"CAST(sum(CAST({c} AS DECIMAL(28,10))"
+            f" * CAST({c} AS DECIMAL(28,10))) AS DOUBLE) AS ss_{c}"
+        )
+    for a, b in pairs:
+        moment_cols.append(
+            f"CAST(sum(CAST({a} AS DECIMAL(28,10))"
+            f" * CAST({b} AS DECIMAL(28,10))) AS DOUBLE) AS sp_{a}_{b}"
+        )
+    selects = []
+    for a, b in pairs:
+        corr = (
+            f"(n * sp_{a}_{b} - s_{a} * s_{b}) / "
+            f"(sqrt(n * ss_{a} - s_{a} * s_{a})"
+            f" * sqrt(n * ss_{b} - s_{b} * s_{b}))"
+        )
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"round({corr}, 6) AS corr FROM m"
+        )
+    return f"""
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             {', '.join(moment_cols)}
+      FROM lineitem
+    )
+    {' UNION ALL '.join(selects)}
+    """
+
+
+@query("corr_matrix", oracle=_corr_oracle())
+def corr_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns — the profiling/feature-selection aggregate. All moment
+    sums (Sx, Sxx, Sxy) accumulate in DECIMAL(28,10) — exact and
+    order-independent, where double sums would drift with partial-agg
+    order — then each correlation is one identical-association double
+    formula over the exact moments, rounded once at output. ONE scan,
+    one 1-row aggregate, 6 projections; column count bounds the state,
+    not row count."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dec(c):
+        return F.col(c).cast("decimal(28,10)")
+
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(dec(c)).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum(dec(c) * dec(c)).cast("double").alias(f"ss_{c}")
+        )
+    for a, b in pairs:
+        aggs.append(
+            F.sum(dec(a) * dec(b)).cast("double").alias(f"sp_{a}_{b}")
+        )
+    m = li.agg(*aggs)
+    # ONE wide row then stack-unpivot: a 6-branch union would re-run
+    # the lineitem aggregate per branch (union branches are not CSE'd)
+    corr_cols = []
+    for i, (a, b) in enumerate(pairs):
+        corr = (
+            F.col("n") * F.col(f"sp_{a}_{b}")
+            - F.col(f"s_{a}") * F.col(f"s_{b}")
+        ) / (
+            F.sqrt(
+                F.col("n") * F.col(f"ss_{a}")
+                - F.col(f"s_{a}") * F.col(f"s_{a}")
+            )
+            * F.sqrt(
+                F.col("n") * F.col(f"ss_{b}")
+                - F.col(f"s_{b}") * F.col(f"s_{b}")
+            )
+        )
+        corr_cols.append(F.round(corr, 6).alias(f"c_{i}"))
+    wide = m.select(*corr_cols)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+        )
+    )
