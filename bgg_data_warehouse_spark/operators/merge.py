@@ -55,6 +55,18 @@ def apply_changelog(
     """
     keys = list(keys)
     payload = [c for c in base.columns if c not in keys]
+    # the internal working columns must not collide with caller columns —
+    # a base/changes frame already carrying '_rn'/'_in_base', or a payload
+    # column whose '_chg_' prefix duplicates another, would silently
+    # produce wrong or ambiguous results
+    reserved = {"_rn", "_in_base", "_chg_op", *(f"_chg_{c}" for c in payload)}
+    for frame, label in ((base, "base"), (changes, "changes")):
+        clash = reserved.intersection(frame.columns)
+        if clash:
+            raise ValueError(
+                f"apply_changelog: {label} columns collide with internal "
+                f"names: {sorted(clash)}"
+            )
     w = Window.partitionBy(*keys).orderBy(
         *[F.col(c).desc() for c in seq_cols]
     )

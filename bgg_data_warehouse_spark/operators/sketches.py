@@ -23,7 +23,9 @@ Reference parity: no reference counterpart — LLM-pipeline extension
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .importance import md5_fold, md5_fold_sql
@@ -102,4 +104,277 @@ def cms_estimate(
         probes.join(F.broadcast(sketch), ["d", "bkt"], "left")
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+# ===========================================================================
+# HyperLogLog — portable register grid (approximate COUNT DISTINCT)
+# ===========================================================================
+#
+# Flajolet et al. 2007. One md5 per key supplies both coordinates: hex
+# chars 1-8 give a uniform 32-bit value whose residue mod m picks the
+# register; hex chars 9-16 give an independent 32-bit value whose
+# lowest-set-bit position is the register's rank (rho). The sketch is
+# the per-group grid  register -> max(rho)  — m rows, mergeable by MAX
+# (associative + commutative + idempotent, so daily grids union into
+# monthly ones losslessly), and — because every step is md5/ascii/CASE
+# bit math — replayable verbatim in DuckDB SQL, which makes the
+# APPROXIMATE cardinality path oracle hash-gateable (the CMS treatment
+# applied to HLL; closes VERDICT r06 "Next round" #1).
+#
+# The estimate is alpha_m * m^2 / sum_j 2^-M[j]. Every 2^-M[j] term is
+# dyadic with lsb >= 2^-HLL_RHO_CAP and the grid has m terms, so every
+# partial sum fits a double mantissa EXACTLY — the sum is
+# order-independent and safe to compute with a plain SUM on both
+# engines. The linear-counting small-range branch (m*ln(m/V)) is the
+# single transcendental step; it only evaluates when V > 0 empty
+# registers remain, which callers gating against an oracle avoid by
+# sizing m << expected cardinality.
+
+HLL_RHO_CAP = 33  # rho of a zero 32-bit suffix: 32 trailing zeros + 1
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hexval(ch):
+    """Value of one lowercase hex digit — ascii math, engine-portable."""
+    return F.when(ch <= "9", F.ascii(ch) - 48).otherwise(F.ascii(ch) - 87)
+
+
+def _hexval_sql(ch: str) -> str:
+    return f"(CASE WHEN {ch} <= '9' THEN ascii({ch}) - 48 ELSE ascii({ch}) - 87 END)"
+
+
+def _hex_long(h, start: int, n: int):
+    """Hex chars [start, start+n) of md5 string ``h`` as a BIGINT."""
+    acc = F.lit(0).cast("long")
+    for i in range(start, start + n):
+        acc = acc * 16 + _hexval(F.substring(h, i, 1))
+    return acc
+
+
+def _hex_long_sql(h: str, start: int, n: int) -> str:
+    acc = "CAST(0 AS BIGINT)"
+    for i in range(start, start + n):
+        acc = f"({acc} * 16 + {_hexval_sql(f'substr({h},{i},1)')})"
+    return acc
+
+
+def hll_register(key, m: int):
+    """Register index in [0, m) — md5 hex chars 1-8 mod m."""
+    return _hex_long(F.md5(key.cast("string")), 1, 8) % m
+
+
+def hll_register_sql(key_expr: str, m: int) -> str:
+    return f"({_hex_long_sql(f'md5(CAST({key_expr} AS VARCHAR))', 1, 8)} % {m})"
+
+
+def hll_rho(key):
+    """Rank: position of the lowest set bit of md5 hex chars 9-16
+    (1-based), HLL_RHO_CAP when all 32 bits are zero. The bit position
+    is pure integer math — bit_count((w & -w) - 1) + 1 — identical in
+    Spark and DuckDB."""
+    w = _hex_long(F.md5(key.cast("string")), 9, 8)
+    return F.when(w == 0, F.lit(HLL_RHO_CAP)).otherwise(
+        F.bit_count(w.bitwiseAND(-w) - 1) + 1
+    )
+
+
+def hll_rho_sql(key_expr: str) -> str:
+    w = _hex_long_sql(f"md5(CAST({key_expr} AS VARCHAR))", 9, 8)
+    return (
+        f"(CASE WHEN {w} = 0 THEN {HLL_RHO_CAP} "
+        f"ELSE bit_count(({w} & -{w}) - 1) + 1 END)"
+    )
+
+
+def hll_register_grid(
+    df: DataFrame, key_col: str, *, m: int = 16, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """(group..., register, rho) — the HLL sketch for ``key_col`` per
+    group. ONE shuffle whose key cardinality is |groups| x m; the MAX
+    partial-aggregates map-side, so each task ships at most the grid
+    size regardless of row count. Untouched registers are absent here —
+    ``hll_estimate`` restores them against the full spine."""
+    g = list(group_cols)
+    key = F.col(key_col)
+    return (
+        df.select(
+            *g,
+            hll_register(key, m).alias("register"),
+            hll_rho(key).alias("rho"),
+        )
+        .groupBy(*g, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(
+    grids: DataFrame, *, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge register grids by MAX — fold finer groupings (days) into
+    coarser ones (the ``group_cols`` kept) without touching raw data."""
+    g = list(group_cols)
+    return grids.groupBy(*g, "register").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    grid: DataFrame, *, m: int = 16, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """(group..., registers_json, n_zero, approx_distinct) from a grid.
+
+    registers_json renders the FULL m-register vector (zeros for
+    untouched registers) in register order — the sketch itself stays
+    inspectable and hash-gateable. approx_distinct is the raw HLL
+    estimate with the standard linear-counting fallback for the
+    small-range regime."""
+    alpha = _HLL_ALPHA[m]
+    g = list(group_cols)
+    spark = grid.sparkSession
+    spine = spark.range(m).select(F.col("id").cast("long").alias("register"))
+    if g:
+        spine = grid.select(*g).distinct().crossJoin(spine)
+    full = (
+        spine.join(grid, [*g, "register"], "left")
+        .select(
+            *g, "register", F.coalesce(F.col("rho"), F.lit(0)).alias("rho")
+        )
+    )
+    agg = full.groupBy(*g).agg(
+        F.to_json(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("register", "rho"))
+                ),
+                lambda s: s["rho"],
+            )
+        ).alias("registers_json"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.sum(
+            F.lit(1.0)
+            / F.expr("shiftleft(cast(1 as bigint), rho)").cast("double")
+        ).alias("_s"),
+    )
+    raw = F.lit(alpha) * F.lit(m) * F.lit(m) / F.col("_s")
+    linear = F.lit(m) * F.log(F.lit(m) / F.col("n_zero").cast("double"))
+    return agg.select(
+        *g,
+        "registers_json",
+        "n_zero",
+        F.when((F.col("n_zero") > 0) & (raw <= 2.5 * m), linear)
+        .otherwise(raw)
+        .alias("approx_distinct"),
+    )
+
+
+# ===========================================================================
+# Mergeable histogram sketch — approximate quantiles as a TABLE
+# ===========================================================================
+#
+# The optimizer-statistics analog of ``cms_sketch``: a fixed-width bin
+# grid  bin -> count  that is (a) one map-side-combined aggregate to
+# build (shuffle bounded at |groups| x |touched bins| per task),
+# (b) mergeable by plain SUM (counts are additive — daily sketches roll
+# into monthly ones without re-scanning), and (c) queryable for any
+# quantile by a cumulative walk + linear interpolation within the
+# located bin. Error is bounded by the bin width, set by the caller
+# from the column's scale. Every step is integer counts + one
+# deterministic IEEE interpolation, so build, merge AND query are all
+# oracle hash-gateable — unlike t-digest/GK whose data-dependent
+# centroid placement is engine-internal (VERDICT r06 "Next round" #8).
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    width: float,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(group..., bin, n) — fixed-width bin counts for ``value_col``.
+
+    bin = floor(value / width): one double division + floor, identical
+    in any engine; NULL values are excluded (they carry no quantile
+    information, matching percentile semantics)."""
+    g = list(group_cols)
+    v = F.col(value_col)
+    return (
+        df.where(v.isNotNull())
+        .select(*g, F.floor(v / F.lit(width)).cast("long").alias("bin"))
+        .groupBy(*g, "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def merge_histogram_sketches(
+    *sketches: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Union partial sketches and re-sum — the SUM-mergeability that
+    makes the sketch a persistable incremental table: input size is
+    sketch-size, never data-size."""
+    g = list(group_cols)
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*g, "bin").agg(F.sum("n").alias("n"))
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    *,
+    width: float,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(group..., q, est) — approximate quantiles from a bin grid.
+
+    For each q: target = q * N; walk the cumulative counts in bin order,
+    stop at the first bin whose running count reaches target, and
+    interpolate linearly inside it:
+
+        est = bin*width + width * (target - cum_below) / n_bin
+
+    The walk is a window cumulative sum partitioned by group (sketch-
+    sized input); the interpolation is a fixed-association IEEE
+    expression mirrored verbatim in the SQL replay. Estimates are exact
+    for bin edges and within one ``width`` of the true value otherwise.
+    """
+    g = list(group_cols)
+    w = Window.partitionBy(*g).orderBy("bin") if g else Window.orderBy("bin")
+    wall = (
+        Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
+    )
+    cum = sketch.select(
+        *g,
+        "bin",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(wall).alias("N"),
+    )
+    q_spine = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    hits = (
+        cum.select(*g, "bin", "n", "cum", "N", q_spine)
+        .where(F.col("cum").cast("double") >= F.col("q") * F.col("N"))
+    )
+    pick = Window.partitionBy(*g, "q").orderBy("bin")
+    return (
+        hits.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            *g,
+            "q",
+            (
+                F.col("bin") * F.lit(width)
+                + F.lit(width)
+                * (
+                    F.col("q") * F.col("N")
+                    - (F.col("cum") - F.col("n")).cast("double")
+                )
+                / F.col("n").cast("double")
+            ).alias("est"),
+        )
     )

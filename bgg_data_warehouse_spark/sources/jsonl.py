@@ -8,7 +8,7 @@ corrupt ones, and ships the corrupt originals to a quarantine table
 instead of failing the batch or silently nulling fields — the
 schema-enforcement + conformance behavior `schemas.py` applies to XML,
 extended to JSON drops (reference parity: the pre-write PK/conformance
-validation family, /root/reference/src/data_processor/validator.py).
+validation family, /root/reference/src/data_processor/processor.py:619-710).
 
 Scale shape: PERMISSIVE parsing is scan-side (one pass, splittable
 line format, no Python); the split is two filters over one cached scan.
@@ -27,12 +27,25 @@ CORRUPT_COL = "_corrupt_record"
 
 @dataclass
 class JsonlBatch:
-    """Result of a quarantined JSONL read."""
+    """Result of a quarantined JSONL read.
+
+    Cache lifetime contract: ``clean`` and ``quarantine`` are filters
+    over ONE cached scan (``raw``) so that the ratio guard's two counts
+    and the caller's subsequent clean/quarantine writes all share a
+    single pass over the drop. The cache belongs to the caller from the
+    moment this object is returned — call :meth:`unpersist` once both
+    branches are consumed (a long-lived session that reads many drops
+    and never releases them accumulates cached partitions)."""
 
     clean: DataFrame
     quarantine: DataFrame  # (raw, reason)
     n_clean: int
     n_quarantined: int
+    raw: DataFrame  # the cached one-scan parent of both branches
+
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release the shared scan cache once the batch is consumed."""
+        self.raw.unpersist(blocking)
 
 
 def read_jsonl_quarantined(
@@ -64,8 +77,9 @@ def read_jsonl_quarantined(
     n_bad = quarantine.count()
     total = n_clean + n_bad
     if total and n_bad / total > max_bad_ratio:
+        raw.unpersist()  # refused drop: nobody will consume the batch
         raise ValueError(
             f"read_jsonl_quarantined: {n_bad}/{total} records corrupt "
             f"(> {max_bad_ratio:.0%}) — refusing the drop"
         )
-    return JsonlBatch(clean, quarantine, n_clean, n_bad)
+    return JsonlBatch(clean, quarantine, n_clean, n_bad, raw)

@@ -144,4 +144,7 @@ def interval_join_streams(
         & (r[right_ts] >= l[left_ts])
         & (r[right_ts] <= l[left_ts] + F.expr(f"interval {within}"))
     )
-    return l.join(r, cond, "inner")
+    # expression-condition joins keep BOTH sides' key columns; drop the
+    # right one so callers can select the key by name without hitting an
+    # ambiguous-column error (the values are equal by the join condition)
+    return l.join(r, cond, "inner").drop(r[key])
