@@ -23,18 +23,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness grades the FIRST 50 queries in dict
-# order. Round 6 rotation (no r5 VERDICT issued; follows the standing
-# pattern): keep the four events sentinels + the two sketch-twin
-# anchors; promote the TWELVE new round-6 capabilities; keep in-window
-# the two queries whose gating code changed this round
-# (temperature_mix — double-denominator overflow fix mirrored in its
-# oracle; doc_vector_knn — forced norms broadcast dropped for AQE);
-# give the remaining round-5 newcomers their one confirmation round;
-# rotate TPC-H q1-q5/q18-q22 back in (q6-q17 r5-confirmed, out); and
-# fill the last 12 slots with the stalest oracle-gated queries (no
-# driver row since r2/r3).
+# order. Round 7 rotation (VERDICT r06 "Next round" #4): keep the four
+# events sentinels + the two sketch-twin anchors; give cdc_upsert /
+# sliding_window_distinct / corr_matrix their one confirmation round;
+# keep in-window every query whose gating code changed this round
+# (ann_recall_eval — spine + pin fix; doc_vector_knn — window-norms
+# plan; wordpiece_encode — vocab pin; knn_bruteforce / knn_lsh_exact /
+# embedding_near_dup_exact — per-vector norm hoist in similarity.py;
+# bm25_search — scored stage refactored out for RRF); promote the EIGHT
+# new round-7 gates; and fill the remaining 26 slots with the stalest
+# r2/r3-vintage gates (no driver row for 4+ rounds). TPC-H q1-q22 and
+# the r4 analytic tail queue at position 51+ for round 8.
 _PRIORITY = [
-    # events-adapter regression sentinels (green r3+r4+r5, keep)
+    # events-adapter regression sentinels (green r3-r6, keep)
     "latest_snapshot",
     "semi_scoped_agg",
     "watermark_increment",
@@ -42,56 +43,32 @@ _PRIORITY = [
     # sketch-twin anchors (regression sentinels)
     "dedup_minhash_verified",
     "knn_ivf_exact",
-    # NEW round 6: DSIR importance selection, count-min heavy hitters,
-    # bloom-pruned join, Gopher rule verdicts, corpus KL drift,
-    # z-order layout keys, priority-survivorship dedup, token budget,
-    # one-shuffle funnel, exact centroids, checksum manifest, skew report
-    "dsir_importance",
-    "cms_heavy_hitters",
-    "bloom_pruned_join",
-    "gopher_quality_rules",
-    "corpus_kl_shift",
-    "zorder_layout",
-    "dedup_keep_best",
-    "token_budget_report",
-    "funnel_steps",
-    "label_centroids",
-    "table_checksum_manifest",
-    "join_skew_report",
-    # NEW round 6 (second batch): CDC change-log replay, hypertable
-    # gap-fill + interpolation, equi-depth optimizer stats,
-    # entity-resolution golden records
+    # round-6 newcomers — one confirmation round (r6-green)
     "cdc_upsert",
-    "gapfill_interpolate",
-    "equidepth_histogram",
-    "entity_resolution",
     "sliding_window_distinct",
-    "winsorize_robust",
-    "mv_incremental_refresh",
-    "holt_trend_forecast",
-    "wordpiece_encode",
-    "ann_recall_eval",
-    "retention_cohorts",
-    "ab_test_eval",
     "corr_matrix",
     # gating code CHANGED this round — must stay hash-gated in-window
-    "temperature_mix",
+    "ann_recall_eval",
     "doc_vector_knn",
-    # round-5 newcomers — one confirmation round (r5-green)
-    "bpe_learn_encode",
-    "semantic_dedup",
-    "nb_lang_classify",
-    "knn_quantized",
-    "trigram_backoff_ppl",
-    "inverted_index",
-    "profile_documents",
-    # TPC-H rotation: q1-q5/q18-q22 back in (q6-q17 r5-confirmed, out)
-    *[f"tpch_q{i}" for i in range(1, 6)],
-    *[f"tpch_q{i}" for i in range(18, 23)],
-    # ---- position 51+: next-up if the driver widens; the remaining
-    # r2/r3-vintage entries lead so they rotate in next round
-    # (weighted_sample_stratified r5-green and unchanged, yields its
-    # confirmation slot to the round-6 additions)
+    "wordpiece_encode",
+    "knn_bruteforce",
+    "knn_lsh_exact",
+    "embedding_near_dup_exact",
+    "bm25_search",
+    # NEW round 7: portable HLL cardinality (register grid replayed in
+    # the oracle), mergeable histogram-quantile sketch (build+merge,
+    # query), PMI collocation mining, tf-idf keyword extraction,
+    # reciprocal-rank-fusion hybrid retrieval, HLL set algebra,
+    # grouped closed-form OLS trend regression
+    "approx_distinct_hll",
+    "quantile_sketch_merge",
+    "quantile_sketch_query",
+    "pmi_collocations",
+    "tfidf_keywords",
+    "hybrid_rrf_search",
+    "hll_set_ops",
+    "ols_trend",
+    # stale-evidence refresh: the r2-vintage block (last driver row r2)
     "weighted_sample_stratified",
     "benchmark_contamination",
     "chunk_documents",
@@ -115,7 +92,48 @@ _PRIORITY = [
     "stratified_sample",
     "token_count",
     "union_discriminated",
-    *[f"tpch_q{i}" for i in range(6, 18)],
+    # stale-evidence refresh: the oldest analytic-SQL gates
+    "sessionize",
+    "pivot_status_counts",
+    "rollup_returns",
+    # ---- position 51+: next-up if the driver widens; remaining
+    # analytic tail + TPC-H lead so they rotate in next round
+    "cube_order_stats",
+    "grouping_sets_stats",
+    "value_percentiles",
+    "distinct_users_exact",
+    "trailing_window_sum",
+    "ntile_value_buckets",
+    "regexp_json_extract",
+    *[f"tpch_q{i}" for i in range(1, 23)],
+    "dsir_importance",
+    "cms_heavy_hitters",
+    "bloom_pruned_join",
+    "gopher_quality_rules",
+    "corpus_kl_shift",
+    "zorder_layout",
+    "dedup_keep_best",
+    "token_budget_report",
+    "funnel_steps",
+    "label_centroids",
+    "table_checksum_manifest",
+    "join_skew_report",
+    "gapfill_interpolate",
+    "equidepth_histogram",
+    "entity_resolution",
+    "winsorize_robust",
+    "mv_incremental_refresh",
+    "holt_trend_forecast",
+    "retention_cohorts",
+    "ab_test_eval",
+    "temperature_mix",
+    "bpe_learn_encode",
+    "semantic_dedup",
+    "nb_lang_classify",
+    "knn_quantized",
+    "trigram_backoff_ppl",
+    "inverted_index",
+    "profile_documents",
     "multimodal_png_features",
     "multimodal_video_frames",
     "bigram_perplexity",
@@ -132,7 +150,6 @@ _PRIORITY = [
     "merge_insert_missing",
     "delete_insert_refresh",
     "band_self_join_knn",
-    "knn_bruteforce",
     "ngram_jaccard",
     "fuzzy_match_parts",
     "substring_dedup",
@@ -140,27 +157,14 @@ _PRIORITY = [
     "components_star_chains",
     "multimodal_features",
     "request_stats",
-    "sessionize",
-    "pivot_status_counts",
-    "rollup_returns",
-    "cube_order_stats",
-    "grouping_sets_stats",
-    "value_percentiles",
-    "distinct_users_exact",
-    "trailing_window_sum",
-    "ntile_value_buckets",
-    "regexp_json_extract",
     "asof_feature_join",
     "asof_feature_join_segmented",
     "range_join_recent_activity",
-    "knn_lsh_exact",
     "kmeans_embeddings",
     "pagerank_bipartite",
-    "bm25_search",
     "top_ngrams",
     "multimodal_frame_sample",
     "dedup_simhash_verified",
-    "embedding_near_dup_exact",
     "content_hash_portable",
     "multimodal_resize",
     "multimodal_audio_features",

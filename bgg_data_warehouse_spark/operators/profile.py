@@ -1,7 +1,7 @@
 """Single-pass column profiling — the data-quality companion to the
 pre-write conformance checks (schemas.py ``conform`` /
 ``validate_no_all_null_columns``, reference
-`/root/reference/src/pipeline/processor.py:619-710` family): null
+`/root/reference/src/data_processor/processor.py:619-710` family): null
 counts, distinct cardinality, and value ranges for every requested
 column, computed in ONE scan.
 

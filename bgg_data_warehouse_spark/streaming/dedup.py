@@ -21,7 +21,7 @@ batch path, and any downstream job (cluster collapse, leakage-safe
 split) can read the accumulated pairs directory.
 
 Reference parity: the reference's closest machinery is the landing-log +
-MERGE load discipline (`/root/reference/src/pipeline/load.py` family);
+MERGE load discipline (`/root/reference/src/data_processor/loader.py` family);
 streaming dedup is an LLM-pipeline extension on the same
 sketch-then-join shape.
 """

@@ -4144,6 +4144,14 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered group) so double addition cannot reorder; ln/div are
     deterministic IEEE ops. Scale: two shuffles on doc_id + one on the
     4-row term table; never materializes a doc x term matrix."""
+    return _bm25_scored(spark, sf_dir).orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    ).limit(20)
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every doc matching any fixed term — the scored
+    relation behind ``bm25_search``, shared with ``hybrid_rrf_search``."""
     from .functions.text import word_tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4184,8 +4192,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in _BM25_TERMS:  # fixed association order, mirrored in the oracle
         piece = F.coalesce(F.max(F.when(F.col("tok") == t, F.col("c"))), F.lit(0.0))
         term_sum = piece if term_sum is None else term_sum + piece
-    scored = contrib.groupBy("doc_id").agg(F.round(term_sum, 4).alias("bm25"))
-    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(20)
+    return contrib.groupBy("doc_id").agg(F.round(term_sum, 4).alias("bm25"))
 
 
 @query(
@@ -6244,4 +6251,731 @@ def corr_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
         )
+    )
+
+
+# ===========================================================================
+# Round 7 — portable HLL cardinality, mergeable quantile sketch,
+# hybrid RRF retrieval, PMI collocations, TF-IDF keywords
+# ===========================================================================
+
+
+def _hll_oracle(m: int = 16) -> str:
+    from .operators.sketches import HLL_RHO_CAP  # noqa: F401 — doc anchor
+    from .operators.sketches import hll_register_sql, hll_rho_sql
+
+    reg = hll_register_sql("user_id", m)
+    rho = hll_rho_sql("user_id")
+    return f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             {reg} AS register, MAX({rho}) AS rho
+      FROM events GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT event_type, register, MAX(rho) AS rho
+      FROM daily GROUP BY 1, 2
+    ), spine AS (
+      SELECT et.event_type, g.register
+      FROM (SELECT DISTINCT event_type FROM events) et
+      CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS register) g
+    ), full_grid AS (
+      SELECT s.event_type, s.register, COALESCE(mg.rho, 0) AS rho
+      FROM spine s LEFT JOIN merged mg
+        ON mg.event_type = s.event_type AND mg.register = s.register
+    ), agg AS (
+      SELECT event_type,
+             to_json(list(rho ORDER BY register)) AS registers_json,
+             CAST(count(*) FILTER (rho = 0) AS BIGINT) AS n_zero,
+             SUM(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE)) AS s
+      FROM full_grid GROUP BY 1
+    )
+    SELECT event_type, registers_json, n_zero,
+           CASE WHEN n_zero > 0 AND (0.673 * {m} * {m} / s) <= 2.5 * {m}
+                THEN {m} * ln({m} / CAST(n_zero AS DOUBLE))
+                ELSE 0.673 * {m} * {m} / s END AS approx_distinct
+    FROM agg
+    """
+
+
+@query("approx_distinct_hll", oracle=_hll_oracle(16))
+def approx_distinct_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED approximate COUNT(DISTINCT): a portable HyperLogLog
+    whose md5-derived register grid the DuckDB oracle replays bit-for-bit
+    (operators/sketches.py — the cms_heavy_hitters treatment applied to
+    cardinality, closing the rows-only caveat on the
+    ``approx_distinct_users`` sketch, which keeps demonstrating Spark's
+    native approx_count_distinct API). The plan IS the production shape:
+    per-(event_type, day) grids built in one map-side-combined shuffle
+    (<= groups x m rows cross the network per task), MAX-merged to
+    event_type — the mergeability a persisted daily-sketch table relies
+    on — then estimated. The estimate sum is exact-dyadic (order-
+    independent, see module notes); the ln small-range branch is dead on
+    this data (all registers hit) and pytest pins the estimate within
+    the 1.04/sqrt(m) error bound of the exact twin."""
+    from .operators.sketches import hll_estimate, hll_merge, hll_register_grid
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    daily = hll_register_grid(
+        ev, "user_id", m=16, group_cols=["event_type", "day"]
+    )
+    merged = hll_merge(daily, group_cols=["event_type"])
+    return hll_estimate(merged, m=16, group_cols=["event_type"]).select(
+        "event_type",
+        "registers_json",
+        "n_zero",
+        F.col("approx_distinct").alias("approx_distinct"),
+    )
+
+
+_QSK_WIDTH = 5.0  # events.value spans ~[0, 500] -> ~100 bins
+
+
+@query(
+    "quantile_sketch_merge",
+    oracle=f"""
+    WITH part_a AS (
+      SELECT event_type, CAST(floor(value / {_QSK_WIDTH}) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL AND event_id % 2 = 0
+      GROUP BY 1, 2
+    ), part_b AS (
+      SELECT event_type, CAST(floor(value / {_QSK_WIDTH}) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL AND event_id % 2 = 1
+      GROUP BY 1, 2
+    )
+    SELECT event_type, bin, CAST(SUM(n) AS BIGINT) AS n
+    FROM (SELECT * FROM part_a UNION ALL SELECT * FROM part_b)
+    GROUP BY 1, 2
+    """,
+)
+def quantile_sketch_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram sketch (operators/sketches.py): two partial
+    sketches built over disjoint halves of the stream are SUM-merged
+    into the corpus sketch — the additivity that lets a daily sketch
+    table absorb new partitions without re-scanning history (the
+    optimizer-stats analog of the minhash_sketch -> dedup incremental
+    pattern). The gate hash-compares the ENTIRE merged grid; pytest
+    additionally pins merge(a, b) == direct single-pass build
+    (associativity evidence). Each partial build is one map-side-
+    combined aggregate bounded by |groups| x |touched bins| per task."""
+    from .operators.sketches import histogram_sketch, merge_histogram_sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    part_a = histogram_sketch(
+        ev.where(F.col("event_id") % 2 == 0),
+        "value",
+        width=_QSK_WIDTH,
+        group_cols=["event_type"],
+    )
+    part_b = histogram_sketch(
+        ev.where(F.col("event_id") % 2 == 1),
+        "value",
+        width=_QSK_WIDTH,
+        group_cols=["event_type"],
+    )
+    return merge_histogram_sketches(
+        part_a, part_b, group_cols=["event_type"]
+    )
+
+
+@query(
+    "quantile_sketch_query",
+    oracle=f"""
+    WITH sk AS (
+      SELECT event_type, CAST(floor(value / {_QSK_WIDTH}) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM sk
+    ), hits AS (
+      SELECT event_type, q, bin, n, cum, total,
+             ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY bin)
+               AS _rn
+      FROM cum CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                                   CAST(0.99 AS DOUBLE)]) AS q) qs
+      WHERE CAST(cum AS DOUBLE) >= q * CAST(total AS DOUBLE)
+    )
+    SELECT event_type, q,
+           bin * {_QSK_WIDTH} + {_QSK_WIDTH}
+             * (q * CAST(total AS DOUBLE) - CAST(cum - n AS DOUBLE)) / CAST(n AS DOUBLE) AS est
+    FROM hits WHERE _rn = 1
+    """,
+)
+def quantile_sketch_query_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile QUERY over the histogram sketch: cumulative walk in bin
+    order + linear interpolation inside the located bin, per group and
+    per requested quantile — sketch-sized work (the window runs over
+    ~100 bins per group, never the raw rows). Exactness: counts are
+    integers and the interpolation is one fixed-association IEEE
+    expression mirrored in the oracle, so the APPROXIMATE quantile path
+    is hash-gated end-to-end; pytest bounds it within one bin width of
+    the exact percentile (value_percentiles)."""
+    from .operators.sketches import histogram_quantiles, histogram_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = histogram_sketch(
+        ev, "value", width=_QSK_WIDTH, group_cols=["event_type"]
+    )
+    return histogram_quantiles(
+        sk, [0.5, 0.9, 0.99], width=_QSK_WIDTH, group_cols=["event_type"]
+    )
+
+
+_PMI_MIN_PAIR = 5  # collocation support floor
+_PMI_TOP = 30
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT {_duck_tokens()} AS arr FROM documents
+    ), pairs AS (
+      SELECT arr[i] AS a, arr[i + 1] AS b
+      FROM arrs, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+      UNION ALL
+      SELECT arr[i] AS a, arr[i + 2] AS b
+      FROM arrs, unnest(generate_series(1, len(arr) - 2)) AS t(i)
+    ), pc AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n_pair
+      FROM pairs GROUP BY 1, 2
+    ), uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+      FROM arrs, unnest(arr) AS u(tok) GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_tok) AS BIGINT) AS t_toks FROM uni
+    ), ptot AS (
+      SELECT CAST(sum(n_pair) AS BIGINT) AS t_pairs FROM pc
+    )
+    SELECT a, b, n_pair,
+           CAST(round(ln(CAST(n_pair AS DOUBLE) * CAST(t_toks AS DOUBLE)
+                         * CAST(t_toks AS DOUBLE) / CAST(t_pairs AS DOUBLE)
+                         / CAST(ua.n_tok AS DOUBLE)
+                         / CAST(ub.n_tok AS DOUBLE)) * 1000000) AS BIGINT)
+             AS pmi_micro
+    FROM pc
+    JOIN uni ua ON ua.tok = a
+    JOIN uni ub ON ub.tok = b
+    CROSS JOIN tot CROSS JOIN ptot
+    WHERE n_pair >= {_PMI_MIN_PAIR}
+    ORDER BY pmi_micro DESC, a, b LIMIT {_PMI_TOP}
+    """,
+)
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top PMI token pairs within a 2-token forward
+    window — the classic corpus-analysis pass (Church & Hanks 1990) a
+    pretraining pipeline runs to find multiword expressions worth
+    protecting from tokenizer splits. Pair generation is a single
+    map-side array self-zip (both offsets rendered in ONE projection —
+    no self-join on positions, no second scan); the only token-volume
+    shuffle is the pair count, whose key space is bounded by vocab^2
+    observed pairs. Unigram models and the two scalar totals are
+    vocab-bounded/1-row -> broadcast by construction. PMI uses the
+    integer micro-nat convention (operators/importance.py): one ln()
+    over an exactly-computed double ratio (fixed left-to-right
+    association, mirrored in the oracle), rounded to 1e-6 nats —
+    hash-gateable, order-independent. Top-k plans
+    TakeOrderedAndProject."""
+    from .functions.text import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.select(word_tokens(F.col("text")).alias("arr"))
+    # both window offsets in ONE transform chain: slice arr to drop the
+    # last d elements, pair each token with its d-step successor (0-based
+    # bracket indexing in Spark SQL)
+    pair_expr = F.expr(
+        """
+        concat(
+          transform(slice(arr, 1, greatest(size(arr) - 1, 0)),
+                    (x, i) -> struct(x AS a, arr[i + 1] AS b)),
+          transform(slice(arr, 1, greatest(size(arr) - 2, 0)),
+                    (x, i) -> struct(x AS a, arr[i + 2] AS b))
+        )
+        """
+    )
+    pc = (
+        arrs.select(F.explode(pair_expr).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    uni = (
+        arrs.select(F.explode(F.col("arr")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    tot = uni.agg(F.sum("n_tok").alias("t_toks"))
+    ptot = pc.agg(F.sum("n_pair").alias("t_pairs"))
+    ratio = (
+        F.col("n_pair").cast("double")
+        * F.col("t_toks").cast("double")
+        * F.col("t_toks").cast("double")
+        / F.col("t_pairs").cast("double")
+        / F.col("ua_n").cast("double")
+        / F.col("ub_n").cast("double")
+    )
+    return (
+        pc.where(F.col("n_pair") >= _PMI_MIN_PAIR)
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("a"), F.col("n_tok").alias("ua_n"))),
+            "a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("b"), F.col("n_tok").alias("ub_n"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ptot))
+        .select(
+            "a",
+            "b",
+            "n_pair",
+            F.round(F.log(ratio) * 1_000_000)
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "a", "b")
+        .limit(_PMI_TOP)
+    )
+
+
+@query(
+    "tfidf_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM documents, unnest({_duck_tokens()}) AS t(tok)
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ), dfc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nd AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks
+    ), scored AS (
+      SELECT doc_id, tok, tf,
+             tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                             * 1000000) AS BIGINT) AS score_micro
+      FROM tf JOIN dfc USING (tok) CROSS JOIN nd
+    )
+    SELECT doc_id, tok, tf, score_micro, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_micro DESC, tok) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by tf-idf — the
+    cheap summarization/routing signal pipelines attach to every doc
+    before clustering or mixing. Integer-exact ranking: idf is a
+    micro-nat BIGINT (one ln per vocab term over an exact ratio), the
+    score is tf x idf_micro — an integer product, order-independent and
+    hash-gated with deterministic (score DESC, tok) tie-breaks. One
+    token-volume shuffle (the tf count); df/n_docs are vocab-bounded /
+    scalar and broadcast."""
+    from .functions.text import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    nd = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfc), "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(
+                        F.col("n_docs").cast("double")
+                        / F.col("df").cast("double")
+                    )
+                    * 1_000_000
+                ).cast("long")
+            ).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "tok", "tf", "score_micro", "rank")
+    )
+
+
+@query(
+    "hybrid_rrf_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_duck_tokens()}) AS tok FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tot
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE tok IN ('join', 'merge', 'spark', 'vector')
+      GROUP BY doc_id, tok
+    ), dfc AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf GROUP BY tok
+    ), contrib AS (
+      SELECT tf.doc_id, tf.tok,
+             ln((s.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.n_tokens
+                               / (CAST(s.tot AS DOUBLE) / s.n_docs))) AS c
+      FROM tf
+      JOIN dfc USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    ), bm25s AS (
+      SELECT doc_id,
+             round(coalesce(max(CASE WHEN tok = 'join' THEN c END), 0)
+                 + coalesce(max(CASE WHEN tok = 'merge' THEN c END), 0)
+                 + coalesce(max(CASE WHEN tok = 'spark' THEN c END), 0)
+                 + coalesce(max(CASE WHEN tok = 'vector' THEN c END), 0),
+               4) AS bm25
+      FROM contrib GROUP BY doc_id
+    ), lex AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (
+          ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+        FROM bm25s WHERE doc_id <> 0
+      ) WHERE lex_rank <= 20
+    ), vtoks AS (
+      SELECT doc_id AS doc, tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS t(tok)
+    ), bucketed AS (
+      SELECT doc,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(tok) + 1),
+                 i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 2147483647) % 64 AS bucket
+      FROM vtoks
+    ), counts AS (
+      SELECT doc, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM bucketed GROUP BY doc, bucket
+    ), dots AS (
+      SELECT c.doc AS nbr_id, sum(q.n * c.n) AS dot
+      FROM counts q JOIN counts c ON c.bucket = q.bucket AND c.doc <> 0
+      WHERE q.doc = 0
+      GROUP BY 1
+    ), norms AS (
+      SELECT doc, sum(n * n) AS n2 FROM counts GROUP BY doc
+    ), vec AS (
+      SELECT nbr_id AS doc_id, vec_rank FROM (
+        SELECT d.nbr_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY
+                 round(d.dot / sqrt(CAST(nq.n2 * nc.n2 AS DOUBLE)), 6) DESC,
+                 d.nbr_id) AS BIGINT) AS vec_rank
+        FROM dots d
+        JOIN norms nq ON nq.doc = 0
+        JOIN norms nc ON nc.doc = d.nbr_id
+      ) WHERE vec_rank <= 20
+    )
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           l.lex_rank AS lex_rank, v.vec_rank AS vec_rank,
+           (COALESCE(1000000000 // (60 + l.lex_rank), 0)
+            + COALESCE(1000000000 // (60 + v.vec_rank), 0)) AS rrf_micro
+    FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id
+    ORDER BY rrf_micro DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_rrf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009,
+    k=60) — the standard serving pattern that combines a lexical BM25
+    list with a vector-similarity list so each channel covers the
+    other's misses. Composes the two already-gated retrieval stacks:
+    ``_bm25_scored`` (fixed term set, query doc excluded before ranking)
+    and the hashed-count cosine ranking of ``doc_vector_knn`` with doc 0
+    as the query, top-20 each. Fusion is EXACT INTEGER arithmetic —
+    contribution = 10^9 div (60 + rank), summed as BIGINT — so the
+    fused ordering is hash-gateable with no float-association hazard.
+    Scale shape: both lists are top-k (TakeOrdered) relations of
+    bounded size; the fusion is a full-outer join of two <= k-row
+    frames — driver-trivial at any corpus size; all heavy lifting is
+    in the two channel plans, each independently scale-audited."""
+    from .operators.text_vectorize import hashed_count_sparse
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .where(F.col("doc_id") != 0)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+            .cast("long")
+            .alias("lex_rank"),
+        )
+    )
+    counts = hashed_count_sparse(
+        docs, "doc_id", "text", dim=64, portable=True
+    ).withColumn(
+        "n2", F.sum(F.col("n") * F.col("n")).over(Window.partitionBy("doc"))
+    )
+    q = counts.where(F.col("doc") == 0).select(
+        "bucket", F.col("n").alias("qn"), F.col("n2").alias("q_n2")
+    )
+    dots = (
+        F.broadcast(q)
+        .join(
+            counts.where(F.col("doc") != 0).select(
+                F.col("doc").alias("nbr_id"),
+                "bucket",
+                "n",
+                F.col("n2").alias("n_n2"),
+            ),
+            "bucket",
+        )
+        .groupBy("nbr_id")
+        .agg(
+            F.sum(F.col("qn") * F.col("n")).alias("dot"),
+            F.first("q_n2").alias("q_n2"),
+            F.first("n_n2").alias("n_n2"),
+        )
+    )
+    vec = (
+        dots.withColumn(
+            "sim",
+            F.round(
+                F.col("dot")
+                / F.sqrt((F.col("q_n2") * F.col("n_n2")).cast("double")),
+                6,
+            ),
+        )
+        .orderBy(F.col("sim").desc(), F.col("nbr_id").asc())
+        .limit(20)
+        .select(
+            F.col("nbr_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("sim").desc(), F.col("nbr_id").asc()))
+            .cast("long")
+            .alias("vec_rank"),
+        )
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(
+                F.expr("CAST(1000000000 AS BIGINT) div (60 + lex_rank)"),
+                F.lit(0).cast("long"),
+            )
+            + F.coalesce(
+                F.expr("CAST(1000000000 AS BIGINT) div (60 + vec_rank)"),
+                F.lit(0).cast("long"),
+            )
+        ).alias("rrf_micro"),
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc()).limit(10)
+
+
+def _hll_grid_sql(src_where: str, m: int = 16) -> str:
+    """DuckDB fragment: full m-register HLL grid (register, rho — zeros
+    restored) of events.user_id under ``src_where``."""
+    from .operators.sketches import hll_register_sql, hll_rho_sql
+
+    reg = hll_register_sql("user_id", m)
+    rho = hll_rho_sql("user_id")
+    return f"""(
+      SELECT g.register, COALESCE(t.rho, 0) AS rho
+      FROM (SELECT unnest(generate_series(0, {m - 1})) AS register) g
+      LEFT JOIN (
+        SELECT {reg} AS register, MAX({rho}) AS rho
+        FROM events WHERE {src_where} GROUP BY 1
+      ) t ON t.register = g.register
+    )"""
+
+
+_HLL_EST_SQL = (
+    "0.673 * 16 * 16 / SUM(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE))"
+)
+
+
+@query(
+    "hll_set_ops",
+    oracle=f"""
+    WITH ga AS (SELECT * FROM {_hll_grid_sql("event_type = 'click'")}),
+    gb AS (SELECT * FROM {_hll_grid_sql("event_type = 'purchase'")}),
+    gu AS (
+      SELECT register, MAX(rho) AS rho
+      FROM (SELECT * FROM ga UNION ALL SELECT * FROM gb) GROUP BY 1
+    ), est AS (
+      SELECT (SELECT {_HLL_EST_SQL} FROM ga) AS est_a,
+             (SELECT {_HLL_EST_SQL} FROM gb) AS est_b,
+             (SELECT {_HLL_EST_SQL} FROM gu) AS est_union
+    )
+    SELECT est_a, est_b, est_union,
+           est_a + est_b - est_union AS est_intersect
+    FROM est
+    """,
+)
+def hll_set_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA on the portable HLL: distinct 'click' users,
+    distinct 'purchase' users, their UNION (register MAX-merge — exact
+    over the sketches, no rescan) and their INTERSECTION by
+    inclusion-exclusion — the standard theta/HLL set-operation pattern
+    for audience-overlap questions at cardinalities where exact
+    COUNT(DISTINCT) across segments is a multi-TB shuffle. Every
+    register and every estimate is replayed in the oracle; the
+    inclusion-exclusion subtraction is exact-dyadic-sum arithmetic over
+    gated estimates, so the whole algebra is hash-gated. (Intersection
+    error compounds through subtraction — the known accuracy caveat of
+    the method; the estimates themselves carry the 1.04/sqrt(m) bound
+    pinned in tests.)"""
+    from .operators.sketches import hll_estimate, hll_merge, hll_register_grid
+
+    ev = load_table(spark, sf_dir, "events")
+    grids = {}
+    for label, pred in (
+        ("a", F.col("event_type") == "click"),
+        ("b", F.col("event_type") == "purchase"),
+    ):
+        # pinned: each side's grid feeds its own estimate AND the union
+        # merge, and those branches are not CSE'd — without the pin each
+        # events scan + md5 fold would run twice. A grid is m=16 rows,
+        # so the pin is free (this is exactly how a sketch TABLE would
+        # be consumed in production: built once, persisted, re-queried).
+        grids[label] = (
+            hll_register_grid(ev.where(pred), "user_id", m=16)
+            .withColumn("side", F.lit(label))
+            .localCheckpoint()
+        )
+    union_grid = hll_merge(grids["a"].unionByName(grids["b"]))
+
+    def est(grid, name):
+        return hll_estimate(grid, m=16).select(
+            F.col("approx_distinct").alias(name)
+        )
+
+    return (
+        est(grids["a"].drop("side"), "est_a")
+        .crossJoin(est(grids["b"].drop("side"), "est_b"))
+        .crossJoin(est(union_grid, "est_union"))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersect"
+            ),
+        )
+    )
+
+
+@query(
+    "ols_trend",
+    oracle="""
+    WITH t0 AS (
+      SELECT min(date_trunc('day', ts)) AS d0 FROM events
+    ), d AS (
+      SELECT event_type,
+             CAST(date_diff('day', t0.d0, date_trunc('day', ts)) AS BIGINT)
+               AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events CROSS JOIN t0
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+            - CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+    FROM m
+    """,
+)
+def ols_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped closed-form linear regression (the BigQuery ML.LINEAR_REG
+    / ``REGR_SLOPE`` family): per event_type, fit daily event count
+    against day index and report slope / intercept / R². All five
+    moment sums are INTEGER (day indexes and counts are exact BIGINTs),
+    so the normal-equation numerators and denominators are exact before
+    the single double division — bit-stable cross-engine with no
+    decimal machinery needed, unlike corr_matrix whose inputs are
+    already doubles. Plan: one shuffle to the daily grain, one
+    vocabulary-sized moment aggregate; the global min-day scalar rides
+    a 1-row broadcast. At 100 TB the daily grain is the only
+    token-volume shuffle and the moments partial-aggregate map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.date_trunc("day", F.col("ts"))).alias("d0"))
+    d = (
+        ev.crossJoin(F.broadcast(t0))
+        .groupBy(
+            "event_type",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("d0"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    m = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return m.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+        (
+            num * num
+            / (
+                den
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+        ).alias("r2"),
     )

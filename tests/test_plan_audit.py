@@ -23,6 +23,16 @@ def executed_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def final_plan(df) -> str:
+    """The adaptive FINAL plan only — executedPlan().toString() prints
+    both '== Final Plan ==' and '== Initial Plan ==' sections under AQE,
+    which double-counts operators for count-based assertions."""
+    plan = executed_plan(df)
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
+    return plan
+
+
 def optimized_plan(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
@@ -297,11 +307,15 @@ def test_cdc_upsert_window_and_join_share_one_exchange(spark):
     """The LWW window shuffles on the key once; the full-outer join on
     the SAME key must reuse that partitioning on the change side (one
     Exchange for the change branch, not two back-to-back)."""
-    plan = executed_plan(entrymod.queries()["cdc_upsert"](spark, SF_SMALL))
+    df = entrymod.queries()["cdc_upsert"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
     assert "FullOuter" in plan or "full_outer" in plan.lower()
-    # the change side: scan -> Exchange -> window -> join, with no second
-    # exchange between the window and the SMJ on the same key
     assert "RunningWindowFunction" in plan or "Window" in plan
+    # exactly TWO hash exchanges in the whole final plan: one per join
+    # side; a third would mean the window's partitioning was not reused
+    # by the SMJ on the change branch
+    assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
 def test_equidepth_histogram_broadcasts_edges_no_sort(spark):
@@ -330,12 +344,21 @@ def test_sliding_window_distinct_expands_bounded_not_range_join(spark):
     """The scalable side must plan the 7x explode + distinct, never a
     calendar x activity non-equi join (no BroadcastNestedLoopJoin with
     a range condition on the data path)."""
-    plan = executed_plan(
-        entrymod.queries()["sliding_window_distinct"](spark, SF_SMALL)
-    )
+    df = entrymod.queries()["sliding_window_distinct"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
     assert "Explode" in plan or "Generate" in plan
     # count-distinct via the (user, window_end) distinct: grouped agg
     assert "HashAggregate" in plan
+    # the only nested-loop join allowed is the SCALAR span broadcast —
+    # a plain Cross with no join condition. A regression to the naive
+    # calendar x activity range join would plan a conditioned
+    # BroadcastNestedLoopJoin on the data path.
+    import re
+
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert re.search(r"BroadcastNestedLoopJoin BuildRight, Cross\s*$", line), line
 
 
 def test_entity_resolution_quadratic_work_is_name_bounded(spark):
@@ -362,3 +385,76 @@ def test_entity_resolution_quadratic_work_is_name_bounded(spark):
     plan = executed_plan(ne)
     # both join children aggregate before joining
     assert plan.count("HashAggregate") >= 2
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions
+# ---------------------------------------------------------------------------
+
+
+def test_hll_grid_partial_aggregates_and_bounded_exchanges(spark):
+    """The HLL build must map-side combine (partial+final HashAggregate)
+    so each task ships at most |groups| x m register rows, and the whole
+    build+merge+estimate pipeline stays at <= 3 hash exchanges (daily
+    grid, MAX-merge, estimate). The only nested-loop join allowed is the
+    m-row register spine broadcast."""
+    df = entrymod.queries()["approx_distinct_hll"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_sketch_merge_is_sketch_sized(spark):
+    """Partial sketches union + re-sum without a per-branch reshuffle:
+    the merged build must plan at most 3 hash exchanges total."""
+    df = entrymod.queries()["quantile_sketch_merge"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per build
+
+
+def test_quantile_sketch_query_pushes_rank_limit(spark):
+    """The first-bin pick (rn = 1) must plan WindowGroupLimit — per-
+    partition top-1 pushdown — rather than ranking every (group, q)
+    candidate bin and filtering after."""
+    df = entrymod.queries()["quantile_sketch_query"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_pmi_top_k_plans_take_ordered(spark):
+    """PMI top-30 must be a TakeOrderedAndProject (per-partition heaps),
+    and pair generation must never plan a positions self-join: no
+    CartesianProduct anywhere; SinglePartition only for the two scalar
+    totals."""
+    df = entrymod.queries()["pmi_collocations"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SinglePartition") <= 2, plan
+
+
+def test_tfidf_top3_pushes_window_group_limit(spark):
+    """The per-doc top-3 must plan WindowGroupLimit so no task ever
+    materializes a document's full ranked vocabulary."""
+    df = entrymod.queries()["tfidf_keywords"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_channels_are_top_k(spark):
+    """Both retrieval channels must reach the fusion as top-k
+    (TakeOrdered) relations; the only global windows allowed are the
+    rank projections over the already-limited <= 20-row lists."""
+    df = entrymod.queries()["hybrid_rrf_search"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "CartesianProduct" not in plan
