@@ -30,8 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (ann_recall_eval — spine + pin fix; doc_vector_knn — window-norms
 # plan; wordpiece_encode — vocab pin; knn_bruteforce / knn_lsh_exact /
 # embedding_near_dup_exact — per-vector norm hoist in similarity.py;
-# bm25_search — scored stage refactored out for RRF); promote the EIGHT
-# new round-7 gates; and fill the remaining 26 slots with the stalest
+# bm25_search — scored stage refactored out for RRF); promote the TEN
+# new round-7 gates; and fill the remaining 24 slots with the stalest
 # r2/r3-vintage gates (no driver row for 4+ rounds). TPC-H q1-q22 and
 # the r4 analytic tail queue at position 51+ for round 8.
 _PRIORITY = [
@@ -59,7 +59,8 @@ _PRIORITY = [
     # the oracle), mergeable histogram-quantile sketch (build+merge,
     # query), PMI collocation mining, tf-idf keyword extraction,
     # reciprocal-rank-fusion hybrid retrieval, HLL set algebra,
-    # grouped closed-form OLS trend regression
+    # grouped closed-form OLS trend regression, Markov transition
+    # matrix, top onboarding paths
     "approx_distinct_hll",
     "quantile_sketch_merge",
     "quantile_sketch_query",
@@ -68,6 +69,8 @@ _PRIORITY = [
     "hybrid_rrf_search",
     "hll_set_ops",
     "ols_trend",
+    "event_transition_matrix",
+    "top_user_paths",
     # stale-evidence refresh: the r2-vintage block (last driver row r2)
     "weighted_sample_stratified",
     "benchmark_contamination",
@@ -94,10 +97,10 @@ _PRIORITY = [
     "union_discriminated",
     # stale-evidence refresh: the oldest analytic-SQL gates
     "sessionize",
-    "pivot_status_counts",
-    "rollup_returns",
     # ---- position 51+: next-up if the driver widens; remaining
     # analytic tail + TPC-H lead so they rotate in next round
+    "pivot_status_counts",
+    "rollup_returns",
     "cube_order_stats",
     "grouping_sets_stats",
     "value_percentiles",

@@ -6979,3 +6979,98 @@ def ols_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r2"),
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), c AS (
+      SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev, next, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE) AS p
+    FROM c
+    """,
+)
+def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the user-journey primitive behind churn prediction and
+    next-action models. One shuffle on user_id for the LAG ordering
+    (ts, event_id total order), one vocabulary-sized aggregate
+    (|event_types|^2 cells), then row-normalized probabilities over the
+    CELL table (window over ≤ |types|^2 rows, never data-sized). The
+    probability is one exact-integer double division — unrounded,
+    bit-stable cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    c = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count("*").alias("n")
+    )
+    wp = Window.partitionBy("prev")
+    return c.select(
+        "prev",
+        "next",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp).cast("double")).alias(
+            "p"
+        ),
+    )
+
+
+@query(
+    "top_user_paths",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY 1
+    ORDER BY n_users DESC, path LIMIT 20
+    """,
+)
+def top_user_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top onboarding paths: each user's first three events joined into
+    a '>' path, counted and ranked — the journey-exploration twin of
+    funnel_steps (which checks ONE fixed ordering; this discovers the
+    orderings that actually occur). The rank-3 cut plans
+    WindowGroupLimit (per-partition top-3, no full per-user sort
+    materialization); path assembly is an ordered in-group string_agg;
+    the final top-20 is TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(20)
+    )

@@ -458,3 +458,27 @@ def test_hybrid_rrf_channels_are_top_k(spark):
     plan = final_plan(df)
     assert plan.count("TakeOrderedAndProject") >= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_top_user_paths_pushes_rank_limit_and_takes_ordered(spark):
+    """The first-3-events cut must plan WindowGroupLimit (per-partition
+    top-3, bounded buffering) and the final top-20 must be a
+    TakeOrderedAndProject, not a global sort."""
+    df = entrymod.queries()["top_user_paths"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_transition_matrix_normalizes_on_cell_table(spark):
+    """The row-normalizing window must run over the |types|^2 CELL
+    table (post-aggregate), so no data-sized rows pass through it: the
+    plan's Window sits above a HashAggregate, and the only token-volume
+    exchange is the user_id sequence shuffle."""
+    df = entrymod.queries()["event_transition_matrix"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert "Window" in plan and "HashAggregate" in plan
+    # sequence shuffle (user_id) + cell aggregate + tiny normalize window
+    assert plan.count("Exchange hashpartitioning") <= 3, plan

@@ -259,3 +259,37 @@ def test_ols_trend_matches_numpy_lstsq(spark):
         ss_tot = ((y - y.mean()) ** 2).sum()
         r2 = 1 - res[0] / ss_tot if len(res) else 1.0
         assert abs(got.r2 - r2) < 1e-8, (et, got.r2, r2)
+
+
+def test_transition_matrix_rows_normalize(spark):
+    """Each prev-state's outgoing probabilities must sum to exactly 1
+    (exact integer counts over a common denominator)."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["event_transition_matrix"](spark, SF_MED).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r.prev, []).append(r)
+    for prev, rs in by_prev.items():
+        total = sum(r.n for r in rs)
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-9, prev
+        for r in rs:
+            assert r.p == r.n / total
+
+
+def test_top_user_paths_shape(spark):
+    """Paths are <= 3 steps of known event types; counts descend; total
+    path users cannot exceed the distinct user count."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["top_user_paths"](spark, SF_MED).collect()
+    ev = spark.read.parquet(f"{SF_MED}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    types = {r.event_type for r in ev.select("event_type").distinct().collect()}
+    counts = [r.n_users for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert sum(counts) <= n_users
+    for r in rows:
+        steps = r.path.split(">")
+        assert 1 <= len(steps) <= 3
+        assert set(steps) <= types
