@@ -6814,9 +6814,17 @@ def _hll_grid_sql(src_where: str, m: int = 16) -> str:
     )"""
 
 
-_HLL_EST_SQL = (
-    "0.673 * 16 * 16 / SUM(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE))"
-)
+# Full estimator incl. the linear-counting small-range branch — must
+# mirror hll_estimate's CASE exactly (at small fixtures V > 0 and the
+# branch FIRES; an oracle with only the raw harmonic form diverges).
+_HLL_EST_SQL = """CASE
+      WHEN count(*) FILTER (rho = 0) > 0
+           AND 0.673 * 16 * 16
+               / SUM(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE))
+             <= 2.5 * 16
+      THEN 16 * ln(16 / CAST(count(*) FILTER (rho = 0) AS DOUBLE))
+      ELSE 0.673 * 16 * 16
+           / SUM(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE)) END"""
 
 
 @query(
