@@ -67,6 +67,14 @@ def apply_changelog(
                 f"apply_changelog: {label} columns collide with internal "
                 f"names: {sorted(clash)}"
             )
+    if op_col in payload:
+        # a base payload column named op_col would alias to _chg_op twice
+        # (once as the op marker, once as the payload rename) — ambiguous
+        # downstream, and never what the caller meant
+        raise ValueError(
+            f"apply_changelog: op_col {op_col!r} collides with a base "
+            "payload column"
+        )
     w = Window.partitionBy(*keys).orderBy(
         *[F.col(c).desc() for c in seq_cols]
     )

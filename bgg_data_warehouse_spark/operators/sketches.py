@@ -127,21 +127,30 @@ def cms_estimate(
 # partial sum fits a double mantissa EXACTLY — the sum is
 # order-independent and safe to compute with a plain SUM on both
 # engines. The linear-counting small-range branch (m*ln(m/V)) is the
-# single transcendental step; it only evaluates when V > 0 empty
-# registers remain, which callers gating against an oracle avoid by
-# sizing m << expected cardinality.
+# single transcendental step — Spark's Math.log and DuckDB's log can
+# differ by 1 ulp (measured at m=16 for V=10, 13), so the estimate is
+# rounded to 4 dp before it is gate-compared (see hll_estimate).
 
 HLL_RHO_CAP = 33  # rho of a zero 32-bit suffix: 32 trailing zeros + 1
 
 _HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
 
-def _hexval(ch):
-    """Value of one lowercase hex digit — ascii math, engine-portable."""
-    return F.when(ch <= "9", F.ascii(ch) - 48).otherwise(F.ascii(ch) - 87)
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant: tabulated small-m values, the standard
+    0.7213 / (1 + 1.079/m) closed form for m >= 128."""
+    if m in _HLL_ALPHA:
+        return _HLL_ALPHA[m]
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    raise ValueError(
+        f"hll: m must be one of {sorted(_HLL_ALPHA)} or >= 128, got {m}"
+    )
 
 
 def _hexval_sql(ch: str) -> str:
+    """Value of one lowercase hex digit — ascii math (DuckDB has no
+    conv(); the Spark side uses F.conv, see _hex_long)."""
     return f"(CASE WHEN {ch} <= '9' THEN ascii({ch}) - 48 ELSE ascii({ch}) - 87 END)"
 
 
@@ -232,7 +241,7 @@ def hll_estimate(
     inspectable and hash-gateable. approx_distinct is the raw HLL
     estimate with the standard linear-counting fallback for the
     small-range regime."""
-    alpha = _HLL_ALPHA[m]
+    alpha = hll_alpha(m)
     g = list(group_cols)
     spark = grid.sparkSession
     spine = spark.range(m).select(F.col("id").cast("long").alias("register"))
@@ -267,13 +276,22 @@ def hll_estimate(
     )
     raw = F.lit(alpha) * F.lit(m) * F.lit(m) / F.col("_s")
     linear = F.lit(m) * F.log(F.lit(m) / F.col("n_zero").cast("double"))
+    # ROUNDED to 4 decimals before gating: the raw harmonic branch is
+    # exact-dyadic arithmetic (bit-stable anywhere), but the
+    # linear-counting ln() is transcendental and Spark's Math.log vs
+    # DuckDB's log measurably differ by 1 ulp for some V (e.g. V=10,
+    # 13 at m=16) — the exact hazard the micro-nat convention exists
+    # for. 4 dp swamps a ~1e-14 relative wobble at any realistic
+    # estimate magnitude while keeping the estimate fully readable.
     return agg.select(
         *g,
         "registers_json",
         "n_zero",
-        F.when((F.col("n_zero") > 0) & (raw <= 2.5 * m), linear)
-        .otherwise(raw)
-        .alias("approx_distinct"),
+        F.round(
+            F.when((F.col("n_zero") > 0) & (raw <= 2.5 * m), linear)
+            .otherwise(raw),
+            4,
+        ).alias("approx_distinct"),
     )
 
 

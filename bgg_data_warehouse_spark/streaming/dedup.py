@@ -46,8 +46,12 @@ def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(DOCS_SCHEMA).parquet(path)
 
 
-def _prior_batches(spark: SparkSession, index_dir: str, current: str) -> list[str]:
-    """List prior batch-* index directories through Hadoop's FileSystem.
+def _prior_batches(
+    spark: SparkSession, index_dir: str, current: str | None = None
+) -> list[str]:
+    """List batch-* partial directories through Hadoop's FileSystem,
+    excluding ``current`` (pass None to list ALL partials — the
+    streaming/sketches.py merge-on-read path).
 
     A driver-local os.listdir would return [] for any non-local
     ``index_dir`` (hdfs://, s3a:// — the steady-state deployment) and
@@ -60,7 +64,11 @@ def _prior_batches(spark: SparkSession, index_dir: str, current: str) -> list[st
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         return []
-    current_name = jvm.org.apache.hadoop.fs.Path(current).getName()
+    current_name = (
+        jvm.org.apache.hadoop.fs.Path(current).getName()
+        if current is not None
+        else None
+    )
     out = []
     for status in fs.listStatus(hpath):
         p = status.getPath()

@@ -35,11 +35,8 @@ from .dedup import _prior_batches
 
 def _partial_dirs(spark: SparkSession, sketch_dir: str) -> list[str]:
     """All batch-* partial-grid directories (Hadoop FS — works on
-    hdfs/s3a deployments, not just local paths). The exclusion name is
-    a sentinel no epoch ever writes, so every partial is included."""
-    return _prior_batches(
-        spark, sketch_dir, os.path.join(sketch_dir, "batch-none")
-    )
+    hdfs/s3a deployments, not just local paths)."""
+    return _prior_batches(spark, sketch_dir)
 
 
 def start_streaming_hll(

@@ -6262,8 +6262,9 @@ def corr_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hll_oracle(m: int = 16) -> str:
     from .operators.sketches import HLL_RHO_CAP  # noqa: F401 — doc anchor
-    from .operators.sketches import hll_register_sql, hll_rho_sql
+    from .operators.sketches import hll_alpha, hll_register_sql, hll_rho_sql
 
+    alpha = repr(hll_alpha(m))
     reg = hll_register_sql("user_id", m)
     rho = hll_rho_sql("user_id")
     return f"""
@@ -6290,9 +6291,10 @@ def _hll_oracle(m: int = 16) -> str:
       FROM full_grid GROUP BY 1
     )
     SELECT event_type, registers_json, n_zero,
-           CASE WHEN n_zero > 0 AND (0.673 * {m} * {m} / s) <= 2.5 * {m}
-                THEN {m} * ln({m} / CAST(n_zero AS DOUBLE))
-                ELSE 0.673 * {m} * {m} / s END AS approx_distinct
+           round(CASE
+                   WHEN n_zero > 0 AND ({alpha} * {m} * {m} / s) <= 2.5 * {m}
+                   THEN {m} * ln({m} / CAST(n_zero AS DOUBLE))
+                   ELSE {alpha} * {m} * {m} / s END, 4) AS approx_distinct
     FROM agg
     """
 
@@ -6817,14 +6819,14 @@ def _hll_grid_sql(src_where: str, m: int = 16) -> str:
 # Full estimator incl. the linear-counting small-range branch — must
 # mirror hll_estimate's CASE exactly (at small fixtures V > 0 and the
 # branch FIRES; an oracle with only the raw harmonic form diverges).
-_HLL_EST_SQL = """CASE
+_HLL_EST_SQL = """round(CASE
       WHEN count(*) FILTER (rho = 0) > 0
            AND 0.673 * 16 * 16
                / SUM(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE))
              <= 2.5 * 16
       THEN 16 * ln(16 / CAST(count(*) FILTER (rho = 0) AS DOUBLE))
       ELSE 0.673 * 16 * 16
-           / SUM(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE)) END"""
+           / SUM(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE)) END, 4)"""
 
 
 @query(
@@ -6871,11 +6873,9 @@ def hll_set_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # events scan + md5 fold would run twice. A grid is m=16 rows,
         # so the pin is free (this is exactly how a sketch TABLE would
         # be consumed in production: built once, persisted, re-queried).
-        grids[label] = (
-            hll_register_grid(ev.where(pred), "user_id", m=16)
-            .withColumn("side", F.lit(label))
-            .localCheckpoint()
-        )
+        grids[label] = hll_register_grid(
+            ev.where(pred), "user_id", m=16
+        ).localCheckpoint()
     union_grid = hll_merge(grids["a"].unionByName(grids["b"]))
 
     def est(grid, name):
@@ -6884,8 +6884,8 @@ def hll_set_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        est(grids["a"].drop("side"), "est_a")
-        .crossJoin(est(grids["b"].drop("side"), "est_b"))
+        est(grids["a"], "est_a")
+        .crossJoin(est(grids["b"], "est_b"))
         .crossJoin(est(union_grid, "est_union"))
         .select(
             "est_a",

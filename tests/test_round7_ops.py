@@ -293,3 +293,31 @@ def test_top_user_paths_shape(spark):
         steps = r.path.split(">")
         assert 1 <= len(steps) <= 3
         assert set(steps) <= types
+
+
+def test_apply_changelog_rejects_op_col_payload_collision(spark):
+    """A base payload column named op_col would silently alias to
+    _chg_op twice — must raise instead."""
+    import pytest
+
+    from bgg_data_warehouse_spark.operators.merge import apply_changelog
+
+    base = spark.createDataFrame([(1, "U", 1.0)], "id long, op string, v double")
+    changes = spark.createDataFrame(
+        [(1, "U", 2.0, 1)], "id long, op string, v double, seq long"
+    )
+    with pytest.raises(ValueError, match="op_col"):
+        apply_changelog(base, changes, ["id"], ["seq"], op_col="op")
+
+
+def test_hll_alpha_covers_tabulated_and_closed_form():
+    import math
+
+    import pytest
+
+    from bgg_data_warehouse_spark.operators.sketches import hll_alpha
+
+    assert hll_alpha(16) == 0.673
+    assert math.isclose(hll_alpha(1024), 0.7213 / (1 + 1.079 / 1024))
+    with pytest.raises(ValueError, match="m must be"):
+        hll_alpha(8)
