@@ -364,8 +364,13 @@ def histogram_quantiles(
 
     The walk is a window cumulative sum partitioned by group (sketch-
     sized input); the interpolation is a fixed-association IEEE
-    expression mirrored verbatim in the SQL replay. Estimates are exact
-    for bin edges and within one ``width`` of the true value otherwise.
+    expression mirrored verbatim in the SQL replay. Error contract: the
+    estimate shares its bin with the NEAREST-RANK order statistic at
+    the target rank, so it is within one ``width`` of that value for
+    any distribution (property-tested). The interpolated
+    percentile_cont can additionally differ by the gap between
+    occupied bins on sparse data — dense columns (the ANALYZE-stats
+    use case) make the two coincide to within a bin.
     """
     g = list(group_cols)
     w = Window.partitionBy(*g).orderBy("bin") if g else Window.orderBy("bin")

@@ -397,3 +397,89 @@ def test_trigram_backoff_matches_python_reference(spark):
             nll -= round(s * 1_000_000)
         expect[doc] = (len(tris), nll)
     assert got == expect
+
+
+keys_strategy = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=0, max_size=60
+)
+
+
+@given(a=keys_strategy, b=keys_strategy)
+@settings(**SETTINGS)
+def test_hll_merge_algebra(spark, a, b):
+    """HLL grids form a commutative idempotent monoid under MAX-merge:
+    merge(A, B) == merge(B, A) == grid(A ∪ B), and merging a grid with
+    itself is a no-op. This is the exact property that makes per-day
+    partials safe to fold in ANY order (streaming merge-on-read)."""
+    from bgg_data_warehouse_spark.operators.sketches import (
+        hll_merge,
+        hll_register_grid,
+    )
+
+    def grid(keys):
+        if not keys:
+            return None
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        return hll_register_grid(df, "k", m=16)
+
+    ga, gb = grid(a), grid(b)
+    if ga is None or gb is None:
+        return  # empty side: merge degenerates to the other grid
+    ab = sorted((r.register, r.rho) for r in hll_merge(ga.unionByName(gb)).collect())
+    ba = sorted((r.register, r.rho) for r in hll_merge(gb.unionByName(ga)).collect())
+    direct = sorted((r.register, r.rho) for r in grid(a + b).collect())
+    self_merge = sorted(
+        (r.register, r.rho) for r in hll_merge(ga.unionByName(ga)).collect()
+    )
+    assert ab == ba == direct
+    assert self_merge == sorted((r.register, r.rho) for r in ga.collect())
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=500.0, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    split=st.integers(min_value=0, max_value=59),
+)
+@settings(**SETTINGS)
+def test_histogram_sketch_merge_algebra(spark, vals, split):
+    """SUM-merge of any two-way split equals the single-pass build, and
+    quantile answers off the sketch stay within one bin width of the
+    NEAREST-RANK order statistic for ANY value distribution (that value
+    provably shares the located bin; the interpolated percentile_cont
+    can sit arbitrarily far away across empty bins — e.g. vals [0, 100]
+    put p50 at 50 between two occupied bins, which no histogram answer
+    can approach)."""
+    from bgg_data_warehouse_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+        merge_histogram_sketches,
+    )
+
+    split = min(split, len(vals))
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    left = spark.createDataFrame(
+        [(float(v),) for v in vals[:split]] or [(None,)], "v double"
+    )
+    right = spark.createDataFrame(
+        [(float(v),) for v in vals[split:]] or [(None,)], "v double"
+    )
+    merged = sorted(
+        (r.bin, r.n)
+        for r in merge_histogram_sketches(
+            histogram_sketch(left, "v", width=7.5),
+            histogram_sketch(right, "v", width=7.5),
+        ).collect()
+    )
+    direct_df = histogram_sketch(df, "v", width=7.5)
+    assert merged == sorted((r.bin, r.n) for r in direct_df.collect())
+    p50 = {
+        r.q: r.est
+        for r in histogram_quantiles(direct_df, [0.5], width=7.5).collect()
+    }[0.5]
+    import math
+
+    nearest_rank = sorted(vals)[max(math.ceil(0.5 * len(vals)), 1) - 1]
+    assert abs(p50 - nearest_rank) <= 7.5
