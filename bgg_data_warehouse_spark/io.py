@@ -278,3 +278,53 @@ def write_bucketed_table(
         .saveAsTable(qualified)
     )
     return qualified
+
+
+def optimize_table_zorder(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    x_col: str,
+    y_col: str,
+    *,
+    bits: int = 16,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_per_split: int = 1,
+) -> int:
+    """OPTIMIZE ... ZORDER BY (x, y): compact a table AND rewrite it in
+    Morton order in one pass — the periodic maintenance command a
+    Delta/Iceberg warehouse runs so that two-dimensional point/range
+    predicates keep pruning as appends accrete (operators/zorder.py owns
+    the code math; compact_table owns plain size-only repacking).
+
+    Sizing mirrors ``compact_table`` (current on-disk bytes →
+    ceil(bytes / target)); the rewrite is ``repartitionByRange`` over
+    the z-value + an in-file sort, staged and atomically swapped so
+    concurrent readers never see a half-written table. The transient
+    ``zval`` column is dropped before writing — layout is an on-disk
+    property, not a schema change. Returns the new file count (0 =
+    table absent).
+    """
+    from .operators.zorder import zvalue
+
+    if not table_exists(root, name):
+        return 0
+    path = _path(root, name)
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(dirpath, f))
+    want = max(min_files_per_split, -(-total // target_file_bytes))  # ceil
+    df = read_table(spark, root, name)
+    coded = df.withColumn("_zval", zvalue(F.col(x_col), F.col(y_col), bits=bits))
+    out = (
+        coded.repartitionByRange(want, "_zval")
+        .sortWithinPartitions("_zval")
+        .drop("_zval")
+    )
+    _rewrite(out, root, name)
+    n_new = 0
+    for dirpath, _dirs, files in os.walk(path):
+        n_new += sum(1 for f in files if f.endswith(".parquet"))
+    return n_new
