@@ -71,8 +71,12 @@ _PRIORITY = [
     "ols_trend",
     "event_transition_matrix",
     "top_user_paths",
+    # NEW round 7 (cont.): AQP sampled aggregates with replayed HT
+    # estimator + CI, and deterministic label-propagation communities
+    # (iterative graph algorithm fully replayed in the oracle)
+    "aqp_sampled_agg",
+    "label_propagation",
     # stale-evidence refresh: the r2-vintage block (last driver row r2)
-    "weighted_sample_stratified",
     "benchmark_contamination",
     "chunk_documents",
     "doc_fingerprint",
@@ -95,10 +99,13 @@ _PRIORITY = [
     "stratified_sample",
     "token_count",
     "union_discriminated",
-    # stale-evidence refresh: the oldest analytic-SQL gates
-    "sessionize",
     # ---- position 51+: next-up if the driver widens; remaining
     # analytic tail + TPC-H lead so they rotate in next round
+    # (weighted_sample_stratified r5-green and sessionize r4-green were
+    # displaced by the two new gates — still inside the 4-round
+    # freshness bar at r7)
+    "weighted_sample_stratified",
+    "sessionize",
     "pivot_status_counts",
     "rollup_returns",
     "cube_order_stats",

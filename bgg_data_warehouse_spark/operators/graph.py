@@ -1,0 +1,155 @@
+"""Distributed graph analytics: triangle counting and PageRank.
+
+Completes the graph family started by connected components
+(components.py) and label propagation (label_prop.py). Both operators
+here are designed deterministic-by-construction so they can be
+hash-gated against a DuckDB oracle replay (the same discipline as the
+CMS/HLL sketches and the LPA rounds):
+
+- triangle counting is exact integer arithmetic;
+- PageRank runs in integer micro-units (rank mass as BIGINT millionths)
+  with integer division, so partial sums commute exactly and the result
+  is independent of partitioning / accumulation order — the property
+  double-precision PageRank does NOT have.
+
+Reference provenance: the reference ranks games by pairwise similarity
+(`/root/reference/definitions/game_similarity_search.sqlx`); triangle
+density and rank centrality over the co-occurrence graph are the next
+structural statistics an analyst derives from those same edges.
+
+Scale design (100 TB):
+
+- Triangle counting uses the degree-ordered orientation (each
+  undirected edge points from its lower-(degree, id) endpoint to the
+  higher one), which caps every out-neighbourhood at O(sqrt(m)) — the
+  classic bound that keeps the wedge join from exploding on hub
+  vertices (the naive neighbour self-join is quadratic in hub degree).
+  Wedge generation is one self-equi-join on the wedge centre; closing
+  is one equi-join against the canonical edge set. No cartesians.
+- PageRank is K bounded rounds; each round is one (edge x rank)
+  equi-join plus one map-side-combinable integer sum per destination.
+  Rank state stays |V|-sized and is lineage-pinned per round with a
+  lazy localCheckpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["orient_edges", "triangle_count", "pagerank_int"]
+
+PR_MICRO = 1_000_000
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Distinct symmetric closure of an edge list, self-loops dropped."""
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
+
+
+def orient_edges(edges: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of an undirected edge list.
+
+    Input: (src, dst) in any mix of directions/duplicates. Output: each
+    undirected edge exactly once as (src, dst) with
+    (deg(src), src) < (deg(dst), dst) lexicographically. Out-degrees in
+    the result are O(sqrt(m)), the property triangle counting needs.
+    """
+    sym = _symmetrize(edges)
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "src", "v"
+    )
+    d1 = deg.withColumnRenamed("v", "src").withColumnRenamed("deg", "dsrc")
+    d2 = deg.withColumnRenamed("v", "dst").withColumnRenamed("deg", "ddst")
+    half = sym.where(F.col("src") < F.col("dst"))
+    joined = half.join(d1, "src").join(d2, "dst")
+    keep = (F.col("dsrc") < F.col("ddst")) | (
+        (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
+    )
+    return joined.select(
+        F.when(keep, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(keep, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count (1-row DataFrame, column ``n_triangles``).
+
+    Wedges from the oriented edge list (two out-edges of a common
+    centre, canonically ordered), closed against the canonical
+    undirected half-edge set. Each triangle is counted exactly once:
+    its degree-ordered orientation has exactly one vertex with two
+    out-edges into the other two.
+    """
+    o = orient_edges(edges)
+    a = o.select(F.col("src").alias("c"), F.col("dst").alias("v"))
+    b = o.select(F.col("src").alias("c"), F.col("dst").alias("w"))
+    wedges = a.join(b, "c").where(F.col("v") < F.col("w"))
+    closing = _symmetrize(edges).where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    return wedges.join(closing, ["v", "w"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    damping_micro: int = 850_000,
+) -> DataFrame:
+    """PageRank in integer micro-units over a symmetric edge list;
+    returns (v, rank_micro).
+
+    Every node starts at PR_MICRO. One round:
+
+        contrib(u) = rank(u) DIV out_deg(u)            (integer div)
+        rank'(v)   = (PR_MICRO - damping_micro)
+                     + damping_micro * SUM(contrib(u->v)) DIV PR_MICRO
+
+    All arithmetic is BIGINT; integer partial sums commute exactly, so
+    the result is bit-stable under any partitioning — replayable in a
+    DuckDB CTE chain for hash gating. Truncation loses < 1 micro-unit
+    per in-edge per round: negligible for ranking, priceless for
+    determinism. Assumes a symmetric edge list (every node that
+    receives mass also emits it — no dangling-mass term needed); the
+    co-occurrence graphs this engine builds satisfy that by
+    construction. Overflow headroom: per-node inbound mass is bounded
+    by total mass |V| * PR_MICRO, so damping_micro * s stays inside
+    int64 for |V| up to ~1e7; beyond that, widen s to DECIMAL(38,0)
+    before the damping product.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    sym = _symmetrize(edges)
+    outdeg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = outdeg.select(
+        F.col("src").alias("v"), F.lit(PR_MICRO).cast("long").alias("rank_micro")
+    )
+    base = PR_MICRO - damping_micro
+    for _ in range(iters):
+        contrib = (
+            sym.join(outdeg, "src")
+            .join(ranks, sym["src"] == ranks["v"])
+            .select(
+                F.col("dst"),
+                # `div` is true BIGINT division (no double rounding in
+                # the quotient, unlike cast(a / b as long))
+                F.expr("rank_micro div outdeg").alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "v",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damping_micro} * s) div {PR_MICRO}")
+                ).alias("rank_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

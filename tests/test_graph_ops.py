@@ -1,0 +1,101 @@
+"""Graph analytics: degree-oriented triangle counting + integer PageRank."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bgg_data_warehouse_spark.operators.graph import (
+    PR_MICRO,
+    orient_edges,
+    pagerank_int,
+    triangle_count,
+)
+from tests.test_plan_audit import executed_plan
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+def _tri(spark, pairs):
+    return triangle_count(_df(spark, pairs)).collect()[0]["n_triangles"]
+
+
+def test_triangle_single(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 1)]) == 1
+
+
+def test_triangle_square_without_diagonal_has_none(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4), (4, 1)]) == 0
+
+
+def test_triangle_two_sharing_an_edge(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 1), (2, 4), (4, 3)]) == 2
+
+
+def test_triangle_k4_has_four(spark):
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    assert _tri(spark, k4) == 4
+
+
+def test_triangle_ignores_duplicate_and_reverse_edges(spark):
+    assert _tri(spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)]) == 1
+
+
+def test_orientation_each_edge_once_lower_degree_first(spark):
+    # star: centre 1 has degree 3, leaves degree 1 -> all edges point
+    # leaf -> centre
+    o = orient_edges(_df(spark, [(1, 2), (1, 3), (1, 4)])).collect()
+    assert {(r["src"], r["dst"]) for r in o} == {(2, 1), (3, 1), (4, 1)}
+
+
+def test_pagerank_star_centre_dominates_and_is_deterministic(spark):
+    star = [(1, i) for i in range(2, 7)]
+    r1 = {
+        r["v"]: r["rank_micro"]
+        for r in pagerank_int(_df(spark, star), iters=3).collect()
+    }
+    assert r1[1] > max(v for k, v in r1.items() if k != 1)
+    # leaves are symmetric -> identical integer ranks
+    assert len({v for k, v in r1.items() if k != 1}) == 1
+    # bit-identical under a different partitioning (integer sums commute)
+    r2 = {
+        r["v"]: r["rank_micro"]
+        for r in pagerank_int(
+            _df(spark, star).repartition(7, "dst"), iters=3
+        ).collect()
+    }
+    assert r1 == r2
+
+
+def test_pagerank_regular_graph_is_uniform_fixed_point(spark):
+    # 4-cycle: every node deg 2 -> uniform PR_MICRO is an exact fixed
+    # point of the integer update (contrib = PR_MICRO/2 each)
+    cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    ranks = {
+        r["v"]: r["rank_micro"]
+        for r in pagerank_int(_df(spark, cyc), iters=4).collect()
+    }
+    assert set(ranks.values()) == {PR_MICRO}
+
+
+def test_pagerank_mass_roughly_conserved(spark):
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    ranks = pagerank_int(_df(spark, pairs), iters=3).agg(
+        F.sum("rank_micro").alias("s")
+    ).collect()[0]["s"]
+    # truncation only loses mass: total in ((1-eps)*V, V] micro-units
+    assert 5 * PR_MICRO * 0.999 < ranks <= 5 * PR_MICRO
+
+
+def test_pagerank_rejects_nonpositive_iters(spark):
+    with pytest.raises(ValueError):
+        pagerank_int(_df(spark, [(1, 2)]), iters=0)
+
+
+def test_triangle_plan_has_no_cartesian(spark):
+    pairs = [(i, (i * 7) % 23 + 30) for i in range(1, 40)]
+    plan = executed_plan(triangle_count(_df(spark, pairs)))
+    assert "CartesianProduct" not in plan, plan
