@@ -36,7 +36,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["orient_edges", "triangle_count", "pagerank_int"]
+__all__ = [
+    "orient_edges",
+    "triangle_count",
+    "pagerank_int",
+    "kcore",
+    "kcore_oracle_sql",
+]
 
 PR_MICRO = 1_000_000
 
@@ -153,3 +159,80 @@ def pagerank_int(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def kcore(edges: DataFrame, *, k: int, rounds: int = 5) -> DataFrame:
+    """Bounded k-core peeling; returns (v, deg) for surviving nodes.
+
+    Each round removes every node whose degree in the CURRENT residual
+    graph is < k, then restricts the edge set to survivors — the
+    classic peel, run a FIXED number of rounds so the result is a pure
+    function of (edges, k, rounds) and a DuckDB CTE chain can replay
+    it for hash gating (``kcore_oracle_sql``). With enough rounds the
+    fixed point IS the true k-core; callers gate convergence by
+    checking that one extra round changes nothing (cheap: both frames
+    are node-sized).
+
+    Scale: each round is one degree aggregate (map-side combinable)
+    plus two semi-joins of the |E|-sized residual against the
+    node-sized survivor set; the residual only shrinks. Lineage is
+    pinned per round. Peeling rounds here are a constant, not the
+    graph's degeneracy-ordering depth — the right trade for a bounded
+    DAG on a cluster (GraphX-style full convergence loops hide
+    unbounded stage counts).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = _symmetrize(edges).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select(F.col("src").alias("kv"))
+        e = (
+            e.join(keep, e["src"] == keep["kv"], "left_semi")
+            .join(keep, e["dst"] == keep["kv"], "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy(F.col("src").alias("v"))
+        .agg(F.count("*").alias("deg"))
+        .where(F.col("deg") >= k)
+    )
+
+
+def kcore_oracle_sql(edges_cte: str, *, k: int, rounds: int = 5) -> str:
+    """DuckDB CTE chain replaying :func:`kcore` exactly.
+
+    ``edges_cte`` must produce a (src, dst) relation in any direction
+    mix; the chain symmetrizes it the same way ``_symmetrize`` does.
+    Emits ``e{rounds}`` (residual edges); the final SELECT mirrors the
+    operator's closing degree filter. Callers append nothing — this is
+    a complete query.
+    """
+    parts = [
+        f"""raw AS ({edges_cte}),
+    e0 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw
+      ) WHERE src <> dst
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        parts.append(
+            f"""k{r} AS (
+      SELECT src AS kv FROM {prev} GROUP BY src HAVING count(*) >= {k}
+    ), e{r} AS (
+      SELECT e.src, e.dst FROM {prev} e
+      WHERE e.src IN (SELECT kv FROM k{r}) AND e.dst IN (SELECT kv FROM k{r})
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+    FROM e{rounds} GROUP BY src HAVING count(*) >= {k}
+    """
+    )

@@ -99,3 +99,50 @@ def test_triangle_plan_has_no_cartesian(spark):
     pairs = [(i, (i * 7) % 23 + 30) for i in range(1, 40)]
     plan = executed_plan(triangle_count(_df(spark, pairs)))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_kcore_triangle_with_tail(spark):
+    # triangle {1,2,3} plus a dangling tail 3-4: 2-core = the triangle
+    e = _df(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    from bgg_data_warehouse_spark.operators.graph import kcore
+
+    out = {r["v"]: r["deg"] for r in kcore(e, k=2, rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascading_peel_needs_multiple_rounds(spark):
+    # path 1-2-3-4-5: every 2-core peel removes the current endpoints;
+    # after enough rounds nothing survives
+    from bgg_data_warehouse_spark.operators.graph import kcore
+
+    path = [(i, i + 1) for i in range(1, 5)]
+    assert kcore(_df(spark, path), k=2, rounds=4).count() == 0
+    # with too few rounds the peel is visibly unconverged (by design —
+    # rounds is part of the gated function's contract)
+    assert kcore(_df(spark, path), k=2, rounds=1).count() > 0
+
+
+def test_kcore_oracle_replays_spark_exactly(spark):
+    import duckdb
+    from bgg_data_warehouse_spark.operators.graph import kcore, kcore_oracle_sql
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (5, 6)]
+    got = {
+        (r["v"], r["deg"])
+        for r in kcore(_df(spark, pairs), k=2, rounds=2).collect()
+    }
+    values = ", ".join(f"({a}, {b})" for a, b in pairs)
+    sql = kcore_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) t(src, dst)", k=2, rounds=2
+    )
+    want = set(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want
+
+
+def test_kcore_rejects_bad_params(spark):
+    from bgg_data_warehouse_spark.operators.graph import kcore
+
+    with pytest.raises(ValueError):
+        kcore(_df(spark, [(1, 2)]), k=0)
+    with pytest.raises(ValueError):
+        kcore(_df(spark, [(1, 2)]), k=2, rounds=0)
