@@ -1,16 +1,12 @@
-"""Distributed graph analytics: triangle counting and PageRank.
+"""Distributed graph analytics: triangle counting and k-core peeling.
 
-Completes the graph family started by connected components
-(components.py) and label propagation (label_prop.py). Both operators
-here are designed deterministic-by-construction so they can be
-hash-gated against a DuckDB oracle replay (the same discipline as the
-CMS/HLL sketches and the LPA rounds):
-
-- triangle counting is exact integer arithmetic;
-- PageRank runs in integer micro-units (rank mass as BIGINT millionths)
-  with integer division, so partial sums commute exactly and the result
-  is independent of partitioning / accumulation order — the property
-  double-precision PageRank does NOT have.
+Completes the graph family alongside connected components
+(components.py), label propagation (label_prop.py) and integer
+PageRank (pagerank.py — rank centrality lives THERE; this module must
+not grow a second copy). Everything here is exact integer arithmetic,
+deterministic by construction, so it can be hash-gated against a
+DuckDB oracle replay (the same discipline as the CMS/HLL sketches and
+the LPA rounds).
 
 Reference provenance: the reference ranks games by pairwise similarity
 (`/root/reference/definitions/game_similarity_search.sqlx`); triangle
@@ -26,26 +22,16 @@ Scale design (100 TB):
   vertices (the naive neighbour self-join is quadratic in hub degree).
   Wedge generation is one self-equi-join on the wedge centre; closing
   is one equi-join against the canonical edge set. No cartesians.
-- PageRank is K bounded rounds; each round is one (edge x rank)
-  equi-join plus one map-side-combinable integer sum per destination.
-  Rank state stays |V|-sized and is lineage-pinned per round with a
-  lazy localCheckpoint.
+- k-core peeling is K bounded rounds; each round is one degree
+  aggregate plus two node-sized semi-joins, and the residual edge set
+  only shrinks.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = [
-    "orient_edges",
-    "triangle_count",
-    "pagerank_int",
-    "kcore",
-    "kcore_oracle_sql",
-]
-
-PR_MICRO = 1_000_000
-
+__all__ = ["orient_edges", "triangle_count", "kcore", "kcore_oracle_sql"]
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
     """Distinct symmetric closure of an edge list, self-loops dropped."""
@@ -62,7 +48,15 @@ def orient_edges(edges: DataFrame) -> DataFrame:
     (deg(src), src) < (deg(dst), dst) lexicographically. Out-degrees in
     the result are O(sqrt(m)), the property triangle counting needs.
     """
-    sym = _symmetrize(edges)
+    return _orient_sym(_symmetrize(edges))
+
+
+def _orient_sym(sym: DataFrame) -> DataFrame:
+    """Orientation over an ALREADY-symmetrized distinct edge list —
+    split out so triangle_count can share one symmetric closure between
+    orientation and its closing set (the closure's distinct is the
+    operator's dominant shuffle; within one plan the identical subtree
+    materializes once via ReusedExchange)."""
     deg = sym.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
         "src", "v"
     )
@@ -88,77 +82,17 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     its degree-ordered orientation has exactly one vertex with two
     out-edges into the other two.
     """
-    o = orient_edges(edges)
+    sym = _symmetrize(edges)
+    o = _orient_sym(sym)
     a = o.select(F.col("src").alias("c"), F.col("dst").alias("v"))
     b = o.select(F.col("src").alias("c"), F.col("dst").alias("w"))
     wedges = a.join(b, "c").where(F.col("v") < F.col("w"))
-    closing = _symmetrize(edges).where(F.col("src") < F.col("dst")).select(
+    closing = sym.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
     return wedges.join(closing, ["v", "w"]).agg(
         F.count("*").alias("n_triangles")
     )
-
-
-def pagerank_int(
-    edges: DataFrame,
-    *,
-    iters: int = 3,
-    damping_micro: int = 850_000,
-) -> DataFrame:
-    """PageRank in integer micro-units over a symmetric edge list;
-    returns (v, rank_micro).
-
-    Every node starts at PR_MICRO. One round:
-
-        contrib(u) = rank(u) DIV out_deg(u)            (integer div)
-        rank'(v)   = (PR_MICRO - damping_micro)
-                     + damping_micro * SUM(contrib(u->v)) DIV PR_MICRO
-
-    All arithmetic is BIGINT; integer partial sums commute exactly, so
-    the result is bit-stable under any partitioning — replayable in a
-    DuckDB CTE chain for hash gating. Truncation loses < 1 micro-unit
-    per in-edge per round: negligible for ranking, priceless for
-    determinism. Assumes a symmetric edge list (every node that
-    receives mass also emits it — no dangling-mass term needed); the
-    co-occurrence graphs this engine builds satisfy that by
-    construction. Overflow headroom: per-node inbound mass is bounded
-    by total mass |V| * PR_MICRO, so damping_micro * s stays inside
-    int64 for |V| up to ~1e7; beyond that, widen s to DECIMAL(38,0)
-    before the damping product.
-    """
-    if iters < 1:
-        raise ValueError(f"iters must be >= 1, got {iters}")
-    sym = _symmetrize(edges)
-    outdeg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ranks = outdeg.select(
-        F.col("src").alias("v"), F.lit(PR_MICRO).cast("long").alias("rank_micro")
-    )
-    base = PR_MICRO - damping_micro
-    for _ in range(iters):
-        contrib = (
-            sym.join(outdeg, "src")
-            .join(ranks, sym["src"] == ranks["v"])
-            .select(
-                F.col("dst"),
-                # `div` is true BIGINT division (no double rounding in
-                # the quotient, unlike cast(a / b as long))
-                F.expr("rank_micro div outdeg").alias("c"),
-            )
-        )
-        ranks = (
-            contrib.groupBy(F.col("dst").alias("v"))
-            .agg(F.sum("c").alias("s"))
-            .select(
-                "v",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(f"({damping_micro} * s) div {PR_MICRO}")
-                ).alias("rank_micro"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return ranks
 
 
 def kcore(edges: DataFrame, *, k: int, rounds: int = 5) -> DataFrame:

@@ -71,6 +71,8 @@ def pagerank_integer(
     that know a cheap bound (e.g. 2× a parquet metadata row count)
     pass it to avoid executing the edge plan once just for the count.
     """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     # Width comes from a PRE-distinct upper bound: duplicates only
     # overestimate the width, never undersize it. That lets the entire

@@ -1,4 +1,10 @@
-"""Graph analytics: degree-oriented triangle counting + integer PageRank."""
+"""Graph analytics: degree-oriented triangle counting + k-core peeling.
+
+PageRank-on-symmetric-graphs properties (uniform fixed point, mass
+conservation) live here too, exercised through the single canonical
+operator ``operators/pagerank.py`` (graph.py's duplicate was removed);
+directed-graph PageRank semantics are covered in test_clustering.py.
+"""
 
 from __future__ import annotations
 
@@ -6,13 +12,11 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from bgg_data_warehouse_spark.operators.graph import (
-    PR_MICRO,
-    orient_edges,
-    pagerank_int,
-    triangle_count,
-)
+from bgg_data_warehouse_spark.operators.graph import orient_edges, triangle_count
+from bgg_data_warehouse_spark.operators.pagerank import pagerank_integer
 from tests.test_plan_audit import executed_plan
+
+SCALE = 1_000_000
 
 
 def _df(spark, pairs):
@@ -51,48 +55,55 @@ def test_orientation_each_edge_once_lower_degree_first(spark):
     assert {(r["src"], r["dst"]) for r in o} == {(2, 1), (3, 1), (4, 1)}
 
 
+def _sym(pairs):
+    """Symmetric closure of an undirected pair list (both orientations)."""
+    return sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+
+
 def test_pagerank_star_centre_dominates_and_is_deterministic(spark):
-    star = [(1, i) for i in range(2, 7)]
+    star = _sym([(1, i) for i in range(2, 7)])
     r1 = {
-        r["v"]: r["rank_micro"]
-        for r in pagerank_int(_df(spark, star), iters=3).collect()
+        r["node"]: r["rank"]
+        for r in pagerank_integer(_df(spark, star), "src", "dst").collect()
     }
     assert r1[1] > max(v for k, v in r1.items() if k != 1)
     # leaves are symmetric -> identical integer ranks
     assert len({v for k, v in r1.items() if k != 1}) == 1
     # bit-identical under a different partitioning (integer sums commute)
     r2 = {
-        r["v"]: r["rank_micro"]
-        for r in pagerank_int(
-            _df(spark, star).repartition(7, "dst"), iters=3
+        r["node"]: r["rank"]
+        for r in pagerank_integer(
+            _df(spark, star).repartition(7, "dst"), "src", "dst"
         ).collect()
     }
     assert r1 == r2
 
 
 def test_pagerank_regular_graph_is_uniform_fixed_point(spark):
-    # 4-cycle: every node deg 2 -> uniform PR_MICRO is an exact fixed
-    # point of the integer update (contrib = PR_MICRO/2 each)
-    cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    # symmetric 4-cycle: every node deg 2 -> uniform SCALE is an exact
+    # fixed point of the integer update (contrib = SCALE/2 each:
+    # 150_000 + 85 * SCALE DIV 100 == SCALE)
+    cyc = _sym([(1, 2), (2, 3), (3, 4), (4, 1)])
     ranks = {
-        r["v"]: r["rank_micro"]
-        for r in pagerank_int(_df(spark, cyc), iters=4).collect()
+        r["node"]: r["rank"]
+        for r in pagerank_integer(_df(spark, cyc), "src", "dst", rounds=4).collect()
     }
-    assert set(ranks.values()) == {PR_MICRO}
+    assert set(ranks.values()) == {SCALE}
 
 
-def test_pagerank_mass_roughly_conserved(spark):
-    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
-    ranks = pagerank_int(_df(spark, pairs), iters=3).agg(
-        F.sum("rank_micro").alias("s")
+def test_pagerank_mass_roughly_conserved_on_symmetric_graph(spark):
+    # On a symmetric graph there are no dangling nodes, so integer
+    # truncation is the ONLY mass leak: total stays in ((1-eps)*V, V].
+    pairs = _sym([(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)])
+    total = pagerank_integer(_df(spark, pairs), "src", "dst").agg(
+        F.sum("rank").alias("s")
     ).collect()[0]["s"]
-    # truncation only loses mass: total in ((1-eps)*V, V] micro-units
-    assert 5 * PR_MICRO * 0.999 < ranks <= 5 * PR_MICRO
+    assert 5 * SCALE * 0.999 < total <= 5 * SCALE
 
 
-def test_pagerank_rejects_nonpositive_iters(spark):
+def test_pagerank_rejects_nonpositive_rounds(spark):
     with pytest.raises(ValueError):
-        pagerank_int(_df(spark, [(1, 2)]), iters=0)
+        pagerank_integer(_df(spark, [(1, 2)]), "src", "dst", rounds=0)
 
 
 def test_triangle_plan_has_no_cartesian(spark):
