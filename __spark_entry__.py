@@ -72,10 +72,20 @@ _PRIORITY = [
     "event_transition_matrix",
     "top_user_paths",
     # NEW round 7 (cont.): AQP sampled aggregates with replayed HT
-    # estimator + CI, and deterministic label-propagation communities
-    # (iterative graph algorithm fully replayed in the oracle)
+    # estimator + CI, deterministic label-propagation communities and
+    # bounded k-core peeling (both iterative graph algorithms fully
+    # replayed in the oracle), and a degree-oriented triangle census
     "aqp_sampled_agg",
     "label_propagation",
+    "kcore_parts",
+    "triangle_census",
+    # NEW round 7 (cont.): distributed prefix-scan family (two-pass
+    # bucketed running aggregates replacing single-partition windows)
+    # + MAD robust outliers
+    "peak_concurrency",
+    "pareto_frontier",
+    "sorted_neighborhood_pairs",
+    "robust_outliers",
     # stale-evidence refresh: the r2-vintage block (last driver row r2)
     "benchmark_contamination",
     "chunk_documents",
@@ -93,13 +103,15 @@ _PRIORITY = [
     "quality_score",
     "ratio_guarded",
     "repetition_stats",
+    # ---- position 51+: next-up if the driver widens; remaining
+    # (salted_join_revenue..union_discriminated displaced by the six
+    # newest gates — they lead the round-8 stale-refresh queue)
     "salted_join_revenue",
     "scd2_intervals",
     "split_assign",
     "stratified_sample",
     "token_count",
     "union_discriminated",
-    # ---- position 51+: next-up if the driver widens; remaining
     # analytic tail + TPC-H lead so they rotate in next round
     # (weighted_sample_stratified r5-green and sessionize r4-green were
     # displaced by the two new gates — still inside the 4-round

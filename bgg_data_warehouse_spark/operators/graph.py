@@ -31,7 +31,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["orient_edges", "triangle_count", "kcore", "kcore_oracle_sql"]
+__all__ = [
+    "orient_edges",
+    "triangle_count",
+    "kcore",
+    "peel_round",
+    "kcore_oracle_sql",
+]
+
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
     """Distinct symmetric closure of an edge list, self-loops dropped."""
@@ -40,15 +47,19 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     return fwd.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
 
 
-def orient_edges(edges: DataFrame) -> DataFrame:
+def orient_edges(edges: DataFrame, *, assume_symmetric: bool = False) -> DataFrame:
     """Degree-ordered orientation of an undirected edge list.
 
     Input: (src, dst) in any mix of directions/duplicates. Output: each
     undirected edge exactly once as (src, dst) with
     (deg(src), src) < (deg(dst), dst) lexicographically. Out-degrees in
     the result are O(sqrt(m)), the property triangle counting needs.
+    ``assume_symmetric=True`` skips the defensive symmetric closure —
+    a full |E| distinct, the builder's dominant exchange — when the
+    caller guarantees a distinct symmetric edge list with no self-loops
+    (cooccurrence_edges output qualifies by construction).
     """
-    return _orient_sym(_symmetrize(edges))
+    return _orient_sym(edges if assume_symmetric else _symmetrize(edges))
 
 
 def _orient_sym(sym: DataFrame) -> DataFrame:
@@ -73,16 +84,17 @@ def _orient_sym(sym: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, *, assume_symmetric: bool = False) -> DataFrame:
     """Global triangle count (1-row DataFrame, column ``n_triangles``).
 
     Wedges from the oriented edge list (two out-edges of a common
     centre, canonically ordered), closed against the canonical
     undirected half-edge set. Each triangle is counted exactly once:
     its degree-ordered orientation has exactly one vertex with two
-    out-edges into the other two.
+    out-edges into the other two. ``assume_symmetric`` as in
+    :func:`orient_edges`.
     """
-    sym = _symmetrize(edges)
+    sym = edges if assume_symmetric else _symmetrize(edges)
     o = _orient_sym(sym)
     a = o.select(F.col("src").alias("c"), F.col("dst").alias("v"))
     b = o.select(F.col("src").alias("c"), F.col("dst").alias("w"))
@@ -95,7 +107,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
-def kcore(edges: DataFrame, *, k: int, rounds: int = 5) -> DataFrame:
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int,
+    rounds: int = 5,
+    assume_symmetric: bool = False,
+) -> DataFrame:
     """Bounded k-core peeling; returns (v, deg) for surviving nodes.
 
     Each round removes every node whose degree in the CURRENT residual
@@ -119,19 +137,26 @@ def kcore(edges: DataFrame, *, k: int, rounds: int = 5) -> DataFrame:
         raise ValueError(f"k must be >= 1, got {k}")
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    e = _symmetrize(edges).localCheckpoint(eager=False)
+    e = (edges if assume_symmetric else _symmetrize(edges)).localCheckpoint(
+        eager=False
+    )
     for _ in range(rounds):
-        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-        keep = deg.where(F.col("deg") >= k).select(F.col("src").alias("kv"))
-        e = (
-            e.join(keep, e["src"] == keep["kv"], "left_semi")
-            .join(keep, e["dst"] == keep["kv"], "left_semi")
-            .localCheckpoint(eager=False)
-        )
+        e = peel_round(e, k).localCheckpoint(eager=False)
     return (
         e.groupBy(F.col("src").alias("v"))
         .agg(F.count("*").alias("deg"))
         .where(F.col("deg") >= k)
+    )
+
+
+def peel_round(e: DataFrame, k: int) -> DataFrame:
+    """One k-core peeling round over a symmetric residual edge list —
+    split out (and NOT checkpointed) so plan audits can see the round's
+    real physical shape; ``kcore`` pins lineage between rounds."""
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    keep = deg.where(F.col("deg") >= k).select(F.col("src").alias("kv"))
+    return e.join(keep, e["src"] == keep["kv"], "left_semi").join(
+        keep, e["dst"] == keep["kv"], "left_semi"
     )
 
 

@@ -58,28 +58,44 @@ def cooccurrence_edges(
     # measured ~2x cheaper than the items-self-equi-join form, which
     # sort-merge-joined two full item relations before the same
     # distinct. collect_set dedups repeated (group, item) lines in the
-    # same aggregate.
+    # same aggregate. Only CANONICAL (src < dst) pairs are generated and
+    # deduped — the distinct is this builder's dominant exchange, and
+    # halving its input pays at every scale — then the symmetric twin
+    # is mirrored back map-side (explode of a 2-struct array, no
+    # shuffle) after the dedup.
     baskets = (
         df.groupBy(F.col(group_col).alias("g"))
         .agg(F.collect_set(F.col(item_col)).alias("ps"))
         .where(F.size("ps") >= 2)
     )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ps",
-                    lambda x: F.filter(
-                        F.transform(
-                            "ps", lambda y: F.struct(x.alias("src"), y.alias("dst"))
+    canon = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x: F.filter(
+                            F.transform(
+                                "ps",
+                                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                            ),
+                            lambda s: s["src"] < s["dst"],
                         ),
-                        lambda s: s["src"] != s["dst"],
-                    ),
+                    )
                 )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+    return canon.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
             )
         ).alias("e")
-    )
-    return pairs.select("e.src", "e.dst").distinct()
+    ).select("e.src", "e.dst")
 
 
 def label_propagation(

@@ -1,0 +1,167 @@
+"""Distributed prefix scans: running aggregates over a GLOBAL order.
+
+Spark's Window without ``partitionBy`` collapses to a single task — the
+one shape that cannot survive 100 TB. But every associative running
+aggregate (sum, min, row count) decomposes into the classic two-pass
+scan:
+
+1. bucket rows by a data-derived, order-aligned key (an hour, a price
+   band, a name prefix) and run the window INSIDE each bucket — tasks
+   proportional to buckets, each window bounded by its bucket;
+2. aggregate one row per bucket, prefix-combine those (a window over
+   |buckets| rows — thousands, not billions), and add each bucket's
+   EXCLUSIVE offset back with a broadcast-sized join.
+
+The result is bit-identical to the global window at any partitioning
+because the combine op is associative, so the same helpers back
+hash-gated queries (peak_concurrency, pareto_frontier,
+sorted_neighborhood_pairs) whose DuckDB oracles use the plain global
+window form — the rewrite itself is what the gate verifies.
+
+No reference counterpart (the reference's BigQuery engine parallelizes
+ORDER BY windows internally; Spark makes the decomposition the user's
+job): this is engine machinery for the LLM-pipeline extensions, same
+family as operators/iterative.py.
+
+The bucket column must be ALIGNED with the order: bucket_a < bucket_b
+must imply every order key in a sorts before every key in b (hour
+buckets over timestamps, leading substring over strings, numeric bands
+over numbers). Helpers take the bucket expression from the caller, who
+knows the domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["running_sum", "running_min_before", "global_row_number"]
+
+_RESERVED = ("_b", "_off", "_part")
+
+
+def _check_reserved(df: DataFrame) -> None:
+    clash = [c for c in _RESERVED if c in df.columns]
+    if clash:
+        raise ValueError(f"reserved prefix-scan columns present: {clash}")
+
+
+def running_sum(
+    df: DataFrame,
+    value_col: str,
+    bucket: Column,
+    order_cols: list[str],
+    *,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` over the global order
+    (bucket, *order_cols) — two-pass: per-bucket window + exclusive
+    prefix offsets of the per-bucket totals.
+
+    ``order_cols`` must make rows unique WITHIN a bucket so the scan is
+    deterministic; ``bucket`` must be order-aligned (see module doc).
+    """
+    _check_reserved(df)
+    b = df.withColumn("_b", bucket)
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn(out_col, F.sum(value_col).over(w_in))
+    # one row per bucket -> exclusive prefix of bucket totals. The
+    # offsets table is |buckets|-sized: its single-partition window is
+    # bounded by construction, and the join back broadcasts.
+    offsets = (
+        b.groupBy("_b")
+        .agg(F.sum(value_col).alias("_t"))
+        .select(
+            "_b",
+            F.sum("_t")
+            .over(
+                Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+            )
+            .alias("_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_b")
+        .withColumn(out_col, F.col(out_col) + F.coalesce(F.col("_off"), F.lit(0)))
+        .drop("_b", "_off")
+    )
+
+
+def running_min_before(
+    df: DataFrame,
+    value_col: str,
+    bucket: Column,
+    order_cols: list[str],
+    *,
+    out_col: str = "min_before",
+) -> DataFrame:
+    """EXCLUSIVE running min of ``value_col`` over the global order
+    (bucket, *order_cols): for each row, the min over all STRICTLY
+    preceding rows (null for the global first row) — the skyline /
+    dominance primitive. Same two-pass decomposition as
+    :func:`running_sum` (min is associative)."""
+    _check_reserved(df)
+    b = df.withColumn("_b", bucket)
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn(out_col, F.min(value_col).over(w_in))
+    offsets = (
+        b.groupBy("_b")
+        .agg(F.min(value_col).alias("_t"))
+        .select(
+            "_b",
+            F.min("_t")
+            .over(
+                Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+            )
+            .alias("_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_b")
+        .withColumn(out_col, F.least(F.col(out_col), F.col("_off")))
+        .drop("_b", "_off")
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[str],
+    *,
+    out_col: str = "rn",
+) -> DataFrame:
+    """1-based dense global ROW_NUMBER over (bucket, *order_cols)
+    without a single-partition window: per-bucket row_number + the
+    exclusive prefix sum of bucket row counts."""
+    _check_reserved(df)
+    b = df.withColumn("_b", bucket)
+    w_in = Window.partitionBy("_b").orderBy(*order_cols)
+    local = b.withColumn(out_col, F.row_number().over(w_in).cast("long"))
+    offsets = (
+        b.groupBy("_b")
+        .agg(F.count("*").alias("_t"))
+        .select(
+            "_b",
+            F.coalesce(
+                F.sum("_t").over(
+                    Window.orderBy("_b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_b")
+        .withColumn(out_col, F.col(out_col) + F.col("_off"))
+        .drop("_b", "_off")
+    )

@@ -7252,3 +7252,377 @@ def label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_member"),
         F.max("v").alias("max_member"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (cont.): graph structure metrics — bounded k-core peeling and a
+# degree-oriented triangle census over the part co-purchase graph.
+# ---------------------------------------------------------------------------
+
+from .operators.graph import (  # noqa: E402
+    kcore,
+    kcore_oracle_sql,
+    orient_edges,
+    triangle_count,
+)
+
+
+@query(
+    "kcore_parts",
+    oracle=kcore_oracle_sql(_LPA_EDGES_SQL, k=64, rounds=3),
+)
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-core extraction: 3 bounded peeling rounds of the 64-core
+    over the part co-purchase graph (operators/graph.py kcore),
+    returning every surviving part with its residual degree. The peel
+    is a pure function of (edges, k, rounds), so the DuckDB oracle
+    replays every round as a CTE chain (kcore_oracle_sql) and the gate
+    is a full hash match — same replayed-iteration discipline as
+    label_propagation and components_star_chains.
+
+    Complements LPA: communities partition the graph; the k-core
+    isolates its densest backbone (the parts that co-sell with >= 64
+    distinct partners even after fringe parts are peeled away) — the
+    subgraph a recommender or negative-sampling stage would mine first.
+    Scale: each round is one map-side-combinable degree aggregate plus
+    two |E|-vs-|V| semi-joins, the residual edge set only shrinks, and
+    rounds is a constant — bounded stage count, no convergence loop
+    hiding unbounded scheduling (the GraphX failure mode at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return kcore(edges, k=64, rounds=3, assume_symmetric=True)
+
+
+_TRI_EDGES_SQL = """
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0
+    """
+
+
+@query(
+    "triangle_census",
+    oracle=f"""
+    WITH e0 AS ({_TRI_EDGES_SQL}),
+    deg AS (SELECT src AS v, count(*) AS d FROM e0 GROUP BY src),
+    o AS (
+      SELECT e.src, e.dst FROM e0 e
+      JOIN deg ds ON ds.v = e.src
+      JOIN deg dd ON dd.v = e.dst
+      WHERE ds.d < dd.d OR (ds.d = dd.d AND e.src < e.dst)
+    ),
+    w AS (
+      SELECT a.dst AS v, b.dst AS w
+      FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst
+    ),
+    c AS (SELECT src AS v, dst AS w FROM e0 WHERE src < dst),
+    tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM w JOIN c USING (v, w)),
+    agg AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_edges,
+        (SELECT CAST(COALESCE(sum(cnt * (cnt - 1) // 2), 0) AS BIGINT)
+           FROM (SELECT count(*) AS cnt FROM o GROUP BY src)) AS n_wedges,
+        (SELECT n_triangles FROM tri) AS n_triangles
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CAST(3000 * n_triangles // NULLIF(n_wedges, 0) AS BIGINT)
+             AS closure_permille
+    FROM agg
+    """,
+)
+def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of a part co-purchase subgraph (every
+    third part, to keep the wedge set linear-ish at bench scale):
+    node/edge/wedge/triangle counts plus the global clustering
+    coefficient in exact integer permille (3000*T DIV wedges — the
+    transitivity ratio 3T/W scaled to integers so the gate never
+    touches engine-dependent float division).
+
+    Uses the degree-ordered orientation (operators/graph.py
+    orient_edges): every undirected edge once, pointing low-(deg, id)
+    to high, so per-node out-degree is O(sqrt(m)) and the wedge
+    self-join is bounded by sum outdeg^2 instead of sum deg^2 — the
+    hub-safe triangle strategy at 100 TB (a raw neighbour self-join is
+    quadratic in hub degree; hubs here are best-selling parts). All
+    four scalar branches re-derive from the SAME symmetric-distinct
+    edge exchange, which materializes once per plan via ReusedExchange
+    — audited in tests, not assumed."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 3 == 0)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    o = orient_edges(edges, assume_symmetric=True)
+    nodes = edges.agg(F.countDistinct("src").alias("n_nodes"))
+    n_edges = o.agg(F.count("*").alias("n_edges"))
+    wedges = (
+        o.groupBy("src")
+        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.coalesce(F.sum(F.expr("cnt * (cnt - 1) div 2")), F.lit(0))
+            .cast("long")
+            .alias("n_wedges")
+        )
+    )
+    tri = triangle_count(edges, assume_symmetric=True)
+    return (
+        nodes.crossJoin(n_edges)
+        .crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr("cast(3000 * n_triangles div nullif(n_wedges, 0) as long)")
+            .alias("closure_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (cont.): distributed prefix-scan analytics — sweep-line interval
+# concurrency, Pareto frontier, sorted-neighborhood dedup blocking — plus
+# MAD robust outlier detection. The first three all ride the two-pass
+# bucketed scan in operators/prefix.py: NO single-partition windows over
+# data-sized streams anywhere (the shape a 100 TB event table forbids);
+# each DuckDB oracle uses the plain global-window (or naive quadratic)
+# form, so the gates hash-verify the distributed rewrite itself.
+# ---------------------------------------------------------------------------
+
+from .operators.prefix import (  # noqa: E402
+    global_row_number,
+    running_min_before,
+)
+from .operators.sweepline import interval_concurrency  # noqa: E402
+
+
+@query(
+    "peak_concurrency",
+    oracle="""
+    WITH b AS (
+      SELECT ts AS t, CAST(1 AS BIGINT) AS delta, event_id AS id FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 30 MINUTE, CAST(-1 AS BIGINT), event_id FROM events
+    ),
+    scan AS (
+      SELECT t, delta,
+             SUM(delta) OVER (ORDER BY t, delta, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrency
+      FROM b
+    )
+    SELECT date_trunc('day', t) AS day,
+           CAST(MAX(concurrency) AS BIGINT) AS peak_concurrent,
+           CAST(COUNT(*) AS BIGINT) AS n_started
+    FROM scan WHERE delta = 1 GROUP BY 1
+    """,
+)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency per day: every event opens a half-open
+    30-minute activity interval [ts, ts+30min); the sweep-line running
+    sum of +1/-1 boundaries (operators/sweepline.py) counts open
+    intervals at every instant, and the daily max is the capacity
+    figure. The oracle is the textbook single-window form; the Spark
+    side is the two-pass hour-bucketed prefix scan
+    (operators/prefix.py running_sum) — per-bucket windows plus an
+    exclusive prefix over |buckets| totals — so the gate hash-verifies
+    that the distributed scan is bit-identical to the global window.
+    Half-open semantics: -1 sorts before +1 at equal t, so
+    back-to-back intervals never double-count.
+
+    Scale: boundaries are generated map-side (2-struct explode), the
+    only data-sized shuffle is the hour-bucket window sort, and the
+    bucket-offset table (one row per hour) broadcasts. A bare
+    Window.orderBy(ts) — one task for all 100 TB — never appears."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("te"),
+    )
+    conc = interval_concurrency(ev, "ts", "te", "event_id")
+    return (
+        conc.where(F.col("delta") == 1)
+        .groupBy(F.date_trunc("day", F.col("t")).alias("day"))
+        .agg(
+            F.max("concurrency").alias("peak_concurrent"),
+            F.count("*").alias("n_started"),
+        )
+    )
+
+
+@query(
+    "pareto_frontier",
+    oracle="""
+    WITH pairs AS (
+      SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS size,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2)
+    SELECT round(price, 2) AS price, size, n_parts FROM pairs a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pairs b
+      WHERE b.price <= a.price AND b.size <= a.size
+        AND (b.price < a.price OR b.size < a.size))
+    """,
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of parts minimizing (retail price,
+    size): the non-dominated (price, size) combinations a buyer would
+    ever rationally pick. The oracle is the NAIVE quadratic NOT EXISTS
+    dominance test over distinct pairs; the Spark side is the O(n log n)
+    scan rewrite — order by (price, size), keep a pair iff the
+    EXCLUSIVE running min of size over all preceding pairs is higher —
+    run as the bucketed two-pass prefix-min (operators/prefix.py
+    running_min_before, price-band buckets), so the gate hash-proves
+    the linear-scan skyline equals the quadratic definition.
+
+    Scale: dominance reduces to distinct (price, size) pairs first
+    (bounded by the attribute domain, not row count); the scan is
+    per-band windows plus a |bands|-row exclusive prefix. The naive
+    pairwise form the oracle uses would be a 10^10-pair cross join at
+    100 TB — structurally unplannable here."""
+    p = load_table(spark, sf_dir, "part")
+    pairs = p.groupBy(
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    ).agg(F.count("*").alias("n_parts"))
+    scan = running_min_before(
+        pairs,
+        "size",
+        (F.col("price") / 100).cast("long"),
+        ["price", "size"],
+        out_col="mb",
+    )
+    return scan.where(
+        F.col("mb").isNull() | (F.col("size") < F.col("mb"))
+    ).select(F.round(F.col("price"), 2).alias("price"), "size", "n_parts")
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    oracle="""
+    WITH r AS (
+      SELECT p_partkey AS k, p_name AS n,
+             ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part)
+    SELECT a.n AS name_a, b.n AS name_b,
+           CAST(b.rn - a.rn AS BIGINT) AS gap,
+           CAST(levenshtein(a.n, b.n) AS BIGINT) AS dist
+    FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+    WHERE levenshtein(a.n, b.n) <= 4
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernandez-Stolfo): rank all
+    part names in one global lexicographic order, compare each record
+    only to its 3 successors, keep pairs within Levenshtein distance 4
+    — the classic windowed alternative to token blocking
+    (fuzzy_match_parts) that catches near-duplicates token blocking
+    splits (typos in the first token). The oracle ranks with a global
+    ROW_NUMBER and joins on rank distance; the Spark side builds the
+    SAME rank with the two-pass bucketed row numbering
+    (operators/prefix.py global_row_number, first-letter buckets) and
+    turns the rank-band join into an EQUI-join by exploding each row
+    into its 3 probe ranks — no range join, no single-partition window.
+
+    Scale: per-bucket row_number + a |buckets|-row offset table; the
+    probe explode is a constant 3x; the rank join is hash-partitioned
+    on rank. Window width and edit threshold are the operator's recall
+    knobs, as in the ER literature."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select(F.col("p_partkey").alias("k"), F.col("p_name").alias("n"))
+    rn = global_row_number(
+        names, F.substring("n", 1, 1), ["n", "k"], out_col="rn"
+    )
+    probe = rn.select(
+        F.col("n").alias("name_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("gap"),
+        F.col("rn"),
+    ).withColumn("rj", F.col("rn") + F.col("gap"))
+    right = rn.select(F.col("n").alias("name_b"), F.col("rn").alias("rj"))
+    return (
+        probe.join(right, "rj")
+        .select(
+            "name_a",
+            "name_b",
+            F.col("gap").cast("long").alias("gap"),
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= 4)
+    )
+
+
+@query(
+    "robust_outliers",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    med AS (SELECT event_type, value AS med FROM base WHERE rn = (n + 1) // 2),
+    dev AS (SELECT b.event_type, b.event_id, b.n, m.med,
+                   abs(b.value - m.med) AS dev
+            FROM base b JOIN med m USING (event_type)),
+    dev2 AS (SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY dev, event_id) AS rn2
+             FROM dev),
+    mad AS (SELECT event_type, dev AS mad FROM dev2 WHERE rn2 = (n + 1) // 2)
+    SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_events,
+           MIN(d.med) AS med_value, MIN(m.mad) AS mad_value,
+           CAST(count_if(d.dev > 3.0 * m.mad) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1
+    """,
+)
+def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection: median + MAD (median absolute
+    deviation) per event_type, flagging values more than 3 MADs from
+    the median — the estimator that survives the very outliers it
+    hunts, unlike mean/stddev z-scores (50% breakdown point vs 0%).
+    Exactness across engines comes from SELECTION, not arithmetic: the
+    median is the lower median — the value at ROW_NUMBER (n+1) DIV 2
+    in (value, event_id) order — so both engines pick the same stored
+    double; dev = abs(x - med) and the 3*mad comparison are identical
+    single IEEE ops in identical association (safe unrounded, per the
+    module conventions).
+
+    Scale: two row_number windows partitioned by event_type (bounded
+    fan-in, map-side combinable counts) and two broadcast joins of the
+    |types|-row med/mad tables; nothing data-sized crosses a single
+    partition. Skewed types ride AQE; the window keys are the same
+    partitioning both passes, so the second sort reuses the layout."""
+    ev = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type")
+    base = (
+        ev.select("event_type", "event_id", "value")
+        .withColumn(
+            "rn", F.row_number().over(wt.orderBy("value", "event_id"))
+        )
+        .withColumn("n", F.count("*").over(wt))
+    )
+    med = base.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("value").alias("med")
+    )
+    dev = base.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    dev2 = dev.withColumn(
+        "rn2", F.row_number().over(wt.orderBy("dev", "event_id"))
+    )
+    mad = dev2.where(F.col("rn2") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("dev").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("med").alias("med_value"),
+            F.min("mad").alias("mad_value"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

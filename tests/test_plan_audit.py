@@ -500,3 +500,63 @@ def test_transition_matrix_normalizes_on_cell_table(spark):
     assert "Window" in plan and "HashAggregate" in plan
     # sequence shuffle (user_id) + cell aggregate + tiny normalize window
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_triangle_census_builds_baskets_once_via_reused_exchange(spark):
+    """All four scalar branches (nodes, edges, wedges, triangles) of the
+    census derive from ONE basket aggregate: the collect_set
+    ObjectHashAggregate must appear exactly once (partial + final) in
+    the final plan, with every other branch riding ReusedExchange —
+    the docstring's materializes-once claim, pinned."""
+    df = entrymod.queries()["triangle_census"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert plan.count("ObjectHashAggregate") == 2, plan
+    assert "ReusedExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kcore_peel_round_is_semi_equi_join_with_partial_agg(spark):
+    """One peeling round (operators/graph.py peel_round — the exact
+    code kcore loops, audited un-checkpointed because the gated query's
+    final plan only shows the last lineage segment): the survivor
+    restriction must be two LeftSemi equi-joins of the residual edges
+    against the node-sized keep set — never a nested-loop — and the
+    degree aggregate must partial-aggregate map-side."""
+    from pyspark.sql import functions as F
+
+    from bgg_data_warehouse_spark.operators.graph import peel_round
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    e = li.select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    df = peel_round(e, 2)
+    df.collect()
+    plan = final_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("LeftSemi") == 2, plan
+    assert "partial_count" in plan, plan
+
+
+def test_peak_concurrency_has_no_data_sized_global_window(spark):
+    """The sweep's running sum must ride the bucketed two-pass scan:
+    the only single-partition exchange in the plan is the |buckets|-row
+    offset prefix, never the boundary stream itself, and the data-path
+    window is partitioned on the bucket key."""
+    df = entrymod.queries()["peak_concurrency"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "Exchange hashpartitioning(_b" in plan, plan
+
+
+def test_sorted_neighborhood_rank_join_is_equi_join(spark):
+    """The rank-band probe must plan as a hash EQUI-join on the
+    exploded probe rank — no range-condition nested loop."""
+    df = entrymod.queries()["sorted_neighborhood_pairs"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
