@@ -86,6 +86,11 @@ _PRIORITY = [
     "pareto_frontier",
     "sorted_neighborhood_pairs",
     "robust_outliers",
+    # NEW round 7 (cont.): grouped quantile features, association-rule
+    # mining, per-edge triangle support
+    "quantile_normalize",
+    "association_rules",
+    "edge_support_topk",
     # stale-evidence refresh: the r2-vintage block (last driver row r2)
     "benchmark_contamination",
     "chunk_documents",
@@ -100,12 +105,12 @@ _PRIORITY = [
     "nested_profile",
     "pack_sequences",
     "pii_redact",
+    # ---- position 51+: next-up if the driver widens; remaining
+    # (quality_score..union_discriminated displaced by the nine newest
+    # gates — they lead the round-8 stale-refresh queue)
     "quality_score",
     "ratio_guarded",
     "repetition_stats",
-    # ---- position 51+: next-up if the driver widens; remaining
-    # (salted_join_revenue..union_discriminated displaced by the six
-    # newest gates — they lead the round-8 stale-refresh queue)
     "salted_join_revenue",
     "scd2_intervals",
     "split_assign",

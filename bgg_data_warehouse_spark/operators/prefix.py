@@ -46,46 +46,55 @@ def _check_reserved(df: DataFrame) -> None:
         raise ValueError(f"reserved prefix-scan columns present: {clash}")
 
 
+def _offset_window(partition_cols: list[str]) -> Window:
+    """The exclusive cross-bucket prefix window. With partition_cols it
+    parallelizes over groups; without, it is single-partition over the
+    |buckets|-row totals — bounded by construction."""
+    base = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window
+    )
+    return base.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+
+
 def running_sum(
     df: DataFrame,
     value_col: str,
     bucket: Column,
     order_cols: list[str],
     *,
+    partition_cols: list[str] | None = None,
     out_col: str = "running_sum",
 ) -> DataFrame:
-    """Inclusive running sum of ``value_col`` over the global order
-    (bucket, *order_cols) — two-pass: per-bucket window + exclusive
-    prefix offsets of the per-bucket totals.
+    """Inclusive running sum of ``value_col`` over the order
+    (*partition_cols, bucket, *order_cols) — two-pass: per-bucket
+    window + exclusive prefix offsets of the per-bucket totals. With
+    ``partition_cols`` the scan restarts per group (a grouped running
+    aggregate) and EVERY stage parallelizes over groups x buckets —
+    the skew-proof form when a group can be arbitrarily large.
 
     ``order_cols`` must make rows unique WITHIN a bucket so the scan is
     deterministic; ``bucket`` must be order-aligned (see module doc).
     """
     _check_reserved(df)
+    pc = partition_cols or []
     b = df.withColumn("_b", bucket)
     w_in = (
-        Window.partitionBy("_b")
+        Window.partitionBy(*pc, "_b")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = b.withColumn(out_col, F.sum(value_col).over(w_in))
-    # one row per bucket -> exclusive prefix of bucket totals. The
-    # offsets table is |buckets|-sized: its single-partition window is
-    # bounded by construction, and the join back broadcasts.
     offsets = (
-        b.groupBy("_b")
+        b.groupBy(*pc, "_b")
         .agg(F.sum(value_col).alias("_t"))
         .select(
+            *pc,
             "_b",
-            F.sum("_t")
-            .over(
-                Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-            )
-            .alias("_off"),
+            F.sum("_t").over(_offset_window(pc)).alias("_off"),
         )
     )
     return (
-        local.join(F.broadcast(offsets), "_b")
+        local.join(F.broadcast(offsets), [*pc, "_b"])
         .withColumn(out_col, F.col(out_col) + F.coalesce(F.col("_off"), F.lit(0)))
         .drop("_b", "_off")
     )
@@ -97,6 +106,7 @@ def running_min_before(
     bucket: Column,
     order_cols: list[str],
     *,
+    partition_cols: list[str] | None = None,
     out_col: str = "min_before",
 ) -> DataFrame:
     """EXCLUSIVE running min of ``value_col`` over the global order
@@ -105,27 +115,25 @@ def running_min_before(
     dominance primitive. Same two-pass decomposition as
     :func:`running_sum` (min is associative)."""
     _check_reserved(df)
+    pc = partition_cols or []
     b = df.withColumn("_b", bucket)
     w_in = (
-        Window.partitionBy("_b")
+        Window.partitionBy(*pc, "_b")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = b.withColumn(out_col, F.min(value_col).over(w_in))
     offsets = (
-        b.groupBy("_b")
+        b.groupBy(*pc, "_b")
         .agg(F.min(value_col).alias("_t"))
         .select(
+            *pc,
             "_b",
-            F.min("_t")
-            .over(
-                Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-            )
-            .alias("_off"),
+            F.min("_t").over(_offset_window(pc)).alias("_off"),
         )
     )
     return (
-        local.join(F.broadcast(offsets), "_b")
+        local.join(F.broadcast(offsets), [*pc, "_b"])
         .withColumn(out_col, F.least(F.col(out_col), F.col("_off")))
         .drop("_b", "_off")
     )
@@ -136,32 +144,32 @@ def global_row_number(
     bucket: Column,
     order_cols: list[str],
     *,
+    partition_cols: list[str] | None = None,
     out_col: str = "rn",
 ) -> DataFrame:
-    """1-based dense global ROW_NUMBER over (bucket, *order_cols)
-    without a single-partition window: per-bucket row_number + the
-    exclusive prefix sum of bucket row counts."""
+    """1-based dense ROW_NUMBER over (*partition_cols, bucket,
+    *order_cols) without a single-partition window: per-bucket
+    row_number + the exclusive prefix sum of bucket row counts.
+    ``partition_cols`` restarts the numbering per group (a grouped
+    rank), keeping the scan parallel even when one group dominates."""
     _check_reserved(df)
+    pc = partition_cols or []
     b = df.withColumn("_b", bucket)
-    w_in = Window.partitionBy("_b").orderBy(*order_cols)
+    w_in = Window.partitionBy(*pc, "_b").orderBy(*order_cols)
     local = b.withColumn(out_col, F.row_number().over(w_in).cast("long"))
     offsets = (
-        b.groupBy("_b")
+        b.groupBy(*pc, "_b")
         .agg(F.count("*").alias("_t"))
         .select(
+            *pc,
             "_b",
             F.coalesce(
-                F.sum("_t").over(
-                    Window.orderBy("_b").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
+                F.sum("_t").over(_offset_window(pc)), F.lit(0)
             ).alias("_off"),
         )
     )
     return (
-        local.join(F.broadcast(offsets), "_b")
+        local.join(F.broadcast(offsets), [*pc, "_b"])
         .withColumn(out_col, F.col(out_col) + F.col("_off"))
         .drop("_b", "_off")
     )

@@ -7626,3 +7626,220 @@ def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (cont.): grouped quantile features, association-rule mining, and
+# per-edge triangle support (k-truss cohesion).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_normalize",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type, event_id, value,
+           CAST(CASE WHEN n > 1 THEN (rn - 1) * 10000 // (n - 1)
+                     ELSE 0 END AS BIGINT) AS pr_permyriad
+    FROM r
+    """,
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile normalization: each event's value mapped to
+    its within-type empirical percentile in exact integer permyriad
+    ((rank-1)*10000 DIV (n-1)) — the rank-based feature scaling a
+    training pipeline applies before mixing heterogeneous signals, in
+    pure integer arithmetic so the gate needs no float tolerance.
+
+    The oracle uses the textbook PARTITION BY window; the Spark side
+    builds the same rank with the GROUPED two-pass row numbering
+    (operators/prefix.py global_row_number, partition_cols +
+    floor(value) bands): every stage parallelizes over type x band, so
+    one dominant event_type — the guaranteed skew shape when types are
+    few and data is 100 TB — never lands on a single task the way the
+    oracle's own window would."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    rn = global_row_number(
+        ev,
+        F.floor("value"),
+        ["value", "event_id"],
+        partition_cols=["event_type"],
+        out_col="rn",
+    )
+    cnt = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return rn.join(F.broadcast(cnt), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.expr("case when n > 1 then (rn - 1) * 10000 div (n - 1) else 0 end")
+        .cast("long")
+        .alias("pr_permyriad"),
+    )
+
+
+@query(
+    "association_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
+    pairs AS (
+      SELECT a.p AS src, b.p AS dst, CAST(count(*) AS BIGINT) AS s_ab
+      FROM items a JOIN items b ON a.g = b.g AND a.p < b.p
+      GROUP BY 1, 2),
+    s AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
+    n AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS nb FROM items),
+    rules AS (SELECT src AS a, dst AS b, s_ab FROM pairs
+              UNION ALL SELECT dst, src, s_ab FROM pairs)
+    SELECT r.a, r.b, r.s_ab,
+           CAST(1000 * r.s_ab // sa.s AS BIGINT) AS conf_permille,
+           CAST(1000 AS DOUBLE) * r.s_ab * n.nb / (sa.s * sb.s) AS lift_x1000
+    FROM rules r CROSS JOIN n
+    JOIN s sa ON sa.p = r.a
+    JOIN s sb ON sb.p = r.b
+    WHERE r.s_ab >= 3
+    ORDER BY r.s_ab DESC, r.a, r.b LIMIT 100
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: the top 100
+    directed part pairs a=>b by co-occurrence support (>= 3 baskets),
+    with confidence in exact integer permille (1000*s_ab DIV s_a) and
+    lift scaled x1000 as one double expression evaluated in identical
+    association on both engines (integer-exact inputs, single IEEE
+    multiply/divide chain — safe unrounded per the module contract).
+
+    Pair supports come from the same bounded basket explode as
+    cooccurrence_edges — canonical (a < b) pairs generated map-side
+    from collect_set baskets, never an items self-join — then counted
+    with a map-side-combinable aggregate; item supports and the basket
+    total are one groupBy each; the final top-100 is a
+    TakeOrderedAndProject. At 100 TB the only data-sized shuffles are
+    the basket build and the pair count, both keyed and partial-
+    aggregated; lift's cross join is a broadcast of ONE row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # ONE basket shuffle feeds everything: pair supports (size >= 2
+    # baskets), item supports (explode, map-side), and the basket
+    # total — the three branches share the collect_set exchange via
+    # ReusedExchange instead of re-shuffling lineitem per statistic.
+    baskets_all = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    baskets = baskets_all.where(F.size("ps") >= 2)
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x: F.filter(
+                            F.transform(
+                                "ps",
+                                lambda y: F.struct(
+                                    x.alias("src"), y.alias("dst")
+                                ),
+                            ),
+                            lambda s: s["src"] < s["dst"],
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .agg(F.count("*").alias("s_ab"))
+    )
+    s = (
+        baskets_all.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("s"))
+    )
+    nb = baskets_all.agg(F.count("*").alias("nb"))
+    rules = pairs.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), "s_ab"
+    ).unionByName(
+        pairs.select(F.col("dst").alias("a"), F.col("src").alias("b"), "s_ab")
+    )
+    sa = s.select(F.col("p").alias("a"), F.col("s").alias("s_a"))
+    sb = s.select(F.col("p").alias("b"), F.col("s").alias("s_b"))
+    return (
+        rules.where(F.col("s_ab") >= 3)
+        .join(sa, "a")
+        .join(sb, "b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "a",
+            "b",
+            "s_ab",
+            F.expr("1000 * s_ab div s_a").cast("long").alias("conf_permille"),
+            (
+                F.lit(1000.0)
+                * F.col("s_ab")
+                * F.col("nb")
+                / (F.col("s_a") * F.col("s_b"))
+            ).alias("lift_x1000"),
+        )
+        .orderBy(F.desc("s_ab"), "a", "b")
+        .limit(100)
+    )
+
+
+@query(
+    "edge_support_topk",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0),
+    deg AS (SELECT src AS v, count(*) AS d FROM e0 GROUP BY src),
+    o AS (
+      SELECT e.src, e.dst FROM e0 e
+      JOIN deg ds ON ds.v = e.src
+      JOIN deg dd ON dd.v = e.dst
+      WHERE ds.d < dd.d OR (ds.d = dd.d AND e.src < e.dst)),
+    w AS (
+      SELECT a.dst AS v, b.dst AS w
+      FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst),
+    c AS (SELECT src AS v, dst AS w FROM e0 WHERE src < dst)
+    SELECT v, w, CAST(count(*) AS BIGINT) AS support
+    FROM w JOIN c USING (v, w) GROUP BY 1, 2
+    ORDER BY support DESC, v, w LIMIT 30
+    """,
+)
+def edge_support_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle support (the k-truss cohesion metric): for
+    every co-purchase edge, how many triangles contain it; top 30 by
+    support. Edges with high support sit inside densely-knit product
+    neighbourhoods — the truss-decomposition primitive that filters
+    coincidental co-purchases out of the graph the way k-core filters
+    weak NODES (kcore_parts) and the census summarizes globally
+    (triangle_census).
+
+    Same hub-safe machinery as the census: degree-ordered orientation
+    caps wedge fan-out at O(sqrt(m)) per vertex, wedges close against
+    the canonical half-edge set via one equi-join, and the per-edge
+    counts partial-aggregate before the final TakeOrdered(30)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") % 3 == 0
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    o = orient_edges(edges, assume_symmetric=True)
+    a = o.select(F.col("src").alias("c"), F.col("dst").alias("v"))
+    b = o.select(F.col("src").alias("c"), F.col("dst").alias("w"))
+    wedges = a.join(b, "c").where(F.col("v") < F.col("w"))
+    closing = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    return (
+        wedges.join(closing, ["v", "w"])
+        .groupBy("v", "w")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), "v", "w")
+        .limit(30)
+    )
