@@ -91,6 +91,9 @@ _PRIORITY = [
     "quantile_normalize",
     "association_rules",
     "edge_support_topk",
+    # NEW round 7 (cont.): unigram-LM Viterbi segmentation (tokenizer
+    # family #3 — exact lattice DP, 16-level CTE-chain oracle)
+    "unigram_segment_compounds",
     # stale-evidence refresh: the r2-vintage block (last driver row r2)
     "benchmark_contamination",
     "chunk_documents",
@@ -104,10 +107,10 @@ _PRIORITY = [
     "mix_sources",
     "nested_profile",
     "pack_sequences",
-    "pii_redact",
     # ---- position 51+: next-up if the driver widens; remaining
-    # (quality_score..union_discriminated displaced by the nine newest
+    # (pii_redact..union_discriminated displaced by the ten newest
     # gates — they lead the round-8 stale-refresh queue)
+    "pii_redact",
     "quality_score",
     "ratio_guarded",
     "repetition_stats",

@@ -7843,3 +7843,98 @@ def edge_support_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "v", "w")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (cont.): unigram-LM subword segmentation (tokenizer family #3).
+# ---------------------------------------------------------------------------
+
+from .operators.unigram import (  # noqa: E402
+    unigram_costs,
+    unigram_oracle_sql,
+    unigram_segment,
+)
+
+_UNIGRAM_WORDS_SQL = """
+  SELECT word, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS word FROM documents) GROUP BY 1
+"""
+_UNIGRAM_COMPOUNDS_SQL = """
+  SELECT word FROM (
+    SELECT toks[i] || toks[i + 1] AS word
+    FROM (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks FROM documents) t,
+         unnest(generate_series(1, len(toks) - 1)) AS u(i)) GROUP BY 1
+"""
+
+
+@query(
+    "unigram_segment_compounds",
+    oracle=unigram_oracle_sql(_UNIGRAM_WORDS_SQL, _UNIGRAM_COMPOUNDS_SQL)
+    + """
+    , compn AS (
+      SELECT toks[i] || toks[i + 1] AS word,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS toks FROM documents) t,
+           unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      GROUP BY 1)
+    SELECT c.word, c.n_occurrences, s.min_cost_micro, s.n_best_paths
+    FROM compn c JOIN seg s USING (word)
+    ORDER BY c.n_occurrences DESC, c.word LIMIT 200
+    """,
+)
+def unigram_segment_compounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) Viterbi segmentation
+    (operators/unigram.py): learn a <=4-char piece frequency model from
+    single-word occurrences, then exactly segment UNSEEN compound
+    strings (adjacent-word concatenations, up to 16 chars) over their
+    full segmentation lattice — top 200 compounds by frequency with
+    the optimal path cost in micro-nats and the count of co-optimal
+    paths. Completes the tokenizer family: BPE learns merges, WordPiece
+    matches greedily, unigram searches the lattice exactly.
+
+    The gate hashes (min_cost, n_best_paths) — both pure BIGINT
+    min-plus results over micro-nat integer costs (lm_score.py's
+    rounded-ln convention), so the whole Viterbi is engine-exact; the
+    oracle replays the DP as a 16-level materialized CTE chain. The
+    Spark DP runs map-side as ONE Catalyst higher-order aggregate over
+    each word's collected edge list (<= 64 edges): no per-position
+    joins, no UDF, and the only shuffles are token counts and the
+    vocabulary-bounded span-to-cost equi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    # tokens stay an ARRAY: word counts explode it, compounds zip each
+    # token with its successor map-side (transform over positions) —
+    # no positional self-join ever materializes.
+    arrs = docs.select(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias(
+            "toks"
+        )
+    )
+    words = (
+        arrs.select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    comp = (
+        arrs.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i ->"
+                    " concat(element_at(toks, i), element_at(toks, i + 1)))"
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    costs = unigram_costs(words)
+    seg = unigram_segment(comp.select("word"), costs)
+    return (
+        comp.join(seg, "word")
+        .select("word", "n_occurrences", "min_cost_micro", "n_best_paths")
+        .orderBy(F.desc("n_occurrences"), "word")
+        .limit(200)
+    )
