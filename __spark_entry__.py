@@ -94,6 +94,8 @@ _PRIORITY = [
     # NEW round 7 (cont.): unigram-LM Viterbi segmentation (tokenizer
     # family #3 — exact lattice DP, 16-level CTE-chain oracle)
     "unigram_segment_compounds",
+    # NEW round 7 (cont.): Merkle table commitment (integrity family)
+    "merkle_table_root",
     # stale-evidence refresh: the r2-vintage block (last driver row r2)
     "benchmark_contamination",
     "chunk_documents",
@@ -106,10 +108,10 @@ _PRIORITY = [
     "lang_id",
     "mix_sources",
     "nested_profile",
-    "pack_sequences",
     # ---- position 51+: next-up if the driver widens; remaining
-    # (pii_redact..union_discriminated displaced by the ten newest
-    # gates — they lead the round-8 stale-refresh queue)
+    # (pack_sequences..union_discriminated displaced by the eleven
+    # newest gates — they lead the round-8 stale-refresh queue)
+    "pack_sequences",
     "pii_redact",
     "quality_score",
     "ratio_guarded",

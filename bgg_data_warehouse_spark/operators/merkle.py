@@ -1,0 +1,123 @@
+"""Merkle table commitment: O(log n)-comparable integrity hashes.
+
+Extends the flat checksum manifest (workload.py table_checksum_manifest
+— the migration-validation op) into a binary hash tree: leaf b commits
+to hash-bucket b's order-independent content checksum; each parent is
+md5 of its two children's hex digests in index order. Two engines (or
+two copies of a 100 TB table) then agree on equality by comparing ONE
+root hash, and locate a divergence by walking log2(n_leaves) levels —
+instead of re-reading either table. This is the classic remote-integrity
+structure (Merkle 1979) applied to warehouse tables.
+
+Exactness: leaves are md5 over ':'-joined BIGINT renderings (bucket,
+additive residue checksum mod 1e9+7, row count) — every input integer,
+every hash portable — and each level is md5 over the concatenation of
+child hex strings in child-index order, so the whole tree replays in
+DuckDB (string_agg(h, '' ORDER BY idx) == Spark's sorted-collect
+concat).
+
+Scale shape: the ONLY data-sized work is the leaf pass — one map-side-
+combinable sum per bucket (constant memory, no collect_list). The tree
+above it is <= 2*n_leaves tiny rows; levels are built with log2 grouped
+aggregates over that, never a driver loop over data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["merkle_tree", "merkle_tree_oracle_sql"]
+
+
+def merkle_tree(
+    leaves: DataFrame,
+    n_leaves: int,
+    *,
+    idx_col: str = "bucket",
+    checksum_col: str = "checksum",
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """(level, idx, h) for the full tree over ``n_leaves`` (a power of
+    two) leaf slots. Missing buckets become empty leaves (checksum 0,
+    count 0), so the tree shape — and therefore the root — is a pure
+    function of table content, not of which buckets happen to be
+    occupied. Level 0 = leaves, level log2(n) = the root at idx 0."""
+    if n_leaves < 2 or n_leaves & (n_leaves - 1):
+        raise ValueError(f"n_leaves must be a power of two >= 2, got {n_leaves}")
+    spark = leaves.sparkSession
+    slots = spark.range(n_leaves).select(F.col("id").alias("idx"))
+    lvl = slots.join(
+        leaves.select(
+            F.col(idx_col).alias("idx"),
+            F.col(checksum_col).alias("_c"),
+            F.col(count_col).alias("_n"),
+        ),
+        "idx",
+        "left",
+    ).select(
+        "idx",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("idx"),
+                F.coalesce(F.col("_c"), F.lit(0)).cast("long"),
+                F.coalesce(F.col("_n"), F.lit(0)).cast("long"),
+            )
+        ).alias("h"),
+    )
+    out = lvl.select(F.lit(0).cast("long").alias("level"), "idx", "h")
+    level, width = 0, n_leaves
+    while width > 1:
+        level, width = level + 1, width // 2
+        lvl = (
+            lvl.groupBy(F.expr("idx div 2").alias("idx"))
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("idx", "h"))),
+                            lambda x: x["h"],
+                        ),
+                    )
+                ).alias("h")
+            )
+        )
+        out = out.unionByName(
+            lvl.select(F.lit(level).cast("long").alias("level"), "idx", "h")
+        )
+    return out
+
+
+def merkle_tree_oracle_sql(leaves_cte: str, n_leaves: int) -> str:
+    """DuckDB replay of :func:`merkle_tree`. ``leaves_cte`` must
+    produce (bucket, checksum, n_rows); emits ``tree`` as (level, idx,
+    h) — the caller appends its own SELECT."""
+    if n_leaves < 2 or n_leaves & (n_leaves - 1):
+        raise ValueError(f"n_leaves must be a power of two >= 2, got {n_leaves}")
+    parts = [
+        f"leaves0 AS ({leaves_cte})",
+        f"""l0 AS (
+      SELECT g.idx,
+             md5(CAST(g.idx AS VARCHAR) || ':' ||
+                 CAST(COALESCE(l.checksum, 0) AS VARCHAR) || ':' ||
+                 CAST(COALESCE(l.n_rows, 0) AS VARCHAR)) AS h
+      FROM (SELECT CAST(u.i AS BIGINT) AS idx
+            FROM unnest(generate_series(0, {n_leaves - 1})) AS u(i)) g
+      LEFT JOIN leaves0 l ON l.bucket = g.idx)""",
+    ]
+    level, width = 0, n_leaves
+    union = [f"SELECT CAST(0 AS BIGINT) AS level, idx, h FROM l0"]
+    while width > 1:
+        level, width = level + 1, width // 2
+        parts.append(
+            f"""l{level} AS (
+      SELECT idx // 2 AS idx, md5(string_agg(h, '' ORDER BY idx)) AS h
+      FROM l{level - 1} GROUP BY 1)"""
+        )
+        union.append(
+            f"SELECT CAST({level} AS BIGINT) AS level, idx, h FROM l{level}"
+        )
+    parts.append("tree AS (" + "\n      UNION ALL ".join(union) + ")")
+    return "WITH " + ",\n    ".join(parts)

@@ -7938,3 +7938,61 @@ def unigram_segment_compounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "word")
         .limit(200)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (cont.): Merkle table commitment (integrity family #2).
+# ---------------------------------------------------------------------------
+
+from .operators.merkle import merkle_tree, merkle_tree_oracle_sql  # noqa: E402
+from .functions.hashing import md5_fold_wide_sql  # noqa: E402
+from .operators.importance import md5_fold_sql  # noqa: E402
+
+
+@query(
+    "merkle_table_root",
+    oracle=merkle_tree_oracle_sql(
+        f"""
+      SELECT bucket, CAST(sum(h) AS BIGINT) AS checksum,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM (
+        SELECT {md5_fold_sql('o_orderkey', 32)} AS bucket,
+               {md5_fold_wide_sql(_manifest_fp_sql(), 1000000007)} AS h
+        FROM orders
+      ) GROUP BY 1
+    """,
+        32,
+    )
+    + "\n    SELECT level, idx, h FROM tree",
+)
+def merkle_table_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle commitment over the orders table: the 32-bucket portable
+    checksum manifest (same leaf math as table_checksum_manifest —
+    additive md5 residues mod 1e9+7, order-independent, partial-agg
+    safe) folded into a binary hash tree (operators/merkle.py). Output
+    is every (level, idx, hash) — 63 rows, root at level 5 — so two
+    copies of a 100 TB table compare with ONE row and localize a
+    divergence by walking 5 levels instead of re-scanning either side.
+    Empty bucket slots hash as (idx:0:0): the tree is a pure function
+    of content, not occupancy.
+
+    Scale: the only data-sized stage is the leaf sum (map-side
+    combine to 32 rows); the tree itself is five grouped aggregates
+    over <= 32 rows. The oracle replays leaves and every level as a
+    CTE chain (string_agg ORDER BY idx == sorted-collect concat)."""
+    from .functions.hashing import md5_fold_wide, portable_fingerprint
+    from .operators.importance import md5_fold
+
+    orders = load_table(spark, sf_dir, "orders")
+    fp = portable_fingerprint(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    leaves = (
+        orders.select(
+            md5_fold(F.col("o_orderkey"), 32).alias("bucket"),
+            md5_fold_wide(fp, 1_000_000_007).alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("h").alias("checksum"), F.count("*").alias("n_rows"))
+    )
+    return merkle_tree(leaves, 32)

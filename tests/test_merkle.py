@@ -1,0 +1,74 @@
+"""Merkle table commitment (operators/merkle.py): tree shape, tamper
+localization, empty-slot semantics, and the DuckDB oracle replay."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+
+from bgg_data_warehouse_spark.operators.merkle import (
+    merkle_tree,
+    merkle_tree_oracle_sql,
+)
+
+
+def _leaves(spark, triples):
+    return spark.createDataFrame(
+        [Row(bucket=b, checksum=c, n_rows=n) for b, c, n in triples]
+    )
+
+
+def _tree(spark, triples, n=8):
+    return {
+        (r["level"], r["idx"]): r["h"]
+        for r in merkle_tree(_leaves(spark, triples), n).collect()
+    }
+
+
+def test_tree_has_full_shape_and_single_root(spark):
+    t = _tree(spark, [(0, 5, 2), (3, 7, 1)], n=8)
+    assert len(t) == 8 + 4 + 2 + 1
+    assert (3, 0) in t  # root of an 8-leaf tree sits at level 3
+
+
+def test_root_is_content_function_not_occupancy(spark):
+    # explicit zero leaf == absent leaf
+    a = _tree(spark, [(0, 5, 2)], n=4)
+    b = _tree(spark, [(0, 5, 2), (3, 0, 0)], n=4)
+    assert a == b
+
+
+def test_tamper_changes_root_and_localizes(spark):
+    a = _tree(spark, [(0, 5, 2), (3, 7, 1)], n=8)
+    b = _tree(spark, [(0, 5, 2), (3, 8, 1)], n=8)  # bucket 3 diverges
+    assert a[(3, 0)] != b[(3, 0)]
+    # the divergence walk: level 2 child 0 differs (covers leaves 0-3),
+    # child 1 agrees (leaves 4-7 all empty in both)
+    assert a[(2, 0)] != b[(2, 0)]
+    assert a[(2, 1)] == b[(2, 1)]
+    assert a[(0, 3)] != b[(0, 3)]
+    assert a[(0, 0)] == b[(0, 0)]
+
+
+def test_rejects_non_power_of_two(spark):
+    with pytest.raises(ValueError):
+        merkle_tree(_leaves(spark, [(0, 1, 1)]), 6)
+    with pytest.raises(ValueError):
+        merkle_tree_oracle_sql("SELECT 1", 12)
+
+
+def test_oracle_replays_spark_exactly(spark):
+    triples = [(0, 11, 3), (1, 22, 1), (5, 33, 2)]
+    got = _tree(spark, triples, n=8)
+    values = ", ".join(f"({b}, {c}, {n})" for b, c, n in triples)
+    sql = (
+        merkle_tree_oracle_sql(
+            f"SELECT * FROM (VALUES {values}) t(bucket, checksum, n_rows)", 8
+        )
+        + " SELECT level, idx, h FROM tree"
+    )
+    want = {
+        (r[0], r[1]): r[2] for r in duckdb.connect().execute(sql).fetchall()
+    }
+    assert got == want
