@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
     "orient_edges",
+    "closed_wedges",
     "triangle_count",
     "kcore",
     "peel_round",
@@ -95,6 +96,16 @@ def triangle_count(edges: DataFrame, *, assume_symmetric: bool = False) -> DataF
     :func:`orient_edges`.
     """
     sym = edges if assume_symmetric else _symmetrize(edges)
+    return closed_wedges(sym).agg(F.count("*").alias("n_triangles"))
+
+
+def closed_wedges(sym: DataFrame) -> DataFrame:
+    """One (v, w) row per triangle of an ALREADY-symmetrized distinct
+    edge list, keyed by the triangle's canonical closing edge — the
+    shared wedge machinery: triangle_count aggregates it globally,
+    edge_support (k-truss cohesion) groups it per edge. Wedges come
+    from the degree-ordered orientation (out-degree O(sqrt m), hub-safe)
+    and close against the canonical half-edge set via one equi-join."""
     o = _orient_sym(sym)
     a = o.select(F.col("src").alias("c"), F.col("dst").alias("v"))
     b = o.select(F.col("src").alias("c"), F.col("dst").alias("w"))
@@ -102,9 +113,7 @@ def triangle_count(edges: DataFrame, *, assume_symmetric: bool = False) -> DataF
     closing = sym.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
-    return wedges.join(closing, ["v", "w"]).agg(
-        F.count("*").alias("n_triangles")
-    )
+    return wedges.join(closing, ["v", "w"]).select("v", "w")
 
 
 def kcore(

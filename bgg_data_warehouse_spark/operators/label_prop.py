@@ -38,7 +38,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cooccurrence_edges", "label_propagation", "lpa_oracle_sql"]
+__all__ = [
+    "canonical_pairs",
+    "cooccurrence_edges",
+    "label_propagation",
+    "lpa_oracle_sql",
+]
 
 # packing radix for the (vote count, label) argmax: supports node ids
 # < 2^40 and vote counts < 2^23 inside one int64
@@ -53,46 +58,52 @@ def cooccurrence_edges(
     graph). Quadratic only in per-group item count, which is small and
     bounded in basket-shaped data (TPC-H orders: <= 11 lines); the
     self-join is an equi-join on the group key, never a cartesian."""
-    # ONE shuffle to basket arrays, then the pair product is generated
-    # map-side (bounded: |basket|^2, <= 121 for TPC-H's 11-line cap) —
-    # measured ~2x cheaper than the items-self-equi-join form, which
-    # sort-merge-joined two full item relations before the same
-    # distinct. collect_set dedups repeated (group, item) lines in the
-    # same aggregate. Only CANONICAL (src < dst) pairs are generated and
-    # deduped — the distinct is this builder's dominant exchange, and
-    # halving its input pays at every scale — then the symmetric twin
-    # is mirrored back map-side (explode of a 2-struct array, no
-    # shuffle) after the dedup.
-    baskets = (
-        df.groupBy(F.col(group_col).alias("g"))
-        .agg(F.collect_set(F.col(item_col)).alias("ps"))
-        .where(F.size("ps") >= 2)
-    )
-    canon = (
-        baskets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ps",
-                        lambda x: F.filter(
-                            F.transform(
-                                "ps",
-                                lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                            ),
-                            lambda s: s["src"] < s["dst"],
-                        ),
-                    )
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .distinct()
-    )
+    # Only CANONICAL (src < dst) pairs are deduped — the distinct is
+    # this builder's dominant exchange, and halving its input pays at
+    # every scale — then the symmetric twin is mirrored back map-side
+    # (explode of a 2-struct array, no shuffle) after the dedup.
+    canon = canonical_pairs(df, group_col, item_col).distinct()
     return canon.select(
         F.explode(
             F.array(
                 F.struct(F.col("src"), F.col("dst")),
                 F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
+def canonical_pairs(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """One (src, dst) row — src < dst — per (group, unordered item
+    pair) occurrence, duplicates across groups preserved: the shared
+    basket-pair stream that cooccurrence_edges dedups into a graph and
+    association-rule mining counts into supports.
+
+    ONE shuffle to basket arrays, then the pair product is generated
+    map-side (bounded: |basket|^2, <= 121 for TPC-H's 11-line cap) —
+    measured ~2x cheaper than the items-self-equi-join form, which
+    sort-merge-joined two full item relations first. collect_set dedups
+    repeated (group, item) lines in the same aggregate."""
+    baskets = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.collect_set(F.col(item_col)).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    return baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x: F.filter(
+                        F.transform(
+                            "ps",
+                            lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                        ),
+                        lambda s: s["src"] < s["dst"],
+                    ),
+                )
             )
         ).alias("e")
     ).select("e.src", "e.dst")

@@ -42,14 +42,30 @@ def merkle_tree(
     two) leaf slots. Missing buckets become empty leaves (checksum 0,
     count 0), so the tree shape — and therefore the root — is a pure
     function of table content, not of which buckets happen to be
-    occupied. Level 0 = leaves, level log2(n) = the root at idx 0."""
+    occupied. A bucket outside [0, n_leaves) raises (silently dropping
+    it would let two differing tables share a root). Level 0 = leaves,
+    level log2(n) = the root at idx 0."""
     if n_leaves < 2 or n_leaves & (n_leaves - 1):
         raise ValueError(f"n_leaves must be a power of two >= 2, got {n_leaves}")
     spark = leaves.sparkSession
     slots = spark.range(n_leaves).select(F.col("id").alias("idx"))
+    # an out-of-range bucket silently vanishing from the tree would
+    # make two DIFFERING tables commit to the same root — an integrity
+    # primitive must refuse, so the join key itself raises per row.
+    guarded_idx = F.when(
+        (F.col(idx_col) >= 0) & (F.col(idx_col) < n_leaves),
+        F.col(idx_col),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"merkle_tree: bucket outside [0, {n_leaves}): "),
+                F.col(idx_col).cast("string"),
+            )
+        )
+    )
     lvl = slots.join(
         leaves.select(
-            F.col(idx_col).alias("idx"),
+            guarded_idx.alias("idx"),
             F.col(checksum_col).alias("_c"),
             F.col(count_col).alias("_n"),
         ),

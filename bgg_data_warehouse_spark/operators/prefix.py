@@ -37,13 +37,22 @@ from pyspark.sql import functions as F
 
 __all__ = ["running_sum", "running_min_before", "global_row_number"]
 
-_RESERVED = ("_b", "_off", "_part")
+_RESERVED = ("_b", "_off", "_t")
 
 
 def _check_reserved(df: DataFrame) -> None:
     clash = [c for c in _RESERVED if c in df.columns]
     if clash:
         raise ValueError(f"reserved prefix-scan columns present: {clash}")
+
+
+def _guarded_bucket(bucket: Column) -> Column:
+    """A NULL bucket has no position in the global order (and would be
+    silently dropped by the offsets equi-join): fail loudly per row
+    instead — the caller must map nulls to a real bucket explicitly."""
+    return F.when(bucket.isNotNull(), bucket).otherwise(
+        F.raise_error(F.lit("prefix scan: bucket expression produced NULL"))
+    )
 
 
 def _offset_window(partition_cols: list[str]) -> Window:
@@ -77,7 +86,7 @@ def running_sum(
     """
     _check_reserved(df)
     pc = partition_cols or []
-    b = df.withColumn("_b", bucket)
+    b = df.withColumn("_b", _guarded_bucket(bucket))
     w_in = (
         Window.partitionBy(*pc, "_b")
         .orderBy(*order_cols)
@@ -116,7 +125,7 @@ def running_min_before(
     :func:`running_sum` (min is associative)."""
     _check_reserved(df)
     pc = partition_cols or []
-    b = df.withColumn("_b", bucket)
+    b = df.withColumn("_b", _guarded_bucket(bucket))
     w_in = (
         Window.partitionBy(*pc, "_b")
         .orderBy(*order_cols)
@@ -154,7 +163,7 @@ def global_row_number(
     rank), keeping the scan parallel even when one group dominates."""
     _check_reserved(df)
     pc = partition_cols or []
-    b = df.withColumn("_b", bucket)
+    b = df.withColumn("_b", _guarded_bucket(bucket))
     w_in = Window.partitionBy(*pc, "_b").orderBy(*order_cols)
     local = b.withColumn(out_col, F.row_number().over(w_in).cast("long"))
     offsets = (

@@ -88,19 +88,27 @@ def unigram_segment(
     max_len: int = 16,
     max_piece_len: int = 4,
 ) -> DataFrame:
-    """(word, min_cost_micro, n_best_paths) for every target word of
-    length <= max_len that has at least one full segmentation into
-    vocabulary pieces (unreachable words are dropped, matching the
-    oracle's absent-row semantics).
+    """(word, min_cost_micro, n_best_paths) for every DISTINCT target
+    word of length <= max_len that has at least one full segmentation
+    into vocabulary pieces (unreachable words are dropped, matching
+    the oracle's absent-row semantics; duplicate target rows collapse
+    to one output row).
 
     DP: states 0..L (prefix lengths); edge (s, e) for every span whose
     substring is a vocabulary piece; best[i] = min over edges ending at
     i of best[s-1] + cost, ways[i] = number of min-cost paths. Runs as
     one Catalyst ``aggregate`` over the word's collected edge list —
     the entire Viterbi is whole-stage-codegen map-side work."""
-    w = targets.where(
-        (F.length(word_col) >= 1) & (F.length(word_col) <= max_len)
-    ).select(F.col(word_col).alias("word"))
+    # distinct is part of the contract, not an optimization: a
+    # duplicated target row would duplicate every lattice edge in the
+    # collected list and inflate n_best_paths 2^k-fold.
+    w = (
+        targets.where(
+            (F.length(word_col) >= 1) & (F.length(word_col) <= max_len)
+        )
+        .select(F.col(word_col).alias("word"))
+        .distinct()
+    )
     spans = w.select(
         "word",
         F.explode(

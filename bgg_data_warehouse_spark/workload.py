@@ -7090,6 +7090,7 @@ def top_user_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .operators.sketches import _hex_long, _hex_long_sql  # noqa: E402
 from .operators.label_prop import (  # noqa: E402
+    canonical_pairs,
     cooccurrence_edges,
     label_propagation,
     lpa_oracle_sql,
@@ -7260,6 +7261,7 @@ def label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from .operators.graph import (  # noqa: E402
+    closed_wedges,
     kcore,
     kcore_oracle_sql,
     orient_edges,
@@ -7724,34 +7726,17 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the basket build and the pair count, both keyed and partial-
     aggregated; lift's cross join is a broadcast of ONE row."""
     li = load_table(spark, sf_dir, "lineitem")
-    # ONE basket shuffle feeds everything: pair supports (size >= 2
-    # baskets), item supports (explode, map-side), and the basket
-    # total — the three branches share the collect_set exchange via
+    # ONE basket shuffle feeds everything: pair supports (the shared
+    # canonical_pairs stream — same builder cooccurrence_edges dedups
+    # into a graph), item supports (explode, map-side), and the basket
+    # total — the branches share the collect_set exchange via
     # ReusedExchange instead of re-shuffling lineitem per statistic.
     baskets_all = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("ps")
     )
-    baskets = baskets_all.where(F.size("ps") >= 2)
     pairs = (
-        baskets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ps",
-                        lambda x: F.filter(
-                            F.transform(
-                                "ps",
-                                lambda y: F.struct(
-                                    x.alias("src"), y.alias("dst")
-                                ),
-                            ),
-                            lambda s: s["src"] < s["dst"],
-                        ),
-                    )
-                )
-            ).alias("e")
-        )
-        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        canonical_pairs(li, "l_orderkey", "l_partkey")
+        .groupBy("src", "dst")
         .agg(F.count("*").alias("s_ab"))
     )
     s = (
@@ -7829,15 +7814,8 @@ def edge_support_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey") % 3 == 0
     )
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    o = orient_edges(edges, assume_symmetric=True)
-    a = o.select(F.col("src").alias("c"), F.col("dst").alias("v"))
-    b = o.select(F.col("src").alias("c"), F.col("dst").alias("w"))
-    wedges = a.join(b, "c").where(F.col("v") < F.col("w"))
-    closing = edges.where(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("v"), F.col("dst").alias("w")
-    )
     return (
-        wedges.join(closing, ["v", "w"])
+        closed_wedges(edges)
         .groupBy("v", "w")
         .agg(F.count("*").alias("support"))
         .orderBy(F.desc("support"), "v", "w")

@@ -72,3 +72,9 @@ def test_oracle_replays_spark_exactly(spark):
         (r[0], r[1]): r[2] for r in duckdb.connect().execute(sql).fetchall()
     }
     assert got == want
+
+
+def test_out_of_range_bucket_raises_not_silently_drops(spark):
+    bad = _leaves(spark, [(0, 5, 2), (64, 7, 1)])  # 64 outside [0, 8)
+    with pytest.raises(Exception, match="outside"):
+        merkle_tree(bad, 8).collect()

@@ -145,3 +145,11 @@ def test_interval_concurrency_counts_true_overlap(spark):
         r["id"]: r["concurrency"] for r in conc.where("delta = 1").collect()
     }
     assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_null_bucket_raises_instead_of_dropping_rows(spark):
+    df = spark.createDataFrame(
+        [(1, None, 2), (2, 10, 3)], "id long, key long, val long"
+    )
+    with pytest.raises(Exception, match="bucket expression produced NULL"):
+        running_sum(df, "val", F.col("key"), ["key", "id"]).collect()

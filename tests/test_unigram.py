@@ -106,3 +106,11 @@ def test_oracle_replays_spark_exactly(spark):
 def test_inf_never_leaks_into_output(spark):
     out = _seg(spark, [("ab", 4)], ["ab", "ba"])
     assert all(c < INF for c, _ in out.values())
+
+
+def test_duplicate_target_rows_collapse_to_one_distinct_word(spark):
+    costs = unigram_costs(_words(spark, [("ab", 4)]))
+    t = spark.createDataFrame([Row(word="ab"), Row(word="ab")])
+    rows = unigram_segment(t, costs).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_best_paths"] == 1  # duplicated edges would say 2
