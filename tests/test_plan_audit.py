@@ -560,3 +560,15 @@ def test_sorted_neighborhood_rank_join_is_equi_join(spark):
     plan = final_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_merkle_union_reuses_single_leaf_scan(spark):
+    """All six tree-level union branches must derive from ONE orders
+    scan / leaf aggregate via ReusedExchange — the un-CSE'd-union
+    recompute (each level re-reading the table) is the regression this
+    pins against."""
+    df = entrymod.queries()["merkle_table_root"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("ReusedExchange") >= 4, plan
