@@ -483,3 +483,77 @@ def test_histogram_sketch_merge_algebra(spark, vals, split):
 
     nearest_rank = sorted(vals)[max(math.ceil(0.5 * len(vals)), 1) - 1]
     assert abs(p50 - nearest_rank) <= 7.5
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi (operators/unigram.py) vs a pure-Python reference:
+# for ANY vocabulary and target set, the Spark lattice DP must produce
+# the reference's exact (min_cost, n_best_paths) for every reachable
+# target and drop exactly the unreachable ones.
+# ---------------------------------------------------------------------------
+
+
+def _py_unigram(vocab_pairs, targets, max_piece_len=4, min_count=2):
+    import math
+    from collections import Counter
+
+    pc = Counter()
+    for w, c in vocab_pairs:
+        for s in range(len(w)):
+            for e in range(s + 1, min(len(w), s + max_piece_len) + 1):
+                pc[w[s:e]] += c
+    pc = {p: n for p, n in pc.items() if n >= min_count}
+    total = sum(pc.values())
+    # Spark/DuckDB round() is half-away-from-zero; ln args positive
+    cost = {p: math.floor(math.log(total / n) * 1e6 + 0.5) for p, n in pc.items()}
+    out = {}
+    for w in set(targets):
+        best = [0] + [None] * len(w)
+        ways = [1] + [0] * len(w)
+        for i in range(1, len(w) + 1):
+            for s in range(max(0, i - max_piece_len), i):
+                piece = w[s:i]
+                if piece in cost and best[s] is not None:
+                    cand = best[s] + cost[piece]
+                    if best[i] is None or cand < best[i]:
+                        best[i], ways[i] = cand, ways[s]
+                    elif cand == best[i]:
+                        ways[i] += ways[s]
+        if best[-1] is not None:
+            out[w] = (best[-1], ways[-1])
+    return out
+
+
+@given(
+    vocab=st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=4),
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    targets=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=6
+    ),
+)
+@settings(**{**SETTINGS, "max_examples": 8})
+def test_unigram_dp_matches_python_reference(spark, vocab, targets):
+    from pyspark.sql import Row
+
+    from bgg_data_warehouse_spark.operators.unigram import (
+        unigram_costs,
+        unigram_segment,
+    )
+
+    want = _py_unigram(vocab, targets)
+    costs = unigram_costs(
+        spark.createDataFrame([Row(word=w, c=c) for w, c in vocab])
+    )
+    got = {
+        r["word"]: (r["min_cost_micro"], r["n_best_paths"])
+        for r in unigram_segment(
+            spark.createDataFrame([Row(word=w) for w in targets]), costs
+        ).collect()
+    }
+    assert got == want
