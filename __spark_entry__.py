@@ -95,7 +95,9 @@ _PRIORITY = [
     # family #3 — exact lattice DP, 16-level CTE-chain oracle)
     "unigram_segment_compounds",
     # NEW round 7 (cont.): Merkle table commitment (integrity family)
+    # + Holt-Winters seasonal forecasting (smoothing family #3)
     "merkle_table_root",
+    "holt_winters_seasonal",
     # stale-evidence refresh: the r2-vintage block (last driver row r2)
     "benchmark_contamination",
     "chunk_documents",
@@ -107,10 +109,10 @@ _PRIORITY = [
     "full_outer_reconcile",
     "lang_id",
     "mix_sources",
-    "nested_profile",
     # ---- position 51+: next-up if the driver widens; remaining
-    # (pack_sequences..union_discriminated displaced by the eleven
+    # (nested_profile..union_discriminated displaced by the twelve
     # newest gates — they lead the round-8 stale-refresh queue)
+    "nested_profile",
     "pack_sequences",
     "pii_redact",
     "quality_score",

@@ -7974,3 +7974,140 @@ def merkle_table_root(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("h").alias("checksum"), F.count("*").alias("n_rows"))
     )
     return merkle_tree(leaves, 32)
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (cont.): Holt-Winters additive seasonal forecasting.
+# ---------------------------------------------------------------------------
+
+
+def _hw_seasonal_oracle() -> str:
+    # the seasonal-list update written as an explicit 7-element list
+    # (DuckDB's list_transform lambda has no index parameter); l' is
+    # textually duplicated, as in the holt oracle — same value, and
+    # duplication keeps the recurrence a single recursive CTE.
+    s_update = " , ".join(
+        f"""CASE WHEN {j} = ((d.rn - 1) % 7) + 1
+        THEN 0.5 * (d.y - (0.5 * (d.y - h.s[((d.rn - 1) % 7) + 1])
+             + 0.5 * (h.l + h.b))) + 0.5 * h.s[{j}]
+        ELSE h.s[{j}] END"""
+        for j in range(1, 8)
+    )
+    return f"""
+    WITH RECURSIVE act AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT min(day) AS d0, max(day) AS d1
+      FROM (SELECT date_trunc('day', ts) AS day FROM events)
+    ), cal AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span
+    ), types AS (SELECT DISTINCT event_type FROM act),
+    daily AS (
+      SELECT t.event_type,
+             ROW_NUMBER() OVER (PARTITION BY t.event_type
+                                ORDER BY c.day) AS rn,
+             CAST(COALESCE(a.y, 0) AS DOUBLE) AS y
+      FROM types t CROSS JOIN cal c
+      LEFT JOIN act a ON a.event_type = t.event_type AND a.day = c.day
+    ), n AS (SELECT CAST(max(rn) AS BIGINT) AS last_rn FROM daily),
+    hw AS (
+      SELECT event_type, rn, y AS l, CAST(0.0 AS DOUBLE) AS b,
+             [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS s
+      FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.rn,
+             0.5 * (d.y - h.s[((d.rn - 1) % 7) + 1]) + 0.5 * (h.l + h.b),
+             0.5 * ((0.5 * (d.y - h.s[((d.rn - 1) % 7) + 1])
+                    + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b,
+             [{s_update}]
+      FROM hw h JOIN daily d
+        ON d.event_type = h.event_type AND d.rn = h.rn + 1
+    )
+    SELECT h.event_type, h.l AS level, h.b AS trend,
+           h.l + h.b + h.s[(CAST(h.rn AS BIGINT) % 7) + 1] AS forecast_1d,
+           h.l + 7 * h.b + h.s[((CAST(h.rn AS BIGINT) + 6) % 7) + 1]
+             AS forecast_7d
+    FROM hw h CROSS JOIN n WHERE h.rn = n.last_rn
+    """
+
+
+@query("holt_winters_seasonal", oracle=_hw_seasonal_oracle())
+def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal forecasting (alpha = beta = gamma
+    = 0.5, period 7) over each event type's dense daily counts: final
+    level/trend plus 1-day and 7-day-ahead forecasts with the weekly
+    seasonal term — the seasonal extension of holt_trend_forecast,
+    completing the smoothing family (level -> +trend -> +seasonality).
+    State per series is (level, trend, s[7]); the first observation
+    seeds the level, seasidx for step t is (t-1) mod 7, and every
+    update is the same dyadic-coefficient IEEE expression evaluated in
+    identical association on both engines — the whole trajectory is
+    bit-equal with no rounding (the holt discipline, extended to a
+    LIST-valued recurrence: the oracle carries s as a DuckDB list
+    through a recursive CTE; Spark carries it through one Catalyst
+    aggregate fold with an indexed transform).
+
+    Scale: series length is CALENDAR-bounded (span days, independent
+    of event volume), so the sequential recurrence folds a bounded
+    array per series; the heavy lifting — daily counts — is one
+    map-side-combinable aggregate, and the densification cross join is
+    |types| x |days|."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("y"))
+    span = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    cal = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias(
+            "day"
+        )
+    )
+    types = act.select("event_type").distinct()
+    daily = (
+        types.crossJoin(F.broadcast(cal))
+        .join(act, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("y", F.lit(0)).cast("double").alias("y"),
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("sr")
+    )
+    # l' (LP) is textually duplicated into b' and the seasonal update —
+    # SQL lambdas cannot let-bind; every copy is the same double.
+    p = "(acc.i % 7)"
+    sp = f"element_at(acc.s, {p} + 1)"
+    lp = f"(0.5D * (x.y - {sp}) + 0.5D * (acc.l + acc.b))"
+    bp = f"(0.5D * ({lp} - acc.l) + 0.5D * acc.b)"
+    snew = (
+        f"transform(acc.s, (v, j) -> "
+        f"IF(j = {p}, 0.5D * (x.y - {lp}) + 0.5D * v, v))"
+    )
+    fold = F.expr(
+        f"""aggregate(
+          sr,
+          struct(0.0D AS l, 0.0D AS b,
+                 array(0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D) AS s,
+                 0 AS i),
+          (acc, x) -> IF(acc.i = 0,
+            struct(x.y AS l, 0.0D AS b, acc.s AS s, 1 AS i),
+            struct({lp} AS l, {bp} AS b, {snew} AS s, acc.i + 1 AS i)))"""
+    )
+    return series.withColumn("_f", fold).select(
+        "event_type",
+        F.expr("_f.l").alias("level"),
+        F.expr("_f.b").alias("trend"),
+        F.expr("_f.l + _f.b + element_at(_f.s, (_f.i % 7) + 1)").alias(
+            "forecast_1d"
+        ),
+        F.expr(
+            "_f.l + 7 * _f.b + element_at(_f.s, ((_f.i + 6) % 7) + 1)"
+        ).alias("forecast_7d"),
+    )
