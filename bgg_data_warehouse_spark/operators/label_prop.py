@@ -39,7 +39,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "basket_sets",
     "canonical_pairs",
+    "canonical_pairs_from_baskets",
     "cooccurrence_edges",
     "label_propagation",
     "lpa_oracle_sql",
@@ -73,40 +75,56 @@ def cooccurrence_edges(
     ).select("e.src", "e.dst")
 
 
+def basket_sets(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
+    """(g, ps): distinct item set per group — ONE shuffle to basket
+    arrays. Callers deriving several statistics (pair supports, item
+    supports, basket totals) should all consume the SAME returned frame
+    so the collect_set exchange materializes once via ReusedExchange
+    (identical aliases are part of subtree identity — a re-aggregated
+    copy with different output names plans a second scan)."""
+    return df.groupBy(F.col(group_col).alias("g")).agg(
+        F.collect_set(F.col(item_col)).alias("ps")
+    )
+
+
+def canonical_pairs_from_baskets(baskets: DataFrame) -> DataFrame:
+    """Canonical (src < dst) pair stream from a basket_sets frame; the
+    pair product is generated map-side (bounded: |basket|^2, <= 121 for
+    TPC-H's 11-line cap) — measured ~2x cheaper than the
+    items-self-equi-join form, which sort-merge-joined two full item
+    relations first."""
+    return (
+        baskets.where(F.size("ps") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x: F.filter(
+                            F.transform(
+                                "ps",
+                                lambda y: F.struct(
+                                    x.alias("src"), y.alias("dst")
+                                ),
+                            ),
+                            lambda s: s["src"] < s["dst"],
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+
+
 def canonical_pairs(
     df: DataFrame, group_col: str, item_col: str
 ) -> DataFrame:
     """One (src, dst) row — src < dst — per (group, unordered item
     pair) occurrence, duplicates across groups preserved: the shared
     basket-pair stream that cooccurrence_edges dedups into a graph and
-    association-rule mining counts into supports.
-
-    ONE shuffle to basket arrays, then the pair product is generated
-    map-side (bounded: |basket|^2, <= 121 for TPC-H's 11-line cap) —
-    measured ~2x cheaper than the items-self-equi-join form, which
-    sort-merge-joined two full item relations first. collect_set dedups
-    repeated (group, item) lines in the same aggregate."""
-    baskets = (
-        df.groupBy(F.col(group_col).alias("g"))
-        .agg(F.collect_set(F.col(item_col)).alias("ps"))
-        .where(F.size("ps") >= 2)
-    )
-    return baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ps",
-                    lambda x: F.filter(
-                        F.transform(
-                            "ps",
-                            lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                        ),
-                        lambda s: s["src"] < s["dst"],
-                    ),
-                )
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    association-rule mining counts into supports."""
+    return canonical_pairs_from_baskets(basket_sets(df, group_col, item_col))
 
 
 def label_propagation(

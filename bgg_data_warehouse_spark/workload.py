@@ -17,7 +17,16 @@ parquet. Conventions for bit-stable oracle comparison:
   values with to_json on BOTH sides;
 - NO DuckDB HUGEINT in oracle output — count_if(...) and windowed SUM of
   ints return HUGEINT, which pandas renders as float64 and the hash sees
-  as 3.0 vs Spark's 3; always CAST(... AS BIGINT) in the oracle SQL.
+  as 3.0 vs Spark's 3; always CAST(... AS BIGINT) in the oracle SQL;
+- transcendental outputs (ln/exp) are rounded (4dp) or folded into
+  micro-nat INTEGERS before any further arithmetic — libm differs by an
+  ulp between engines on some inputs; plain +,-,*,/ chains evaluated in
+  IDENTICAL association are bit-safe unrounded (holt / holt_winters);
+- date outputs use date_trunc('day', ts) on BOTH sides — CAST(ts AS
+  DATE) renders differently between the engines' canonicalizers;
+- unrolled oracle CTE chains whose level i is referenced twice (next
+  level + a join) MUST be AS MATERIALIZED in DuckDB — default inlining
+  doubles the plan per level (2^n scans; unigram_oracle_sql).
 """
 
 from __future__ import annotations
@@ -7090,7 +7099,8 @@ def top_user_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .operators.sketches import _hex_long, _hex_long_sql  # noqa: E402
 from .operators.label_prop import (  # noqa: E402
-    canonical_pairs,
+    basket_sets,
+    canonical_pairs_from_baskets,
     cooccurrence_edges,
     label_propagation,
     lpa_oracle_sql,
@@ -7727,15 +7737,14 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated; lift's cross join is a broadcast of ONE row."""
     li = load_table(spark, sf_dir, "lineitem")
     # ONE basket shuffle feeds everything: pair supports (the shared
-    # canonical_pairs stream — same builder cooccurrence_edges dedups
+    # canonical-pair stream — same builder cooccurrence_edges dedups
     # into a graph), item supports (explode, map-side), and the basket
-    # total — the branches share the collect_set exchange via
-    # ReusedExchange instead of re-shuffling lineitem per statistic.
-    baskets_all = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
+    # total all consume the SAME basket_sets frame, so the collect_set
+    # exchange materializes once via ReusedExchange (plan-audited:
+    # one lineitem scan) instead of re-shuffling lineitem per statistic.
+    baskets_all = basket_sets(li, "l_orderkey", "l_partkey")
     pairs = (
-        canonical_pairs(li, "l_orderkey", "l_partkey")
+        canonical_pairs_from_baskets(baskets_all)
         .groupBy("src", "dst")
         .agg(F.count("*").alias("s_ab"))
     )

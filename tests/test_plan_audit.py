@@ -572,3 +572,64 @@ def test_merkle_union_reuses_single_leaf_scan(spark):
     plan = final_plan(df)
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("ReusedExchange") >= 4, plan
+
+
+def test_pareto_frontier_is_scan_plus_prefix_min_no_pair_join(spark):
+    """The skyline must be the distinct-pair reduction + prefix-min
+    scan — never the oracle's quadratic pair join: no nested-loop, no
+    cartesian, and the only single-partition exchange is the
+    price-band offset table."""
+    df = entrymod.queries()["pareto_frontier"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_association_rules_plans_takeordered_single_basket_agg(spark):
+    """Top-100 must be a TakeOrderedAndProject and the basket
+    collect_set aggregate must materialize once — pair and item
+    supports share its exchange via ReusedExchange (a re-aggregated
+    copy with different aliases planned a full second basket build
+    before basket_sets was shared)."""
+    df = entrymod.queries()["association_rules"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the heavy collect_set partial materializes ONCE (item supports
+    # ride ReusedExchange off it); the basket total legitimately plans
+    # its own skinny 1-column scan (Catalyst prunes collect_set away —
+    # cheaper than reusing the wide exchange), so scans <= 2.
+    assert plan.count("partial_collect_set") == 1, plan
+    assert plan.count("Scan parquet") <= 2, plan
+    # the only nested-loop is the 1-row basket-total broadcast (a plain
+    # Cross with no condition)
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert line.strip().endswith("BuildRight, Cross"), line
+
+
+def test_holt_winters_folds_arrays_no_per_step_shuffle(spark):
+    """The 30-step seasonal recurrence must fold inside ONE aggregate
+    projection over per-series arrays — the plan has a fixed handful
+    of exchanges (daily counts, series collect, span/type broadcasts),
+    never one per time step."""
+    df = entrymod.queries()["holt_winters_seasonal"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "aggregate(" in plan or "Project" in plan
+
+
+def test_unigram_dp_is_projection_over_collected_edges(spark):
+    """The Viterbi must run as a map-side projection over each word's
+    collected edge list: no cartesian, and the only nested-loop is the
+    1-row vocabulary-total broadcast (conditionless Cross) — the
+    lattice itself must never pair words against pieces non-equi."""
+    df = entrymod.queries()["unigram_segment_compounds"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert line.strip().endswith("BuildRight, Cross"), line

@@ -557,3 +557,105 @@ def test_unigram_dp_matches_python_reference(spark, vocab, targets):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Grouped prefix scans (partition_cols): for ANY data and bucketing, the
+# two-pass scan must equal the per-group global window bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # group
+            st.integers(min_value=-50, max_value=50), # key
+            st.integers(min_value=-5, max_value=5),   # val
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    width=st.sampled_from([1, 7, 100]),
+)
+@settings(**{**SETTINGS, "max_examples": 8})
+def test_grouped_prefix_scan_matches_per_group_window(spark, rows, width):
+    from pyspark.sql import Window
+
+    from bgg_data_warehouse_spark.operators.prefix import (
+        global_row_number,
+        running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, k, v) for i, (g, k, v) in enumerate(rows)],
+        "id long, g long, key long, val long",
+    )
+    # floor-divide keeps bucket order-aligned for negative keys too
+    bucket = F.floor(F.col("key") / width).cast("long")
+    got = {
+        (r["g"], r["id"]): (r["rs"], r["rn"])
+        for r in global_row_number(
+            running_sum(
+                df, "val", bucket, ["key", "id"],
+                partition_cols=["g"], out_col="rs",
+            ),
+            bucket,
+            ["key", "id"],
+            partition_cols=["g"],
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("key", "id")
+    want = {
+        (r["g"], r["id"]): (r["rs"], r["rn"])
+        for r in df.select(
+            "g",
+            "id",
+            F.sum("val").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("rs"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        ).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Merkle commitment: changing ANY single leaf (checksum or count) must
+# change the root; equal leaf multisets must agree on every node.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    leaves=st.dictionaries(
+        st.integers(min_value=0, max_value=7),
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    tamper=st.integers(min_value=0, max_value=7),
+)
+@settings(**{**SETTINGS, "max_examples": 8})
+def test_merkle_root_changes_iff_a_leaf_changes(spark, leaves, tamper):
+    from pyspark.sql import Row
+
+    from bgg_data_warehouse_spark.operators.merkle import merkle_tree
+
+    def tree(d):
+        df = spark.createDataFrame(
+            [Row(bucket=b, checksum=c, n_rows=n) for b, (c, n) in d.items()]
+        )
+        return {
+            (r["level"], r["idx"]): r["h"]
+            for r in merkle_tree(df, 8).collect()
+        }
+
+    a = tree(leaves)
+    mutated = dict(leaves)
+    c, n = mutated.get(tamper, (0, 0))
+    mutated[tamper] = (c + 1, n)
+    b = tree(mutated)
+    assert a[(3, 0)] != b[(3, 0)]  # root always moves
+    assert a == tree(leaves)       # and is reproducible
