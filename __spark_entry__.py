@@ -30,10 +30,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (ann_recall_eval — spine + pin fix; doc_vector_knn — window-norms
 # plan; wordpiece_encode — vocab pin; knn_bruteforce / knn_lsh_exact /
 # embedding_near_dup_exact — per-vector norm hoist in similarity.py;
-# bm25_search — scored stage refactored out for RRF); promote the TEN
-# new round-7 gates; and fill the remaining 24 slots with the stalest
-# r2/r3-vintage gates (no driver row for 4+ rounds). TPC-H q1-q22 and
-# the r4 analytic tail queue at position 51+ for round 8.
+# bm25_search — scored stage refactored out for RRF); promote the 24
+# new round-7 gates (10 from session 1 + 14 session-2 additions); and
+# fill the remaining slots with the stalest r2-vintage gates. The 13
+# stale gates this displaced below position 50 lead the round-8
+# refresh queue; TPC-H q1-q22 and the r4 analytic tail queue behind
+# them.
 _PRIORITY = [
     # events-adapter regression sentinels (green r3-r6, keep)
     "latest_snapshot",

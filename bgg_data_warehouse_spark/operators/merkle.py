@@ -42,9 +42,10 @@ def merkle_tree(
     two) leaf slots. Missing buckets become empty leaves (checksum 0,
     count 0), so the tree shape — and therefore the root — is a pure
     function of table content, not of which buckets happen to be
-    occupied. A bucket outside [0, n_leaves) raises (silently dropping
-    it would let two differing tables share a root). Level 0 = leaves,
-    level log2(n) = the root at idx 0."""
+    occupied. A bucket outside [0, n_leaves) or duplicated raises
+    (silently dropping or stacking it would let two differing tables
+    share a root). Level 0 = leaves, level log2(n) = the root at
+    idx 0."""
     if n_leaves < 2 or n_leaves & (n_leaves - 1):
         raise ValueError(f"n_leaves must be a power of two >= 2, got {n_leaves}")
     spark = leaves.sparkSession
@@ -63,15 +64,35 @@ def merkle_tree(
             )
         )
     )
-    lvl = slots.join(
+    # duplicate bucket rows would stack two hashes into one slot with
+    # engine-dependent concatenation order — another silent two-tables-
+    # one-root hazard; the <=n_leaves-row aggregate below raises on it.
+    deduped = (
         leaves.select(
             guarded_idx.alias("idx"),
             F.col(checksum_col).alias("_c"),
             F.col(count_col).alias("_n"),
-        ),
-        "idx",
-        "left",
-    ).select(
+        )
+        .groupBy("idx")
+        .agg(
+            F.count("*").alias("_k"),
+            F.max("_c").alias("_c"),
+            F.max("_n").alias("_n"),
+        )
+        .select(
+            "idx",
+            F.when(F.col("_k") == 1, F.col("_c")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("merkle_tree: duplicate bucket "),
+                        F.col("idx").cast("string"),
+                    )
+                )
+            ).alias("_c"),
+            "_n",
+        )
+    )
+    lvl = slots.join(deduped, "idx", "left").select(
         "idx",
         F.md5(
             F.concat_ws(

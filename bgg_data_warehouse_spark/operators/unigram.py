@@ -175,13 +175,15 @@ def unigram_oracle_sql(
     MATERIALIZED: each level is referenced twice (by the next level's
     union AND its candidate join), so DuckDB's default CTE inlining
     would blow the plan up 2^max_len-fold. ``words_cte`` -> (word, c) for the
-    piece model, ``targets_cte`` -> (word) for segmentation. Emits
+    piece model, ``targets_cte`` -> (word) for segmentation (deduped
+    here, mirroring unigram_segment's distinct — duplicate target rows
+    would otherwise square the edge/dp row counts and inflate ways). Emits
     ``seg`` as (word, min_cost_micro, n_best_paths); the caller
     appends its own SELECT over it."""
     m = max_piece_len - 1
     parts = [
         f"words0 AS ({words_cte})",
-        f"targets0 AS (SELECT word FROM ({targets_cte}) "
+        f"targets0 AS (SELECT DISTINCT word FROM ({targets_cte}) "
         f"WHERE length(word) BETWEEN 1 AND {max_len})",
         f"""pieces AS (
       SELECT substring(word, s, e - s + 1) AS piece,

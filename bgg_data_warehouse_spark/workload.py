@@ -5640,6 +5640,45 @@ def mv_incremental_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _dense_daily_series(
+    ev: DataFrame, key_col: str, scoped: DataFrame, *, out_col: str
+) -> DataFrame:
+    """(key, out_col): per-key CALENDAR-DENSE daily count series as a
+    sorted (day, y) array — the shared scaffold of the smoothing
+    family (holt_trend_forecast, holt_winters_seasonal). ``scoped`` is
+    the (possibly filtered) event frame whose keys get series; the
+    calendar span always comes from ALL of ``ev`` so every series has
+    the same length. Missing days densify to y = 0; counts cast to
+    DOUBLE exactly."""
+    act = scoped.groupBy(
+        key_col, F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("y"))
+    span = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    cal = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias(
+            "day"
+        )
+    )
+    keys = act.select(key_col).distinct()
+    daily = (
+        keys.crossJoin(F.broadcast(cal))
+        .join(act, [key_col, "day"], "left")
+        .select(
+            key_col,
+            "day",
+            F.coalesce(F.col("y"), F.lit(0)).cast("double").alias("y"),
+        )
+    )
+    return daily.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias(out_col)
+    )
+
+
 @query(
     "holt_trend_forecast",
     oracle="""
@@ -5694,34 +5733,8 @@ def holt_trend_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the oracle replays it as a recursive CTE), so the trajectory is
     bit-equal with no rounding."""
     ev = load_table(spark, sf_dir, "events")
-    act = (
-        ev.where(F.col("user_id") < 30)
-        .groupBy(
-            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-        )
-        .agg(F.count("*").alias("y"))
-    )
-    span = ev.agg(
-        F.date_trunc("day", F.min("ts")).alias("d0"),
-        F.date_trunc("day", F.max("ts")).alias("d1"),
-    )
-    cal = span.select(
-        F.explode(
-            F.sequence("d0", "d1", F.expr("interval 1 day"))
-        ).alias("day")
-    )
-    users = act.select("user_id").distinct()
-    daily = (
-        users.crossJoin(F.broadcast(cal))
-        .join(act, ["user_id", "day"], "left")
-        .select(
-            "user_id",
-            "day",
-            F.coalesce(F.col("y"), F.lit(0)).cast("double").alias("y"),
-        )
-    )
-    series = daily.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("s")
+    series = _dense_daily_series(
+        ev, "user_id", ev.where(F.col("user_id") < 30), out_col="s"
     )
     # fold: acc = (l, b, i); first element seeds l = y, b = 0
     fold = F.aggregate(
@@ -7740,8 +7753,10 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical-pair stream — same builder cooccurrence_edges dedups
     # into a graph), item supports (explode, map-side), and the basket
     # total all consume the SAME basket_sets frame, so the collect_set
-    # exchange materializes once via ReusedExchange (plan-audited:
-    # one lineitem scan) instead of re-shuffling lineitem per statistic.
+    # exchange materializes once via ReusedExchange (plan-audited: one
+    # partial_collect_set; the basket total may plan its own skinny
+    # 1-column scan, which Catalyst prefers over reusing the wide
+    # exchange) instead of re-shuffling lineitem per statistic.
     baskets_all = basket_sets(li, "l_orderkey", "l_partkey")
     pairs = (
         canonical_pairs_from_baskets(baskets_all)
@@ -8064,31 +8079,7 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregate, and the densification cross join is
     |types| x |days|."""
     ev = load_table(spark, sf_dir, "events")
-    act = ev.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.count("*").alias("y"))
-    span = ev.agg(
-        F.date_trunc("day", F.min("ts")).alias("d0"),
-        F.date_trunc("day", F.max("ts")).alias("d1"),
-    )
-    cal = span.select(
-        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias(
-            "day"
-        )
-    )
-    types = act.select("event_type").distinct()
-    daily = (
-        types.crossJoin(F.broadcast(cal))
-        .join(act, ["event_type", "day"], "left")
-        .select(
-            "event_type",
-            "day",
-            F.coalesce("y", F.lit(0)).cast("double").alias("y"),
-        )
-    )
-    series = daily.groupBy("event_type").agg(
-        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("sr")
-    )
+    series = _dense_daily_series(ev, "event_type", ev, out_col="sr")
     # l' (LP) is textually duplicated into b' and the seasonal update —
     # SQL lambdas cannot let-bind; every copy is the same double.
     p = "(acc.i % 7)"

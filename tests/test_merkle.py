@@ -78,3 +78,9 @@ def test_out_of_range_bucket_raises_not_silently_drops(spark):
     bad = _leaves(spark, [(0, 5, 2), (64, 7, 1)])  # 64 outside [0, 8)
     with pytest.raises(Exception, match="outside"):
         merkle_tree(bad, 8).collect()
+
+
+def test_duplicate_bucket_raises_not_silently_stacks(spark):
+    bad = _leaves(spark, [(3, 5, 2), (3, 7, 1)])  # bucket 3 twice
+    with pytest.raises(Exception, match="duplicate bucket"):
+        merkle_tree(bad, 8).collect()

@@ -618,7 +618,8 @@ def test_holt_winters_folds_arrays_no_per_step_shuffle(spark):
     df.collect()
     plan = final_plan(df)
     assert plan.count("Exchange hashpartitioning") <= 4, plan
-    assert "aggregate(" in plan or "Project" in plan
+    # a per-step rewrite would need windows or per-round joins
+    assert "Window" not in plan, plan
 
 
 def test_unigram_dp_is_projection_over_collected_edges(spark):
