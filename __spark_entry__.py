@@ -96,9 +96,10 @@ _PRIORITY = [
     # NEW round 7 (cont.): unigram-LM Viterbi segmentation (tokenizer
     # family #3 — exact lattice DP, 16-level CTE-chain oracle)
     "unigram_segment_compounds",
-    # NEW round 7 (cont.): Merkle table commitment (integrity family)
-    # + Holt-Winters seasonal forecasting (smoothing family #3)
+    # NEW round 7 (cont.): Merkle table commitment + incremental path
+    # update (integrity family) + Holt-Winters seasonal forecasting
     "merkle_table_root",
+    "merkle_incremental_update",
     "holt_winters_seasonal",
     # stale-evidence refresh: the r2-vintage block (last driver row r2)
     "benchmark_contamination",
@@ -110,10 +111,10 @@ _PRIORITY = [
     "filter_topn",
     "full_outer_reconcile",
     "lang_id",
-    "mix_sources",
     # ---- position 51+: next-up if the driver widens; remaining
-    # (nested_profile..union_discriminated displaced by the twelve
-    # newest gates — they lead the round-8 stale-refresh queue)
+    # (mix_sources..union_discriminated displaced by the newest gates
+    # — they lead the round-8 stale-refresh queue)
+    "mix_sources",
     "nested_profile",
     "pack_sequences",
     "pii_redact",

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merkle_tree", "merkle_tree_oracle_sql"]
+__all__ = ["merkle_tree", "merkle_update", "merkle_tree_oracle_sql"]
 
 
 def merkle_tree(
@@ -125,6 +125,94 @@ def merkle_tree(
             lvl.select(F.lit(level).cast("long").alias("level"), "idx", "h")
         )
     return out
+
+
+
+def merkle_update(
+    tree: DataFrame,
+    new_leaf: DataFrame,
+    leaf_idx: int,
+    n_leaves: int,
+) -> DataFrame:
+    """Incrementally re-commit after ONE leaf changes: recompute the
+    changed leaf hash and its log2(n_leaves) ancestor path, splicing
+    everything else from the existing ``tree`` unchanged — the
+    maintenance mode that makes the commitment practical at 100 TB
+    (re-ingesting one partition re-hashes one bucket and log n
+    parents, never the table). ``new_leaf`` is a 1-row (checksum,
+    n_rows) frame for slot ``leaf_idx``; returns the full updated
+    (level, idx, h) tree. Correctness contract: the result is
+    bit-identical to merkle_tree() over the modified leaf set — the
+    gated query hashes exactly that equivalence.
+
+    Scale shape: the path's (level, idx) pairs are STATIC given
+    leaf_idx, so the whole update is one plan — a static filter pulls
+    the log n sibling hashes into one collected row, one map-side fold
+    re-hashes the path, and the untouched nodes pass through a static
+    NOT-IN filter. No per-level joins, no data-sized work."""
+    if not (0 <= leaf_idx < n_leaves):
+        raise ValueError(f"leaf_idx outside [0, {n_leaves}): {leaf_idx}")
+    if n_leaves < 2 or n_leaves & (n_leaves - 1):
+        raise ValueError(f"n_leaves must be a power of two >= 2, got {n_leaves}")
+    depth = n_leaves.bit_length() - 1
+    path = [(k, leaf_idx >> k) for k in range(depth + 1)]
+    sibs = [(k, (leaf_idx >> k) ^ 1) for k in range(depth)]
+
+    def _pairs_pred(pairs):
+        from functools import reduce
+
+        return reduce(
+            lambda a, b: a | b,
+            [(F.col("level") == k) & (F.col("idx") == v) for k, v in pairs],
+        )
+
+    # one row: every sibling hash the path needs, keyed by level
+    sib_row = tree.where(_pairs_pred(sibs)).agg(
+        F.collect_list(F.struct("level", "h")).alias("sibs")
+    )
+    leaf_h = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(leaf_idx),
+            F.coalesce(F.col("checksum"), F.lit(0)).cast("long"),
+            F.coalesce(F.col("n_rows"), F.lit(0)).cast("long"),
+        )
+    )
+    # fold the path upward in ONE expression: at level k the sibling is
+    # the LEFT child iff the path node at k is the right child, i.e.
+    # (leaf_idx >> k) % 2 = 1
+    sh = "filter(sibs, s -> s.level = k)[0].h"
+    cur = "element_at(acc, k + 1)"
+    fold = F.expr(
+        f"""aggregate(
+          sequence(0, {depth - 1}),
+          array(h0),
+          (acc, k) -> concat(acc, array(md5(
+            IF((CAST({leaf_idx} AS BIGINT) div shiftleft(1L, k)) % 2 = 1,
+               concat({sh}, {cur}),
+               concat({cur}, {sh}))))))"""
+    )
+    path_rows = (
+        new_leaf.crossJoin(F.broadcast(sib_row))
+        .withColumn("h0", leaf_h)
+        .withColumn("hs", fold)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.array(
+                        *[F.lit(k).cast("long") for k, _ in path]
+                    ).alias("level"),
+                    F.array(
+                        *[F.lit(v).cast("long") for _, v in path]
+                    ).alias("idx"),
+                    F.col("hs").alias("h"),
+                )
+            ).alias("z")
+        )
+        .select("z.level", "z.idx", "z.h")
+    )
+    untouched = tree.where(~_pairs_pred(path))
+    return untouched.unionByName(path_rows)
 
 
 def merkle_tree_oracle_sql(leaves_cte: str, n_leaves: int) -> str:

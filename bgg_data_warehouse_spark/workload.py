@@ -8111,3 +8111,81 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_f.l + 7 * _f.b + element_at(_f.s, ((_f.i + 6) % 7) + 1)"
         ).alias("forecast_7d"),
     )
+
+
+_CUST_FP_SQL = (
+    "md5(concat_ws(chr(31), CAST(c_custkey AS VARCHAR),"
+    " CAST(c_name AS VARCHAR), CAST(c_acctbal AS VARCHAR)))"
+)
+
+
+@query(
+    "merkle_incremental_update",
+    oracle=merkle_tree_oracle_sql(
+        f"""
+      SELECT bucket, CAST(sum(h) AS BIGINT) AS checksum,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM (
+        SELECT {md5_fold_sql('c_custkey', 32)} AS bucket,
+               {md5_fold_wide_sql(_CUST_FP_SQL, 1000000007)} AS h,
+               c_mktsegment
+        FROM customer
+      )
+      WHERE bucket <> 7 OR c_mktsegment <> 'BUILDING'
+      GROUP BY 1
+    """,
+        32,
+    )
+    + "\n    SELECT level, idx, h FROM tree",
+)
+def merkle_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Merkle maintenance (operators/merkle.py
+    merkle_update): commit to the customer table, then simulate
+    re-ingesting ONE partition — bucket 7 drops its BUILDING-segment
+    rows — by recomputing that single leaf and md5-folding its
+    log2(32) = 5 ancestor path, splicing the other 57 tree nodes from
+    the existing commitment untouched. The oracle is a FULL rebuild
+    over the modified row multiset, so the hash gate proves
+    path-update == rebuild across engines — the associativity-style
+    equivalence that lets a 100 TB table re-commit after a partition
+    swap with one bucket scan and five tiny hashes instead of a full
+    re-read (the table-maintenance analog of quantile_sketch_merge's
+    merge == direct proof).
+
+    Scale: the update path is O(log n) 1-row frames, each joining one
+    broadcast sibling out of the pinned base tree; the only data-sized
+    work is the two leaf passes (base commitment + the changed
+    bucket's recount)."""
+    from .operators.iterative import iteration_shuffle_width
+    from .operators.merkle import merkle_update
+
+    cust = load_table(spark, sf_dir, "customer")
+    from .functions.hashing import md5_fold_wide, portable_fingerprint
+    from .operators.importance import md5_fold
+
+    fp = portable_fingerprint("c_custkey", "c_name", "c_acctbal")
+    rows = cust.select(
+        md5_fold(F.col("c_custkey"), 32).alias("bucket"),
+        md5_fold_wide(fp, 1_000_000_007).alias("h"),
+        "c_mktsegment",
+    )
+    leaves = rows.groupBy("bucket").agg(
+        F.sum("h").alias("checksum"), F.count("*").alias("n_rows")
+    )
+    # everything past the leaf aggregate is <= 63-row metadata: run the
+    # tree/update stages at the iteration floor width — 32-wide
+    # exchanges over 1-row frames are pure scheduling overhead
+    # (operators/iterative.py, the VERDICT r03 lesson). The base
+    # commitment is pinned eagerly inside the narrowed scope:
+    # merkle_update consults it once per path level (sibling lookups)
+    # plus the untouched-node anti-join — seven lazy-plan copies would
+    # otherwise re-run the leaf pass each time.
+    with iteration_shuffle_width(spark, 64):
+        base = merkle_tree(leaves, 32).localCheckpoint(eager=True)
+        new_leaf = rows.where(
+            (F.col("bucket") == 7) & (F.col("c_mktsegment") != "BUILDING")
+        ).agg(F.sum("h").alias("checksum"), F.count("*").alias("n_rows"))
+        out = merkle_update(base, new_leaf, 7, 32).localCheckpoint(
+            eager=True
+        )
+    return out

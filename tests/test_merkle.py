@@ -84,3 +84,31 @@ def test_duplicate_bucket_raises_not_silently_stacks(spark):
     bad = _leaves(spark, [(3, 5, 2), (3, 7, 1)])  # bucket 3 twice
     with pytest.raises(Exception, match="duplicate bucket"):
         merkle_tree(bad, 8).collect()
+
+
+def test_merkle_update_path_equals_full_rebuild(spark):
+    base = [(0, 11, 3), (1, 22, 1), (5, 33, 2)]
+    from bgg_data_warehouse_spark.operators.merkle import merkle_update
+    from pyspark.sql import functions as F
+
+    tree = merkle_tree(_leaves(spark, base), 8)
+    new_leaf = spark.createDataFrame([Row(checksum=99, n_rows=7)])
+    got = {
+        (r["level"], r["idx"]): r["h"]
+        for r in merkle_update(tree, new_leaf, 5, 8).collect()
+    }
+    want = _tree(spark, [(0, 11, 3), (1, 22, 1), (5, 99, 7)], n=8)
+    assert got == want
+    # untouched subtree survived verbatim; changed path really changed
+    old = _tree(spark, base, n=8)
+    assert got[(2, 0)] == old[(2, 0)]
+    assert got[(0, 5)] != old[(0, 5)] and got[(3, 0)] != old[(3, 0)]
+
+
+def test_merkle_update_rejects_bad_leaf_idx(spark):
+    from bgg_data_warehouse_spark.operators.merkle import merkle_update
+
+    tree = merkle_tree(_leaves(spark, [(0, 1, 1)]), 8)
+    leaf = spark.createDataFrame([Row(checksum=1, n_rows=1)])
+    with pytest.raises(ValueError):
+        merkle_update(tree, leaf, 8, 8)

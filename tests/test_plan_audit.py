@@ -634,3 +634,18 @@ def test_unigram_dp_is_projection_over_collected_edges(spark):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert line.strip().endswith("BuildRight, Cross"), line
+
+
+def test_merkle_update_is_one_scan_no_per_level_joins(spark):
+    """The incremental update must read the table once (the changed
+    bucket's recount; the base commitment is pinned) and fold the path
+    map-side: no per-level equi-joins against the tree, only the
+    conditionless 1-row sibling-set Cross broadcast."""
+    df = entrymod.queries()["merkle_incremental_update"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert line.strip().endswith("BuildRight, Cross"), line
