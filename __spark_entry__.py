@@ -101,19 +101,29 @@ _PRIORITY = [
     "merkle_table_root",
     "merkle_incremental_update",
     "holt_winters_seasonal",
+    # NEW round 7 (session 3): sequential statistics — CUSUM drift via
+    # the closed prefix-scan identity, integer-exact autocorrelation,
+    # largest-remainder budget apportionment, multi-source BFS reach
+    # (unrolled-CTE replay), and the corpus shard manifest
+    "cusum_drift",
+    "acf_lags",
+    "budget_allocation",
+    "bfs_reach",
+    "shard_manifest",
     # stale-evidence refresh: the r2-vintage block (last driver row r2)
     "benchmark_contamination",
     "chunk_documents",
     "doc_fingerprint",
     "dual_rank_topk",
+    # ---- position 51+: next-up if the driver widens; remaining
+    # r2-vintage refreshes (except_intersect_keys..lang_id displaced by
+    # the session-3 gates) lead the round-8 stale-refresh queue, then
+    # mix_sources..union_discriminated
     "except_intersect_keys",
     "feature_arrays",
     "filter_topn",
     "full_outer_reconcile",
     "lang_id",
-    # ---- position 51+: next-up if the driver widens; remaining
-    # (mix_sources..union_discriminated displaced by the newest gates
-    # — they lead the round-8 stale-refresh queue)
     "mix_sources",
     "nested_profile",
     "pack_sequences",

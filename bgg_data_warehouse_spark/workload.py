@@ -7417,6 +7417,7 @@ def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .operators.prefix import (  # noqa: E402
     global_row_number,
     running_min_before,
+    running_sum,
 )
 from .operators.sweepline import interval_concurrency  # noqa: E402
 
@@ -8189,3 +8190,446 @@ def merkle_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=True
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (cont., session 3): sequential-statistics analytics over exact
+# integer arithmetic — CUSUM drift detection, autocorrelation diagnostics,
+# largest-remainder budget allocation, multi-source BFS reach, and a
+# corpus shard manifest. Every gate is a full hash match: recursions are
+# rewritten to closed scan identities (CUSUM), ratios are cross-multiplied
+# into exact integers before ONE final double division (ACF), and the
+# iterative walk (BFS) replays as unrolled materialized CTEs.
+# ---------------------------------------------------------------------------
+
+from .operators.bfs import bfs_hops, bfs_oracle_sql  # noqa: E402
+
+
+@query(
+    "cusum_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT r_name, date_trunc('day', o_orderdate) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT r_name, CAST(count(*) AS HUGEINT) AS n, SUM(x) AS s
+      FROM daily GROUP BY 1),
+    dev AS (
+      SELECT daily.r_name, day, n, (n * x - s) AS d
+      FROM daily JOIN tot USING (r_name)),
+    p AS (
+      SELECT r_name, day, n,
+             SUM(d) OVER (PARTITION BY r_name ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS psum
+      FROM dev),
+    s AS (
+      SELECT r_name, day, n,
+             psum - LEAST(CAST(0 AS HUGEINT),
+               MIN(psum) OVER (PARTITION BY r_name ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+      FROM p),
+    ranked AS (
+      SELECT r_name, day, n, cusum,
+             ROW_NUMBER() OVER (PARTITION BY r_name
+               ORDER BY cusum DESC, day) AS rn
+      FROM s)
+    SELECT r_name, day AS peak_day, CAST(n AS BIGINT) AS n_days,
+           ROUND(CAST(cusum AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)), 2)
+             AS peak_cusum_usd
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM upward-drift detection on each region's daily revenue
+    series: the classic sequential changepoint statistic
+    s_i = max(0, s_{i-1} + (x_i - mean)) locates WHEN a series started
+    running above its long-run level (the monitoring twin of
+    holt_trend_forecast's "what next" — the staleness/refresh
+    monitoring family the reference runs operationally,
+    `/root/reference/src/modules/response_refresher.py:21-80`).
+
+    Two exactness rewrites make it hash-gateable: (1) the mean is
+    cleared from the denominator by scaling every deviation to
+    d_i = n*x_i - S (integer cents x day-count — no rational mean);
+    (2) the clamp-at-zero recursion is replaced by the closed scan
+    identity s_i = P_i - min(0, min_{j<=i} P_j) over prefix sums P, so
+    both engines compute pure windows — no per-row recursion anywhere.
+    The one final division renders the peak back in dollars/day.
+
+    Scale: the data-sized stages are the orders->customer join and the
+    (region, day) aggregate; the series itself is dimension x calendar
+    bounded (|regions| x |days|), so the per-region window scan can
+    never become data-sized — the boundedness argument, not machinery,
+    is what makes a partitioned Window safe here (contrast the
+    unbounded streams behind operators/prefix.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            (F.sum(_dec("o_totalprice")) * 100)
+            .cast("decimal(20,0)")
+            .alias("x")
+        )
+    )
+    # `daily` feeds BOTH the totals aggregate and the dev projection —
+    # pin it so the orders join + daily aggregate run once, not per branch
+    daily = daily.localCheckpoint(eager=False)
+    tot = daily.groupBy("r_name").agg(
+        F.count("*").cast("decimal(10,0)").alias("n"),
+        F.sum("x").cast("decimal(20,0)").alias("s"),
+    )
+    dev = daily.join(F.broadcast(tot), "r_name").select(
+        "r_name",
+        "day",
+        "n",
+        (F.col("n") * F.col("x") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("d"),
+    )
+    w = (
+        Window.partitionBy("r_name")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scan = dev.withColumn("psum", F.sum("d").over(w)).withColumn(
+        "cusum",
+        F.col("psum")
+        - F.least(
+            F.lit(0).cast("decimal(38,0)"), F.min(F.col("psum")).over(w)
+        ),
+    )
+    rnw = Window.partitionBy("r_name").orderBy(
+        F.col("cusum").desc(), F.col("day")
+    )
+    return (
+        scan.withColumn("rn", F.row_number().over(rnw))
+        .where(F.col("rn") == 1)
+        .select(
+            "r_name",
+            F.col("day").alias("peak_day"),
+            F.col("n").cast("long").alias("n_days"),
+            F.round(
+                F.col("cusum").cast("double")
+                / (F.lit(100.0) * F.col("n").cast("double")),
+                2,
+            ).alias("peak_cusum_usd"),
+        )
+    )
+
+
+@query(
+    "acf_lags",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT) AS x
+      FROM orders GROUP BY 1),
+    srs AS (SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+    g AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, SUM(x) AS s, SUM(x * x) AS sxx
+      FROM srs),
+    lags AS (SELECT CAST(k AS HUGEINT) AS lag FROM range(1, 8) t(k)),
+    p AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             SUM(a.x * b.x) AS sxy, SUM(a.x) AS h, SUM(b.x) AS t
+      FROM srs a
+      JOIN lags ON true
+      JOIN srs b ON b.rn = a.rn + lag
+      GROUP BY 1)
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           ROUND(
+             CAST(n*n*sxy - n*s*(h + t) + (n - lag)*s*s AS DOUBLE)
+             / CAST(n*n*sxx - n*s*s AS DOUBLE), 6) AS acf
+    FROM p, g
+    """,
+)
+def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of global daily revenue at lags 1-7 —
+    the standard seasonality diagnostic (a weekly cycle shows as an
+    acf peak at lag 7) that tells a forecast consumer WHICH period to
+    hand holt_winters_seasonal.
+
+    Exactness design: acf_k divides two mean-centered sums whose mean
+    is rational, so both sides are cross-multiplied by n^2 into pure
+    integers — num = n^2*Sxy(k) - n*S*(H_k+T_k) + (n-k)*S^2,
+    den = n^2*Sxx - n*S^2 — accumulated as DECIMAL(38,0) cents
+    (HUGEINT in the oracle; peak magnitude ~4e26, comfortably inside
+    both), with ONE deterministic double division + round at the end.
+    Lag pairing is by series index (row number over observed days),
+    the standard business-day convention for gapped calendars.
+
+    Scale: the only data-sized stage is the daily aggregate; the
+    series is calendar-bounded (~2.4k rows at any data scale), so the
+    index window and the 7-way lag self-join are metadata-sized. The
+    lag table broadcasts; the pair join is an equi-join on a computed
+    index key."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        (F.sum(_dec("o_totalprice")) * 100).cast("decimal(20,0)").alias("x")
+    )
+    srs = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("rn")
+    ).localCheckpoint(eager=False)  # consumed by a, b, AND the globals
+    g = srs.agg(
+        F.count("*").cast("decimal(10,0)").alias("n"),
+        F.sum("x").cast("decimal(20,0)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = srs.select(F.col("rn").alias("rn_a"), F.col("x").alias("x_a"))
+    b = srs.select(F.col("rn").alias("rn_b"), F.col("x").alias("x_b"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("rn_a") + F.col("lag") == F.col("rn_b"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("x_a") * F.col("x_b"))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+            F.sum("x_a").cast("decimal(20,0)").alias("h"),
+            F.sum("x_b").cast("decimal(20,0)").alias("t"),
+        )
+    )
+    nn = F.col("n") * F.col("n")
+    num = (
+        nn * F.col("sxy")
+        - F.col("n") * F.col("s") * (F.col("h") + F.col("t"))
+        + (F.col("n") - F.col("lag")) * F.col("s") * F.col("s")
+    )
+    den = nn * F.col("sxx") - F.col("n") * F.col("s") * F.col("s")
+    return pairs.crossJoin(F.broadcast(g)).select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("acf"),
+    )
+
+
+@query(
+    "budget_allocation",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT) AS r
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1),
+    t AS (SELECT SUM(r) AS total FROM rev),
+    b AS (
+      SELECT n_name,
+             CAST((1000000 * r) // total AS BIGINT) AS base_units,
+             (1000000 * r) % total AS rem
+      FROM rev, t),
+    u AS (
+      SELECT n_name, base_units,
+             CAST(1000000 - SUM(base_units) OVER () AS BIGINT) AS leftover,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, n_name) AS rn
+      FROM b)
+    SELECT n_name, base_units,
+           CAST(CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           base_units
+             + CAST(CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS units
+    FROM u
+    """,
+)
+def budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split a fixed
+    1,000,000-unit budget across nations proportional to exact revenue
+    cents — floor every proportional share, then hand the leftover
+    units to the largest fractional remainders (name tiebreak). The
+    proration every finance/ads warehouse runs when fractional shares
+    must land as integers that sum EXACTLY to the budget.
+
+    Exactness: shares stay rational only transiently — base = floor
+    (B*r/total) via integral division and the remainder via modulus,
+    both on DECIMAL(38,0)/HUGEINT (B*r peaks ~1e19, past int64 —
+    overflow is the trap the wide types close). No floating point
+    anywhere, so the gate is a full hash match.
+
+    Scale: one data-sized aggregate to 25 nation rows; everything
+    after (total, ranks, leftover) is dimension-bounded metadata, so
+    the unpartitioned windows are safe by cardinality, and the
+    nation-revenue relation broadcasts into the final projection."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(_dec("o_totalprice")) * 100)
+            .cast("decimal(20,0)")
+            .alias("r")
+        )
+    )
+    rev = rev.localCheckpoint(eager=False)  # consumed by t AND b
+    t = rev.agg(F.sum("r").cast("decimal(20,0)").alias("total"))
+    b = rev.crossJoin(F.broadcast(t)).select(
+        "n_name",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(7,0)) * r) div total AS BIGINT)"
+        ).alias("base_units"),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(7,0)) * r AS DECIMAL(38,0))"
+            " - CAST((CAST(1000000 AS DECIMAL(7,0)) * r) div total AS BIGINT)"
+            " * total"
+        ).alias("rem"),
+    )
+    u = b.select(
+        "n_name",
+        "base_units",
+        (F.lit(1000000) - F.sum("base_units").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )).alias("leftover"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), F.col("n_name")))
+        .alias("rn"),
+    )
+    extra = F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+    return u.select(
+        "n_name",
+        "base_units",
+        extra.cast("long").alias("extra"),
+        (F.col("base_units") + extra).cast("long").alias("units"),
+    )
+
+
+_BFS_SEEDS_SQL = "SELECT DISTINCT src AS v FROM e WHERE src % 999 = 0"
+
+
+@query(
+    "bfs_reach",
+    oracle=bfs_oracle_sql(_TRI_EDGES_SQL, _BFS_SEEDS_SQL, rounds=3)
+    + """
+    , nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+    allv AS (
+      SELECT v, hop FROM vis3
+      UNION ALL
+      SELECT v, CAST(-1 AS BIGINT) AS hop FROM nodes
+      WHERE NOT EXISTS (SELECT 1 FROM vis3 p WHERE p.v = nodes.v))
+    SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+           MIN(v) AS min_part, MAX(v) AS max_part
+    FROM allv GROUP BY 1
+    """,
+)
+def bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS reach profile over the part co-purchase
+    subgraph (every third part, the triangle_census graph): hop
+    distance from the seed set {nodes divisible by 999} for 3
+    level-synchronous rounds, summarized as nodes-per-hop with member
+    ranges; still-unreached subgraph nodes report hop -1. Answers the
+    blast-radius / influence-horizon question the reference's one-hop
+    game_neighbors table (`/root/reference/definitions/
+    game_similarity_search.sqlx`) cannot: how much of the catalog is
+    within k recommendation steps of a seed list.
+
+    Fixed rounds + min-hop-by-construction make the walk a pure
+    function of the edge set, so the DuckDB oracle replays all three
+    frontier expansions as unrolled MATERIALIZED CTEs
+    (operators/bfs.py bfs_oracle_sql) and the gate hash-verifies
+    every hop label — the kcore/label_propagation replay pattern.
+
+    Scale: each round is one edge-vs-frontier equi-join + distinct +
+    anti-join, all shuffle-bounded by frontier adjacency; the visited
+    set stays |V|-sized and is lineage-pinned per round; the edge
+    relation is built once and checkpoint-pinned (a lazy plan would
+    replay the basket build in every round's join)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") % 3 == 0
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").localCheckpoint(
+        eager=False
+    )
+    seeds = (
+        edges.where(F.col("src") % 999 == 0)
+        .select(F.col("src").alias("v"))
+        .distinct()
+    )
+    vis = bfs_hops(edges, seeds, rounds=3)
+    nodes = edges.select(F.col("src").alias("v")).distinct()
+    allv = vis.unionByName(
+        nodes.join(vis.select("v"), "v", "left_anti").select(
+            "v", F.lit(-1).cast("long").alias("hop")
+        )
+    )
+    return allv.groupBy("hop").agg(
+        F.count("*").alias("n_nodes"),
+        F.min("v").alias("min_part"),
+        F.max("v").alias("max_part"),
+    )
+
+
+@query(
+    "shard_manifest",
+    oracle="""
+    WITH scan AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents)
+    SELECT CAST((cum - n_chars) // 16000 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM scan GROUP BY 1
+    """,
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus shard manifest: assign documents (in doc_id
+    order) to contiguous ~16k-char shards by exclusive-prefix fill —
+    shard = floor(bytes_before_doc / target) — and report each
+    shard's doc count, size, and id range. This is the sharding step
+    every large-scale training pipeline runs between curation and the
+    data loader: deterministic, order-preserving, size-balanced file
+    assignment (the writer-side sibling of pack_sequences, which
+    packs WITHIN a sequence budget).
+
+    The oracle uses the textbook global running sum; the Spark side is
+    the two-pass bucketed prefix scan (operators/prefix.py
+    running_sum, id-band buckets) — per-bucket windows plus a
+    broadcast exclusive offset per band — so the gate hash-proves the
+    distributed scan against the single-window definition; a bare
+    Window.orderBy(doc_id) over a 100 TB corpus (one task) never
+    appears."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scan = running_sum(
+        docs,
+        "n_chars",
+        (F.col("doc_id") / 100).cast("long"),
+        ["doc_id"],
+        out_col="cum",
+    )
+    return (
+        scan.select(
+            F.expr("CAST((cum - n_chars) div 16000 AS BIGINT)").alias(
+                "shard"
+            ),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -1,0 +1,228 @@
+"""Round-7 session-3 operators: sequential statistics (CUSUM drift,
+autocorrelation), largest-remainder allocation, multi-source BFS, and
+the corpus shard manifest. Each gated query is re-derived here against
+a straight-line Python/pandas reference — the recursion forms the
+distributed rewrites replaced — so the closed-form identities are
+pinned independently of the DuckDB oracle."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+
+import __spark_entry__ as entrymod
+from bgg_data_warehouse_spark.operators.bfs import bfs_hops
+from tests.conftest import SF_SMALL
+
+
+def _sym_edges(spark, pairs):
+    sym = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in sym])
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops operator
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_path_graph_hops(spark):
+    """On a path 1-2-3-4-5 seeded at 1, hop == index distance, and the
+    round bound truncates the walk."""
+    edges = _sym_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([Row(v=1)])
+    got = {
+        r.v: r.hop for r in bfs_hops(edges, seeds, rounds=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops out — truncated
+
+
+def test_bfs_min_hop_wins_on_diamond(spark):
+    """A node reachable at hop 1 and hop 2 (diamond 1-2-4, 1-3, 3-4)
+    reports the MINIMUM distance, and multi-seed frontiers merge."""
+    edges = _sym_edges(spark, [(1, 2), (2, 4), (1, 3), (3, 4)])
+    seeds = spark.createDataFrame([Row(v=1)])
+    got = {r.v: r.hop for r in bfs_hops(edges, seeds, rounds=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+    # two seeds cover the square in one round
+    seeds2 = spark.createDataFrame([Row(v=1), Row(v=4)])
+    got2 = {r.v: r.hop for r in bfs_hops(edges, seeds2, rounds=1).collect()}
+    assert got2 == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def test_bfs_rejects_zero_rounds(spark):
+    edges = _sym_edges(spark, [(1, 2)])
+    seeds = spark.createDataFrame([Row(v=1)])
+    with pytest.raises(ValueError, match="rounds"):
+        bfs_hops(edges, seeds, rounds=0)
+
+
+def test_bfs_reach_covers_subgraph_exactly_once(spark):
+    """The gated summary partitions the %3 subgraph: every node appears
+    under exactly one hop label (including -1), so hop counts sum to
+    the node count."""
+    rows = entrymod.queries()["bfs_reach"](spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    n_nodes = con.execute(
+        f"""
+        SELECT count(DISTINCT a.l_partkey)
+        FROM '{SF_SMALL}/lineitem.parquet' a
+        JOIN '{SF_SMALL}/lineitem.parquet' b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0
+        """
+    ).fetchone()[0]
+    assert sum(r.n_nodes for r in rows) == n_nodes
+    assert len({r.hop for r in rows}) == len(rows)
+    for r in rows:
+        assert r.min_part <= r.max_part
+
+
+# ---------------------------------------------------------------------------
+# cusum_drift — closed scan identity vs the textbook recursion
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_scan_identity_matches_recursion(spark):
+    """The gated query's s = P - min(0, running_min(P)) must equal the
+    literal CUSUM recursion s_i = max(0, s_{i-1} + d_i) replayed in
+    Python over the same per-region daily series."""
+    rows = entrymod.queries()["cusum_drift"](spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""
+        SELECT r_name, date_trunc('day', o_orderdate) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT) AS x
+        FROM '{SF_SMALL}/orders.parquet'
+        JOIN '{SF_SMALL}/customer.parquet' ON o_custkey = c_custkey
+        JOIN '{SF_SMALL}/nation.parquet' ON c_nationkey = n_nationkey
+        JOIN '{SF_SMALL}/region.parquet' ON n_regionkey = r_regionkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series: dict[str, list] = {}
+    for r_name, day, x in daily:
+        series.setdefault(r_name, []).append((day, int(x)))
+    expect = {}
+    for r_name, pts in series.items():
+        n = len(pts)
+        s_tot = sum(x for _, x in pts)
+        s = 0
+        best = (-1, None)  # (cusum, day) — argmax with day asc tiebreak
+        for day, x in pts:  # literal recursion
+            s = max(0, s + (n * x - s_tot))
+            if s > best[0]:
+                best = (s, day)
+        # duckdb's date_trunc yields date, Spark's a midnight timestamp
+        expect[r_name] = (str(best[1])[:10], n, round(best[0] / (100.0 * n), 2))
+    got = {
+        r.r_name: (str(r.peak_day)[:10], r.n_days, r.peak_cusum_usd)
+        for r in rows
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# acf_lags — cross-multiplied integers vs a float reference
+# ---------------------------------------------------------------------------
+
+
+def test_acf_matches_float_reference(spark):
+    """The integer-exact ACF must agree with the straightforward
+    mean-centered float computation to float tolerance, with
+    n_pairs == n - lag and |acf| <= 1."""
+    rows = entrymod.queries()["acf_lags"](spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    xs = [
+        int(v)
+        for (v,) in con.execute(
+            f"""
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+            FROM '{SF_SMALL}/orders.parquet'
+            GROUP BY date_trunc('day', o_orderdate)
+            ORDER BY date_trunc('day', o_orderdate)
+            """
+        ).fetchall()
+    ]
+    n = len(xs)
+    mean = sum(xs) / n
+    den = sum((x - mean) ** 2 for x in xs)
+    assert len(rows) == 7
+    for r in rows:
+        k = r.lag
+        assert r.n_pairs == n - k
+        ref = (
+            sum((xs[i] - mean) * (xs[i + k] - mean) for i in range(n - k))
+            / den
+        )
+        assert abs(r.acf - ref) < 1e-6
+        assert abs(r.acf) <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# budget_allocation — apportionment invariants
+# ---------------------------------------------------------------------------
+
+
+def test_budget_allocation_sums_exactly_and_floors(spark):
+    """Hamilton apportionment: units sum EXACTLY to the budget, every
+    base share is the floor of the exact proportional share, and the
+    +1s go to the largest remainders."""
+    rows = entrymod.queries()["budget_allocation"](spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    rev = dict(
+        con.execute(
+            f"""
+            SELECT n_name,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+            FROM '{SF_SMALL}/orders.parquet'
+            JOIN '{SF_SMALL}/customer.parquet' ON o_custkey = c_custkey
+            JOIN '{SF_SMALL}/nation.parquet' ON c_nationkey = n_nationkey
+            GROUP BY 1
+            """
+        ).fetchall()
+    )
+    total = sum(int(v) for v in rev.values())
+    assert sum(r.units for r in rows) == 1_000_000
+    rem = {}
+    for r in rows:
+        exact = 1_000_000 * int(rev[r.n_name])
+        assert r.base_units == exact // total
+        assert r.extra in (0, 1)
+        assert r.units == r.base_units + r.extra
+        rem[r.n_name] = exact % total
+    # every nation given an extra unit out-remainders every nation denied
+    # one (ties broken by name, so compare the (rem, reversed-name) key)
+    got_extra = {n for n in rem if next(r.extra for r in rows if r.n_name == n)}
+    for winner in got_extra:
+        for loser in set(rem) - got_extra:
+            assert (rem[winner], loser) >= (rem[loser], winner)
+
+
+# ---------------------------------------------------------------------------
+# shard_manifest — contiguity and balance invariants
+# ---------------------------------------------------------------------------
+
+
+def test_shard_manifest_contiguous_and_complete(spark):
+    """Shards tile the corpus: doc ranges are disjoint and ordered,
+    counts/chars sum to the source totals, and every shard except the
+    last starts before its 16k boundary is crossed."""
+    rows = sorted(
+        entrymod.queries()["shard_manifest"](spark, SF_SMALL).collect(),
+        key=lambda r: r.shard,
+    )
+    con = duckdb.connect()
+    n_docs, total_chars = con.execute(
+        f"SELECT count(*), SUM(n_chars) FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchone()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.total_chars for r in rows) == total_chars
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.max_doc < nxt.min_doc  # disjoint, ordered ranges
+    # exclusive-prefix fill: cumulative chars before each shard's first
+    # doc land inside that shard's 16k window
+    cum = 0
+    for r in rows:
+        assert cum // 16000 == r.shard
+        cum += r.total_chars
