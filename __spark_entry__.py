@@ -110,15 +110,22 @@ _PRIORITY = [
     "budget_allocation",
     "bfs_reach",
     "shard_manifest",
+    # NEW round 7 (session 3, cont.): Kaplan-Meier time-to-conversion
+    # via integer micro-nat folds, last-touch attribution (as-of
+    # union-window vs the quadratic correlated oracle), trailing
+    # 28-day integer OLS slopes
+    "survival_first_purchase",
+    "attribution_last_touch",
+    "rolling_regression",
     # stale-evidence refresh: the r2-vintage block (last driver row r2)
     "benchmark_contamination",
+    # ---- position 51+: next-up if the driver widens; remaining
+    # r2-vintage refreshes (chunk_documents..lang_id displaced by the
+    # session-3 gates) lead the round-8 stale-refresh queue, then
+    # mix_sources..union_discriminated
     "chunk_documents",
     "doc_fingerprint",
     "dual_rank_topk",
-    # ---- position 51+: next-up if the driver widens; remaining
-    # r2-vintage refreshes (except_intersect_keys..lang_id displaced by
-    # the session-3 gates) lead the round-8 stale-refresh queue, then
-    # mix_sources..union_discriminated
     "except_intersect_keys",
     "feature_arrays",
     "filter_topn",

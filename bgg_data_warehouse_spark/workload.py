@@ -8633,3 +8633,287 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (cont., session 3b): Kaplan-Meier time-to-event survival via
+# micro-nat folds, last-touch marketing attribution (the as-of
+# union-window form with a deterministic tiebreak), and trailing-window
+# OLS regression slopes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "survival_first_purchase",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             date_diff('day', MIN(ts),
+               COALESCE(MIN(CASE WHEN event_type = 'purchase' THEN ts END),
+                        MAX(ts))) AS dur,
+             CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                    IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM events GROUP BY user_id),
+    h AS (
+      SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
+             CAST(SUM(observed) AS BIGINT) AS d_event
+      FROM u GROUP BY dur),
+    risk AS (
+      SELECT dur, d_event,
+             CAST(SUM(n_all) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_risk
+      FROM h),
+    ev AS (
+      SELECT dur, n_risk, d_event,
+             CAST(ROUND(LN(CAST(n_risk - d_event AS DOUBLE)
+                           / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)
+               AS factor_micro
+      FROM risk WHERE d_event > 0 AND n_risk > d_event),
+    km AS (
+      SELECT dur, n_risk, d_event,
+             CAST(SUM(factor_micro) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS log_surv_micro
+      FROM ev)
+    SELECT dur, n_risk, d_event, log_surv_micro,
+           ROUND(EXP(CAST(log_surv_micro AS DOUBLE) / 1000000.0), 4) AS surv
+    FROM km
+    """,
+)
+def survival_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve: duration = days from a
+    user's first event to their FIRST purchase; users who never
+    purchase are right-censored at their last observed activity. At
+    each conversion duration t the estimator multiplies (1 - d_t/n_t)
+    over the shrinking risk set (censored users leave the risk set
+    after their censor time, the standard KM convention) —
+    the retention statistic behind every cohort-lifetime dashboard
+    (reference analog: the user-collection lifecycle feed,
+    `/root/reference/definitions/user_collection_predictions.sqlx`).
+
+    Gateability: the product of rationals is folded per-factor into
+    integer micro-nats — round(ln((n-d)/n)*1e6) — and SUMMED (the
+    dsir/trigram micro-nat convention), so the curve's exact anchor
+    column log_surv_micro is pure integer; the displayed survival is
+    one exp + 4dp round at the end. Rows where the risk set would be
+    fully consumed (n == d, only possible at the final duration) are
+    excluded — ln(0) has no finite fold.
+
+    Scale: one data-sized per-user min/max aggregate; everything after
+    runs on the duration histogram, bounded by study length in days
+    (~30 rows at ANY data scale), so the unpartitioned windows are safe
+    by cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("first_buy"),
+        )
+        .select(
+            F.datediff(
+                F.coalesce("first_buy", "last_ts"), F.col("first_ts")
+            ).alias("dur"),
+            F.when(F.col("first_buy").isNotNull(), 1)
+            .otherwise(0)
+            .alias("observed"),
+        )
+    )
+    h = u.groupBy("dur").agg(
+        F.count("*").alias("n_all"),
+        F.sum("observed").cast("long").alias("d_event"),
+    )
+    w_desc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = h.select(
+        "dur",
+        "d_event",
+        F.sum("n_all").over(w_desc).cast("long").alias("n_risk"),
+    )
+    evt = risk.where(
+        (F.col("d_event") > 0) & (F.col("n_risk") > F.col("d_event"))
+    ).select(
+        "dur",
+        "n_risk",
+        "d_event",
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d_event")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("factor_micro"),
+    )
+    w_asc = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return evt.select(
+        "dur",
+        "n_risk",
+        "d_event",
+        F.sum("factor_micro").over(w_asc).cast("long").alias(
+            "log_surv_micro"
+        ),
+    ).withColumn(
+        "surv",
+        F.round(
+            F.exp(F.col("log_surv_micro").cast("double") / 1000000.0), 4
+        ),
+    )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    a AS (
+      SELECT p.event_id, p.value,
+        COALESCE((
+          SELECT t.event_type FROM events t
+          WHERE t.user_id = p.user_id
+            AND t.event_type IN ('view', 'click', 'signup')
+            AND t.ts <= p.ts
+            AND t.ts >= p.ts - INTERVAL 3 DAY
+          ORDER BY t.ts DESC, t.event_id DESC LIMIT 1), 'direct') AS channel
+      FROM p)
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS attributed_value
+    FROM a GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase's value is
+    credited to the user's most recent preceding touch event (view /
+    click / signup) within a 3-day lookback, else to 'direct' — the
+    standard conversion-credit query of event-stream warehouses.
+
+    The oracle is the naive correlated top-1 subquery per purchase;
+    the Spark side is the as-of union-window form (the
+    operators/asof.py plan shape, inlined for the per-row tiebreak):
+    tag touches side=0 / purchases side=1, ONE window per user ordered
+    by (ts, side, event_id), and carry the last non-null touch struct
+    forward — so the gate hash-proves the single-shuffle rewrite
+    against the quadratic definition. Ordering guarantees exact
+    parity: at equal ts a touch sorts before the purchase (inclusive
+    match, as the oracle's t.ts <= p.ts), and among equal-ts touches
+    the highest event_id wins on both sides.
+
+    Scale: one hash shuffle on user_id — same cost as an equi-join; no
+    range join, no per-purchase probe. A naive events x events
+    time-band join at 100 TB materializes O(touches x purchases) per
+    user before the per-row argmax; this form never does."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "signup", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "side"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(
+        F.col("side") == 0,
+        F.struct(
+            F.col("ts").alias("t_ts"), F.col("event_type").alias("t_type")
+        ),
+    )
+    carried = tagged.withColumn(
+        "lt", F.last(touch, ignorenulls=True).over(w)
+    ).where(F.col("side") == 1)
+    channel = F.when(
+        F.col("lt").isNotNull()
+        & (F.col("lt.t_ts") >= F.col("ts") - F.expr("INTERVAL 3 DAYS")),
+        F.col("lt.t_type"),
+    ).otherwise("direct")
+    return carried.groupBy(channel.alias("channel")).agg(
+        F.count("*").alias("n_purchases"),
+        _money_sum(_dec("value")).alias("attributed_value"),
+    )
+
+
+@query(
+    "rolling_regression",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    srs AS (
+      SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS x FROM daily),
+    win AS (
+      SELECT day,
+             CAST(count(*) OVER w AS BIGINT) AS n_win,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+      FROM srs
+      WINDOW w AS (ORDER BY day
+        ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+    SELECT day, n_win,
+           ROUND(CAST(n_win * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_win * sxx - sx * sx AS DOUBLE) / 100.0, 4)
+             AS slope_usd_per_day
+    FROM win WHERE n_win = 28
+    """,
+)
+def rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 28-day OLS revenue slope per day — the rolling "is it
+    accelerating" trend line, the windowed sibling of ols_trend's
+    closed-form per-group fit. Every window statistic (n, Σx, Σy, Σxy,
+    Σx²) is an integer window sum over (day index, revenue cents), so
+    the slope is one exact cross-multiplied quotient per day —
+    (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) — with a single double division +
+    4dp round; warm-up rows (< 28 observations) are excluded, which
+    also keeps the denominator provably nonzero.
+
+    Scale: the data-sized stage is the daily aggregate; the series is
+    calendar-bounded (~2.4k rows at any data scale), so the trailing
+    frame windows are metadata-sized — the acf_lags boundedness
+    argument."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        F.sum(_dec("o_totalprice") * 100).cast("long").alias("y")
+    )
+    srs = daily.select(
+        "day", "y", F.row_number().over(Window.orderBy("day")).alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(-27, Window.currentRow)
+    win = srs.select(
+        "day",
+        F.count("*").over(w).alias("n_win"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    num = F.col("n_win") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_win") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return win.where(F.col("n_win") == 28).select(
+        "day",
+        "n_win",
+        F.round(
+            num.cast("double") / den.cast("double") / 100.0, 4
+        ).alias("slope_usd_per_day"),
+    )

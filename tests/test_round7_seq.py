@@ -226,3 +226,134 @@ def test_shard_manifest_contiguous_and_complete(spark):
     for r in rows:
         assert cum // 16000 == r.shard
         cum += r.total_chars
+
+
+# ---------------------------------------------------------------------------
+# survival_first_purchase — KM estimator vs a straight-line reference
+# ---------------------------------------------------------------------------
+
+
+def test_km_curve_matches_python_reference(spark):
+    """The windowed KM pipeline must equal the textbook estimator
+    computed row-by-row in Python: risk sets, event counts, and the
+    product-limit survival (via the same micro-nat folds)."""
+    import math
+
+    rows = sorted(
+        entrymod.queries()["survival_first_purchase"](
+            spark, SF_SMALL
+        ).collect(),
+        key=lambda r: r.dur,
+    )
+    con = duckdb.connect()
+    subj = con.execute(
+        f"""
+        SELECT date_diff('day', MIN(ts),
+                 COALESCE(MIN(CASE WHEN event_type = 'purchase' THEN ts END),
+                          MAX(ts))) AS dur,
+               CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                      IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM '{SF_SMALL}/events.parquet' GROUP BY user_id
+        """
+    ).fetchall()
+    durs = sorted({d for d, _ in subj})
+    log_micro = 0
+    expect = []
+    for t in durs:
+        n = sum(1 for d, _ in subj if d >= t)
+        d_ev = sum(1 for d, o in subj if d == t and o == 1)
+        if d_ev > 0 and n > d_ev:
+            log_micro += round(math.log((n - d_ev) / n) * 1_000_000)
+            expect.append((t, n, d_ev, log_micro))
+    assert [(r.dur, r.n_risk, r.d_event, r.log_surv_micro) for r in rows] == expect
+    for r in rows:
+        assert abs(r.surv - round(math.exp(r.log_surv_micro / 1e6), 4)) < 1e-12
+    # survival is monotone nonincreasing and within (0, 1]
+    survs = [r.surv for r in rows]
+    assert all(a >= b for a, b in zip(survs, survs[1:]))
+    assert all(0 < v <= 1 for v in survs)
+
+
+# ---------------------------------------------------------------------------
+# attribution_last_touch — window rewrite vs brute-force credit
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_matches_bruteforce(spark):
+    """The single-window as-of form must credit every purchase exactly
+    as the brute-force 'scan all prior touches per purchase' loop."""
+    rows = entrymod.queries()["attribution_last_touch"](
+        spark, SF_SMALL
+    ).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        f"""
+        SELECT user_id, ts, event_id, event_type, CAST(value AS DECIMAL(18,2))
+        FROM '{SF_SMALL}/events.parquet'
+        WHERE event_type IN ('view','click','signup','purchase')
+        """
+    ).fetchall()
+    from collections import defaultdict
+    from datetime import timedelta
+
+    by_user = defaultdict(list)
+    for u, ts, eid, et, v in ev:
+        by_user[u].append((ts, eid, et, v))
+    credit = defaultdict(lambda: [0, 0])
+    for u, es in by_user.items():
+        touches = [(ts, eid, et) for ts, eid, et, _ in es if et != "purchase"]
+        for ts, eid, et, v in es:
+            if et != "purchase":
+                continue
+            cand = [
+                (t_ts, t_eid, t_et)
+                for t_ts, t_eid, t_et in touches
+                if t_ts <= ts and t_ts >= ts - timedelta(days=3)
+            ]
+            ch = max(cand)[2] if cand else "direct"
+            credit[ch][0] += 1
+            credit[ch][1] += v
+    got = {r.channel: (r.n_purchases, r.attributed_value) for r in rows}
+    expect = {
+        ch: (n, round(float(total), 2)) for ch, (n, total) in credit.items()
+    }
+    assert got == expect
+    assert sum(n for n, _ in got.values()) == sum(
+        1 for es in by_user.values() for e in es if e[2] == "purchase"
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling_regression — windowed integer OLS vs numpy polyfit
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_slope_matches_polyfit(spark):
+    """Each full-window slope must match numpy's least-squares fit over
+    the same trailing 28 (index, cents) points."""
+    import numpy as np
+
+    rows = sorted(
+        entrymod.queries()["rolling_regression"](spark, SF_SMALL).collect(),
+        key=lambda r: r.day,
+    )
+    con = duckdb.connect()
+    ys = [
+        int(v)
+        for (v,) in con.execute(
+            f"""
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+            FROM '{SF_SMALL}/orders.parquet'
+            GROUP BY date_trunc('day', o_orderdate)
+            ORDER BY date_trunc('day', o_orderdate)
+            """
+        ).fetchall()
+    ]
+    n_days = len(ys)
+    assert len(rows) == n_days - 27
+    for i, r in enumerate(rows):
+        assert r.n_win == 28
+        lo = i  # window covers series indices [i, i+27]
+        xs = np.arange(lo + 1, lo + 29, dtype=float)
+        slope = np.polyfit(xs, np.array(ys[lo : lo + 28], dtype=float), 1)[0]
+        assert abs(r.slope_usd_per_day - slope / 100.0) < 1e-3
