@@ -117,12 +117,16 @@ _PRIORITY = [
     "survival_first_purchase",
     "attribution_last_touch",
     "rolling_regression",
-    # stale-evidence refresh: the r2-vintage block (last driver row r2)
+    # NEW round 7 (session 3, cont.): burst debouncing (sessionize's
+    # boundary trick as a filter) and integer HITS hub/authority
+    # centrality (all six half-iterations replayed in the oracle)
+    "event_debounce",
+    "hits_scores",
+    # ---- position 51+: next-up if the driver widens. The session-3
+    # gates consumed every stale-refresh slot, so the r2-vintage block
+    # (benchmark_contamination..lang_id) leads the round-8 refresh
+    # queue, then mix_sources..union_discriminated
     "benchmark_contamination",
-    # ---- position 51+: next-up if the driver widens; remaining
-    # r2-vintage refreshes (chunk_documents..lang_id displaced by the
-    # session-3 gates) lead the round-8 stale-refresh queue, then
-    # mix_sources..union_discriminated
     "chunk_documents",
     "doc_fingerprint",
     "dual_rank_topk",

@@ -8917,3 +8917,180 @@ def rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / den.cast("double") / 100.0, 4
         ).alias("slope_usd_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (cont., session 3c): event burst debouncing and integer HITS
+# hub/authority centrality.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_debounce",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+                  THEN 1 ELSE 0 END AS kept
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN kept = 1
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+             AS kept_value
+    FROM g GROUP BY 1
+    """,
+)
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst debouncing — the event-stream cleanup that collapses rapid
+    repeats: within each (user, event type) stream, an event is KEPT
+    iff it starts a new burst (no predecessor, or >= 6 h since the
+    previous event); followers inside the burst chain are dropped.
+    Chain semantics (gap measured to the previous RAW event) make the
+    kept flag a pure LAG expression — the burst-boundary trick behind
+    `sessionize`, reused as a filter instead of a grouping — so no
+    recursion against "last kept" is ever needed.
+
+    Everything is exact: timestamp interval comparison, integer kept
+    counts, DECIMAL value sums. One shuffle on (user, event_type);
+    per-stream windows are bounded by a user's own activity, the same
+    partitioning every sessionizer at 100 TB uses."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    prev = F.lag("ts").over(w)
+    kept = F.when(
+        prev.isNull()
+        | (F.col("ts") - prev >= F.expr("INTERVAL 6 HOURS")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("kept", kept)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.round(
+                F.sum(
+                    F.when(F.col("kept") == 1, _dec("value"))
+                ).cast("double"),
+                2,
+            ).alias("kept_value"),
+        )
+    )
+
+
+@query(
+    "hits_scores",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    h1 AS MATERIALIZED (
+      SELECT c, CAST(count(*) AS HUGEINT) AS s FROM e GROUP BY c),
+    a1 AS MATERIALIZED (
+      SELECT p, SUM(h1.s) AS s FROM e JOIN h1 USING (c) GROUP BY p),
+    h2 AS MATERIALIZED (
+      SELECT c, SUM(a1.s) AS s FROM e JOIN a1 USING (p) GROUP BY c),
+    a2 AS MATERIALIZED (
+      SELECT p, SUM(h2.s) AS s FROM e JOIN h2 USING (c) GROUP BY p),
+    h3 AS MATERIALIZED (
+      SELECT c, SUM(a2.s) AS s FROM e JOIN a2 USING (p) GROUP BY c),
+    a3 AS MATERIALIZED (
+      SELECT p, SUM(h3.s) AS s FROM e JOIN h3 USING (c) GROUP BY p),
+    ranked AS (
+      SELECT 'authority' AS role, p AS node_id, s,
+             ROW_NUMBER() OVER (ORDER BY s DESC, p) AS rn
+      FROM a3
+      UNION ALL
+      SELECT 'hub' AS role, c AS node_id, s,
+             ROW_NUMBER() OVER (ORDER BY s DESC, c) AS rn
+      FROM h3)
+    SELECT role, node_id, CAST(s AS BIGINT) AS score,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority centrality on the bipartite customer->part
+    purchase graph, 3 un-normalized power iterations: hub(c) sums the
+    authority of the parts c buys, authority(p) sums the hub score of
+    p's buyers. Dropping the per-round normalization (a constant
+    factor that cancels in the RANKING) keeps every score an exact
+    integer — the same determinism move as the integer PageRank
+    (operators/pagerank.py) — so the top-10 hubs and authorities are
+    hash-gated with all six half-iterations replayed as materialized
+    CTEs. Complements pagerank_bipartite: PageRank measures random-walk
+    visitation, HITS the mutual hub<->authority reinforcement.
+
+    Scale: scores live on |C|- and |P|-sized relations, never on
+    edges; each half-iteration is one edge-vs-scores equi-join + one
+    map-side-combinable sum, with the score frame lineage-pinned per
+    round. Sums ride DECIMAL(38,0) (HUGEINT in the oracle) because
+    un-normalized scores grow like degree^rounds; the final top-10
+    values are BIGINT-safe at any plausible degree."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hub = (
+        e.groupBy("c")
+        .agg(F.count("*").cast("decimal(38,0)").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(2):
+        auth = (
+            e.join(hub, "c")
+            .groupBy("p")
+            .agg(F.sum("s").cast("decimal(38,0)").alias("s"))
+            .localCheckpoint(eager=False)
+        )
+        hub = (
+            e.join(auth, "p")
+            .groupBy("c")
+            .agg(F.sum("s").cast("decimal(38,0)").alias("s"))
+            .localCheckpoint(eager=False)
+        )
+    auth = (
+        e.join(hub, "c")
+        .groupBy("p")
+        .agg(F.sum("s").cast("decimal(38,0)").alias("s"))
+    )
+    # top-10 per side via sort-limit (plans TakeOrderedAndProject —
+    # per-partition heaps, no full sort of the |P|/|C| relations), then
+    # rank only the <= 20 survivors
+    top_a = (
+        auth.select(
+            F.lit("authority").alias("role"), F.col("p").alias("node_id"), "s"
+        )
+        .orderBy(F.col("s").desc(), F.col("node_id"))
+        .limit(10)
+    )
+    top_h = (
+        hub.select(
+            F.lit("hub").alias("role"), F.col("c").alias("node_id"), "s"
+        )
+        .orderBy(F.col("s").desc(), F.col("node_id"))
+        .limit(10)
+    )
+    rnw = Window.partitionBy("role").orderBy(
+        F.col("s").desc(), F.col("node_id")
+    )
+    return (
+        top_a.unionByName(top_h)
+        .withColumn("rn", F.row_number().over(rnw))
+        .select(
+            "role",
+            "node_id",
+            F.col("s").cast("long").alias("score"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )

@@ -357,3 +357,130 @@ def test_rolling_slope_matches_polyfit(spark):
         xs = np.arange(lo + 1, lo + 29, dtype=float)
         slope = np.polyfit(xs, np.array(ys[lo : lo + 28], dtype=float), 1)[0]
         assert abs(r.slope_usd_per_day - slope / 100.0) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# event_debounce — burst-collapse invariants
+# ---------------------------------------------------------------------------
+
+
+def test_debounce_chain_semantics(spark):
+    """A burst chain keeps only its opener: events at +0s, +1h, +2h
+    collapse to one (each gap < 6h), while a 7h gap reopens — and the
+    kept flag is per (user, type) stream."""
+    from datetime import datetime
+
+    from bgg_data_warehouse_spark.workload import QUERIES  # noqa: F401
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev(u, et, hours):
+        nonlocal eid
+        eid += 1
+        from datetime import timedelta
+
+        return Row(
+            event_id=eid,
+            ts=base + timedelta(hours=hours),
+            user_id=u,
+            event_type=et,
+            value=1.0,
+            props="{}",
+        )
+
+    # user 1 'click': chain 0,1,2 (one burst) then 9 (new burst)
+    rows += [ev(1, "click", 0), ev(1, "click", 1), ev(1, "click", 2), ev(1, "click", 9)]
+    # user 1 'view' at same times: independent stream
+    rows += [ev(1, "view", 0), ev(1, "view", 1)]
+    # user 2 'click': single event
+    rows += [ev(2, "click", 0)]
+    df = spark.createDataFrame(rows)
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    kept = F.when(
+        prev.isNull() | (F.col("ts") - prev >= F.expr("INTERVAL 6 HOURS")), 1
+    ).otherwise(0)
+    got = {
+        (r.user_id, r.event_type): r.n
+        for r in df.withColumn("k", kept)
+        .groupBy("user_id", "event_type")
+        .agg(F.sum("k").alias("n"))
+        .collect()
+    }
+    assert got == {(1, "click"): 2, (1, "view"): 1, (2, "click"): 1}
+
+
+def test_debounce_gate_totals_consistent(spark):
+    """Per-type kept counts are bounded by totals and sum to the
+    sessionize-style burst count derived independently."""
+    rows = entrymod.queries()["event_debounce"](spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    bursts = dict(
+        con.execute(
+            f"""
+            WITH g AS (
+              SELECT event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS b
+              FROM '{SF_SMALL}/events.parquet'
+              WINDOW w AS (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id))
+            SELECT event_type, CAST(SUM(b) AS BIGINT) FROM g GROUP BY 1
+            """
+        ).fetchall()
+    )
+    for r in rows:
+        assert 0 < r.n_kept <= r.n_events
+        assert r.n_kept == bursts[r.event_type]
+
+
+# ---------------------------------------------------------------------------
+# hits_scores — power-iteration reference
+# ---------------------------------------------------------------------------
+
+
+def test_hits_matches_python_power_iteration(spark):
+    """Three un-normalized HITS rounds replayed in pure Python over the
+    same edge set must produce identical top-10 scores and ranks."""
+    rows = entrymod.queries()["hits_scores"](spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        SELECT DISTINCT o_custkey, l_partkey
+        FROM '{SF_SMALL}/orders.parquet'
+        JOIN '{SF_SMALL}/lineitem.parquet' ON o_orderkey = l_orderkey
+        """
+    ).fetchall()
+    from collections import defaultdict
+
+    hub = defaultdict(int)
+    for c, _ in edges:
+        hub[c] += 1  # h1 = degree (auth0 = 1)
+    for _ in range(2):
+        auth = defaultdict(int)
+        for c, p in edges:
+            auth[p] += hub[c]
+        hub = defaultdict(int)
+        for c, p in edges:
+            hub[c] += auth[p]
+    auth = defaultdict(int)
+    for c, p in edges:
+        auth[p] += hub[c]
+    top_a = sorted(auth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    top_h = sorted(hub.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got_a = sorted(
+        (r.node_id, r.score, r.rn) for r in rows if r.role == "authority"
+    )
+    got_a.sort(key=lambda t: t[2])
+    got_h = sorted(
+        (r.node_id, r.score, r.rn) for r in rows if r.role == "hub"
+    )
+    got_h.sort(key=lambda t: t[2])
+    assert got_a == [(n, s, i + 1) for i, (n, s) in enumerate(top_a)]
+    assert got_h == [(n, s, i + 1) for i, (n, s) in enumerate(top_h)]
