@@ -8331,10 +8331,12 @@ def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "acf_lags",
     oracle="""
-    WITH daily AS (
+    WITH daily0 AS (
       SELECT date_trunc('day', o_orderdate) AS day,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT) AS x
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT) AS x0
       FROM orders GROUP BY 1),
+    daily AS (
+      SELECT day, x0 - (SELECT MIN(x0) FROM daily0) AS x FROM daily0),
     srs AS (SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
     g AS (
       SELECT CAST(count(*) AS HUGEINT) AS n, SUM(x) AS s, SUM(x * x) AS sxx
@@ -8364,10 +8366,16 @@ def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     is rational, so both sides are cross-multiplied by n^2 into pure
     integers — num = n^2*Sxy(k) - n*S*(H_k+T_k) + (n-k)*S^2,
     den = n^2*Sxx - n*S^2 — accumulated as DECIMAL(38,0) cents
-    (HUGEINT in the oracle; peak magnitude ~4e26, comfortably inside
-    both), with ONE deterministic double division + round at the end.
-    Lag pairing is by series index (row number over observed days),
-    the standard business-day convention for gapped calendars.
+    (HUGEINT in the oracle), with ONE deterministic double division +
+    round at the end. The series is first shifted by its MINIMUM —
+    ACF's centered moments are exactly shift-invariant, in integer
+    arithmetic too, so the outputs are identical while the cross
+    products scale with the series RANGE squared instead of the
+    absolute level squared: headroom grows from daily revenue
+    ~2.7e13 cents to range ~2.7e13 cents before the n^3-weighted
+    products approach the 1e38 decimal ceiling. Lag pairing is by
+    series index (row number over observed days), the standard
+    business-day convention for gapped calendars.
 
     Scale: the only data-sized stage is the daily aggregate; the
     series is calendar-bounded (~2.4k rows at any data scale), so the
@@ -8375,10 +8383,14 @@ def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag table broadcasts; the pair join is an equi-join on a computed
     index key."""
     o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(
+    daily0 = o.groupBy(
         F.date_trunc("day", "o_orderdate").alias("day")
     ).agg(
-        (F.sum(_dec("o_totalprice")) * 100).cast("decimal(20,0)").alias("x")
+        (F.sum(_dec("o_totalprice")) * 100).cast("decimal(20,0)").alias("x0")
+    ).localCheckpoint(eager=False)  # consumed by the min AND the shift
+    mn = daily0.agg(F.min("x0").alias("mn"))
+    daily = daily0.crossJoin(F.broadcast(mn)).select(
+        "day", (F.col("x0") - F.col("mn")).cast("decimal(20,0)").alias("x")
     )
     srs = daily.select(
         "x", F.row_number().over(Window.orderBy("day")).alias("rn")
@@ -8858,18 +8870,20 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
       FROM orders GROUP BY 1),
     srs AS (
-      SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS x FROM daily),
+      SELECT day, CAST(y AS HUGEINT) AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT) AS x
+      FROM daily),
     win AS (
       SELECT day,
-             CAST(count(*) OVER w AS BIGINT) AS n_win,
-             CAST(SUM(x) OVER w AS BIGINT) AS sx,
-             CAST(SUM(y) OVER w AS BIGINT) AS sy,
-             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
-             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+             CAST(count(*) OVER w AS HUGEINT) AS n_win,
+             SUM(x) OVER w AS sx,
+             SUM(y) OVER w AS sy,
+             SUM(x * y) OVER w AS sxy,
+             SUM(x * x) OVER w AS sxx
       FROM srs
       WINDOW w AS (ORDER BY day
         ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
-    SELECT day, n_win,
+    SELECT day, CAST(n_win AS BIGINT) AS n_win,
            ROUND(CAST(n_win * sxy - sx * sy AS DOUBLE)
                  / CAST(n_win * sxx - sx * sx AS DOUBLE) / 100.0, 4)
              AS slope_usd_per_day
@@ -8894,25 +8908,33 @@ def rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(
         F.date_trunc("day", "o_orderdate").alias("day")
     ).agg(
-        F.sum(_dec("o_totalprice") * 100).cast("long").alias("y")
+        F.sum(_dec("o_totalprice") * 100).cast("decimal(20,0)").alias("y")
     )
+    # DECIMAL(38,0) accumulators (HUGEINT in the oracle): plain BIGINT
+    # sums would wrap silently in Spark (ANSI off) while DuckDB raises,
+    # once daily cents reach the 100 TB regime — the acf_lags/hits rule
     srs = daily.select(
-        "day", "y", F.row_number().over(Window.orderBy("day")).alias("x")
+        "day",
+        "y",
+        F.row_number()
+        .over(Window.orderBy("day"))
+        .cast("decimal(10,0)")
+        .alias("x"),
     )
     w = Window.orderBy("day").rowsBetween(-27, Window.currentRow)
     win = srs.select(
         "day",
-        F.count("*").over(w).alias("n_win"),
-        F.sum("x").over(w).alias("sx"),
-        F.sum("y").over(w).alias("sy"),
-        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.count("*").over(w).cast("decimal(10,0)").alias("n_win"),
+        F.sum("x").over(w).cast("decimal(20,0)").alias("sx"),
+        F.sum("y").over(w).cast("decimal(28,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("decimal(20,0)").alias("sxx"),
     )
     num = F.col("n_win") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n_win") * F.col("sxx") - F.col("sx") * F.col("sx")
     return win.where(F.col("n_win") == 28).select(
         "day",
-        "n_win",
+        F.col("n_win").cast("long").alias("n_win"),
         F.round(
             num.cast("double") / den.cast("double") / 100.0, 4
         ).alias("slope_usd_per_day"),
@@ -9117,7 +9139,8 @@ _EMB_DIMS = 64
     q AS (
       SELECT vec_id, CAST(t.i AS BIGINT) AS i,
              CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS qv
-      FROM embeddings, range({_EMB_DIMS}) t(i))
+      FROM embeddings, range({_EMB_DIMS}) t(i)
+      WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIMS})
     SELECT vec_id, CAST(d AS BIGINT) AS dim,
            CAST(SUM(qv * s) AS BIGINT) AS proj
     FROM q JOIN sgn USING (i) GROUP BY 1, 2
@@ -9146,7 +9169,10 @@ def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     output."""
     from .operators.importance import md5_fold
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == _EMB_DIMS)
+    )
     signs = (
         spark.range(_PROJ_DIMS)
         .select(F.col("id").alias("d"))
@@ -9194,12 +9220,13 @@ def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
              label,
              CAST(count(*) AS BIGINT) AS n_bl
       FROM embeddings, range({_EMB_DIMS}) t(i)
+      WHERE embedding IS NOT NULL AND len(embedding) = {_EMB_DIMS}
       GROUP BY 1, 2, 3),
     nb AS (SELECT i, b, CAST(SUM(n_bl) AS BIGINT) AS n_b
            FROM cells GROUP BY 1, 2),
     nl AS (SELECT label, CAST(SUM(n_bl) AS BIGINT) AS n_l
            FROM cells WHERE i = 0 GROUP BY 1),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    tot AS (SELECT CAST(SUM(n_bl) AS BIGINT) AS n FROM cells WHERE i = 0),
     terms AS (
       SELECT cells.i,
              n_bl * CAST(ROUND(LN(CAST(n_bl AS DOUBLE) * CAST(n AS DOUBLE)
@@ -9232,13 +9259,19 @@ def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention), summed exactly. Empty cells contribute nothing on
     both sides by construction (GROUP BY only materializes observed
     cells). The sign-bit test (x > 0) is a float comparison both
-    engines evaluate identically on the same parquet value.
+    engines evaluate identically on the same parquet value. Both
+    sides filter to well-formed vectors (non-null, exactly 64 dims) —
+    the contract is explicit, not assumed, so a malformed row shifts
+    neither the marginals nor N.
 
     Scale: the explode is map-side and the cell aggregate
     partial-combines to at most 64 x 2 x |labels| rows; marginals and
     the total are metadata-sized broadcasts; the rank window runs over
     64 rows."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == _EMB_DIMS)
+    )
     cells = (
         emb.select(
             "label", F.posexplode("embedding").alias("i", "x")
@@ -9258,7 +9291,9 @@ def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.sum("n_bl").alias("n_l"))
     )
-    tot = emb.agg(F.count("*").alias("n"))
+    # N from the pinned cell frame — a second full embeddings scan for
+    # a row count is pure waste at corpus scale
+    tot = cells.where(F.col("i") == 0).agg(F.sum("n_bl").alias("n"))
     terms = (
         cells.join(F.broadcast(nb), ["i", "b"])
         .join(F.broadcast(nl), "label")

@@ -365,54 +365,38 @@ def test_rolling_slope_matches_polyfit(spark):
 
 
 def test_debounce_chain_semantics(spark):
-    """A burst chain keeps only its opener: events at +0s, +1h, +2h
-    collapse to one (each gap < 6h), while a 7h gap reopens — and the
-    kept flag is per (user, type) stream."""
-    from datetime import datetime
+    """The REAL gated query must reproduce a straight Python chain walk
+    over the parquet streams: per (user, type) ordered by (ts,
+    event_id), keep iff first or >= 6h since the previous RAW event —
+    counts AND kept-value sums."""
+    from collections import defaultdict
+    from datetime import timedelta
+    from decimal import Decimal
 
-    from bgg_data_warehouse_spark.workload import QUERIES  # noqa: F401
-
-    base = datetime(2024, 1, 1)
-    rows = []
-    eid = 0
-
-    def ev(u, et, hours):
-        nonlocal eid
-        eid += 1
-        from datetime import timedelta
-
-        return Row(
-            event_id=eid,
-            ts=base + timedelta(hours=hours),
-            user_id=u,
-            event_type=et,
-            value=1.0,
-            props="{}",
-        )
-
-    # user 1 'click': chain 0,1,2 (one burst) then 9 (new burst)
-    rows += [ev(1, "click", 0), ev(1, "click", 1), ev(1, "click", 2), ev(1, "click", 9)]
-    # user 1 'view' at same times: independent stream
-    rows += [ev(1, "view", 0), ev(1, "view", 1)]
-    # user 2 'click': single event
-    rows += [ev(2, "click", 0)]
-    df = spark.createDataFrame(rows)
-    from pyspark.sql import functions as F
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    kept = F.when(
-        prev.isNull() | (F.col("ts") - prev >= F.expr("INTERVAL 6 HOURS")), 1
-    ).otherwise(0)
-    got = {
-        (r.user_id, r.event_type): r.n
-        for r in df.withColumn("k", kept)
-        .groupBy("user_id", "event_type")
-        .agg(F.sum("k").alias("n"))
-        .collect()
+    rows = entrymod.queries()["event_debounce"](spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        f"""
+        SELECT user_id, event_type, ts, event_id,
+               CAST(value AS DECIMAL(18,2))
+        FROM '{SF_SMALL}/events.parquet'
+        ORDER BY user_id, event_type, ts, event_id
+        """
+    ).fetchall()
+    stats = defaultdict(lambda: [0, 0, Decimal(0)])  # type -> [n, kept, val]
+    prev_key, prev_ts = None, None
+    for u, et, ts, eid, v in ev:
+        st = stats[et]
+        st[0] += 1
+        if (u, et) != prev_key or ts - prev_ts >= timedelta(hours=6):
+            st[1] += 1
+            st[2] += v
+        prev_key, prev_ts = (u, et), ts
+    got = {r.event_type: (r.n_events, r.n_kept, r.kept_value) for r in rows}
+    expect = {
+        et: (n, k, round(float(val), 2)) for et, (n, k, val) in stats.items()
     }
-    assert got == {(1, "click"): 2, (1, "view"): 1, (2, "click"): 1}
+    assert got == expect
 
 
 def test_debounce_gate_totals_consistent(spark):
