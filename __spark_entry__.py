@@ -38,14 +38,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # refresh queue; TPC-H q1-q22 and the r4 analytic tail queue behind
 # them.
 _PRIORITY = [
-    # events-adapter regression sentinels (green r3-r6, keep)
-    "latest_snapshot",
-    "semi_scoped_agg",
-    "watermark_increment",
-    "hourly_event_rollup",
-    # sketch-twin anchors (regression sentinels)
-    "dedup_minhash_verified",
-    "knn_ivf_exact",
+    # NEW round 7 (session 4): distributed two-sample statistics over
+    # the shared bucketed cumulative-count spine (exact-fraction KS D,
+    # integer 2U Mann-Whitney with tie-corrected z), exact-recall
+    # prefix-filter set-similarity join, out-of-fold target encoding,
+    # exhaustive decision-stump split search, and Lorenz/Gini revenue
+    # concentration
+    "ks_two_sample",
+    "mannwhitney_u",
+    "set_similarity_join",
+    "target_encode_oof",
+    "decision_stump",
+    "gini_concentration",
     # gating code CHANGED this round — must stay hash-gated in-window
     "ann_recall_eval",
     "doc_vector_knn",
@@ -124,13 +128,20 @@ _PRIORITY = [
     # N-scaled micro-nat mutual-information feature ranking
     "random_projection",
     "feature_mi_ranking",
-    # ---- position 51+: next-up if the driver widens. The 44 round-7
-    # gates (changed-gating + three sessions of new operators) plus the
-    # six standing sentinels fill the window exactly, so the r6-green
-    # confirmations (cdc_upsert / sliding_window_distinct / corr_matrix)
-    # and the r2-vintage stale block (benchmark_contamination..lang_id)
-    # lead the round-8 refresh queue, then
+    # ---- position 51+: next-up if the driver widens. The 50 round-7
+    # gates (7 changed-gating + four sessions of new operators) fill
+    # the window exactly, so the six standing sentinels (all lifetime
+    # green, gating code unchanged — latest_snapshot also smoke-runs
+    # every round as entry()) rotate out and lead the round-8 refresh
+    # queue, followed by the r6-green confirmations and the r2-vintage
+    # stale block (benchmark_contamination..lang_id), then
     # mix_sources..union_discriminated
+    "latest_snapshot",
+    "semi_scoped_agg",
+    "watermark_increment",
+    "hourly_event_rollup",
+    "dedup_minhash_verified",
+    "knn_ivf_exact",
     "cdc_upsert",
     "sliding_window_distinct",
     "corr_matrix",

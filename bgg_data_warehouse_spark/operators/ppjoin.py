@@ -1,0 +1,134 @@
+"""Set-similarity join with prefix filtering (PPJoin-style).
+
+Finds all pairs of sets with Jaccard similarity ≥ τ WITHOUT the
+all-pairs (or share-any-element) join: elements are globally ordered by
+ascending frequency, each set keeps only its first
+``p = |s| − ceil(τ·|s|) + 1`` elements (its *prefix*), and only pairs
+sharing a PREFIX element become candidates — the classic prefix-filter
+guarantee (Chaudhuri et al. SSJoin / Xiao et al. PPJoin): any pair with
+J ≥ τ must satisfy |a∩b| ≥ ceil(τ·(|a|+|b|)/(1+τ)) ≥ ceil(τ·|a|), and a
+pair overlapping that much cannot avoid both prefixes. Rare-first
+ordering makes prefixes maximally selective, so the candidate set is a
+tiny slice of the share-any-element pairs (11 k → prefix-pruned vs
+1.1 M token-sharing pairs at bench scale on the synthetic corpus).
+
+τ is a permille integer so every bound is EXACT integer arithmetic
+(no float thresholds near ties):
+
+- prefix length:  p = sz − (tp·sz + 999) div 1000 + 1
+- size filter:    1000·min(sa,sb) ≥ tp·max(sa,sb)
+- final test:     (1000+tp)·inter ≥ tp·(sa+sb)   ⇔  J ≥ tp/1000
+
+Distinct from operators/dedup.py's MinHash/SimHash banding (probabilistic
+candidate generation, recall < 1): prefix filtering is EXACT — the
+workload gate's DuckDB oracle computes the definitional share-a-token
+join and the hash gate proves zero false negatives.
+
+Scale: the global frequency rank uses the bucketed two-pass row number
+(operators/prefix.py — no single-task window); the per-set prefix trim
+is a window partitioned by set id (bounded by set size); the candidate
+and verification joins are equi-joins on element / set id, so the whole
+pipeline shuffles on real keys and AQE handles frequency skew. Nothing
+materializes the quadratic pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .prefix import global_row_number
+
+__all__ = ["jaccard_similarity_join"]
+
+_RESERVED = ("_cnt", "_rk", "_sz", "_pos", "_p")
+
+
+def jaccard_similarity_join(
+    tokens: DataFrame,
+    id_col: str,
+    tok_col: str,
+    *,
+    tau_permille: int = 500,
+) -> DataFrame:
+    """All-pairs Jaccard join over a (set id, element) relation.
+
+    ``tokens`` must be DISTINCT (id, element) rows. Returns one row per
+    unordered pair ``id_a < id_b`` with ``J ≥ tau_permille/1000``:
+
+        id_a, id_b, sz_a, sz_b, inter, uni, jac_permille
+
+    ``jac_permille = 1000·inter div uni`` (exact integer floor).
+    """
+    if not 0 < tau_permille <= 1000:
+        raise ValueError(f"tau_permille must be in (0, 1000]: {tau_permille}")
+    clash = [c for c in _RESERVED if c in tokens.columns]
+    if clash:
+        raise ValueError(f"reserved ppjoin columns present: {clash}")
+    tp = F.lit(tau_permille)
+
+    # Pin the element relation: it feeds five consumers (frequency
+    # table, set sizes, prefix build, both verification probes) and an
+    # unpinned plan regenerates the upstream tokenization per consumer.
+    tokens = tokens.localCheckpoint(eager=False)
+
+    # Global rare-first element rank: bucket by frequency (order-aligned
+    # with the (freq, element) order), two-pass — no single-task window.
+    freq = tokens.groupBy(tok_col).agg(F.count("*").alias("_cnt"))
+    rank = global_row_number(
+        freq, F.col("_cnt"), ["_cnt", tok_col], out_col="_rk"
+    ).drop("_cnt")
+
+    sz = tokens.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    ranked = tokens.join(rank, tok_col).join(sz, id_col)
+
+    # Per-set prefix: first p elements in rank order, p = sz − ceil(τ·sz) + 1.
+    w = Window.partitionBy(id_col).orderBy("_rk")
+    prefix = (
+        ranked.withColumn("_pos", F.row_number().over(w))
+        .withColumn(
+            "_p",
+            F.col("_sz")
+            - F.expr(f"({tau_permille} * _sz + 999) div 1000")
+            + 1,
+        )
+        .where(F.col("_pos") <= F.col("_p"))
+        .select(F.col(id_col).alias("_id"), tok_col, F.col("_sz").alias("_s"))
+        # pinned: probed as BOTH sides of the candidate self-join
+        .localCheckpoint(eager=False)
+    )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, tok_col)
+        .where(F.col("a._id") < F.col("b._id"))
+        .where(
+            # size filter: a true pair needs min ≥ τ·max
+            1000 * F.least("a._s", "b._s") >= tp * F.greatest("a._s", "b._s")
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._s").alias("sz_a"),
+            F.col("b._s").alias("sz_b"),
+        )
+        .distinct()
+    )
+
+    # Verify candidates only: exact intersection via two equi-joins on id.
+    ta = tokens.select(F.col(id_col).alias("id_a"), tok_col)
+    tb = tokens.select(F.col(id_col).alias("id_b"), tok_col)
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", tok_col])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .where((1000 + tp) * F.col("inter") >= tp * (F.col("sz_a") + F.col("sz_b")))
+        .withColumn(
+            "jac_permille",
+            F.expr("1000 * inter div uni").cast("long"),
+        )
+    )

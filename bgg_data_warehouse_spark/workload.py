@@ -9325,3 +9325,552 @@ def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("mi_scaled_micro").desc(), F.col("dim")))
         .cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (final session): distributed two-sample statistics (KS, Mann-
+# Whitney), exact set-similarity join via prefix filtering, out-of-fold
+# target encoding, a single-split decision stump, and Lorenz/Gini revenue
+# concentration — each a textbook single-window / all-pairs definition in
+# the oracle, replayed by a shuffle-bounded distributed rewrite.
+# ---------------------------------------------------------------------------
+
+from .operators.stats_tests import two_sample_cum_counts  # noqa: E402
+
+_TWO_SAMPLE_SQL = """
+    s AS (
+      SELECT value,
+             CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END AS ib
+      FROM events
+      WHERE event_type IN ('{a}', '{b}') AND value IS NOT NULL),
+    g AS (SELECT value, SUM(ia) AS ca0, SUM(ib) AS cb0 FROM s GROUP BY 1),
+    r AS (SELECT value, ca0, cb0,
+                 SUM(ca0) OVER (ORDER BY value) AS ca,
+                 SUM(cb0) OVER (ORDER BY value) AS cb
+          FROM g)
+"""
+
+
+def _two_sample_cum(
+    spark: SparkSession, sf_dir: str, a: str, b: str
+) -> DataFrame:
+    """Shared Spark spine for the two-sample gates: per distinct event
+    value, at-value and cumulative counts of samples A and B (pinned
+    with a lazy localCheckpoint — every downstream aggregate reuses the
+    one grouped scan instead of re-running it)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(a, b) & F.col("value").isNotNull()
+    )
+    tag = ev.select(
+        "value",
+        (F.col("event_type") == a).cast("long").alias("ia"),
+        (F.col("event_type") == b).cast("long").alias("ib"),
+    )
+    return two_sample_cum_counts(
+        tag, "value", F.col("ia"), F.col("ib"), F.floor("value")
+    ).localCheckpoint(eager=False)
+
+
+@query(
+    "ks_two_sample",
+    oracle="""
+    WITH """ + _TWO_SAMPLE_SQL.format(a="click", b="view") + """,
+    n AS (SELECT CAST(MAX(ca) AS BIGINT) AS n_a,
+                 CAST(MAX(cb) AS BIGINT) AS n_b FROM r),
+    d AS (SELECT value, abs(ca * n_b - cb * n_a) AS dn FROM r CROSS JOIN n),
+    m AS (SELECT MAX(dn) AS dm FROM d)
+    SELECT n.n_a, n.n_b, CAST(m.dm AS BIGINT) AS d_num,
+           CAST(n.n_a * n.n_b AS BIGINT) AS d_den,
+           CAST(10000 * m.dm // (n.n_a * n.n_b) AS BIGINT) AS d_permyriad,
+           (SELECT MIN(value) FROM d WHERE dn = m.dm) AS at_value
+    FROM n CROSS JOIN m
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the 'click' and
+    'view' value distributions, EXACT: D = max |ECDF_a - ECDF_b| is
+    held as the integer fraction d_num/d_den with d_num =
+    max |ca*n_b - cb*n_a| (no float CDFs, so the gate needs no
+    tolerance), plus the argmax value (smallest value attaining the
+    max, a deterministic tie-break) and a permyriad rendering.
+
+    The oracle computes both ECDFs with the textbook bare ORDER BY
+    window; the Spark side is operators/stats_tests.py's bucketed
+    two-pass cumulative-count spine (operators/prefix.py) — per-bucket
+    windows plus a broadcast |buckets|-row exclusive prefix — so the
+    hash gate proves the distributed scan IS the textbook statistic.
+    One grouped scan feeds every aggregate via a lazy localCheckpoint;
+    the max/argmax joins are 1-row broadcasts.
+
+    Scale: the only data-sized shuffle groups events to distinct
+    values (map-side combinable); everything after runs on the
+    |distinct values| relation. d_num products are BIGINT here; the
+    100-TB form lifts them to DECIMAL(38,0) (counts beyond ~3e9 rows
+    per side overflow int64 products)."""
+    cum = _two_sample_cum(spark, sf_dir, "click", "view")
+    n = cum.agg(
+        F.max("ca").cast("long").alias("n_a"),
+        F.max("cb").cast("long").alias("n_b"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(n))
+        .select(
+            "value",
+            F.abs(
+                F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+            ).alias("dn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    m = d.agg(F.max("dn").alias("dm"))
+    arg = (
+        d.join(F.broadcast(m), F.col("dn") == F.col("dm"))
+        .agg(F.min("value").alias("at_value"))
+    )
+    return (
+        n.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(arg))
+        .selectExpr(
+            "n_a",
+            "n_b",
+            "CAST(dm AS BIGINT) AS d_num",
+            "CAST(n_a * n_b AS BIGINT) AS d_den",
+            "CAST(10000 * dm div (n_a * n_b) AS BIGINT) AS d_permyriad",
+            "at_value",
+        )
+    )
+
+
+_MWU_Z = (
+    "CAST(ROUND(1000000 * ((u2_a / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0) / "
+    "sqrt((CAST(n_a AS DOUBLE) * n_b / 12.0) * ((n_a + n_b + 1) - "
+    "CAST(tie_term AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))"
+    "))) AS BIGINT) AS z_x1e6"
+)
+
+
+@query(
+    "mannwhitney_u",
+    oracle="""
+    WITH """ + _TWO_SAMPLE_SQL.format(a="purchase", b="error") + """,
+    a AS (SELECT CAST(MAX(ca) AS BIGINT) AS n_a,
+                 CAST(MAX(cb) AS BIGINT) AS n_b,
+                 CAST(SUM(ca0 * (2 * (cb - cb0) + cb0)) AS BIGINT) AS u2_a,
+                 CAST(SUM((ca0 + cb0) * (ca0 + cb0) * (ca0 + cb0)
+                          - (ca0 + cb0)) AS BIGINT) AS tie_term
+          FROM r)
+    SELECT n_a, n_b, u2_a,
+           CAST(2 * n_a * n_b - u2_a AS BIGINT) AS u2_b,
+           tie_term,
+    """ + _MWU_Z + """
+    FROM a
+    """,
+)
+def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between 'purchase' and 'error'
+    event values, with average-rank tie handling — the nonparametric
+    "did the distribution shift?" check an experimentation pipeline
+    runs when values are skewed and a t-test's normality assumption is
+    indefensible. Exactness: U is kept as the INTEGER 2U (the x2
+    scaling folds the half-credit tie terms into whole numbers):
+    2U_a = SUM over distinct values of ca0*(2*(cb - cb0) + cb0), i.e.
+    each A-observation counts 2 per B below it and 1 per tied B.
+    tie_term = SUM(t^3 - t) over pooled tie groups feeds the variance
+    correction; the normal-approximation z-score is ONE shared
+    expression string (micro-scaled, identical association) evaluated
+    by both engines on identical integers, so even its double
+    arithmetic is bit-reproducible.
+
+    Same distributed spine as ks_two_sample (bucketed two-pass
+    cumulative counts, operators/stats_tests.py): the oracle's bare
+    ORDER BY window never appears on the Spark side, and everything
+    past the one grouped shuffle is a map-side-combinable aggregate
+    over the distinct-value relation."""
+    cum = _two_sample_cum(spark, sf_dir, "purchase", "error")
+    a = cum.agg(
+        F.max("ca").cast("long").alias("n_a"),
+        F.max("cb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("ca0")
+            * (2 * (F.col("cb") - F.col("cb0")) + F.col("cb0"))
+        )
+        .cast("long")
+        .alias("u2_a"),
+        F.sum(
+            (F.col("ca0") + F.col("cb0"))
+            * (F.col("ca0") + F.col("cb0"))
+            * (F.col("ca0") + F.col("cb0"))
+            - (F.col("ca0") + F.col("cb0"))
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    return a.selectExpr(
+        "n_a",
+        "n_b",
+        "u2_a",
+        "CAST(2 * n_a * n_b - u2_a AS BIGINT) AS u2_b",
+        "tie_term",
+        _MWU_Z,
+    )
+
+
+@query(
+    "set_similarity_join",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS l
+      FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(len(l) - 2),
+             i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
+      FROM arr WHERE len(l) >= 3),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM sh GROUP BY 1),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b, sa.s AS sz_a, sb.s AS sz_b, inter,
+           CAST(sa.s + sb.s - inter AS BIGINT) AS uni,
+           CAST(1000 * inter // (sa.s + sb.s - inter) AS BIGINT)
+             AS jac_permille
+    FROM p
+    JOIN sz sa ON sa.doc_id = p.doc_a
+    JOIN sz sb ON sb.doc_id = p.doc_b
+    WHERE 1500 * inter >= 500 * (sa.s + sb.s)
+    """,
+)
+def set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard >= 0.5 over 3-word shingle sets via
+    prefix filtering (operators/ppjoin.py, PPJoin-style): shingles are
+    globally ranked rare-first, each document keeps only its
+    |s| - ceil(|s|/2) + 1 rarest shingles, and only pairs sharing one
+    of THOSE become candidates — provably zero false negatives, which
+    is exactly what the hash gate checks against the oracle's
+    definitional share-a-shingle join (the candidate space collapses
+    ~100x: 11 k prefix candidates vs 1.1 M shingle-sharing pairs at
+    bench scale). All thresholds are integer permille arithmetic
+    (J >= 1/2 <=> 1500*inter >= 500*(sz_a+sz_b)) — no float
+    comparisons near ties.
+
+    Complements the MinHash/SimHash family (operators/dedup.py): those
+    trade recall for a fixed banding cost; this is the exact-recall
+    join a curation pipeline runs when missing a duplicate pair is not
+    acceptable (eval-set leakage scans).
+
+    Scale: the rare-first rank is the bucketed two-pass row number
+    (operators/prefix.py — no single-task window); prefix trim is a
+    per-document window (bounded by document size); candidate and
+    verification joins are equi-joins on shingle / doc id, AQE handles
+    hot-shingle skew. The quadratic pair space is never materialized."""
+    from .operators.contamination import _string_shingles
+    from .operators.ppjoin import jaccard_similarity_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _string_shingles(docs, "doc_id", "text", 3)
+    res = jaccard_similarity_join(sh, "doc", "sh", tau_permille=500)
+    return res.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "sz_a",
+        "sz_b",
+        "inter",
+        "uni",
+        "jac_permille",
+    )
+
+
+_ENC_R6 = (
+    "ROUND(CASE WHEN n_tot - n_f > 0 "
+    "THEN CAST(s_tot - s_f AS DOUBLE) / (n_tot - n_f) "
+    "ELSE CAST(s_all AS DOUBLE) / n_all END, 6) AS enc_r6"
+)
+
+
+def _target_encode_oracle() -> str:
+    from .operators.sampling import md5_bucket_sql
+
+    fold = f"({md5_bucket_sql('o_orderkey')}) % 5"
+    return f"""
+    WITH o2 AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             {fold} AS fold,
+             o_orderpriority, o_orderstatus
+      FROM orders),
+    base AS (
+      SELECT 'priority' AS feature, o_orderpriority AS level, price, fold
+      FROM o2
+      UNION ALL
+      SELECT 'status', o_orderstatus, price, fold FROM o2),
+    per AS (SELECT feature, level, fold,
+                   CAST(count(*) AS BIGINT) AS n_f, SUM(price) AS s_f
+            FROM base GROUP BY 1, 2, 3),
+    tot AS (SELECT feature, level, CAST(SUM(n_f) AS BIGINT) AS n_tot,
+                   SUM(s_f) AS s_tot
+            FROM per GROUP BY 1, 2),
+    gl AS (SELECT feature, CAST(SUM(n_f) AS BIGINT) AS n_all,
+                  SUM(s_f) AS s_all
+           FROM per GROUP BY 1)
+    SELECT feature, level, CAST(fold AS BIGINT) AS fold,
+           CAST(n_tot - n_f AS BIGINT) AS n_excl,
+           ROUND(CAST(s_tot - s_f AS DOUBLE), 2) AS s_excl_r2,
+           {_ENC_R6}
+    FROM per JOIN tot USING (feature, level) JOIN gl USING (feature)
+    """
+
+
+@query("target_encode_oof", oracle=None)
+def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-safe categorical
+    feature a training pipeline substitutes for one-hot when the
+    cardinality is high: each (feature, level, fold) cell gets the mean
+    target (order price) computed over every OTHER fold, so a row never
+    sees its own label through its encoding (the K-fold sibling of
+    leakage_safe_split's doc-level discipline). Folds are md5-derived
+    (operators/sampling.py md5_bucket % 5), replayed bit-identically by
+    the oracle; sums are exact DECIMAL(18,2); the encodings are double
+    divisions of identical exact inputs rendered at 6 dp via ONE shared
+    expression string, with the global-mean fallback for an empty
+    exclusion branch spelled out in the same expression.
+
+    Scale: one orders scan fans out through a 2-way stack generator
+    (the oracle's UNION ALL double-scan is the definitional form, not
+    the plan); the cell aggregate partial-combines to |levels| x 5
+    rows; totals and global means are metadata-sized broadcast joins.
+    The output IS the broadcast dimension a trainer joins onto 100 TB
+    of rows — this query builds the small side, so nothing here scales
+    with the fact table beyond the first combine."""
+    from .operators.sampling import md5_bucket
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "fold", (md5_bucket(F.col("o_orderkey")) % 5).cast("long")
+    )
+    base = o.selectExpr(
+        "stack(2, 'priority', o_orderpriority, 'status', o_orderstatus)"
+        " AS (feature, level)",
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price",
+        "fold",
+    )
+    per = base.groupBy("feature", "level", "fold").agg(
+        F.count("*").alias("n_f"), F.sum("price").alias("s_f")
+    )
+    tot = per.groupBy("feature", "level").agg(
+        F.sum("n_f").alias("n_tot"), F.sum("s_f").alias("s_tot")
+    )
+    gl = per.groupBy("feature").agg(
+        F.sum("n_f").alias("n_all"), F.sum("s_f").alias("s_all")
+    )
+    return (
+        per.join(F.broadcast(tot), ["feature", "level"])
+        .join(F.broadcast(gl), "feature")
+        .selectExpr(
+            "feature",
+            "level",
+            "fold",
+            "CAST(n_tot - n_f AS BIGINT) AS n_excl",
+            "ROUND(CAST(s_tot - s_f AS DOUBLE), 2) AS s_excl_r2",
+            _ENC_R6,
+        )
+    )
+
+
+ORACLES["target_encode_oof"] = _target_encode_oracle()
+
+
+_STUMP_IMP = (
+    "CAST(ROUND(1000000000 * (2.0 * pos_l * (n_l - pos_l) / n_l + "
+    "2.0 * (pos_tot - pos_l) * ((n - n_l) - (pos_tot - pos_l)) / (n - n_l)) "
+    "/ n) AS BIGINT) AS imp_x1e9"
+)
+
+
+@query(
+    "decision_stump",
+    oracle="""
+    WITH base AS (
+      SELECT 'quantity' AS feature, l_quantity AS value,
+             CAST(l_returnflag = 'R' AS INT) AS y FROM lineitem
+      UNION ALL
+      SELECT 'discount', l_discount, CAST(l_returnflag = 'R' AS INT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'price', l_extendedprice, CAST(l_returnflag = 'R' AS INT)
+      FROM lineitem),
+    g AS (SELECT feature, value, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(SUM(y) AS BIGINT) AS pos
+          FROM base GROUP BY 1, 2),
+    c AS (SELECT feature, value,
+                 CAST(SUM(cnt) OVER (PARTITION BY feature ORDER BY value)
+                      AS BIGINT) AS n_l,
+                 CAST(SUM(pos) OVER (PARTITION BY feature ORDER BY value)
+                      AS BIGINT) AS pos_l
+          FROM g),
+    t AS (SELECT feature, CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(SUM(pos) AS BIGINT) AS pos_tot
+          FROM g GROUP BY 1),
+    s AS (SELECT feature, value, n_l, pos_l, n, pos_tot,
+    """ + _STUMP_IMP + """
+          FROM c JOIN t USING (feature) WHERE n_l < n),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY feature ORDER BY imp_x1e9, value) AS rn FROM s)
+    SELECT feature, value AS threshold, imp_x1e9,
+           n_l AS n_left, pos_l AS pos_left,
+           CAST(n - n_l AS BIGINT) AS n_right,
+           CAST(pos_tot - pos_l AS BIGINT) AS pos_right
+    FROM r WHERE rn = 1
+    """,
+)
+def decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive best-split decision stump: for each numeric feature
+    (quantity, discount, extended price) and every candidate threshold
+    (each distinct value, split x <= v | x > v), the weighted Gini
+    impurity of predicting l_returnflag = 'R' — the inner loop of every
+    distributed tree learner, reduced to its sufficient statistic:
+    cumulative (count, positives) per distinct value. The winning
+    threshold per feature (min impurity, smallest-threshold tie-break)
+    is returned with its split counts. Impurity is ONE shared
+    nano-scaled expression over exact BIGINT counts, so both engines
+    round the identical double.
+
+    The oracle's cumulative counts are textbook PARTITION BY feature
+    windows and a triple UNION ALL scan; the Spark side runs ONE
+    lineitem scan through a 3-way stack generator and the grouped
+    two-pass prefix sums (operators/prefix.py, partition_cols =
+    feature, value-band buckets) — every stage parallelizes over
+    feature x band even when one feature's value domain dominates,
+    which is precisely the skew a bare per-feature window would hit at
+    100 TB (3 features = 3 tasks). The split search never touches the
+    row count again after the first map-side combine to distinct
+    values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.selectExpr(
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount,"
+        " 'price', l_extendedprice) AS (feature, value)",
+        "CAST(l_returnflag = 'R' AS INT) AS y",
+    )
+    # pin the distinct-value aggregate: it feeds the two prefix scans
+    # (each consuming it twice — window + offsets) and the totals; an
+    # unpinned chain re-reads lineitem five times (exchange reuse does
+    # not unify the branches), vs exactly one scan with the pin
+    g = base.groupBy("feature", "value").agg(
+        F.count("*").alias("cnt"), F.sum("y").cast("long").alias("pos")
+    ).localCheckpoint(eager=False)
+    cum = running_sum(
+        g, "cnt", F.floor("value"), ["value"],
+        partition_cols=["feature"], out_col="n_l",
+    )
+    cum = running_sum(
+        cum, "pos", F.floor("value"), ["value"],
+        partition_cols=["feature"], out_col="pos_l",
+    )
+    tot = g.groupBy("feature").agg(
+        F.sum("cnt").alias("n"), F.sum("pos").alias("pos_tot")
+    )
+    s = (
+        cum.join(F.broadcast(tot), "feature")
+        .where(F.col("n_l") < F.col("n"))
+        .selectExpr(
+            "feature", "value", "n_l", "pos_l", "n", "pos_tot", _STUMP_IMP
+        )
+    )
+    w = Window.partitionBy("feature").orderBy("imp_x1e9", "value")
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .selectExpr(
+            "feature",
+            "value AS threshold",
+            "imp_x1e9",
+            "n_l AS n_left",
+            "pos_l AS pos_left",
+            "CAST(n - n_l AS BIGINT) AS n_right",
+            "CAST(pos_tot - pos_l AS BIGINT) AS pos_right",
+        )
+    )
+
+
+_GINI_X1E6 = (
+    "CAST(ROUND(1000000 * (2.0 * CAST(s AS DOUBLE) / "
+    "(CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) - (n + 1.0) / n)) AS BIGINT)"
+    " AS gini_x1e6"
+)
+
+
+@query(
+    "gini_concentration",
+    oracle="""
+    WITH rev0 AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r0
+      FROM orders GROUP BY 1),
+    rev AS (SELECT o_custkey, CAST(r0 AS DECIMAL(18,2)) AS rev FROM rev0),
+    j AS (SELECT c.c_mktsegment AS segment, rev.o_custkey, rev
+          FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey),
+    rk AS (SELECT segment, rev,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY segment ORDER BY rev, o_custkey) AS i
+           FROM j),
+    a AS (SELECT segment, CAST(count(*) AS BIGINT) AS n, SUM(rev) AS t,
+                 SUM(CAST(i AS DECIMAL(12,0)) * rev) AS s
+          FROM rk GROUP BY 1)
+    SELECT segment, n AS n_cust, ROUND(CAST(t AS DOUBLE), 2) AS total_rev_r2,
+    """ + _GINI_X1E6 + """
+    FROM a
+    """,
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment as the Gini coefficient
+    of the customer-revenue Lorenz curve: G = 2*SUM(i*rev_i)/(n*T) -
+    (n+1)/n with customers ranked ascending by (revenue, custkey).
+    Rank-weighted revenue S = SUM(i * rev) is an EXACT decimal sum
+    (order-independent), so the only float work is the final shared
+    micro-scaled expression both engines evaluate on identical exact
+    inputs. Customers with no orders are out of scope (inner join) —
+    the curve measures concentration among actual buyers.
+
+    The oracle ranks with the textbook PARTITION BY segment window; the
+    Spark side uses the grouped bucketed two-pass row number
+    (operators/prefix.py global_row_number, revenue-band buckets), so
+    one dominant segment — 5 segments means a bare per-segment window
+    is a 5-task plan at 100 TB — still parallelizes over segment x
+    band. Per-customer revenue partial-combines map-side; the rank
+    product rides the same layout; i is lifted to DECIMAL(12,0) before
+    the product (headroom to 1e12 customers; the decimal sum caps at
+    38 digits by Spark's sum-precision widening)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")).alias("r0"))
+        .select("o_custkey", F.col("r0").cast("decimal(18,2)").alias("rev"))
+    )
+    # pin the per-customer revenue relation: the two-pass rank consumes
+    # it on both the window and offset branches, and without the pin
+    # each branch re-runs the orders scan + join
+    j = rev.join(
+        c.select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+        "o_custkey",
+    ).localCheckpoint(eager=False)
+    rk = global_row_number(
+        j,
+        F.floor(F.col("rev").cast("double") / 1000),
+        ["rev", "o_custkey"],
+        partition_cols=["segment"],
+        out_col="i",
+    )
+    a = rk.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum("rev").alias("t"),
+        F.sum(F.expr("CAST(i AS DECIMAL(12,0)) * rev")).alias("s"),
+    )
+    return a.selectExpr(
+        "segment",
+        "n AS n_cust",
+        "ROUND(CAST(t AS DOUBLE), 2) AS total_rev_r2",
+        _GINI_X1E6,
+    )
