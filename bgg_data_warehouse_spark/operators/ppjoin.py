@@ -41,7 +41,9 @@ from .prefix import global_row_number
 
 __all__ = ["jaccard_similarity_join"]
 
-_RESERVED = ("_cnt", "_rk", "_sz", "_pos", "_p")
+_RESERVED = (
+    "_cnt", "_rk", "_sz", "_pos", "_p", "_id", "_s", "_arr", "_aa", "_ab",
+)
 
 
 def jaccard_similarity_join(
@@ -79,8 +81,12 @@ def jaccard_similarity_join(
         freq, F.col("_cnt"), ["_cnt", tok_col], out_col="_rk"
     ).drop("_cnt")
 
-    sz = tokens.groupBy(id_col).agg(F.count("*").alias("_sz"))
-    ranked = tokens.join(rank, tok_col).join(sz, id_col)
+    # pinned: feeds both the prefix build and the verification arrays
+    ranked = (
+        tokens.join(rank, tok_col)
+        .withColumn("_sz", F.count("*").over(Window.partitionBy(id_col)))
+        .localCheckpoint(eager=False)
+    )
 
     # Per-set prefix: first p elements in rank order, p = sz − ceil(τ·sz) + 1.
     w = Window.partitionBy(id_col).orderBy("_rk")
@@ -115,14 +121,32 @@ def jaccard_similarity_join(
         .distinct()
     )
 
-    # Verify candidates only: exact intersection via two equi-joins on id.
-    ta = tokens.select(F.col(id_col).alias("id_a"), tok_col)
-    tb = tokens.select(F.col(id_col).alias("id_b"), tok_col)
+    # Verify candidates only: each set compressed to its sorted element-id
+    # array (|sets| rows, bounded by set size), joined to both pair sides,
+    # intersection sized JVM-side with array_intersect — exact on the
+    # distinct integer ids, and never explodes candidates × elements into
+    # rows the way a per-element verification join would.
+    arrs = (
+        ranked.groupBy(F.col(id_col).alias("_id"))
+        .agg(F.sort_array(F.collect_list("_rk")).alias("_arr"))
+        .localCheckpoint(eager=False)  # probed by BOTH pair sides
+    )
     inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", tok_col])
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count("*").alias("inter"))
+        cand.join(
+            arrs.select(F.col("_id").alias("id_a"), F.col("_arr").alias("_aa")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col("_id").alias("id_b"), F.col("_arr").alias("_ab")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("_aa", "_ab")).cast("long").alias("inter"),
+        )
     )
     return (
         inter.withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))

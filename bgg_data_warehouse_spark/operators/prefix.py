@@ -35,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["running_sum", "running_min_before", "global_row_number"]
+__all__ = [
+    "running_sum",
+    "running_sums",
+    "running_min_before",
+    "global_row_number",
+]
 
 _RESERVED = ("_b", "_off", "_t")
 
@@ -107,6 +112,68 @@ def running_sum(
         .withColumn(out_col, F.col(out_col) + F.coalesce(F.col("_off"), F.lit(0)))
         .drop("_b", "_off")
     )
+
+
+def running_sums(
+    df: DataFrame,
+    value_cols: list[str],
+    bucket: Column,
+    order_cols: list[str],
+    *,
+    partition_cols: list[str] | None = None,
+    out_cols: list[str] | None = None,
+) -> DataFrame:
+    """Inclusive running sums of SEVERAL columns over ONE order — the
+    multi-column form of :func:`running_sum`. Spark evaluates all
+    window functions sharing a WindowSpec in a single sort pass, so N
+    running sums cost one per-bucket sort and one offsets pass instead
+    of N of each (chaining :func:`running_sum` N times sorts N times
+    and stacks N broadcast joins). Semantics per column are identical
+    to the single-column helper at any partitioning.
+    """
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    out = out_cols or [f"running_{c}" for c in value_cols]
+    if len(out) != len(value_cols):
+        raise ValueError("out_cols must match value_cols length")
+    _check_reserved(df)
+    dyn = [
+        c
+        for i in range(len(value_cols))
+        for c in (f"_t{i}", f"_off{i}")
+        if c in df.columns
+    ]
+    if dyn:
+        raise ValueError(f"reserved prefix-scan columns present: {dyn}")
+    pc = partition_cols or []
+    b = df.withColumn("_b", _guarded_bucket(bucket))
+    w_in = (
+        Window.partitionBy(*pc, "_b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.select(
+        "*", *[F.sum(v).over(w_in).alias(o) for v, o in zip(value_cols, out)]
+    )
+    w_off = _offset_window(pc)
+    offsets = (
+        b.groupBy(*pc, "_b")
+        .agg(*[F.sum(v).alias(f"_t{i}") for i, v in enumerate(value_cols)])
+        .select(
+            *pc,
+            "_b",
+            *[
+                F.sum(f"_t{i}").over(w_off).alias(f"_off{i}")
+                for i in range(len(value_cols))
+            ],
+        )
+    )
+    res = local.join(F.broadcast(offsets), [*pc, "_b"])
+    for i, o in enumerate(out):
+        res = res.withColumn(
+            o, F.col(o) + F.coalesce(F.col(f"_off{i}"), F.lit(0))
+        )
+    return res.drop("_b", *[f"_off{i}" for i in range(len(value_cols))])
 
 
 def running_min_before(

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .prefix import running_sum
+from .prefix import running_sums
 
 __all__ = ["two_sample_cum_counts"]
 
@@ -75,9 +75,11 @@ def two_sample_cum_counts(
         F.sum(a_flag).cast("long").alias("ca0"),
         F.sum(b_flag).cast("long").alias("cb0"),
     ).localCheckpoint(eager=False)
-    r = running_sum(
-        g, "ca0", bucket, [value_col], partition_cols=pc, out_col="ca"
-    )
-    return running_sum(
-        r, "cb0", bucket, [value_col], partition_cols=pc, out_col="cb"
+    return running_sums(
+        g,
+        ["ca0", "cb0"],
+        bucket,
+        [value_col],
+        partition_cols=pc,
+        out_cols=["ca", "cb"],
     )

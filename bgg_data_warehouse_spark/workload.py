@@ -7418,6 +7418,7 @@ from .operators.prefix import (  # noqa: E402
     global_row_number,
     running_min_before,
     running_sum,
+    running_sums,
 )
 from .operators.sweepline import interval_concurrency  # noqa: E402
 
@@ -9566,11 +9567,35 @@ def set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document window (bounded by document size); candidate and
     verification joins are equi-joins on shingle / doc id, AQE handles
     hot-shingle skew. The quadratic pair space is never materialized."""
-    from .operators.contamination import _string_shingles
     from .operators.ppjoin import jaccard_similarity_join
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = _string_shingles(docs, "doc_id", "text", 3)
+    # array-native shingling: one map-side projection (split → sliding
+    # 3-windows → distinct → explode), no per-doc window shuffle — same
+    # (doc, shingle) relation as operators/contamination._string_shingles
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    sh = (
+        docs.select(F.col("doc_id").alias("doc"), toks.alias("_l"))
+        .where(F.size("_l") >= 3)
+        .select(
+            "doc",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("_l") - 3),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at("_l", i + 1),
+                            F.element_at("_l", i + 2),
+                            F.element_at("_l", i + 3),
+                        ),
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
     res = jaccard_similarity_join(sh, "doc", "sh", tau_permille=500)
     return res.select(
         F.col("id_a").alias("doc_a"),
@@ -9758,13 +9783,13 @@ def decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = base.groupBy("feature", "value").agg(
         F.count("*").alias("cnt"), F.sum("y").cast("long").alias("pos")
     ).localCheckpoint(eager=False)
-    cum = running_sum(
-        g, "cnt", F.floor("value"), ["value"],
-        partition_cols=["feature"], out_col="n_l",
-    )
-    cum = running_sum(
-        cum, "pos", F.floor("value"), ["value"],
-        partition_cols=["feature"], out_col="pos_l",
+    # bucket width 64 keeps the near-unique price domain to ~1.5k offset
+    # rows (vs ~100k at width 1) while leaving the small-domain features
+    # in one window each; alignment only needs to hold WITHIN a feature
+    # partition, and floor(value/64) is monotone in value
+    cum = running_sums(
+        g, ["cnt", "pos"], F.floor(F.col("value") / 64), ["value"],
+        partition_cols=["feature"], out_cols=["n_l", "pos_l"],
     )
     tot = g.groupBy("feature").agg(
         F.sum("cnt").alias("n"), F.sum("pos").alias("pos_tot")

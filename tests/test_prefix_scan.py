@@ -153,3 +153,45 @@ def test_null_bucket_raises_instead_of_dropping_rows(spark):
     )
     with pytest.raises(Exception, match="bucket expression produced NULL"):
         running_sum(df, "val", F.col("key"), ["key", "id"]).collect()
+
+
+@pytest.mark.parametrize("width", [1, 10, 1000])
+def test_running_sums_multi_column_matches_single_column_form(spark, width):
+    """The single-sort multi-column scan is column-wise identical to
+    chaining running_sum, and to the bare global window, at every
+    bucket granularity."""
+    from bgg_data_warehouse_spark.operators.prefix import running_sums
+
+    df = _data(spark).withColumn("val2", F.col("val") * 3 + 1)
+    bucket = (F.col("key") / width).cast("long")
+    got = {
+        r["id"]: (r["a"], r["b"])
+        for r in running_sums(
+            df, ["val", "val2"], bucket, ["key", "id"], out_cols=["a", "b"]
+        )
+        .select("id", "a", "b")
+        .collect()
+    }
+    w = Window.orderBy("key", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: (r["a"], r["b"])
+        for r in df.select(
+            "id",
+            F.sum("val").over(w).alias("a"),
+            F.sum("val2").over(w).alias("b"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_running_sums_validation(spark):
+    from bgg_data_warehouse_spark.operators.prefix import running_sums
+
+    df = _data(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        running_sums(df, [], F.col("key"), ["key", "id"])
+    with pytest.raises(ValueError, match="out_cols"):
+        running_sums(df, ["val"], F.col("key"), ["key", "id"], out_cols=["a", "b"])
+    bad = df.withColumn("_off0", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        running_sums(bad, ["val"], F.col("key"), ["key", "id"])
