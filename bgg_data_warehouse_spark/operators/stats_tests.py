@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from .prefix import running_sums
 
-__all__ = ["two_sample_cum_counts"]
+__all__ = ["two_sample_cum_counts", "ks_statistic", "ks_from_grids"]
 
 
 def two_sample_cum_counts(
@@ -83,3 +83,104 @@ def two_sample_cum_counts(
         partition_cols=pc,
         out_cols=["ca", "cb"],
     )
+
+
+def ks_statistic(
+    cum: DataFrame,
+    value_col: str,
+    *,
+    at_name: str = "at_value",
+) -> DataFrame:
+    """One-row KS summary from a cumulative-count spine (the output of
+    :func:`two_sample_cum_counts` or :func:`ks_from_grids`' internal
+    grid spine): sample sizes, the EXACT integer fraction
+    d_num/d_den = max_v |ca·n_b − cb·n_a| / (n_a·n_b), its permyriad
+    rendering, and the smallest ``value_col`` attaining the max (a
+    deterministic argmax tie-break).
+
+    Sizes come from MAX(ca)/MAX(cb) — no second pass over the raw
+    data. The scored frame is pinned (lazy localCheckpoint) because
+    the max and the argmax both consume it; everything downstream of
+    the spine is a 1-row broadcast. d_num products are BIGINT; lift to
+    DECIMAL(38,0) past ~3e9 rows per side.
+    """
+    n = cum.agg(
+        F.max("ca").cast("long").alias("n_a"),
+        F.max("cb").cast("long").alias("n_b"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(n))
+        .select(
+            F.col(value_col).alias("_v"),
+            F.abs(
+                F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+            ).alias("dn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    m = d.agg(F.max("dn").alias("dm"))
+    arg = d.join(F.broadcast(m), F.col("dn") == F.col("dm")).agg(
+        F.min("_v").alias("_at")
+    )
+    return (
+        n.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(arg))
+        .selectExpr(
+            "n_a",
+            "n_b",
+            "CAST(dm AS BIGINT) AS d_num",
+            "CAST(n_a * n_b AS BIGINT) AS d_den",
+            "CAST(10000 * dm div (n_a * n_b) AS BIGINT) AS d_permyriad",
+            f"_at AS {at_name}",
+        )
+    )
+
+
+def ks_from_grids(
+    grid_a: DataFrame,
+    grid_b: DataFrame,
+    *,
+    bin_col: str = "bin",
+    count_col: str = "n",
+    at_name: str = "at_bin",
+) -> DataFrame:
+    """KS distance between two HISTOGRAM GRIDS (``operators/sketches.py
+    histogram_sketch`` outputs) — the drift check a streaming ingest
+    runs between a frozen reference window and the live merged sketch
+    (streaming/sketches.py). Over bin-granular data the statistic is
+    EXACT (a grid is just a pre-aggregated value column); over raw
+    doubles it is the KS of the binned distributions — the resolution
+    the sketch was built at, which is the honest streaming contract
+    (bounded state can't hold every distinct double).
+
+    Inputs are grid-sized, so every stage here is sketch-bounded:
+    union + re-sum to one row per bin, the bucketed two-pass running
+    sums (no single-task window even for a very fine grid), then the
+    1-row summary.
+    """
+    a = grid_a.select(
+        F.col(bin_col).alias("_v"),
+        F.col(count_col).cast("long").alias("ca0"),
+        F.lit(0).cast("long").alias("cb0"),
+    )
+    b = grid_b.select(
+        F.col(bin_col).alias("_v"),
+        F.lit(0).cast("long").alias("ca0"),
+        F.col(count_col).cast("long").alias("cb0"),
+    )
+    g = (
+        a.unionByName(b)
+        .groupBy("_v")
+        .agg(
+            F.sum("ca0").cast("long").alias("ca0"),
+            F.sum("cb0").cast("long").alias("cb0"),
+        )
+    )
+    cum = running_sums(
+        g,
+        ["ca0", "cb0"],
+        F.floor(F.col("_v") / 1024),
+        ["_v"],
+        out_cols=["ca", "cb"],
+    ).localCheckpoint(eager=False)
+    return ks_statistic(cum, "_v", at_name=at_name)

@@ -130,3 +130,26 @@ def read_histogram_sketch(
         raise FileNotFoundError(f"no sketch partials under {sketch_dir}")
     frames = [spark.read.parquet(p) for p in parts]
     return merge_histogram_sketches(*frames, group_cols=list(group_cols))
+
+
+def read_ks_drift(
+    spark: SparkSession,
+    sketch_dir: str,
+    reference_grid: DataFrame,
+    *,
+    at_name: str = "at_bin",
+) -> DataFrame:
+    """Distribution-drift check for a streamed histogram sketch: the KS
+    distance (exact integer fraction + permyriad, see
+    operators/stats_tests.ks_from_grids) between a frozen REFERENCE bin
+    grid and the live merged grid under ``sketch_dir``. This is the
+    monitoring read a 100 TB ingest pairs with
+    ``start_streaming_histogram``: per-epoch state stays grid-bounded,
+    and the drift statistic is computed over two sketch-sized inputs —
+    never a rescan of the stream. Pair with a CUSUM-style alert on
+    d_permyriad for a full drift monitor (workload.cusum_drift is the
+    batch twin of that alerting rule)."""
+    from ..operators.stats_tests import ks_from_grids
+
+    live = read_histogram_sketch(spark, sketch_dir)
+    return ks_from_grids(reference_grid, live, at_name=at_name)

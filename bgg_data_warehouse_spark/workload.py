@@ -9409,38 +9409,10 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     |distinct values| relation. d_num products are BIGINT here; the
     100-TB form lifts them to DECIMAL(38,0) (counts beyond ~3e9 rows
     per side overflow int64 products)."""
+    from .operators.stats_tests import ks_statistic
+
     cum = _two_sample_cum(spark, sf_dir, "click", "view")
-    n = cum.agg(
-        F.max("ca").cast("long").alias("n_a"),
-        F.max("cb").cast("long").alias("n_b"),
-    )
-    d = (
-        cum.crossJoin(F.broadcast(n))
-        .select(
-            "value",
-            F.abs(
-                F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
-            ).alias("dn"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    m = d.agg(F.max("dn").alias("dm"))
-    arg = (
-        d.join(F.broadcast(m), F.col("dn") == F.col("dm"))
-        .agg(F.min("value").alias("at_value"))
-    )
-    return (
-        n.crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(arg))
-        .selectExpr(
-            "n_a",
-            "n_b",
-            "CAST(dm AS BIGINT) AS d_num",
-            "CAST(n_a * n_b AS BIGINT) AS d_den",
-            "CAST(10000 * dm div (n_a * n_b) AS BIGINT) AS d_permyriad",
-            "at_value",
-        )
-    )
+    return ks_statistic(cum, "value", at_name="at_value")
 
 
 _MWU_Z = (

@@ -454,3 +454,102 @@ def test_gini_uses_grouped_two_pass_rank_no_bare_window(spark):
     plan = final_plan(df)
     assert "Exchange hashpartitioning(segment" in plan, plan
     assert plan.count("Exchange SinglePartition") == 0, plan
+
+
+# ---------------------------------------------------------------------------
+# grid-based KS + streaming drift composition
+# ---------------------------------------------------------------------------
+
+
+def test_ks_from_grids_matches_naive_on_hand_histograms(spark):
+    from bgg_data_warehouse_spark.operators.stats_tests import ks_from_grids
+
+    ga = spark.createDataFrame(
+        [(0, 4), (1, 6), (3, 2)], "bin long, n long"
+    )  # A: 12 obs
+    gb = spark.createDataFrame(
+        [(0, 1), (2, 5), (3, 6)], "bin long, n long"
+    )  # B: 12 obs
+    row = ks_from_grids(ga, gb).collect()[0]
+    # cumulative A: bin0 4, bin1 10, bin2 10, bin3 12
+    # cumulative B: bin0 1, bin1 1,  bin2 6,  bin3 12
+    # |ca*nb - cb*na| peaks at bin1: |10*12 - 1*12| = 108
+    assert (row["n_a"], row["n_b"]) == (12, 12)
+    assert row["d_num"] == 108
+    assert row["d_den"] == 144
+    assert row["d_permyriad"] == 10000 * 108 // 144
+    assert row["at_bin"] == 1
+
+
+def test_ks_statistic_argmax_breaks_ties_to_smallest_value(spark):
+    from bgg_data_warehouse_spark.operators.stats_tests import ks_from_grids
+
+    # symmetric shapes: the max |diff| occurs at bins 0 AND 2 equally
+    ga = spark.createDataFrame([(0, 2), (1, 1), (2, 1)], "bin long, n long")
+    gb = spark.createDataFrame([(0, 1), (1, 1), (2, 2)], "bin long, n long")
+    row = ks_from_grids(ga, gb).collect()[0]
+    assert row["at_bin"] == 0
+
+
+def test_streaming_histogram_drift_equals_batch_ks(spark, tmp_path):
+    """Drain a 3-epoch value stream into histogram partials; the KS
+    drift of the merged live grid vs a frozen reference equals the
+    batch ks_from_grids over single-pass grids of the same rows — and
+    detects the injected location shift in the final epoch."""
+    from bgg_data_warehouse_spark.operators.sketches import histogram_sketch
+    from bgg_data_warehouse_spark.operators.stats_tests import ks_from_grids
+    from bgg_data_warehouse_spark.streaming.sketches import (
+        read_ks_drift,
+        start_streaming_histogram,
+    )
+    from pyspark.sql import types as T
+
+    import random
+
+    rng = random.Random(11)
+    ref_rows = [(float(rng.uniform(0, 50)),) for _ in range(600)]
+    live_chunks = [
+        [(float(rng.uniform(0, 50)),) for _ in range(200)],
+        [(float(rng.uniform(0, 50)),) for _ in range(200)],
+        [(float(rng.uniform(30, 80)),) for _ in range(200)],  # drifted
+    ]
+    landing = str(tmp_path / "landing")
+    sketch_dir = str(tmp_path / "hist")
+    schema = T.StructType([T.StructField("value", T.DoubleType())])
+
+    def write_chunk(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    write_chunk(live_chunks[0])
+    q = start_streaming_histogram(
+        spark.readStream.schema(schema).parquet(landing),
+        sketch_dir,
+        str(tmp_path / "ckpt"),
+        value_col="value",
+        width=5.0,
+    )
+    try:
+        q.processAllAvailable()
+        write_chunk(live_chunks[1])
+        q.processAllAvailable()
+        write_chunk(live_chunks[2])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ref_grid = histogram_sketch(
+        spark.createDataFrame(ref_rows, schema), "value", width=5.0
+    )
+    got = read_ks_drift(spark, sketch_dir, ref_grid).collect()[0]
+
+    all_live = [r for c in live_chunks for r in c]
+    batch_grid = histogram_sketch(
+        spark.createDataFrame(all_live, schema), "value", width=5.0
+    )
+    want = ks_from_grids(ref_grid, batch_grid).collect()[0]
+    assert got.asDict() == want.asDict()
+    assert got["n_a"] == 600 and got["n_b"] == 600
+    # a third of live mass moved right: D must clear 10% comfortably
+    assert got["d_permyriad"] > 1000
