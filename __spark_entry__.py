@@ -24,19 +24,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness harness grades the FIRST 50 queries in dict
 # order. Round 7 rotation (VERDICT r06 "Next round" #4, revised across
-# three build sessions): the window holds exactly the six standing
-# sentinels (four events-adapter + two sketch-twin anchors) plus all
-# 44 round-7 gates — 7 whose gating code changed this round
-# (ann_recall_eval — spine + pin fix; doc_vector_knn — window-norms
-# plan; wordpiece_encode — vocab pin; knn_bruteforce / knn_lsh_exact /
-# embedding_near_dup_exact — per-vector norm hoist in similarity.py;
-# bm25_search — scored stage refactored out for RRF) and 37 brand-new
-# operators from sessions 1-3. That fills all 50 slots, so the
-# intended r6 confirmations (cdc_upsert / sliding_window_distinct /
-# corr_matrix — still r6-green, gating code unchanged) and the
-# r2-vintage stale block slid to position 51+ and lead the round-8
-# refresh queue; TPC-H q1-q22 and the r4 analytic tail queue behind
-# them.
+# four build sessions): the window holds exactly 50 round-7 gates —
+# 7 whose gating code changed this round (ann_recall_eval — spine +
+# pin fix; doc_vector_knn — window-norms plan; wordpiece_encode —
+# vocab pin; knn_bruteforce / knn_lsh_exact / embedding_near_dup_exact
+# — per-vector norm hoist in similarity.py; bm25_search — scored stage
+# refactored out for RRF) and 43 brand-new operators from sessions
+# 1-4. Session 4's six new gates displaced the six standing sentinels
+# (four events-adapter + two sketch-twin anchors — all lifetime green,
+# gating code unchanged, latest_snapshot still smoke-runs as entry()),
+# which now lead the position-51+ round-8 refresh queue, followed by
+# the r6-green confirmations (cdc_upsert / sliding_window_distinct /
+# corr_matrix) and the r2-vintage stale block; TPC-H q1-q22 and the
+# r4 analytic tail queue behind them.
 _PRIORITY = [
     # NEW round 7 (session 4): distributed two-sample statistics over
     # the shared bucketed cumulative-count spine (exact-fraction KS D,

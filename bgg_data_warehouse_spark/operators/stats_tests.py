@@ -55,8 +55,9 @@ def two_sample_cum_counts(
     rank/ECDF-based two-sample test.
 
     ``a_flag``/``b_flag`` are 0/1 integer membership expressions (a row
-    may belong to neither, e.g. an unrelated event type, and such rows
-    contribute nothing). ``bucket`` must be order-aligned with
+    may belong to neither, e.g. an unrelated event type; values seen
+    ONLY by neither-rows are dropped after the combine, so they emit no
+    spine row and can never surface as a KS argmax). ``bucket`` must be order-aligned with
     ``value_col`` (see :mod:`operators.prefix`); ``partition_cols``
     restarts the scan per group for stratified variants.
 
@@ -71,10 +72,15 @@ def two_sample_cum_counts(
     whole spine exactly one source scan at any scale.
     """
     pc = partition_cols or []
-    g = df.groupBy(*pc, value_col).agg(
-        F.sum(a_flag).cast("long").alias("ca0"),
-        F.sum(b_flag).cast("long").alias("cb0"),
-    ).localCheckpoint(eager=False)
+    g = (
+        df.groupBy(*pc, value_col)
+        .agg(
+            F.sum(a_flag).cast("long").alias("ca0"),
+            F.sum(b_flag).cast("long").alias("cb0"),
+        )
+        .where((F.col("ca0") > 0) | (F.col("cb0") > 0))
+        .localCheckpoint(eager=False)
+    )
     return running_sums(
         g,
         ["ca0", "cb0"],

@@ -9455,6 +9455,13 @@ def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     by both engines on identical integers, so even its double
     arithmetic is bit-reproducible.
 
+    Headroom (the KS convention, stated not assumed): tie_term's t^3
+    keeps SUM inside int64 while no single tied value carries more
+    than ~2.1M pooled rows and u2_a while n_a*n_b < ~4.6e18; past
+    either bound the 100-TB form lifts the accumulation to
+    DECIMAL(38,0) two-level aggregation — at this gate's scales both
+    are satisfied by orders of magnitude.
+
     Same distributed spine as ks_two_sample (bucketed two-pass
     cumulative counts, operators/stats_tests.py): the oracle's bare
     ORDER BY window never appears on the Spark side, and everything

@@ -15,14 +15,7 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 from tests.conftest import SF_SMALL
-
-
-def final_plan(df) -> str:
-    """Adaptive FINAL plan only (see test_plan_audit.final_plan)."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    if "== Initial Plan ==" in plan:
-        plan = plan.split("== Initial Plan ==")[0]
-    return plan
+from tests.test_plan_audit import final_plan  # one shared plan extractor
 
 
 # ---------------------------------------------------------------------------
