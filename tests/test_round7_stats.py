@@ -546,3 +546,40 @@ def test_streaming_histogram_drift_equals_batch_ks(spark, tmp_path):
     assert got["n_a"] == 600 and got["n_b"] == 600
     # a third of live mass moved right: D must clear 10% comfortably
     assert got["d_permyriad"] > 1000
+
+
+def test_two_sample_spine_windows_ride_buckets_not_a_global_sort(spark):
+    """The oracle's bare ORDER BY window must never appear on the Spark
+    side. The gates' summaries hide the spine behind its pin, so audit
+    the spine plan itself: the running-sum window is hash-partitioned
+    on the bucket key, and the only single-partition exchange is the
+    |buckets|-row offset prefix — never the value stream."""
+    from bgg_data_warehouse_spark.operators.stats_tests import (
+        two_sample_cum_counts,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    tag = ev.select(
+        "value",
+        (F.col("event_type") == "click").cast("long").alias("ia"),
+        (F.col("event_type") == "view").cast("long").alias("ib"),
+    )
+    cum = two_sample_cum_counts(
+        tag, "value", F.col("ia"), F.col("ib"), F.floor("value")
+    )
+    cum.collect()
+    plan = final_plan(cum)
+    assert "Exchange hashpartitioning(_b" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ks_and_mwu_summaries_are_broadcast_only(spark):
+    """Downstream of the spine everything is 1-row/|values|-row work:
+    no cartesian products or nested-loop joins in either gate's final
+    plan (the cross joins must all be 1-row broadcasts)."""
+    for name in ("ks_two_sample", "mannwhitney_u"):
+        df = entrymod.queries()[name](spark, SF_SMALL)
+        df.collect()
+        plan = final_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
