@@ -192,6 +192,28 @@ def merkle_update(
                concat({sh}, {cur}),
                concat({cur}, {sh}))))))"""
     )
+    # cardinality guard, same fail-loudly discipline as merkle_tree's
+    # duplicate-bucket check: 0 rows would splice NOTHING in after
+    # `untouched` has already dropped the old path (tree silently loses
+    # its root); >1 rows would duplicate every path node. Aggregating
+    # to one row makes both cases a raise, not a malformed tree.
+    new_leaf = new_leaf.agg(
+        F.count("*").alias("_k"),
+        F.max("checksum").alias("checksum"),
+        F.max("n_rows").alias("n_rows"),
+    ).select(
+        F.when(F.col("_k") == 1, F.col("checksum"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("merkle_update: new_leaf must be exactly 1 row, got "),
+                    F.col("_k").cast("string"),
+                )
+            )
+        )
+        .alias("checksum"),
+        "n_rows",
+    )
     path_rows = (
         new_leaf.crossJoin(F.broadcast(sib_row))
         .withColumn("h0", leaf_h)

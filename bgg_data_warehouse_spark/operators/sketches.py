@@ -247,9 +247,10 @@ def hll_estimate(
     spine = spark.range(m).select(F.col("id").cast("long").alias("register"))
     if g:
         # the grouped grid feeds both the spine's group-distinct AND the
-        # register join below; pin it (<= |groups| x m rows) so its
-        # lineage — possibly a full build scan — runs once, not twice
-        grid = grid.localCheckpoint()
+        # register join below; pin it LAZILY (<= |groups| x m rows) so
+        # its lineage — possibly a full build scan — runs once, not
+        # twice, without executing a Spark job at plan-construction time
+        grid = grid.localCheckpoint(eager=False)
         spine = grid.select(*g).distinct().crossJoin(spine)
     full = (
         spine.join(grid, [*g, "register"], "left")

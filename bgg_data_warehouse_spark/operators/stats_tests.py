@@ -108,7 +108,10 @@ def ks_statistic(
     data. The scored frame is pinned (lazy localCheckpoint) because
     the max and the argmax both consume it; everything downstream of
     the spine is a 1-row broadcast. d_num products are BIGINT; lift to
-    DECIMAL(38,0) past ~3e9 rows per side.
+    DECIMAL(38,0) past ~3e9 rows per side. d_permyriad already runs its
+    10000*dm product in DECIMAL(38,0) (a plain BIGINT product would
+    overflow at ~3e7 rows per side — 100x below d_num's bound), so the
+    whole row shares the single ~3e9 headroom figure.
     """
     n = cum.agg(
         F.max("ca").cast("long").alias("n_a"),
@@ -136,7 +139,11 @@ def ks_statistic(
             "n_b",
             "CAST(dm AS BIGINT) AS d_num",
             "CAST(n_a * n_b AS BIGINT) AS d_den",
-            "CAST(10000 * dm div (n_a * n_b) AS BIGINT) AS d_permyriad",
+            # DECIMAL(38,0) multiply: 10000*dm would overflow BIGINT as
+            # soon as n_a*n_b > ~9.2e14 (~3e7 rows/side), far below
+            # d_num's own ~3e9 bound — lift to decimal so BOTH share it
+            "CAST(CAST(10000 AS DECIMAL(38,0)) * dm div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            " AS d_permyriad",
             f"_at AS {at_name}",
         )
     )

@@ -7620,18 +7620,25 @@ def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning both passes, so the second sort reuses the layout."""
     ev = load_table(spark, sf_dir, "events")
     wt = Window.partitionBy("event_type")
+    # base feeds two branches (med + dev) and dev feeds two more
+    # (mad + the final aggregate): pin both lazily so the events scan
+    # and the per-type sorts run once per pass, not once per consumer
+    # (the decision_stump convention).
     base = (
         ev.select("event_type", "event_id", "value")
         .withColumn(
             "rn", F.row_number().over(wt.orderBy("value", "event_id"))
         )
         .withColumn("n", F.count("*").over(wt))
+        .localCheckpoint(eager=False)
     )
     med = base.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
         "event_type", F.col("value").alias("med")
     )
-    dev = base.join(F.broadcast(med), "event_type").withColumn(
-        "dev", F.abs(F.col("value") - F.col("med"))
+    dev = (
+        base.join(F.broadcast(med), "event_type")
+        .withColumn("dev", F.abs(F.col("value") - F.col("med")))
+        .localCheckpoint(eager=False)
     )
     dev2 = dev.withColumn(
         "rn2", F.row_number().over(wt.orderBy("dev", "event_id"))
@@ -9383,7 +9390,8 @@ def _two_sample_cum(
     m AS (SELECT MAX(dn) AS dm FROM d)
     SELECT n.n_a, n.n_b, CAST(m.dm AS BIGINT) AS d_num,
            CAST(n.n_a * n.n_b AS BIGINT) AS d_den,
-           CAST(10000 * m.dm // (n.n_a * n.n_b) AS BIGINT) AS d_permyriad,
+           CAST(CAST(10000 AS HUGEINT) * m.dm
+                // (CAST(n.n_a AS HUGEINT) * n.n_b) AS BIGINT) AS d_permyriad,
            (SELECT MIN(value) FROM d WHERE dn = m.dm) AS at_value
     FROM n CROSS JOIN m
     """,

@@ -112,3 +112,26 @@ def test_merkle_update_rejects_bad_leaf_idx(spark):
     leaf = spark.createDataFrame([Row(checksum=1, n_rows=1)])
     with pytest.raises(ValueError):
         merkle_update(tree, leaf, 8, 8)
+
+
+def test_merkle_update_rejects_empty_new_leaf(spark):
+    """0-row new_leaf must raise, not silently drop the old path (the
+    tree would lose its root) — the round-7 ADVICE cardinality guard."""
+    from bgg_data_warehouse_spark.operators.merkle import merkle_update
+
+    tree = merkle_tree(_leaves(spark, [(0, 1, 1)]), 8)
+    empty = spark.createDataFrame([], "checksum long, n_rows long")
+    with pytest.raises(Exception, match="exactly 1 row"):
+        merkle_update(tree, empty, 3, 8).collect()
+
+
+def test_merkle_update_rejects_multi_row_new_leaf(spark):
+    """>1-row new_leaf must raise, not duplicate every path node."""
+    from bgg_data_warehouse_spark.operators.merkle import merkle_update
+
+    tree = merkle_tree(_leaves(spark, [(0, 1, 1)]), 8)
+    two = spark.createDataFrame(
+        [Row(checksum=1, n_rows=1), Row(checksum=2, n_rows=2)]
+    )
+    with pytest.raises(Exception, match="exactly 1 row"):
+        merkle_update(tree, two, 3, 8).collect()

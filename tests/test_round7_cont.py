@@ -135,3 +135,50 @@ def test_lpa_edges_join_is_equi_not_cartesian(spark):
     plan = executed_plan(cooccurrence_edges(li, "l_orderkey", "l_partkey"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_robust_outliers_pins_base_and_dev(spark):
+    """base feeds med+dev and dev feeds mad+the final aggregate; both
+    are lazily localCheckpointed, so the executed gate plan reads the
+    pinned RDDs — zero parquet re-scans of events per consumer branch
+    (the decision_stump convention, round-7 ADVICE)."""
+    df = entrymod.queries()["robust_outliers"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
+
+
+def test_hll_estimate_grouped_construction_runs_no_job(spark):
+    """The grouped hll_estimate pin is LAZY (eager=False): building the
+    query plan must not execute the grid-materialization job — plan-only
+    consumers of the registry pay nothing (round-7 ADVICE). AQE is
+    disabled for the probe because localCheckpoint's toRdd under AQE
+    materializes UPSTREAM shuffle stages at construction regardless of
+    eager — orthogonal to (and measured without) the eager count job
+    this test guards against."""
+    from bgg_data_warehouse_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_grid,
+    )
+
+    sc = spark.sparkContext
+    group = "hll-lazy-construction-probe"
+    # read OUTSIDE the probe group: parquet schema/file-listing runs its
+    # own driver job, which is not what this test is about
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup(group, "assert no eager job during plan construction")
+    try:
+        grid = hll_register_grid(
+            ev, "user_id", m=16, group_cols=["event_type"]
+        )
+        est = hll_estimate(grid, m=16, group_cols=["event_type"])
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert list(jobs) == [], jobs
+    # and the frame still evaluates correctly afterwards
+    assert est.count() > 0

@@ -611,3 +611,22 @@ def test_two_sample_cum_counts_grouped_restarts_per_partition(spark):
         ("g2", 1.0): (0, 1),
         ("g2", 5.0): (1, 1),  # restarted: g1 counts never leak in
     }
+
+
+def test_ks_permyriad_survives_past_int64_product(spark):
+    """d_permyriad's 10000*dm product runs in DECIMAL(38,0): with 3e9
+    rows per side (d_num's own documented headroom bound) the plain
+    BIGINT product 10000*dm would overflow long — the round-7 ADVICE
+    scenario — while the decimal path stays exact."""
+    from bgg_data_warehouse_spark.operators.stats_tests import ks_statistic
+
+    n = 3_000_000_000
+    rows = [(1.0, n // 2, 0), (2.0, n, n)]
+    cum = spark.createDataFrame(rows, "value double, ca long, cb long")
+    got = ks_statistic(cum, "value").collect()[0]
+    d_num = (n // 2) * n
+    assert got["n_a"] == n and got["n_b"] == n
+    assert got["d_num"] == d_num
+    assert got["d_den"] == n * n
+    assert got["d_permyriad"] == 10000 * d_num // (n * n) == 5000
+    assert got["at_value"] == 1.0
