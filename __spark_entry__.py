@@ -23,128 +23,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness grades the FIRST 50 queries in dict
-# order. Round 7 rotation (VERDICT r06 "Next round" #4, revised across
-# four build sessions): the window holds exactly 50 round-7 gates —
-# 7 whose gating code changed this round (ann_recall_eval — spine +
-# pin fix; doc_vector_knn — window-norms plan; wordpiece_encode —
-# vocab pin; knn_bruteforce / knn_lsh_exact / embedding_near_dup_exact
-# — per-vector norm hoist in similarity.py; bm25_search — scored stage
-# refactored out for RRF) and 43 brand-new operators from sessions
-# 1-4. Session 4's six new gates displaced the six standing sentinels
-# (four events-adapter + two sketch-twin anchors — all lifetime green,
-# gating code unchanged, latest_snapshot still smoke-runs as entry()),
-# which now lead the position-51+ round-8 refresh queue, followed by
-# the r6-green confirmations (cdc_upsert / sliding_window_distinct /
-# corr_matrix) and the r2-vintage stale block; TPC-H q1-q22 and the
-# r4 analytic tail queue behind them.
+# order. Round 8 rotation (VERDICT r06 "Next round" #4 — round 7
+# spent its whole window on new/changed gates, so the stale refresh
+# lands here): evidence age computed from CORRECTNESS_r01-r07 — the
+# window holds the 22 r2-vintage gates (6 rounds without a driver
+# row, the oldest evidence in the ledger), the 23 r4-vintage gates
+# (at the 4-round freshness bar), and the 5 gates whose gating code
+# changed this round (round-7 ADVICE fixes: ks_two_sample —
+# DECIMAL(38,0) permyriad on both engines; robust_outliers —
+# base/dev lazy pins; approx_distinct_hll + hll_set_ops —
+# hll_estimate's grouped pin went lazy; merkle_incremental_update —
+# merkle_update cardinality guard), plus the 4 NEW round-8 gates
+# (Benford first-digit audit, exact-decimal chi-square independence,
+# 7-edge FK integrity audit, weighted Bellman-Ford SSSP), which
+# displace the four most-stable pure-expression r4 gates
+# (content_hash_portable, regexp_json_extract, request_stats,
+# multimodal_frame_sample — single-expression gates with the lowest
+# drift risk) to the front of the position-51+ queue. With 187
+# registered gates and a 50-slot window the steady-state rotation
+# cycle is ~4 rounds, so ~46 refresh slots per round is the
+# sustainable regime.
 _PRIORITY = [
-    # NEW round 7 (session 4): distributed two-sample statistics over
-    # the shared bucketed cumulative-count spine (exact-fraction KS D,
-    # integer 2U Mann-Whitney with tie-corrected z), exact-recall
-    # prefix-filter set-similarity join, out-of-fold target encoding,
-    # exhaustive decision-stump split search, and Lorenz/Gini revenue
-    # concentration
-    "ks_two_sample",
-    "mannwhitney_u",
-    "set_similarity_join",
-    "target_encode_oof",
-    "decision_stump",
-    "gini_concentration",
-    # gating code CHANGED this round — must stay hash-gated in-window
-    "ann_recall_eval",
-    "doc_vector_knn",
-    "wordpiece_encode",
-    "knn_bruteforce",
-    "knn_lsh_exact",
-    "embedding_near_dup_exact",
-    "bm25_search",
-    # NEW round 7: portable HLL cardinality (register grid replayed in
-    # the oracle), mergeable histogram-quantile sketch (build+merge,
-    # query), PMI collocation mining, tf-idf keyword extraction,
-    # reciprocal-rank-fusion hybrid retrieval, HLL set algebra,
-    # grouped closed-form OLS trend regression, Markov transition
-    # matrix, top onboarding paths
-    "approx_distinct_hll",
-    "quantile_sketch_merge",
-    "quantile_sketch_query",
-    "pmi_collocations",
-    "tfidf_keywords",
-    "hybrid_rrf_search",
-    "hll_set_ops",
-    "ols_trend",
-    "event_transition_matrix",
-    "top_user_paths",
-    # NEW round 7 (cont.): AQP sampled aggregates with replayed HT
-    # estimator + CI, deterministic label-propagation communities and
-    # bounded k-core peeling (both iterative graph algorithms fully
-    # replayed in the oracle), and a degree-oriented triangle census
-    "aqp_sampled_agg",
-    "label_propagation",
-    "kcore_parts",
-    "triangle_census",
-    # NEW round 7 (cont.): distributed prefix-scan family (two-pass
-    # bucketed running aggregates replacing single-partition windows)
-    # + MAD robust outliers
-    "peak_concurrency",
-    "pareto_frontier",
-    "sorted_neighborhood_pairs",
-    "robust_outliers",
-    # NEW round 7 (cont.): grouped quantile features, association-rule
-    # mining, per-edge triangle support
-    "quantile_normalize",
-    "association_rules",
-    "edge_support_topk",
-    # NEW round 7 (cont.): unigram-LM Viterbi segmentation (tokenizer
-    # family #3 — exact lattice DP, 16-level CTE-chain oracle)
-    "unigram_segment_compounds",
-    # NEW round 7 (cont.): Merkle table commitment + incremental path
-    # update (integrity family) + Holt-Winters seasonal forecasting
-    "merkle_table_root",
-    "merkle_incremental_update",
-    "holt_winters_seasonal",
-    # NEW round 7 (session 3): sequential statistics — CUSUM drift via
-    # the closed prefix-scan identity, integer-exact autocorrelation,
-    # largest-remainder budget apportionment, multi-source BFS reach
-    # (unrolled-CTE replay), and the corpus shard manifest
-    "cusum_drift",
-    "acf_lags",
-    "budget_allocation",
-    "bfs_reach",
-    "shard_manifest",
-    # NEW round 7 (session 3, cont.): Kaplan-Meier time-to-conversion
-    # via integer micro-nat folds, last-touch attribution (as-of
-    # union-window vs the quadratic correlated oracle), trailing
-    # 28-day integer OLS slopes
-    "survival_first_purchase",
-    "attribution_last_touch",
-    "rolling_regression",
-    # NEW round 7 (session 3, cont.): burst debouncing (sessionize's
-    # boundary trick as a filter) and integer HITS hub/authority
-    # centrality (all six half-iterations replayed in the oracle)
-    "event_debounce",
-    "hits_scores",
-    # NEW round 7 (session 3, cont.): embedding feature engineering —
-    # md5-signed JL random projection over quantized vectors, and
-    # N-scaled micro-nat mutual-information feature ranking
-    "random_projection",
-    "feature_mi_ranking",
-    # ---- position 51+: next-up if the driver widens. The 50 round-7
-    # gates (7 changed-gating + four sessions of new operators) fill
-    # the window exactly, so the six standing sentinels (all lifetime
-    # green, gating code unchanged — latest_snapshot also smoke-runs
-    # every round as entry()) rotate out and lead the round-8 refresh
-    # queue, followed by the r6-green confirmations and the r2-vintage
-    # stale block (benchmark_contamination..lang_id), then
-    # mix_sources..union_discriminated
-    "latest_snapshot",
-    "semi_scoped_agg",
-    "watermark_increment",
-    "hourly_event_rollup",
-    "dedup_minhash_verified",
-    "knn_ivf_exact",
-    "cdc_upsert",
-    "sliding_window_distinct",
-    "corr_matrix",
+    # r2-vintage stale block — last driver row round 2, the oldest
+    # evidence in the ledger (projection/filter/join/agg/union core +
+    # the LLM-pipeline text ops)
     "benchmark_contamination",
     "chunk_documents",
     "doc_fingerprint",
@@ -167,11 +69,9 @@ _PRIORITY = [
     "stratified_sample",
     "token_count",
     "union_discriminated",
-    # analytic tail + TPC-H lead so they rotate in next round
-    # (weighted_sample_stratified r5-green and sessionize r4-green were
-    # displaced by the two new gates — still inside the 4-round
-    # freshness bar at r7)
-    "weighted_sample_stratified",
+    # r4-vintage block — last driver row round 4, at the freshness bar
+    # (analytic SQL tail, as-of/range joins, multimodal codecs,
+    # kmeans/pagerank, sketch exact-twins)
     "sessionize",
     "pivot_status_counts",
     "rollup_returns",
@@ -181,8 +81,94 @@ _PRIORITY = [
     "distinct_users_exact",
     "trailing_window_sum",
     "ntile_value_buckets",
+    "multimodal_features",
+    "asof_feature_join",
+    "asof_feature_join_segmented",
+    "range_join_recent_activity",
+    "kmeans_embeddings",
+    "pagerank_bipartite",
+    "top_ngrams",
+    "dedup_simhash_verified",
+    "multimodal_resize",
+    "multimodal_audio_features",
+    # gating code CHANGED this round (round-7 ADVICE fixes) — must
+    # stay hash-gated in-window
+    "ks_two_sample",
+    "robust_outliers",
+    "approx_distinct_hll",
+    "hll_set_ops",
+    "merkle_incremental_update",
+    # NEW round 8: data-audit statistics + weighted graph distance
+    "benford_digits",
+    "chisq_independence",
+    "fk_integrity_audit",
+    "weighted_sssp",
+    # ---- position 51+: next-up if the driver widens. The four
+    # displaced r4 pure-expression gates lead, then the six
+    # standing sentinels (r6-green, gating code unchanged,
+    # latest_snapshot also smoke-runs every round as entry()) and the
+    # r5-vintage block lead the round-9 refresh queue; TPC-H q1-q22
+    # (r6/r7-green) and the round-7 additions queue behind them.
+    "content_hash_portable",
     "regexp_json_extract",
+    "request_stats",
+    "multimodal_frame_sample",
+    "latest_snapshot",
+    "semi_scoped_agg",
+    "watermark_increment",
+    "hourly_event_rollup",
+    "dedup_minhash_verified",
+    "knn_ivf_exact",
+    "cdc_upsert",
+    "sliding_window_distinct",
+    "corr_matrix",
+    "weighted_sample_stratified",
     *[f"tpch_q{i}" for i in range(1, 23)],
+    "mannwhitney_u",
+    "set_similarity_join",
+    "target_encode_oof",
+    "decision_stump",
+    "gini_concentration",
+    "ann_recall_eval",
+    "doc_vector_knn",
+    "wordpiece_encode",
+    "knn_bruteforce",
+    "knn_lsh_exact",
+    "embedding_near_dup_exact",
+    "bm25_search",
+    "quantile_sketch_merge",
+    "quantile_sketch_query",
+    "pmi_collocations",
+    "tfidf_keywords",
+    "hybrid_rrf_search",
+    "ols_trend",
+    "event_transition_matrix",
+    "top_user_paths",
+    "aqp_sampled_agg",
+    "label_propagation",
+    "kcore_parts",
+    "triangle_census",
+    "peak_concurrency",
+    "pareto_frontier",
+    "sorted_neighborhood_pairs",
+    "quantile_normalize",
+    "association_rules",
+    "edge_support_topk",
+    "unigram_segment_compounds",
+    "merkle_table_root",
+    "holt_winters_seasonal",
+    "cusum_drift",
+    "acf_lags",
+    "budget_allocation",
+    "bfs_reach",
+    "shard_manifest",
+    "survival_first_purchase",
+    "attribution_last_touch",
+    "rolling_regression",
+    "event_debounce",
+    "hits_scores",
+    "random_projection",
+    "feature_mi_ranking",
     "dsir_importance",
     "cms_heavy_hitters",
     "bloom_pruned_join",

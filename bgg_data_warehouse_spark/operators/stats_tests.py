@@ -37,7 +37,13 @@ from pyspark.sql import functions as F
 
 from .prefix import running_sums
 
-__all__ = ["two_sample_cum_counts", "ks_statistic", "ks_from_grids"]
+__all__ = [
+    "two_sample_cum_counts",
+    "ks_statistic",
+    "ks_from_grids",
+    "mwu_from_grids",
+    "MWU_Z_X1E6_SQL",
+]
 
 
 def two_sample_cum_counts(
@@ -171,6 +177,18 @@ def ks_from_grids(
     sums (no single-task window even for a very fine grid), then the
     1-row summary.
     """
+    cum = _grids_to_cum(grid_a, grid_b, bin_col, count_col)
+    return ks_statistic(cum, "_v", at_name=at_name)
+
+
+def _grids_to_cum(
+    grid_a: DataFrame, grid_b: DataFrame, bin_col: str, count_col: str
+) -> DataFrame:
+    """Two histogram grids -> the shared two-sample cumulative spine
+    (_v, ca0, cb0, ca, cb) — union + re-sum to one row per bin, then
+    the bucketed two-pass running sums (no single-task window even for
+    a very fine grid). The pinned spine feeds both the KS max/argmax
+    pair and the MWU aggregate."""
     a = grid_a.select(
         F.col(bin_col).alias("_v"),
         F.col(count_col).cast("long").alias("ca0"),
@@ -189,11 +207,78 @@ def ks_from_grids(
             F.sum("cb0").cast("long").alias("cb0"),
         )
     )
-    cum = running_sums(
+    return running_sums(
         g,
         ["ca0", "cb0"],
         F.floor(F.col("_v") / 1024),
         ["_v"],
         out_cols=["ca", "cb"],
     ).localCheckpoint(eager=False)
-    return ks_statistic(cum, "_v", at_name=at_name)
+
+
+# Micro-scaled normal-approximation z for the Mann-Whitney summary —
+# ONE shared expression string evaluated on identical integers by both
+# engines, so even the double arithmetic is bit-reproducible. The
+# workload gate (workload._MWU_Z) carries the same string; a test pins
+# the two byte-identical so they cannot drift apart.
+MWU_Z_X1E6_SQL = (
+    "CAST(ROUND(1000000 * ((u2_a / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0) / "
+    "sqrt((CAST(n_a AS DOUBLE) * n_b / 12.0) * ((n_a + n_b + 1) - "
+    "CAST(tie_term AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))"
+    "))) AS BIGINT) AS z_x1e6"
+)
+
+
+def mwu_from_grids(
+    grid_a: DataFrame,
+    grid_b: DataFrame,
+    *,
+    bin_col: str = "bin",
+    count_col: str = "n",
+) -> DataFrame:
+    """Mann-Whitney 2U + tie-corrected z between two HISTOGRAM GRIDS —
+    the location-shift drift check that complements :func:`ks_from_grids`'
+    shape test in a streaming monitor (streaming/sketches.read_mwu_drift):
+    KS asks "did the distribution change anywhere", MWU asks "did it
+    systematically move up or down", and a binned stream answers both
+    from the same sketch state. Over bin-granular data the statistic is
+    exact; over raw doubles it is the MWU of the binned distributions —
+    the sketch's resolution, the honest streaming contract.
+
+    Same integer conventions as the ``mannwhitney_u`` gate: 2U_a folds
+    average-rank tie credit into whole numbers (each A counts 2 per B
+    below, 1 per tied B — bins ARE tie groups here), tie_term =
+    SUM(t^3 - t) over pooled bins. Headroom: tie_term stays int64 while
+    no single bin holds more than ~2.1M pooled rows, u2_a while
+    n_a*n_b < ~4.6e18 — at sketch scales both hold; past them lift the
+    accumulation to DECIMAL(38,0).
+
+    Every stage is sketch-bounded: the shared cumulative spine is
+    grid-sized and the summary is one map-side-combinable aggregate.
+    """
+    cum = _grids_to_cum(grid_a, grid_b, bin_col, count_col)
+    agg = cum.agg(
+        F.max("ca").cast("long").alias("n_a"),
+        F.max("cb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("ca0") * (2 * (F.col("cb") - F.col("cb0")) + F.col("cb0"))
+        )
+        .cast("long")
+        .alias("u2_a"),
+        F.sum(
+            (F.col("ca0") + F.col("cb0"))
+            * (F.col("ca0") + F.col("cb0"))
+            * (F.col("ca0") + F.col("cb0"))
+            - (F.col("ca0") + F.col("cb0"))
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    return agg.selectExpr(
+        "n_a",
+        "n_b",
+        "u2_a",
+        "CAST(2 * n_a * n_b - u2_a AS BIGINT) AS u2_b",
+        "tie_term",
+        MWU_Z_X1E6_SQL,
+    )

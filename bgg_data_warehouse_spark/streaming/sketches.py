@@ -153,3 +153,22 @@ def read_ks_drift(
 
     live = read_histogram_sketch(spark, sketch_dir)
     return ks_from_grids(reference_grid, live, at_name=at_name)
+
+
+def read_mwu_drift(
+    spark: SparkSession,
+    sketch_dir: str,
+    reference_grid: DataFrame,
+) -> DataFrame:
+    """Location-shift drift check for a streamed histogram sketch: the
+    Mann-Whitney 2U + tie-corrected z (operators/stats_tests.
+    mwu_from_grids) between a frozen REFERENCE bin grid and the live
+    merged grid under ``sketch_dir``. Pairs with :func:`read_ks_drift`
+    over the SAME sketch state: KS flags any shape change, MWU tells
+    whether the live distribution systematically moved up or down —
+    the pair a 100 TB ingest monitors without ever rescanning the
+    stream (both statistics run over two grid-sized inputs)."""
+    from ..operators.stats_tests import mwu_from_grids
+
+    live = read_histogram_sketch(spark, sketch_dir)
+    return mwu_from_grids(reference_grid, live)

@@ -9886,3 +9886,391 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(CAST(t AS DOUBLE), 2) AS total_rev_r2",
         _GINI_X1E6,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: data-audit statistics and weighted graph distance — Benford
+# first-digit conformance, chi-square independence with exact decimal
+# contributions, a 7-relationship foreign-key integrity audit, and
+# bounded Bellman-Ford weighted shortest paths (unrolled-CTE replay).
+# ---------------------------------------------------------------------------
+
+from .operators.sssp import sssp_labels, sssp_oracle_sql  # noqa: E402
+
+# floor(1000 * log10(1 + 1/d)) for d = 1..9 — Benford's law rendered as
+# integer permille so the gate needs no float tolerance; identical
+# literals embedded in the oracle's VALUES table.
+_BENFORD_PERMILLE = [
+    (1, 301), (2, 176), (3, 124), (4, 96), (5, 79),
+    (6, 66), (7, 57), (8, 51), (9, 45),
+]
+
+
+@query(
+    "benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM lineitem WHERE l_extendedprice >= 1.0),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+    n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS nt FROM c),
+    b(digit, benford_permille) AS (
+      VALUES (1, 301), (2, 176), (3, 124), (4, 96), (5, 79),
+             (6, 66), (7, 57), (8, 51), (9, 45))
+    SELECT CAST(b.digit AS BIGINT) AS digit,
+           COALESCE(c.n_obs, 0) AS n_obs,
+           CAST(1000 * COALESCE(c.n_obs, 0) // n.nt AS BIGINT) AS obs_permille,
+           CAST(b.benford_permille AS BIGINT) AS benford_permille,
+           CAST(abs(1000 * COALESCE(c.n_obs, 0) // n.nt
+                    - b.benford_permille) AS BIGINT) AS dev_permille
+    FROM b LEFT JOIN c ON c.digit = b.digit CROSS JOIN n
+    """,
+)
+def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance audit over lineitem prices: the
+    observed first-significant-digit distribution in exact integer
+    permille against Benford's expected floor(1000*log10(1+1/d)) —
+    the fraud/data-quality screen a warehouse runs over any
+    organically-grown monetary column (the reference's load pipeline
+    validates schemas but has no distributional audit; this is the
+    statistical complement to its conformance checks,
+    `/root/reference/src/data_processor/processor.py:619-710`).
+
+    Exactness across engines comes from avoiding float digit math
+    entirely: the first digit is substring 1 of the BIGINT cast of
+    floor(price) — floor is exact IEEE on both engines and the cast is
+    then integral, so no log10/pow rounding can flip a boundary value.
+    Rows with price < 1 are excluded (their first significant digit
+    lives below the integer part). obs_permille is integer
+    1000*n_d DIV N, exact to ~9.2e15 rows.
+
+    Scale: ONE scan, one 9-key map-side-combinable groupBy, then a
+    broadcast of the 9-row count table against the literal Benford
+    spine and a 1-row total. Nothing data-sized shuffles twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = li.where(F.col("l_extendedprice") >= 1.0).select(
+        F.expr(
+            "CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    total = counts.agg(F.sum("n_obs").cast("long").alias("nt"))
+    spine = spark.createDataFrame(
+        _BENFORD_PERMILLE, "digit long, benford_permille long"
+    )
+    return (
+        spine.join(F.broadcast(counts), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            F.expr("CAST(1000 * COALESCE(n_obs, 0) div nt AS BIGINT)").alias(
+                "obs_permille"
+            ),
+            "benford_permille",
+            F.expr(
+                "CAST(abs(1000 * COALESCE(n_obs, 0) div nt"
+                " - benford_permille) AS BIGINT)"
+            ).alias("dev_permille"),
+        )
+    )
+
+
+@query(
+    "chisq_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM orders GROUP BY 1, 2),
+    r AS (SELECT o_orderpriority, SUM(n_obs) AS rr FROM cells GROUP BY 1),
+    c AS (SELECT o_orderstatus, SUM(n_obs) AS cc FROM cells GROUP BY 1),
+    n AS (SELECT SUM(n_obs) AS nt FROM cells),
+    per AS (
+      SELECT cells.o_orderpriority, cells.o_orderstatus, cells.n_obs,
+             CAST(CAST(1000 AS HUGEINT) * r.rr * c.cc // n.nt
+                  AS BIGINT) AS expected_milli,
+             CAST(CAST(1000000 AS HUGEINT)
+                  * (CAST(cells.n_obs AS HUGEINT) * n.nt
+                     - CAST(r.rr AS HUGEINT) * c.cc)
+                  * (CAST(cells.n_obs AS HUGEINT) * n.nt
+                     - CAST(r.rr AS HUGEINT) * c.cc)
+                  // (CAST(n.nt AS HUGEINT) * r.rr * c.cc)
+                  AS BIGINT) AS chi2_contrib_micro
+      FROM cells
+      JOIN r USING (o_orderpriority)
+      JOIN c USING (o_orderstatus)
+      CROSS JOIN n)
+    SELECT * FROM per
+    UNION ALL
+    SELECT 'ALL', 'ALL', CAST(SUM(n_obs) AS BIGINT),
+           CAST(SUM(expected_milli) AS BIGINT),
+           CAST(SUM(chi2_contrib_micro) AS BIGINT)
+    FROM per
+    """,
+)
+def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and order
+    status — the contingency-table screen for "does one categorical
+    drive another", rendered fully exact: expected counts as integer
+    milli-units (1000*r*c DIV N) and each cell's chi-square
+    contribution as integer micro-units (1e6*(o*N - r*c)^2 DIV
+    (N*r*c)), all computed in DECIMAL(38,0) / HUGEINT so both engines
+    share the arithmetic bit-for-bit (headroom: (o*N)^2 * 1e6 caps
+    both engines near N ~= 4e7 rows; past that, drop the micro scale
+    or pre-aggregate — documented, not silent). A trailing 'ALL'/'ALL'
+    discriminator row carries the chi-square total as the sum of the
+    per-cell integers (order-independent by construction).
+
+    Scale: ONE scan to the |priorities| x |statuses| cell table (15
+    rows, map-side combinable), then every margin (row totals, column
+    totals, N) re-aggregates the pinned cell table — broadcast joins
+    throughout; the union's total row consumes the same pinned `per`
+    frame, so nothing recomputes (the corr_matrix union lesson)."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_obs"))
+        .localCheckpoint(eager=False)
+    )
+    r = cells.groupBy("o_orderpriority").agg(F.sum("n_obs").alias("rr"))
+    c = cells.groupBy("o_orderstatus").agg(F.sum("n_obs").alias("cc"))
+    n = cells.agg(F.sum("n_obs").alias("nt"))
+    per = (
+        cells.join(F.broadcast(r), "o_orderpriority")
+        .join(F.broadcast(c), "o_orderstatus")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.expr("CAST(rr AS DECIMAL(38,0)) * cc").alias("_rc"),
+            F.expr(
+                "CAST(n_obs AS DECIMAL(38,0)) * nt"
+                " - CAST(rr AS DECIMAL(38,0)) * cc"
+            ).alias("_resid"),
+            F.col("nt"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "n_obs",
+            F.expr("CAST(CAST(1000 AS DECIMAL(38,0)) * _rc div nt AS BIGINT)")
+            .alias("expected_milli"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * _resid * _resid"
+                " div (CAST(nt AS DECIMAL(38,0)) * _rc) AS BIGINT)"
+            ).alias("chi2_contrib_micro"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = per.agg(
+        F.lit("ALL").alias("o_orderpriority"),
+        F.lit("ALL").alias("o_orderstatus"),
+        F.sum("n_obs").cast("long").alias("n_obs"),
+        F.sum("expected_milli").cast("long").alias("expected_milli"),
+        F.sum("chi2_contrib_micro").cast("long").alias("chi2_contrib_micro"),
+    )
+    return per.unionByName(total)
+
+
+# child table, child key, parent table, parent key — the TPC-H-shaped
+# star schema's full referential surface (reference analog: the
+# pre-write PK conformance checks in schemas.py extend here to the FK
+# direction a warehouse audits after every load).
+_FK_RELS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_audit_oracle() -> str:
+    blocks = []
+    for child, ck, parent, pk in _FK_RELS:
+        name = f"{child}.{ck}->{parent}.{pk}"
+        blocks.append(
+            f"""SELECT '{name}' AS relationship,
+           CAST((SELECT SUM(n) FROM k_{child}_{ck}) AS BIGINT) AS n_child_rows,
+           CAST((SELECT count(*) FROM k_{child}_{ck}) AS BIGINT) AS n_child_keys,
+           CAST((SELECT count(*) FROM orph_{child}_{ck}) AS BIGINT) AS n_orphan_keys,
+           CAST(COALESCE((SELECT SUM(n) FROM orph_{child}_{ck}), 0) AS BIGINT) AS n_orphan_rows"""
+        )
+    ctes = []
+    for child, ck, parent, pk in _FK_RELS:
+        ctes.append(
+            f"k_{child}_{ck} AS (SELECT {ck} AS k, CAST(count(*) AS BIGINT) AS n"
+            f" FROM {child} GROUP BY 1)"
+        )
+        ctes.append(
+            f"orph_{child}_{ck} AS (SELECT * FROM k_{child}_{ck}"
+            f" WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = k))"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL\n    ".join(blocks)
+
+
+@query("fk_integrity_audit", oracle=_fk_audit_oracle())
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's seven
+    foreign-key edges: per relationship, child row/key counts and how
+    many keys/rows point at a missing parent — the FK complement of
+    the reference's pre-write PK conformance checks
+    (`/root/reference/src/data_processor/processor.py:619-710`), run
+    as a single post-load report instead of per-table assertions.
+
+    Scale: each relationship aggregates the child to its DISTINCT key
+    counts first (one map-side-combinable shuffle bounded by key
+    cardinality, never raw rows), pins that frame, and derives both
+    the totals and the orphan counts from it — the orphan side is a
+    left-anti join against the parent's key column only (column-pruned
+    scan). Seven independent 1-row branches union at the end; no
+    branch touches another's tables."""
+    rows = [
+        _fk_audit_row(
+            f"{child}.{ck}->{parent}.{pk}",
+            load_table(spark, sf_dir, child),
+            ck,
+            load_table(spark, sf_dir, parent),
+            pk,
+        )
+        for child, ck, parent, pk in _FK_RELS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _fk_audit_row(
+    name: str, cdf: DataFrame, ck: str, pdf: DataFrame, pk: str
+) -> DataFrame:
+    """One audit row for child.ck -> parent.pk: the child is first
+    reduced to its distinct-key counts (pinned — totals AND the orphan
+    anti-join both consume it), so the expensive side shuffles once
+    and is bounded by key cardinality, not raw rows."""
+    keys = (
+        cdf.groupBy(F.col(ck).alias("k"))
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    totals = keys.agg(
+        F.sum("n").cast("long").alias("n_child_rows"),
+        F.count("*").cast("long").alias("n_child_keys"),
+    )
+    orphans = keys.join(
+        pdf.select(F.col(pk).alias("k")), "k", "left_anti"
+    ).agg(
+        F.count("*").cast("long").alias("n_orphan_keys"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_orphan_rows"),
+    )
+    return totals.crossJoin(orphans).select(
+        F.lit(name).alias("relationship"),
+        "n_child_rows",
+        "n_child_keys",
+        "n_orphan_keys",
+        "n_orphan_rows",
+    )
+
+
+# weighted co-purchase subgraph (every third part — the triangle/BFS
+# graph) with integer edge costs: a pair seen in cnt baskets costs
+# 1 + 1000 DIV cnt, so frequent pairs are short hops. Symmetrized in
+# SQL by the final UNION ALL.
+_WEIGHTED_EDGES_SQL = """
+      SELECT src, dst, w FROM (
+        SELECT src, dst, CAST(1 + 1000 // cnt AS BIGINT) AS w FROM (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey % 3 = 0) a
+          JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey % 3 = 0) b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2))
+      UNION ALL
+      SELECT dst, src, w FROM (
+        SELECT src, dst, CAST(1 + 1000 // cnt AS BIGINT) AS w FROM (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey % 3 = 0) a
+          JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey % 3 = 0) b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2))
+    """
+
+_SSSP_SEEDS_SQL = (
+    "SELECT DISTINCT src AS v FROM e WHERE src % 999 = 0"
+)
+
+
+@query(
+    "weighted_sssp",
+    oracle=sssp_oracle_sql(_WEIGHTED_EDGES_SQL, _SSSP_SEEDS_SQL, rounds=4)
+    + """
+    SELECT v AS part, dist FROM d4
+    """,
+)
+def weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths over the part co-purchase subgraph
+    (every third part, the triangle/BFS graph): min path cost from the
+    seed set {parts divisible by 999} under integer edge costs
+    1 + 1000 DIV cnt — frequent co-purchase pairs are cheap hops — for
+    4 Bellman-Ford relaxation rounds. The weighted complement of
+    bfs_reach: hop count says how FAR a part is, path cost says how
+    WEAKLY CONNECTED it is, the distance that actually ranks
+    recommendation reachability.
+
+    Fixed rounds + integer min-plus arithmetic make every label a pure
+    function of the edge set, so the DuckDB oracle replays all four
+    relaxations as unrolled MATERIALIZED CTEs (operators/sssp.py
+    sssp_oracle_sql) and the gate hash-verifies every distance.
+
+    Scale: the weighted edge build is the one data-sized shuffle
+    (distinct + bounded map-side pair generation from baskets, the
+    canonical_pairs form — never an items self-join); it is
+    checkpoint-pinned so the 4 relaxation joins (each bounded by
+    labeled-set adjacency, followed by a map-side-combinable MIN)
+    never replay it."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") % 3 == 0
+    )
+    pairs = (
+        canonical_pairs_from_baskets(basket_sets(li, "l_orderkey", "l_partkey"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "src", "dst", F.expr("CAST(1 + 1000 div cnt AS BIGINT)").alias("w")
+        )
+    )
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct("src", "dst", "w"),
+                    F.struct(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                        F.col("w"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst", "e.w")
+        .localCheckpoint(eager=False)
+    )
+    seeds = (
+        edges.where(F.col("src") % 999 == 0)
+        .select(F.col("src").alias("v"))
+        .distinct()
+    )
+    return sssp_labels(edges, seeds, rounds=4).select(
+        F.col("v").alias("part"), "dist"
+    )
