@@ -218,19 +218,6 @@ _PRIORITY = [
     "substring_dedup",
     "dedup_cluster_collapse",
     "components_star_chains",
-    "multimodal_features",
-    "request_stats",
-    "asof_feature_join",
-    "asof_feature_join_segmented",
-    "range_join_recent_activity",
-    "kmeans_embeddings",
-    "pagerank_bipartite",
-    "top_ngrams",
-    "multimodal_frame_sample",
-    "dedup_simhash_verified",
-    "content_hash_portable",
-    "multimodal_resize",
-    "multimodal_audio_features",
 ]
 
 

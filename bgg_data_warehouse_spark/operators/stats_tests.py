@@ -245,40 +245,59 @@ def mwu_from_grids(
     exact; over raw doubles it is the MWU of the binned distributions —
     the sketch's resolution, the honest streaming contract.
 
-    Same integer conventions as the ``mannwhitney_u`` gate: 2U_a folds
-    average-rank tie credit into whole numbers (each A counts 2 per B
-    below, 1 per tied B — bins ARE tie groups here), tie_term =
-    SUM(t^3 - t) over pooled bins. Headroom: tie_term stays int64 while
-    no single bin holds more than ~2.1M pooled rows, u2_a while
-    n_a*n_b < ~4.6e18 — at sketch scales both hold; past them lift the
-    accumulation to DECIMAL(38,0).
+    Same integer conventions as the ``mannwhitney_u`` gate (each A
+    counts 2 per B below, 1 per tied B — bins ARE tie groups here),
+    but the accumulations run in DECIMAL(38,0), not int64: a streamed
+    sketch can pool BILLIONS of rows into one bin, where a single
+    t^3 term already passes 2^63 (t > ~2.1M) — and even modest bins
+    overflow the SUM long before the per-term bound (sum(t^3) <=
+    max_t^2 * total_rows, so 1M-row bins cap an int64 SUM at ~9e6
+    total rows). Decimal keeps every term and the sum exact through
+    t ~ 4.6e12 per bin.
+
+    z_x1e6 is the gate's shared expression with one guard the raw-data
+    gate does not need: a constant stream puts ALL mass in one pooled
+    bin, making tie_term = n^3 - n and the tie-corrected variance
+    exactly zero — z is then undefined, so the guard emits NULL
+    instead of letting 0/0's NaN cast to a silent 0 ("no shift,
+    perfectly measured").
 
     Every stage is sketch-bounded: the shared cumulative spine is
     grid-sized and the summary is one map-side-combinable aggregate.
     """
     cum = _grids_to_cum(grid_a, grid_b, bin_col, count_col)
+    dec = 'CAST({} AS DECIMAL(38,0))'
     agg = cum.agg(
         F.max("ca").cast("long").alias("n_a"),
         F.max("cb").cast("long").alias("n_b"),
         F.sum(
-            F.col("ca0") * (2 * (F.col("cb") - F.col("cb0")) + F.col("cb0"))
+            F.expr(dec.format("ca0")) * (2 * (F.col("cb") - F.col("cb0")) + F.col("cb0"))
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("u2_a"),
         F.sum(
-            (F.col("ca0") + F.col("cb0"))
-            * (F.col("ca0") + F.col("cb0"))
-            * (F.col("ca0") + F.col("cb0"))
+            F.expr(dec.format("ca0 + cb0"))
+            * F.expr(dec.format("ca0 + cb0"))
+            * F.expr(dec.format("ca0 + cb0"))
             - (F.col("ca0") + F.col("cb0"))
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("tie_term"),
+    )
+    # variance == 0 <=> tie_term == (n_a+n_b)^3 - (n_a+n_b), exactly
+    guarded_z = (
+        "CASE WHEN tie_term = CAST(n_a + n_b AS DECIMAL(38,0))"
+        " * (n_a + n_b - 1) * (n_a + n_b + 1)"
+        " THEN CAST(NULL AS BIGINT) ELSE "
+        + MWU_Z_X1E6_SQL.removesuffix(" AS z_x1e6")
+        + " END AS z_x1e6"
     )
     return agg.selectExpr(
         "n_a",
         "n_b",
         "u2_a",
-        "CAST(2 * n_a * n_b - u2_a AS BIGINT) AS u2_b",
+        "CAST(CAST(2 AS DECIMAL(38,0)) * n_a * n_b - u2_a"
+        " AS DECIMAL(38,0)) AS u2_b",
         "tie_term",
-        MWU_Z_X1E6_SQL,
+        guarded_z,
     )

@@ -9463,12 +9463,16 @@ def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     by both engines on identical integers, so even its double
     arithmetic is bit-reproducible.
 
-    Headroom (the KS convention, stated not assumed): tie_term's t^3
-    keeps SUM inside int64 while no single tied value carries more
-    than ~2.1M pooled rows and u2_a while n_a*n_b < ~4.6e18; past
-    either bound the 100-TB form lifts the accumulation to
-    DECIMAL(38,0) two-level aggregation — at this gate's scales both
-    are satisfied by orders of magnitude.
+    Headroom (the KS convention, stated not assumed): tie_term's SUM
+    stays inside int64 while max_tie_group^2 * pooled_rows < ~9.2e18
+    (sum(t^3) <= max_t^2 * N — the BOUND IS ON THE SUM, not the
+    per-term cube: e.g. 1M-row tie groups cap N at ~9.2e6, and a
+    single group past ~2.1M rows overflows alone), and u2_a while
+    n_a*n_b < ~4.6e18; past either bound the 100-TB form lifts the
+    accumulation to DECIMAL(38,0) exactly as
+    operators/stats_tests.mwu_from_grids does for sketch bins — at
+    this gate's scales both bounds are satisfied by orders of
+    magnitude.
 
     Same distributed spine as ks_two_sample (bucketed two-pass
     cumulative counts, operators/stats_tests.py): the oracle's bare
@@ -9955,7 +9959,13 @@ def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS STRING), 1, 1) AS BIGINT)"
         ).alias("digit")
     )
-    counts = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    # counts feeds the spine join AND the total; pin it lazily so the
+    # lineitem scan + 9-key aggregate run once, not per consumer
+    counts = (
+        digits.groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+        .localCheckpoint(eager=False)
+    )
     total = counts.agg(F.sum("n_obs").cast("long").alias("nt"))
     spine = spark.createDataFrame(
         _BENFORD_PERMILLE, "digit long, benford_permille long"
@@ -10183,7 +10193,7 @@ def _fk_audit_row(
 # 1 + 1000 DIV cnt, so frequent pairs are short hops. Symmetrized in
 # SQL by the final UNION ALL.
 _WEIGHTED_EDGES_SQL = """
-      SELECT src, dst, w FROM (
+      WITH wp AS MATERIALIZED (
         SELECT src, dst, CAST(1 + 1000 // cnt AS BIGINT) AS w FROM (
           SELECT a.l_partkey AS src, b.l_partkey AS dst,
                  CAST(count(*) AS BIGINT) AS cnt
@@ -10193,17 +10203,9 @@ _WEIGHTED_EDGES_SQL = """
                 WHERE l_partkey % 3 = 0) b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
           GROUP BY 1, 2))
+      SELECT src, dst, w FROM wp
       UNION ALL
-      SELECT dst, src, w FROM (
-        SELECT src, dst, CAST(1 + 1000 // cnt AS BIGINT) AS w FROM (
-          SELECT a.l_partkey AS src, b.l_partkey AS dst,
-                 CAST(count(*) AS BIGINT) AS cnt
-          FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-                WHERE l_partkey % 3 = 0) a
-          JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-                WHERE l_partkey % 3 = 0) b
-            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          GROUP BY 1, 2))
+      SELECT dst, src, w FROM wp
     """
 
 _SSSP_SEEDS_SQL = (

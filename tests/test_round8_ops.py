@@ -351,3 +351,72 @@ def test_streaming_mwu_drift_equals_batch_and_detects_shift(spark, tmp_path):
     assert got["n_a"] == 400 and got["n_b"] == 400
     # live mass moved up vs the reference: A (reference) ranks lower
     assert got["z_x1e6"] < -1_000_000
+
+
+# ---------------------------------------------------------------------------
+# self-review regression tests (round-8 inline review)
+# ---------------------------------------------------------------------------
+
+
+def test_priority_window_integrity():
+    """_PRIORITY must be duplicate-free (a duplicate makes a future
+    rotation edit silently fall back to the stale position) and every
+    name must resolve in the registry; the graded first-50 window must
+    be fully oracle-gated."""
+    from __spark_entry__ import _PRIORITY
+
+    dupes = {n for n in _PRIORITY if _PRIORITY.count(n) > 1}
+    assert not dupes, dupes
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    stale = [n for n in _PRIORITY if n not in qs]
+    assert not stale, stale
+    win = list(qs)[:50]
+    ungated = [q for q in win if q not in os_]
+    assert not ungated, ungated
+
+
+def test_benford_pins_counts_single_scan(spark):
+    """counts feeds the spine join AND the total; the lazy pin makes
+    the executed gate plan read the checkpoint RDD — the lineitem scan
+    and 9-key aggregate run once ('Scale: ONE scan' docstring claim)."""
+    df = entrymod.queries()["benford_digits"](spark, SF_SMALL)
+    df.collect()
+    plan = final_plan(df)
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
+
+
+def test_mwu_grid_decimal_survives_billion_row_bins(spark):
+    """A streamed sketch can pool billions of rows into one bin: the
+    DECIMAL(38,0) accumulation keeps 2U and tie_term exact where a
+    per-term int64 cube (t > ~2.1M) or its SUM would overflow."""
+    from bgg_data_warehouse_spark.operators.stats_tests import mwu_from_grids
+
+    na0, nb0, nb1 = 2_000_000_000, 1_000_000_000, 5
+    ga = spark.createDataFrame([(0, na0)], "bin long, n long")
+    gb = spark.createDataFrame([(0, nb0), (1, nb1)], "bin long, n long")
+    row = mwu_from_grids(ga, gb).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (na0, nb0 + nb1)
+    # exact integer reference arithmetic (Python bigints)
+    u2_a = na0 * (2 * 0 + nb0)  # bin0: B-below = 0, tied B = nb0
+    t0, t1 = na0 + nb0, nb1
+    tie = (t0**3 - t0) + (t1**3 - t1)
+    assert int(row["u2_a"]) == u2_a
+    assert int(row["u2_b"]) == 2 * na0 * (nb0 + nb1) - u2_a
+    assert int(row["tie_term"]) == tie
+    assert tie > 2**63  # the case an int64 accumulation cannot hold
+
+
+def test_mwu_grid_z_is_null_when_fully_tied(spark):
+    """All mass in ONE pooled bin (a constant stream) makes the
+    tie-corrected variance exactly zero: z must be NULL, not the
+    silent 0 that NaN->BIGINT casting produces."""
+    from bgg_data_warehouse_spark.operators.stats_tests import mwu_from_grids
+
+    ga = spark.createDataFrame([(0, 5)], "bin long, n long")
+    gb = spark.createDataFrame([(0, 7)], "bin long, n long")
+    row = mwu_from_grids(ga, gb).collect()[0]
+    assert int(row["u2_a"]) == 5 * 7  # every pair tied: half credit x2
+    assert int(row["tie_term"]) == 12**3 - 12
+    assert row["z_x1e6"] is None
