@@ -10136,11 +10136,11 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each relationship aggregates the child to its DISTINCT key
     counts first (one map-side-combinable shuffle bounded by key
-    cardinality, never raw rows), pins that frame, and derives both
-    the totals and the orphan counts from it — the orphan side is a
-    left-anti join against the parent's key column only (column-pruned
-    scan). Seven independent 1-row branches union at the end; no
-    branch touches another's tables."""
+    cardinality, never raw rows), LEFT-joins once against the parent's
+    distinct key column (column-pruned scan), and computes totals and
+    orphan counts in ONE conditional aggregate — single pass, no
+    second consumer. Seven independent 1-row branches union at the
+    end; no branch touches another's tables."""
     rows = [
         _fk_audit_row(
             f"{child}.{ck}->{parent}.{pk}",
@@ -10160,31 +10160,31 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fk_audit_row(
     name: str, cdf: DataFrame, ck: str, pdf: DataFrame, pk: str
 ) -> DataFrame:
-    """One audit row for child.ck -> parent.pk: the child is first
-    reduced to its distinct-key counts (pinned — totals AND the orphan
-    anti-join both consume it), so the expensive side shuffles once
-    and is bounded by key cardinality, not raw rows."""
-    keys = (
-        cdf.groupBy(F.col(ck).alias("k"))
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=False)
+    """One audit row for child.ck -> parent.pk: the child is reduced to
+    its distinct-key counts (one map-side-combinable shuffle bounded by
+    key cardinality, never raw rows), LEFT-joined once against the
+    parent's distinct keys, and all four statistics fall out of a
+    single conditional aggregate — totals and orphan counts in one
+    pass, no second consumer to pin for."""
+    keys = cdf.groupBy(F.col(ck).alias("k")).agg(F.count("*").alias("n"))
+    marked = keys.join(
+        pdf.select(F.col(pk).alias("k")).distinct().withColumn(
+            "_hit", F.lit(1)
+        ),
+        "k",
+        "left",
     )
-    totals = keys.agg(
+    miss = F.col("_hit").isNull()
+    return marked.agg(
+        F.lit(name).alias("relationship"),
         F.sum("n").cast("long").alias("n_child_rows"),
         F.count("*").cast("long").alias("n_child_keys"),
-    )
-    orphans = keys.join(
-        pdf.select(F.col(pk).alias("k")), "k", "left_anti"
-    ).agg(
-        F.count("*").cast("long").alias("n_orphan_keys"),
-        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_orphan_rows"),
-    )
-    return totals.crossJoin(orphans).select(
-        F.lit(name).alias("relationship"),
-        "n_child_rows",
-        "n_child_keys",
-        "n_orphan_keys",
-        "n_orphan_rows",
+        F.sum(F.when(miss, 1).otherwise(0)).cast("long").alias(
+            "n_orphan_keys"
+        ),
+        F.sum(F.when(miss, F.col("n")).otherwise(0)).cast("long").alias(
+            "n_orphan_rows"
+        ),
     )
 
 
