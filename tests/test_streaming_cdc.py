@@ -1,0 +1,160 @@
+"""Streaming CDC apply (streaming/cdc.py): the drained change stream's
+snapshot must equal ONE batch apply_changelog over the concatenated
+log, same-epoch replay must be a bit-level no-op, and deletes must
+actually remove state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SCHEMA = "k long, seq long, op string, val string, qty long"
+
+
+def _epochs():
+    """Three change epochs: inserts, an update+delete, a re-insert.
+    seq is globally monotone across epochs (the CDC-feed contract)."""
+    e0 = [
+        (1, 1, "U", "a", 10),
+        (2, 2, "U", "b", 20),
+        (3, 3, "U", "c", 30),
+        (1, 4, "U", "a2", 11),  # same-epoch second version of key 1
+    ]
+    e1 = [
+        (2, 5, "U", "b2", 21),  # update
+        (3, 6, "D", None, None),  # delete
+        (4, 7, "U", "d", 40),  # insert
+    ]
+    e2 = [
+        (3, 8, "U", "c-back", 31),  # re-insert after delete
+        (4, 9, "D", None, None),  # delete a key inserted last epoch
+    ]
+    return [e0, e1, e2]
+
+
+def _state(spark, root, name):
+    from bgg_data_warehouse_spark.streaming.cdc import read_cdc_state
+
+    return sorted(
+        (r.k, r.val, r.qty) for r in read_cdc_state(spark, root, name).collect()
+    )
+
+
+def test_streaming_cdc_matches_single_batch_apply(spark, tmp_path):
+    from bgg_data_warehouse_spark.operators.merge import apply_changelog
+    from bgg_data_warehouse_spark.streaming.cdc import start_streaming_cdc
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "tables")
+    epochs = _epochs()
+
+    def write_epoch(i):
+        spark.createDataFrame(epochs[i], SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    write_epoch(0)
+    q = start_streaming_cdc(
+        spark.readStream.schema(SCHEMA).parquet(landing),
+        root,
+        "cdc_state",
+        str(tmp_path / "ckpt"),
+        keys=["k"],
+        seq_cols=["seq"],
+    )
+    try:
+        q.processAllAvailable()
+        write_epoch(1)
+        q.processAllAvailable()
+        write_epoch(2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _state(spark, root, "cdc_state")
+    all_changes = spark.createDataFrame(
+        [r for e in epochs for r in e], SCHEMA
+    )
+    base = all_changes.drop("op", "seq").limit(0)
+    want = sorted(
+        (r.k, r.val, r.qty)
+        for r in apply_changelog(
+            base, all_changes, ["k"], ["seq"]
+        ).collect()
+    )
+    assert got == want
+    # spot-check the semantics end-state: 1 updated in-epoch, 2 updated,
+    # 3 deleted-then-reinserted, 4 inserted-then-deleted
+    assert got == [(1, "a2", 11), (2, "b2", 21), (3, "c-back", 31)]
+
+
+def test_cdc_same_epoch_replay_is_noop(spark, tmp_path):
+    """The crash window foreachBatch actually replays: the swap landed
+    but the checkpoint commit did not. Re-applying the SAME batch must
+    reproduce the snapshot bit-for-bit (LWW of identical images)."""
+    from bgg_data_warehouse_spark.streaming.cdc import apply_cdc_batch
+
+    root = str(tmp_path / "tables")
+    epochs = _epochs()
+    for e in epochs[:2]:
+        apply_cdc_batch(
+            spark.createDataFrame(e, SCHEMA),
+            root,
+            "cdc_state",
+            keys=["k"],
+            seq_cols=["seq"],
+        )
+    before = _state(spark, root, "cdc_state")
+    # replay epoch 1 against state that already includes it
+    apply_cdc_batch(
+        spark.createDataFrame(epochs[1], SCHEMA),
+        root,
+        "cdc_state",
+        keys=["k"],
+        seq_cols=["seq"],
+    )
+    assert _state(spark, root, "cdc_state") == before
+
+
+def test_cdc_empty_batch_is_skipped(spark, tmp_path):
+    from bgg_data_warehouse_spark.streaming.cdc import apply_cdc_batch
+
+    root = str(tmp_path / "tables")
+    apply_cdc_batch(
+        spark.createDataFrame(_epochs()[0], SCHEMA),
+        root,
+        "cdc_state",
+        keys=["k"],
+        seq_cols=["seq"],
+    )
+    before = _state(spark, root, "cdc_state")
+    apply_cdc_batch(
+        spark.createDataFrame([], SCHEMA),
+        root,
+        "cdc_state",
+        keys=["k"],
+        seq_cols=["seq"],
+    )
+    assert _state(spark, root, "cdc_state") == before
+
+
+def test_cdc_first_batch_creates_state_without_log_columns(spark, tmp_path):
+    from bgg_data_warehouse_spark.streaming.cdc import (
+        apply_cdc_batch,
+        read_cdc_state,
+    )
+
+    root = str(tmp_path / "tables")
+    apply_cdc_batch(
+        spark.createDataFrame(_epochs()[0], SCHEMA),
+        root,
+        "cdc_state",
+        keys=["k"],
+        seq_cols=["seq"],
+    )
+    st = read_cdc_state(spark, root, "cdc_state")
+    assert sorted(st.columns) == ["k", "qty", "val"]
+    assert _state(spark, root, "cdc_state") == [
+        (1, "a2", 11),
+        (2, "b", 20),
+        (3, "c", 30),
+    ]
