@@ -659,3 +659,161 @@ def test_merkle_root_changes_iff_a_leaf_changes(spark, leaves, tamper):
     b = tree(mutated)
     assert a[(3, 0)] != b[(3, 0)]  # root always moves
     assert a == tree(leaves)       # and is reproducible
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),
+            st.integers(min_value=1, max_value=8),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    rounds=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_sssp_bounded_rounds_matches_bellman_ford(spark, pairs, rounds):
+    """On ANY random weighted graph and round bound, every Spark label
+    equals the pure-Python Bellman-Ford label after the same number of
+    synchronous relaxation rounds — including labels that are still
+    above their eventual shortest distance because the bound cut the
+    walk short."""
+    from bgg_data_warehouse_spark.operators.sssp import sssp_labels
+    from pyspark.sql import Row
+
+    triples = sorted(
+        {(a, b, w) for a, b, w in pairs if a != b}
+        | {(b, a, w) for a, b, w in pairs if a != b}
+    )
+    if not triples:
+        return
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b, w=w) for a, b, w in triples]
+    )
+    seeds = sorted({a for a, _, _ in triples})[:2]
+    seed_df = spark.createDataFrame([Row(v=s) for s in seeds])
+
+    # synchronous Bellman-Ford reference, exactly `rounds` rounds
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for a, b, w in triples:
+            if a in dist and dist[a] + w < nxt.get(b, float("inf")):
+                nxt[b] = dist[a] + w
+        dist = nxt
+    got = {
+        r.v: r.dist
+        for r in sssp_labels(edges, seed_df, rounds=rounds).collect()
+    }
+    assert got == dist
+
+
+@given(
+    ha=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=1, max_value=30),
+        ),
+        min_size=1,
+        max_size=7,
+        unique_by=lambda t: t[0],
+    ),
+    hb=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=1, max_value=30),
+        ),
+        min_size=1,
+        max_size=7,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(**SETTINGS)
+def test_mwu_from_grids_matches_bruteforce_ranks(spark, ha, hb):
+    """For ANY two histograms, the grid 2U equals the brute-force
+    pairwise count (2 per A>B... i.e. per B strictly below an A, plus
+    1 per tie), tie_term equals the pooled-bin cube sum, and u2_a +
+    u2_b = 2*n_a*n_b."""
+    from bgg_data_warehouse_spark.operators.stats_tests import mwu_from_grids
+
+    ga = spark.createDataFrame(sorted(ha), "bin long, n long")
+    gb = spark.createDataFrame(sorted(hb), "bin long, n long")
+    row = mwu_from_grids(ga, gb).collect()[0]
+
+    a_vals = [b for b, n in ha for _ in range(n)]
+    b_vals = [b for b, n in hb for _ in range(n)]
+    u2 = sum(
+        2 if x > y else (1 if x == y else 0) for x in a_vals for y in b_vals
+    )
+    pooled: dict[int, int] = {}
+    for v in a_vals + b_vals:
+        pooled[v] = pooled.get(v, 0) + 1
+    tie = sum(t**3 - t for t in pooled.values())
+    assert (row["n_a"], row["n_b"]) == (len(a_vals), len(b_vals))
+    assert int(row["u2_a"]) == u2
+    assert int(row["tie_term"]) == tie
+    assert int(row["u2_a"]) + int(row["u2_b"]) == 2 * len(a_vals) * len(b_vals)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["p1", "p2", "p3"]),
+            st.sampled_from(["F", "O"]),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_chisq_cells_match_exact_integer_reference(spark, rows):
+    """For ANY contingency sample, every per-cell expected_milli and
+    chi2_contrib_micro equals exact Python bigint arithmetic, and the
+    ALL/ALL row is their exact sum — the property the fixture-scale
+    oracle gate samples once, held universally."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_orderstatus string")
+
+    cells_df = (
+        df.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F2.count("*").alias("n_obs"))
+        .localCheckpoint(eager=False)
+    )
+    r = cells_df.groupBy("o_orderpriority").agg(F2.sum("n_obs").alias("rr"))
+    c = cells_df.groupBy("o_orderstatus").agg(F2.sum("n_obs").alias("cc"))
+    n = cells_df.agg(F2.sum("n_obs").alias("nt"))
+    got = {
+        (x.o_orderpriority, x.o_orderstatus): (
+            int(x.expected_milli),
+            int(x.chi2),
+        )
+        for x in cells_df.join(F2.broadcast(r), "o_orderpriority")
+        .join(F2.broadcast(c), "o_orderstatus")
+        .crossJoin(F2.broadcast(n))
+        .selectExpr(
+            "o_orderpriority",
+            "o_orderstatus",
+            "CAST(CAST(1000 AS DECIMAL(38,0)) * rr * cc div nt AS BIGINT)"
+            " AS expected_milli",
+            "CAST(CAST(1000000 AS DECIMAL(38,0))"
+            " * (CAST(n_obs AS DECIMAL(38,0)) * nt - CAST(rr AS DECIMAL(38,0)) * cc)"
+            " * (CAST(n_obs AS DECIMAL(38,0)) * nt - CAST(rr AS DECIMAL(38,0)) * cc)"
+            " div (CAST(nt AS DECIMAL(38,0)) * CAST(rr AS DECIMAL(38,0)) * cc)"
+            " AS BIGINT) AS chi2",
+        )
+        .collect()
+    }
+    cnt = Counter(rows)
+    nn = len(rows)
+    rr_t = Counter(p for p, _ in rows)
+    cc_t = Counter(s for _, s in rows)
+    for (p, s), o in cnt.items():
+        exp = 1000 * rr_t[p] * cc_t[s] // nn
+        resid = o * nn - rr_t[p] * cc_t[s]
+        chi = 10**6 * resid * resid // (nn * rr_t[p] * cc_t[s])
+        assert got[(p, s)] == (exp, chi)
