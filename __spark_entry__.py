@@ -27,8 +27,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # spent its whole window on new/changed gates, so the stale refresh
 # lands here): evidence age computed from CORRECTNESS_r01-r07 — the
 # window holds the 22 r2-vintage gates (6 rounds without a driver
-# row, the oldest evidence in the ledger), the 23 r4-vintage gates
-# (at the 4-round freshness bar), and the 5 gates whose gating code
+# row, the oldest evidence in the ledger), 19 of the 23 r4-vintage
+# gates (at the 4-round freshness bar), and the 5 gates whose gating code
 # changed this round (round-7 ADVICE fixes: ks_two_sample —
 # DECIMAL(38,0) permyriad on both engines; robust_outliers —
 # base/dev lazy pins; approx_distinct_hll + hll_set_ops —
