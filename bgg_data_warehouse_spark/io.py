@@ -116,6 +116,49 @@ def table_exists(root: str, name: str) -> bool:
     return os.path.isdir(p) and any(not e.startswith("_") for e in os.listdir(p))
 
 
+def recover_table(root: str, name: str) -> bool:
+    """Heal the crash window of :func:`_rewrite`'s two-rename swap.
+
+    The swap is ``rename(final, backup)`` then ``rename(staging,
+    final)``: a crash between the two leaves NO live table dir, only a
+    ``<final>__old_<id>`` backup (and possibly an incomplete
+    ``<final>__stage_<id>``). Any loop that uses "table missing" to
+    mean "first write" (e.g. streaming/cdc.py's apply loop) would then
+    silently rebuild state from one batch — so such loops must call
+    this FIRST: if the table is live it is a no-op returning False;
+    otherwise the newest backup is renamed back into place (returning
+    True) and stale staging/backup leftovers are removed. Never
+    destructive to a live table; never removes the dir it restores.
+    """
+    final = _path(root, name)
+    backups = sorted(
+        (d for d in _siblings(final, "__old_")), key=os.path.getmtime
+    )
+    if table_exists(root, name):
+        return False
+    recovered = False
+    if backups:
+        os.rename(backups[-1], final)
+        recovered = True
+        backups = backups[:-1]
+    for d in backups:
+        shutil.rmtree(d, ignore_errors=True)
+    for d in _siblings(final, "__stage_"):
+        shutil.rmtree(d, ignore_errors=True)
+    return recovered
+
+
+def _siblings(final: str, marker: str) -> list[str]:
+    parent, base = os.path.dirname(final), os.path.basename(final)
+    if not os.path.isdir(parent):
+        return []
+    return [
+        os.path.join(parent, e)
+        for e in os.listdir(parent)
+        if e.startswith(base + marker)
+    ]
+
+
 def _rewrite(df: DataFrame, root: str, name: str) -> None:
     """Materialize a full-table rewrite via staging dir + atomic swap.
 

@@ -25,6 +25,12 @@ Exactly-once state without external transactions:
   picks identical per-key winners against that state (same newest 'U'
   images, deletes of already-absent keys), reproducing the snapshot
   bit-for-bit. The idempotence is pinned by test, not assumed.
+- A crash INSIDE the swap itself (between _rewrite's two renames)
+  leaves no live table dir, only the ``__old_`` backup — the one state
+  where "table missing" must NOT mean "first batch", or the replay
+  would silently rebuild state from one epoch. ``apply_cdc_batch``
+  therefore calls :func:`io.recover_table` before the existence check;
+  the restore-then-replay path is pinned by test.
 - Cross-epoch ordering therefore only requires that ``seq_cols`` be
   globally monotone over the log (a commit timestamp + offset — what
   every CDC feed already carries).
@@ -32,10 +38,14 @@ Exactly-once state without external transactions:
 Scale shape per batch: one shuffle of the CHANGE batch on the key for
 its per-key LWW window, one full-outer join against the snapshot on
 the same key (the window's partitioning is reused — audited for the
-batch gate in test_plan_audit), one staged rewrite. Snapshot-sized
-work is the join + rewrite, the floor for any no-table-format CDC
-consumer; with a partitioned layout (io.LAYOUTS) the rewrite prunes
-to touched partitions at the parquet level.
+batch gate in test_plan_audit), one staged rewrite. The join + the
+FULL-snapshot rewrite are snapshot-sized — the honest floor for a CDC
+consumer without a transactional table format (a partitioned
+io.LAYOUTS layout speeds READERS via pruning; it does not shrink the
+per-epoch rewrite). When per-epoch rewrite cost matters more than
+read-side simplicity, batch changes into longer trigger intervals or
+adopt a log-structured layout (base + change partitions compacted by
+io.compact_table).
 """
 
 from __future__ import annotations
@@ -44,7 +54,13 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..io import read_table, rewrite_table, table_exists, write_table
+from ..io import (
+    read_table,
+    recover_table,
+    rewrite_table,
+    table_exists,
+    write_table,
+)
 from ..operators.merge import apply_changelog
 
 __all__ = ["start_streaming_cdc", "read_cdc_state", "apply_cdc_batch"]
@@ -69,6 +85,11 @@ def apply_cdc_batch(
         return
     spark = batch_df.sparkSession
     drop = [op_col, *seq_cols]
+    # a crash between _rewrite's two renames leaves the snapshot only
+    # in its __old_ backup; restore it BEFORE the existence check so a
+    # replayed epoch merges into full state instead of re-founding the
+    # table from one batch
+    recover_table(root, name)
     if table_exists(root, name):
         base = read_table(spark, root, name)
         rewrite_table(

@@ -10175,16 +10175,19 @@ def _fk_audit_row(
         "left",
     )
     miss = F.col("_hit").isNull()
+    # orphan sums coalesce to 0 on an EMPTY child (SUM over zero rows
+    # is NULL) to match the oracle's count(*) / COALESCE(SUM, 0);
+    # n_child_rows stays NULL there because the oracle's bare SUM does
     return marked.agg(
         F.lit(name).alias("relationship"),
         F.sum("n").cast("long").alias("n_child_rows"),
         F.count("*").cast("long").alias("n_child_keys"),
-        F.sum(F.when(miss, 1).otherwise(0)).cast("long").alias(
-            "n_orphan_keys"
-        ),
-        F.sum(F.when(miss, F.col("n")).otherwise(0)).cast("long").alias(
-            "n_orphan_rows"
-        ),
+        F.coalesce(F.sum(F.when(miss, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_orphan_keys"),
+        F.coalesce(F.sum(F.when(miss, F.col("n")).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_orphan_rows"),
     )
 
 

@@ -769,51 +769,48 @@ def test_mwu_from_grids_matches_bruteforce_ranks(spark, ha, hb):
 )
 @settings(**SETTINGS)
 def test_chisq_cells_match_exact_integer_reference(spark, rows):
-    """For ANY contingency sample, every per-cell expected_milli and
-    chi2_contrib_micro equals exact Python bigint arithmetic, and the
-    ALL/ALL row is their exact sum — the property the fixture-scale
-    oracle gate samples once, held universally."""
+    """For ANY contingency sample, the REAL chisq_independence gate's
+    per-cell expected_milli and chi2_contrib_micro equal exact Python
+    bigint arithmetic and the ALL/ALL row is their exact sum — the
+    property the fixture-scale oracle gate samples once, held
+    universally. The random rows are written to a temp orders.parquet
+    so the test drives the production query body itself, not a copy of
+    its expressions."""
+    import shutil
+    import tempfile
     from collections import Counter
 
-    from pyspark.sql import functions as F2
+    from bgg_data_warehouse_spark.workload import QUERIES
 
-    df = spark.createDataFrame(rows, "o_orderpriority string, o_orderstatus string")
+    tmp = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame(
+            rows, "o_orderpriority string, o_orderstatus string"
+        ).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+        out = QUERIES["chisq_independence"](spark, tmp).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
-    cells_df = (
-        df.groupBy("o_orderpriority", "o_orderstatus")
-        .agg(F2.count("*").alias("n_obs"))
-        .localCheckpoint(eager=False)
-    )
-    r = cells_df.groupBy("o_orderpriority").agg(F2.sum("n_obs").alias("rr"))
-    c = cells_df.groupBy("o_orderstatus").agg(F2.sum("n_obs").alias("cc"))
-    n = cells_df.agg(F2.sum("n_obs").alias("nt"))
     got = {
         (x.o_orderpriority, x.o_orderstatus): (
-            int(x.expected_milli),
-            int(x.chi2),
+            x.n_obs,
+            x.expected_milli,
+            x.chi2_contrib_micro,
         )
-        for x in cells_df.join(F2.broadcast(r), "o_orderpriority")
-        .join(F2.broadcast(c), "o_orderstatus")
-        .crossJoin(F2.broadcast(n))
-        .selectExpr(
-            "o_orderpriority",
-            "o_orderstatus",
-            "CAST(CAST(1000 AS DECIMAL(38,0)) * rr * cc div nt AS BIGINT)"
-            " AS expected_milli",
-            "CAST(CAST(1000000 AS DECIMAL(38,0))"
-            " * (CAST(n_obs AS DECIMAL(38,0)) * nt - CAST(rr AS DECIMAL(38,0)) * cc)"
-            " * (CAST(n_obs AS DECIMAL(38,0)) * nt - CAST(rr AS DECIMAL(38,0)) * cc)"
-            " div (CAST(nt AS DECIMAL(38,0)) * CAST(rr AS DECIMAL(38,0)) * cc)"
-            " AS BIGINT) AS chi2",
-        )
-        .collect()
+        for x in out
     }
     cnt = Counter(rows)
     nn = len(rows)
     rr_t = Counter(p for p, _ in rows)
     cc_t = Counter(s for _, s in rows)
-    for (p, s), o in cnt.items():
-        exp = 1000 * rr_t[p] * cc_t[s] // nn
-        resid = o * nn - rr_t[p] * cc_t[s]
-        chi = 10**6 * resid * resid // (nn * rr_t[p] * cc_t[s])
-        assert got[(p, s)] == (exp, chi)
+    for (pp, ss), o in cnt.items():
+        exp = 1000 * rr_t[pp] * cc_t[ss] // nn
+        resid = o * nn - rr_t[pp] * cc_t[ss]
+        chi = 10**6 * resid * resid // (nn * rr_t[pp] * cc_t[ss])
+        assert got[(pp, ss)] == (o, exp, chi)
+    assert got[("ALL", "ALL")] == (
+        nn,
+        sum(v[1] for k, v in got.items() if k != ("ALL", "ALL")),
+        sum(v[2] for k, v in got.items() if k != ("ALL", "ALL")),
+    )
+    assert len(got) == len(cnt) + 1

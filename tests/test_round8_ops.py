@@ -420,3 +420,16 @@ def test_mwu_grid_z_is_null_when_fully_tied(spark):
     assert int(row["u2_a"]) == 5 * 7  # every pair tied: half credit x2
     assert int(row["tie_term"]) == 12**3 - 12
     assert row["z_x1e6"] is None
+
+
+def test_fk_audit_empty_child_renders_zero_orphans(spark):
+    """SUM over an empty child is NULL in both engines; the orphan
+    counts must coalesce to the oracle's count(*)/COALESCE zeros, not
+    surface NULL (second-review regression)."""
+    from bgg_data_warehouse_spark.workload import _fk_audit_row
+
+    child = spark.createDataFrame([], "ck long")
+    parent = spark.createDataFrame([Row(pk=1)])
+    r = _fk_audit_row("t.ck->p.pk", child, "ck", parent, "pk").collect()[0]
+    assert r.n_child_keys == 0
+    assert (r.n_orphan_keys, r.n_orphan_rows) == (0, 0)

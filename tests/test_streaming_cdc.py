@@ -158,3 +158,66 @@ def test_cdc_first_batch_creates_state_without_log_columns(spark, tmp_path):
         (2, "b", 20),
         (3, "c", 30),
     ]
+
+
+def test_cdc_replay_after_crash_mid_swap_recovers_full_state(spark, tmp_path):
+    """The deadliest crash window: between _rewrite's two renames the
+    live table dir does not exist — only the __old_ backup. A naive
+    'table missing => first batch' replay would silently re-found the
+    snapshot from ONE epoch, losing every earlier key. apply_cdc_batch
+    must restore the backup first and merge the replayed epoch into
+    full state."""
+    import os
+
+    from bgg_data_warehouse_spark.streaming.cdc import apply_cdc_batch
+
+    root = str(tmp_path / "tables")
+    epochs = _epochs()
+    for e in epochs[:2]:
+        apply_cdc_batch(
+            spark.createDataFrame(e, SCHEMA),
+            root,
+            "cdc_state",
+            keys=["k"],
+            seq_cols=["seq"],
+        )
+    want = _state(spark, root, "cdc_state")
+
+    # simulate the crash: swap started (old moved aside), never finished
+    final = os.path.join(root, "cdc_state")
+    os.rename(final, final + "__old_deadbeef")
+    os.makedirs(final + "__stage_feedface")  # incomplete staging leftovers
+
+    # foreachBatch replays the last epoch against the broken layout
+    apply_cdc_batch(
+        spark.createDataFrame(epochs[1], SCHEMA),
+        root,
+        "cdc_state",
+        keys=["k"],
+        seq_cols=["seq"],
+    )
+    assert _state(spark, root, "cdc_state") == want
+    assert not os.path.exists(final + "__old_deadbeef")
+    assert not os.path.exists(final + "__stage_feedface")
+
+
+def test_recover_table_noop_when_live(spark, tmp_path):
+    """recover_table never touches a live table, even with stale
+    backups lying around (the crash-after-swap-before-cleanup case)."""
+    import os
+
+    from bgg_data_warehouse_spark.io import recover_table
+    from bgg_data_warehouse_spark.streaming.cdc import apply_cdc_batch
+
+    root = str(tmp_path / "tables")
+    apply_cdc_batch(
+        spark.createDataFrame(_epochs()[0], SCHEMA),
+        root,
+        "cdc_state",
+        keys=["k"],
+        seq_cols=["seq"],
+    )
+    before = _state(spark, root, "cdc_state")
+    os.makedirs(os.path.join(root, "cdc_state__old_cafe"))
+    assert recover_table(root, "cdc_state") is False
+    assert _state(spark, root, "cdc_state") == before

@@ -52,7 +52,12 @@ def main() -> None:
     spark = get_spark("scaling-curve", cpus=cpus)
     qs = entrymod.queries()
     if names:
-        qs = {n: qs[n] for n in names if n in qs}
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            # fail loudly: a silently-dropped name would let "flagged: []"
+            # read as coverage for a query that was never measured
+            raise SystemExit(f"unknown query names: {unknown}")
+        qs = {n: qs[n] for n in names}
 
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()
