@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -117,33 +118,37 @@ def table_exists(root: str, name: str) -> bool:
 
 
 def recover_table(root: str, name: str) -> bool:
-    """Heal the crash window of :func:`_rewrite`'s two-rename swap.
+    """Heal the crash windows of :func:`_rewrite`'s two-rename swap.
 
     The swap is ``rename(final, backup)`` then ``rename(staging,
     final)``: a crash between the two leaves NO live table dir, only a
     ``<final>__old_<id>`` backup (and possibly an incomplete
     ``<final>__stage_<id>``). Any loop that uses "table missing" to
-    mean "first write" (e.g. streaming/cdc.py's apply loop) would then
-    silently rebuild state from one batch — so such loops must call
-    this FIRST: if the table is live it is a no-op returning False;
-    otherwise the newest backup is renamed back into place (returning
-    True) and stale staging/backup leftovers are removed. Never
-    destructive to a live table; never removes the dir it restores.
+    mean "first write" (the CDC apply loop, the S6/S7 table wrappers,
+    incremental refresh, the DAG's incremental policy) would then
+    silently rebuild state from one batch — so every such site calls
+    this FIRST. If the table is missing, the newest backup (exact
+    ordering: the monotonic-ns prefix _rewrite encodes in the backup
+    name — directory mtimes can tie on coarse filesystems) is renamed
+    back into place and stale leftovers are removed. If the table is
+    live, crash leftovers from the OTHER window (died after the swap,
+    before backup cleanup) are removed — a snapshot-sized disk leak
+    per crash otherwise — which is safe under the documented
+    single-runner-per-table model. Never destructive to a live table;
+    never removes the dir it restores.
     """
     final = _path(root, name)
-    backups = sorted(
-        (d for d in _siblings(final, "__old_")), key=os.path.getmtime
-    )
     if table_exists(root, name):
+        for d in _siblings(final, "__old_") + _siblings(final, "__stage_"):
+            shutil.rmtree(d, ignore_errors=True)
         return False
+    backups = sorted(_siblings(final, "__old_"), key=_backup_order)
     recovered = False
     if backups:
         os.rename(backups[-1], final)
         recovered = True
         backups = backups[:-1]
-    for d in backups:
-        shutil.rmtree(d, ignore_errors=True)
-    for d in _siblings(final, "__stage_"):
+    for d in backups + _siblings(final, "__stage_"):
         shutil.rmtree(d, ignore_errors=True)
     return recovered
 
@@ -157,6 +162,17 @@ def _siblings(final: str, marker: str) -> list[str]:
         for e in os.listdir(parent)
         if e.startswith(base + marker)
     ]
+
+
+def _backup_order(d: str):
+    """Newest-backup sort key: the zero-padded time_ns prefix _rewrite
+    writes into backup names; legacy uuid-only names (no numeric
+    prefix) fall back to mtime and sort before any ns-stamped name."""
+    tail = os.path.basename(d).split("__old_", 1)[1]
+    num = tail.split("_", 1)[0]
+    if num.isdigit():
+        return (1, int(num), d)
+    return (0, os.path.getmtime(d), d)
 
 
 def _rewrite(df: DataFrame, root: str, name: str) -> None:
@@ -173,7 +189,9 @@ def _rewrite(df: DataFrame, root: str, name: str) -> None:
     if layout.partition_cols:
         writer = writer.partitionBy(*layout.partition_cols)
     writer.parquet(staging)
-    backup = f"{final}__old_{uuid.uuid4().hex[:8]}"
+    # monotonic-ns prefix makes "newest backup" exact for recover_table
+    # (directory mtimes can tie at coarse filesystem granularity)
+    backup = f"{final}__old_{time.time_ns():020d}_{uuid.uuid4().hex[:6]}"
     if os.path.exists(final):
         os.rename(final, backup)
     os.rename(staging, final)
@@ -194,6 +212,7 @@ def merge_insert_missing_table(
     spark: SparkSession, incoming: DataFrame, root: str, name: str, keys: list[str]
 ) -> None:
     """S6 — dimension MERGE: insert keys never seen, never update."""
+    recover_table(root, name)  # crashed-swap table must not read as "first write"
     if not table_exists(root, name):
         write_table(incoming.dropDuplicates(keys), root, name)
         return
@@ -205,6 +224,7 @@ def delete_insert_table(
     spark: SparkSession, replacement: DataFrame, root: str, name: str, keys: list[str]
 ) -> None:
     """S7 — bridge/detail refresh: replace all rows for the incoming keys."""
+    recover_table(root, name)  # crashed-swap table must not read as "first write"
     if not table_exists(root, name):
         write_table(replacement, root, name)
         return

@@ -216,6 +216,10 @@ class ModelDag:
             if missing:
                 raise KeyError(f"model {name!r} missing inputs: {missing}")
             keys = UNIQUE_KEYS.get(name)
+            if policy == "incremental" and keys:
+                # crashed-swap table must not read as "first write" —
+                # that would replace accumulated state with one cycle
+                io.recover_table(root, name)
             merge_into_existing = (
                 policy == "incremental" and keys and io.table_exists(root, name)
             )

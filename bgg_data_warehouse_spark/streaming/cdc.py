@@ -81,15 +81,16 @@ def apply_cdc_batch(
     directly testable and so a catch-up backfill can drive the same
     code path batch-by-batch.
     """
+    # a crash between _rewrite's two renames leaves the snapshot only
+    # in its __old_ backup; restore it BEFORE the existence check (and
+    # before the empty-batch early-out — an empty catch-up batch must
+    # still heal a crashed table) so a replayed epoch merges into full
+    # state instead of re-founding the table from one batch
+    recover_table(root, name)
     if not batch_df.take(1):
         return
     spark = batch_df.sparkSession
     drop = [op_col, *seq_cols]
-    # a crash between _rewrite's two renames leaves the snapshot only
-    # in its __old_ backup; restore it BEFORE the existence check so a
-    # replayed epoch merges into full state instead of re-founding the
-    # table from one batch
-    recover_table(root, name)
     if table_exists(root, name):
         base = read_table(spark, root, name)
         rewrite_table(

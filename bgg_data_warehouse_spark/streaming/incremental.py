@@ -112,6 +112,7 @@ def incremental_refresh(
     ``ModelDag.run_persisted(changed_keys=...)`` + ``changed_key_set``.
     First run = full refresh.
     """
+    io.recover_table(root, name)  # crashed swap must not read as "first run"
     if not io.table_exists(root, name):
         out = build(source)
         io.write_table(out, root, name)

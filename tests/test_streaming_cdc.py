@@ -201,9 +201,11 @@ def test_cdc_replay_after_crash_mid_swap_recovers_full_state(spark, tmp_path):
     assert not os.path.exists(final + "__stage_feedface")
 
 
-def test_recover_table_noop_when_live(spark, tmp_path):
-    """recover_table never touches a live table, even with stale
-    backups lying around (the crash-after-swap-before-cleanup case)."""
+def test_recover_table_live_cleans_stale_leftovers(spark, tmp_path):
+    """With the table live, recover_table never touches it — but it
+    DOES remove crash leftovers from the other window (died after the
+    swap, before backup cleanup), which would otherwise leak a
+    snapshot-sized directory per crash."""
     import os
 
     from bgg_data_warehouse_spark.io import recover_table
@@ -218,6 +220,65 @@ def test_recover_table_noop_when_live(spark, tmp_path):
         seq_cols=["seq"],
     )
     before = _state(spark, root, "cdc_state")
-    os.makedirs(os.path.join(root, "cdc_state__old_cafe"))
+    stale_old = os.path.join(root, "cdc_state__old_cafe")
+    stale_stage = os.path.join(root, "cdc_state__stage_beef")
+    os.makedirs(stale_old)
+    os.makedirs(stale_stage)
     assert recover_table(root, "cdc_state") is False
     assert _state(spark, root, "cdc_state") == before
+    assert not os.path.exists(stale_old)
+    assert not os.path.exists(stale_stage)
+
+
+def test_recover_table_restores_newest_backup_by_ns_prefix(spark, tmp_path):
+    """Two backups whose directory mtimes TIE must still recover the
+    newer one — ordering rides the monotonic time_ns prefix _rewrite
+    writes into backup names, not filesystem mtime."""
+    import os
+
+    from bgg_data_warehouse_spark.io import read_table, recover_table
+
+    root = str(tmp_path / "tables")
+    os.makedirs(root)
+    final = os.path.join(root, "t")
+    for ns, val in ((1_000, "stale"), (2_000, "fresh")):
+        spark.createDataFrame([(val,)], "v string").write.parquet(
+            f"{final}__old_{ns:020d}_ab"
+        )
+    # equalize mtimes so only the name prefix can order them
+    for d in os.listdir(root):
+        os.utime(os.path.join(root, d), (1_700_000_000, 1_700_000_000))
+    assert recover_table(root, "t") is True
+    assert [r.v for r in read_table(spark, root, "t").collect()] == ["fresh"]
+    assert not any("__old_" in d for d in os.listdir(root))
+
+
+def test_s6_s7_wrappers_recover_before_first_write_branch(spark, tmp_path):
+    """The sibling 'table missing => first write' consumers
+    (merge_insert_missing_table / delete_insert_table) must also heal a
+    crashed swap instead of silently replacing accumulated state with
+    one batch."""
+    import os
+
+    from bgg_data_warehouse_spark.io import (
+        merge_insert_missing_table,
+        read_table,
+        write_table,
+    )
+
+    root = str(tmp_path / "tables")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    write_table(base, root, "dim")
+    final = os.path.join(root, "dim")
+    os.rename(final, final + "__old_00000000000000001000_xy")  # crash mid-swap
+    merge_insert_missing_table(
+        spark,
+        spark.createDataFrame([(4, "d")], "id long, v string"),
+        root,
+        "dim",
+        ["id"],
+    )
+    got = sorted((r.id, r.v) for r in read_table(spark, root, "dim").collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
