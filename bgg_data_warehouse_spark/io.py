@@ -77,7 +77,10 @@ LAYOUTS: dict[str, Layout] = {
         ["request_date"], [], {"request_date": "to_date(request_timestamp)"}
     ),
     "game_profile": Layout(["game_id_bucket"], ["game_id"]),
-    "game_neighbors": Layout([], ["game_id"]),
+    # mirrors the reference's clusterBy ["profile", "game_id"]
+    # (`definitions/game_neighbors.sqlx:6-8`): the untuned get_similar
+    # lookup prunes to one profile directory, then in-file game_id sort
+    "game_neighbors": Layout(["profile"], ["game_id"]),
 }
 
 
@@ -145,6 +148,16 @@ def recover_table(root: str, name: str) -> bool:
     backups = sorted(_siblings(final, "__old_"), key=_backup_order)
     recovered = False
     if backups:
+        # table_exists is False either because `final` is absent OR
+        # because it exists holding only underscore-prefixed entries
+        # (e.g. a bare _SUCCESS from an interrupted empty write). The
+        # rename below needs the target absent — an existing dir makes
+        # os.rename raise ENOTEMPTY, and since every first-write site
+        # calls this helper, one such dir would wedge all writes to the
+        # table. Data-bearing entries are impossible here (they would
+        # have made table_exists True), so removal is safe.
+        if os.path.isdir(final):
+            shutil.rmtree(final)
         os.rename(backups[-1], final)
         recovered = True
         backups = backups[:-1]
@@ -241,6 +254,7 @@ def archive_old_rows(
     archive_dir: str = "archive",
 ) -> int:
     """S10 — move rows older than the cutoff to a timestamped archive path."""
+    recover_table(root, name)  # crashed-swap table must not read as "nothing to archive"
     if not table_exists(root, name):
         return 0
     df = read_table(spark, root, name)
@@ -277,6 +291,7 @@ def compact_table(
     of the old files are never corrupted. Returns the new file count
     (0 = table absent or already compact).
     """
+    recover_table(root, name)  # crashed-swap table must not read as "nothing to compact"
     if not table_exists(root, name):
         return 0
     path = _path(root, name)

@@ -284,9 +284,15 @@ def mwu_from_grids(
         .cast("decimal(38,0)")
         .alias("tie_term"),
     )
-    # variance == 0 <=> tie_term == (n_a+n_b)^3 - (n_a+n_b), exactly
+    # variance == 0 <=> one side empty (n_a*n_b factor) OR every row
+    # pooled into tie groups: tie_term == (n_a+n_b)^3 - (n_a+n_b),
+    # exactly. The empty-side case must be guarded SEPARATELY — with
+    # one grid empty and the other spread over several bins, tie_term
+    # stays below n^3-n while the n_a*n_b factor still zeroes the
+    # variance, and 0/0's NaN would cast to a silent 0 z.
     guarded_z = (
-        "CASE WHEN tie_term = CAST(n_a + n_b AS DECIMAL(38,0))"
+        "CASE WHEN n_a = 0 OR n_b = 0"
+        " OR tie_term = CAST(n_a + n_b AS DECIMAL(38,0))"
         " * (n_a + n_b - 1) * (n_a + n_b + 1)"
         " THEN CAST(NULL AS BIGINT) ELSE "
         + MWU_Z_X1E6_SQL.removesuffix(" AS z_x1e6")
