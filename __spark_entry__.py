@@ -23,96 +23,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness grades the FIRST 50 queries in dict
-# order. Round 8 rotation (VERDICT r06 "Next round" #4 — round 7
-# spent its whole window on new/changed gates, so the stale refresh
-# lands here): evidence age computed from CORRECTNESS_r01-r07 — the
-# window holds the 22 r2-vintage gates (6 rounds without a driver
-# row, the oldest evidence in the ledger), 19 of the 23 r4-vintage
-# gates (at the 4-round freshness bar), and the 5 gates whose gating code
-# changed this round (round-7 ADVICE fixes: ks_two_sample —
-# DECIMAL(38,0) permyriad on both engines; robust_outliers —
-# base/dev lazy pins; approx_distinct_hll + hll_set_ops —
-# hll_estimate's grouped pin went lazy; merkle_incremental_update —
-# merkle_update cardinality guard), plus the 4 NEW round-8 gates
-# (Benford first-digit audit, exact-decimal chi-square independence,
-# 7-edge FK integrity audit, weighted Bellman-Ford SSSP), which
-# displace the four most-stable pure-expression r4 gates
-# (content_hash_portable, regexp_json_extract, request_stats,
-# multimodal_frame_sample — single-expression gates with the lowest
-# drift risk) to the front of the position-51+ queue. With 187
-# registered gates and a 50-slot window the steady-state rotation
-# cycle is ~4 rounds, so ~46 refresh slots per round is the
-# sustainable regime.
+# order. Round 9 rotation (r8 VERDICT "Next round" #1: promote the
+# stalest evidence; ages computed from CORRECTNESS_r01-r08 via
+# tools/staleness.py): the window holds
+#   - the 5 gates whose GATING CODE is new or changed this round:
+#     neighbors_profiles (NEW — profile-dimensioned game_neighbors
+#     twin), session_rollup_batch (NEW — streaming session_window
+#     algebra oracle-gated via its batch twin), and the three former
+#     rows-only gates now hash-gated directly (r8 VERDICT #5):
+#     content_hash_change (changed-key set + portable md5 value),
+#     dedup_minhash (exact-duplicate j=1.0 regime, corpus-independent
+#     recall-1 argument), dedup_simhash (portable md5 sketch at the
+#     strict hamming<=2 bar);
+#   - the 4 age-5 gates (displaced r4 pure-expression block — the
+#     oldest evidence in the ledger);
+#   - all 34 age-4 gates (r5-vintage block + TPC-H q6-q17), including
+#     components_star_chains, whose CC loop was reworked for
+#     performance this round and must re-gate;
+#   - the 6 standing sentinels (r6-green) + cdc_upsert (next in the
+#     documented r8 queue).
+# With 189 registered gates and a 50-slot window the steady-state
+# rotation cycle is ~4 rounds; after this window no gate's last green
+# row is older than round 6 (age 3). The position-51+ queue is ordered
+# by evidence age (age-3 block first — they refresh in round 10 — then
+# age-2, age-1, and the 4 remaining rows-only sketch gates last).
 _PRIORITY = [
-    # r2-vintage stale block — last driver row round 2, the oldest
-    # evidence in the ledger (projection/filter/join/agg/union core +
-    # the LLM-pipeline text ops)
-    "benchmark_contamination",
-    "chunk_documents",
-    "doc_fingerprint",
-    "dual_rank_topk",
-    "except_intersect_keys",
-    "feature_arrays",
-    "filter_topn",
-    "full_outer_reconcile",
-    "lang_id",
-    "mix_sources",
-    "nested_profile",
-    "pack_sequences",
-    "pii_redact",
-    "quality_score",
-    "ratio_guarded",
-    "repetition_stats",
-    "salted_join_revenue",
-    "scd2_intervals",
-    "split_assign",
-    "stratified_sample",
-    "token_count",
-    "union_discriminated",
-    # r4-vintage block — last driver row round 4, at the freshness bar
-    # (analytic SQL tail, as-of/range joins, multimodal codecs,
-    # kmeans/pagerank, sketch exact-twins)
-    "sessionize",
-    "pivot_status_counts",
-    "rollup_returns",
-    "cube_order_stats",
-    "grouping_sets_stats",
-    "value_percentiles",
-    "distinct_users_exact",
-    "trailing_window_sum",
-    "ntile_value_buckets",
-    "multimodal_features",
-    "asof_feature_join",
-    "asof_feature_join_segmented",
-    "range_join_recent_activity",
-    "kmeans_embeddings",
-    "pagerank_bipartite",
-    "top_ngrams",
-    "dedup_simhash_verified",
-    "multimodal_resize",
-    "multimodal_audio_features",
-    # gating code CHANGED this round (round-7 ADVICE fixes) — must
-    # stay hash-gated in-window
-    "ks_two_sample",
-    "robust_outliers",
-    "approx_distinct_hll",
-    "hll_set_ops",
-    "merkle_incremental_update",
-    # NEW round 8: data-audit statistics + weighted graph distance
-    "benford_digits",
-    "chisq_independence",
-    "fk_integrity_audit",
-    "weighted_sssp",
-    # ---- position 51+: next-up if the driver widens. The four
-    # displaced r4 pure-expression gates lead, then the six
-    # standing sentinels (r6-green, gating code unchanged,
-    # latest_snapshot also smoke-runs every round as entry()) and the
-    # r5-vintage block lead the round-9 refresh queue; TPC-H q1-q22
-    # (r6/r7-green) and the round-7 additions queue behind them.
+    "neighbors_profiles",
+    "session_rollup_batch",
+    "content_hash_change",
+    "dedup_minhash",
+    "dedup_simhash",
     "content_hash_portable",
+    "multimodal_frame_sample",
     "regexp_json_extract",
     "request_stats",
-    "multimodal_frame_sample",
+    "anti_join_pending",
+    "band_self_join_knn",
+    "bigram_perplexity",
+    "components_star_chains",
+    "curation_pipeline",
+    "dedup_cluster_collapse",
+    "dedup_exact",
+    "dedup_minhash_incremental",
+    "delete_insert_refresh",
+    "fuzzy_match_parts",
+    "latest_version_dedup",
+    "leakage_safe_split",
+    "merge_insert_missing",
+    "multimodal_png_features",
+    "multimodal_video_frames",
+    "ngram_jaccard",
+    "point_lookup",
+    "staleness_bands",
+    "substring_dedup",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "vocab_encode",
+    "weighted_sample",
+    "weighted_sample_stratified",
     "latest_snapshot",
     "semi_scoped_agg",
     "watermark_increment",
@@ -120,104 +98,147 @@ _PRIORITY = [
     "dedup_minhash_verified",
     "knn_ivf_exact",
     "cdc_upsert",
-    "sliding_window_distinct",
+    # ---- position 51+: next-up if the driver widens, ordered by
+    # evidence age (stalest first) for the round-10 window
+    "ab_test_eval",
+    "bloom_pruned_join",
+    "bpe_learn_encode",
+    "cms_heavy_hitters",
+    "corpus_kl_shift",
     "corr_matrix",
-    "weighted_sample_stratified",
-    *[f"tpch_q{i}" for i in range(1, 23)],
-    "mannwhitney_u",
-    "set_similarity_join",
-    "target_encode_oof",
-    "decision_stump",
-    "gini_concentration",
+    "dedup_keep_best",
+    "dsir_importance",
+    "entity_resolution",
+    "equidepth_histogram",
+    "funnel_steps",
+    "gapfill_interpolate",
+    "gopher_quality_rules",
+    "holt_trend_forecast",
+    "inverted_index",
+    "join_skew_report",
+    "knn_quantized",
+    "label_centroids",
+    "mv_incremental_refresh",
+    "nb_lang_classify",
+    "profile_documents",
+    "retention_cohorts",
+    "semantic_dedup",
+    "sliding_window_distinct",
+    "table_checksum_manifest",
+    "temperature_mix",
+    "token_budget_report",
+    "tpch_q1",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "trigram_backoff_ppl",
+    "winsorize_robust",
+    "zorder_layout",
+    "acf_lags",
     "ann_recall_eval",
+    "aqp_sampled_agg",
+    "association_rules",
+    "attribution_last_touch",
+    "bfs_reach",
+    "bm25_search",
+    "budget_allocation",
+    "cusum_drift",
+    "decision_stump",
     "doc_vector_knn",
-    "wordpiece_encode",
+    "edge_support_topk",
+    "embedding_near_dup_exact",
+    "event_debounce",
+    "event_transition_matrix",
+    "feature_mi_ranking",
+    "gini_concentration",
+    "hits_scores",
+    "holt_winters_seasonal",
+    "hybrid_rrf_search",
+    "kcore_parts",
     "knn_bruteforce",
     "knn_lsh_exact",
-    "embedding_near_dup_exact",
-    "bm25_search",
+    "label_propagation",
+    "mannwhitney_u",
+    "merkle_table_root",
+    "ols_trend",
+    "pareto_frontier",
+    "peak_concurrency",
+    "pmi_collocations",
+    "quantile_normalize",
     "quantile_sketch_merge",
     "quantile_sketch_query",
-    "pmi_collocations",
-    "tfidf_keywords",
-    "hybrid_rrf_search",
-    "ols_trend",
-    "event_transition_matrix",
-    "top_user_paths",
-    "aqp_sampled_agg",
-    "label_propagation",
-    "kcore_parts",
-    "triangle_census",
-    "peak_concurrency",
-    "pareto_frontier",
-    "sorted_neighborhood_pairs",
-    "quantile_normalize",
-    "association_rules",
-    "edge_support_topk",
-    "unigram_segment_compounds",
-    "merkle_table_root",
-    "holt_winters_seasonal",
-    "cusum_drift",
-    "acf_lags",
-    "budget_allocation",
-    "bfs_reach",
-    "shard_manifest",
-    "survival_first_purchase",
-    "attribution_last_touch",
-    "rolling_regression",
-    "event_debounce",
-    "hits_scores",
     "random_projection",
-    "feature_mi_ranking",
-    "dsir_importance",
-    "cms_heavy_hitters",
-    "bloom_pruned_join",
-    "gopher_quality_rules",
-    "corpus_kl_shift",
-    "zorder_layout",
-    "dedup_keep_best",
-    "token_budget_report",
-    "funnel_steps",
-    "label_centroids",
-    "table_checksum_manifest",
-    "join_skew_report",
-    "gapfill_interpolate",
-    "equidepth_histogram",
-    "entity_resolution",
-    "winsorize_robust",
-    "mv_incremental_refresh",
-    "holt_trend_forecast",
-    "retention_cohorts",
-    "ab_test_eval",
-    "temperature_mix",
-    "bpe_learn_encode",
-    "semantic_dedup",
-    "nb_lang_classify",
-    "knn_quantized",
-    "trigram_backoff_ppl",
-    "inverted_index",
-    "profile_documents",
-    "multimodal_png_features",
-    "multimodal_video_frames",
-    "bigram_perplexity",
-    "weighted_sample",
-    "leakage_safe_split",
-    "dedup_minhash_incremental",
-    "vocab_encode",
-    "curation_pipeline",
-    "anti_join_pending",
-    "latest_version_dedup",
-    "staleness_bands",
-    "dedup_exact",
-    "point_lookup",
-    "merge_insert_missing",
-    "delete_insert_refresh",
-    "band_self_join_knn",
-    "ngram_jaccard",
-    "fuzzy_match_parts",
-    "substring_dedup",
-    "dedup_cluster_collapse",
-    "components_star_chains",
+    "rolling_regression",
+    "set_similarity_join",
+    "shard_manifest",
+    "sorted_neighborhood_pairs",
+    "survival_first_purchase",
+    "target_encode_oof",
+    "tfidf_keywords",
+    "top_user_paths",
+    "triangle_census",
+    "unigram_segment_compounds",
+    "wordpiece_encode",
+    "approx_distinct_hll",
+    "asof_feature_join",
+    "asof_feature_join_segmented",
+    "benchmark_contamination",
+    "benford_digits",
+    "chisq_independence",
+    "chunk_documents",
+    "cube_order_stats",
+    "dedup_simhash_verified",
+    "distinct_users_exact",
+    "doc_fingerprint",
+    "dual_rank_topk",
+    "except_intersect_keys",
+    "feature_arrays",
+    "filter_topn",
+    "fk_integrity_audit",
+    "full_outer_reconcile",
+    "grouping_sets_stats",
+    "hll_set_ops",
+    "kmeans_embeddings",
+    "ks_two_sample",
+    "lang_id",
+    "merkle_incremental_update",
+    "mix_sources",
+    "multimodal_audio_features",
+    "multimodal_features",
+    "multimodal_resize",
+    "nested_profile",
+    "ntile_value_buckets",
+    "pack_sequences",
+    "pagerank_bipartite",
+    "pii_redact",
+    "pivot_status_counts",
+    "quality_score",
+    "range_join_recent_activity",
+    "ratio_guarded",
+    "repetition_stats",
+    "robust_outliers",
+    "rollup_returns",
+    "salted_join_revenue",
+    "scd2_intervals",
+    "sessionize",
+    "split_assign",
+    "stratified_sample",
+    "token_count",
+    "top_ngrams",
+    "trailing_window_sum",
+    "union_discriminated",
+    "value_percentiles",
+    "weighted_sssp",
+    "knn_lsh",
+    "knn_ivf",
+    "embedding_near_dup",
+    "approx_distinct_users",
 ]
 
 

@@ -131,6 +131,7 @@ def connected_components_star(
     max_iter: int = 40,
     canonical_edges: bool = False,
     confirm_fixed_point: bool = True,
+    contract_first: bool = True,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.,
     SoCC'14) — the O(log² n)-round variant for graphs whose diameter is
@@ -149,12 +150,29 @@ def connected_components_star(
     component toward its minimum until the edge set is a star centered on
     it. Returns (node, canonical) like ``connected_components``.
 
-    Measured round profile (sf0.1 order chains, 135k edges, local[32]):
-    converges in 7 rounds at ~1 s/round; the edge set transiently
-    inflates to ~4.1× input (558k) in rounds 1–3 before collapsing to
-    the star fixed point. The inflation is inherent to attaching every
-    neighbor to m(u); per-round wall time is scheduling-bound at this SF
-    (the convergence-signature job after each checkpoint costs ~0.05 s).
+    ``contract_first`` (r8 VERDICT #4) runs a FOREST-CONTRACTION phase
+    before any star rewrite: one min-aggregate builds parent pointers
+    m(u) = min(Γ(u) ∪ {u}) — a forest, since every non-root points to a
+    strictly smaller node — then pointer jumping (label ← label∘label,
+    a |V|-sized self-join per round, NO edge state) flattens every tree
+    to its root in O(log depth) rounds, and one quotient pass contracts
+    each tree to its root. The star loop then iterates on the quotient
+    graph only. This targets exactly the shape where the fused star
+    rewrite is slowest: on a key-SORTED chain m is a single deep tree
+    per chain, so the quotient has NO edges left and star confirms the
+    fixed point on an empty set in one round — versus 7 full-size
+    rewrites with the edge set transiently inflated to ~4.1× (bounded
+    hash-min was measured and rejected for the same fixture: k rounds
+    only shorten a sorted chain by k nodes). Correctness is the
+    standard contraction argument: every root is a member of its
+    component, the quotient preserves connectivity exactly, and the
+    component's global min is always a root (it is its own neighborhood
+    min), so star-on-quotient returns the true component min and the
+    composed labels are IDENTICAL to star-on-raw — the
+    ``components_star_chains`` oracle hash-checks this. Measured at
+    sf0.1 (order chains, 135k edges, local[32], warm): pure star 8.2 s
+    → contract-then-star 4.9 s, same output hash.
+    ``contract_first=False`` recovers the pure star loop.
     """
     # canonical undirected edge list, self-loops dropped.
     # ``canonical_edges=True`` lets callers whose pair source already
@@ -227,16 +245,18 @@ def connected_components_star(
             .distinct()
         )
 
-    sig = _sig(e)
-    spark = edges.sparkSession
-    with _iteration_shuffle_width(spark, sig[0]):
+    def _star(e0: DataFrame, nodes0: DataFrame) -> DataFrame:
+        """The star loop proper: (node, canonical) for every node of
+        ``nodes0`` given the canonical edge set ``e0``."""
+        ee = e0
+        sig = _sig(ee)
         for _ in range(max_iter):
             # one rewrite per materialization: composing two rewrites per
             # checkpoint was measured SLOWER (12.8 s vs 9.5 s at sf0.1) —
             # the 6-shuffle composed job costs more than the saved stage
             # barrier, and the transient edge inflation compounds across
             # the unmaterialized middle.
-            new_e = _round(e).localCheckpoint(eager=True)
+            new_e = _round(ee).localCheckpoint(eager=True)
             # converged when the edge set stops changing. The 4-component
             # signature (count, Σu, Σv, order-independent Σxxhash64(u,v))
             # over two DIFFERENT successive edge sets collides with
@@ -251,26 +271,99 @@ def connected_components_star(
             if new_sig == sig and (
                 not confirm_fixed_point
                 or (
-                    new_e.exceptAll(e).limit(1).count() == 0
-                    and e.exceptAll(new_e).limit(1).count() == 0
+                    new_e.exceptAll(ee).limit(1).count() == 0
+                    and ee.exceptAll(new_e).limit(1).count() == 0
                 )
             ):
-                e = new_e
+                ee = new_e
                 break
-            e, sig = new_e, new_sig
+            ee, sig = new_e, new_sig
         else:
             raise RuntimeError(
                 f"connected_components_star did not converge in {max_iter} rounds"
             )
-    # the fixed point is a star: every non-min node has exactly one edge
-    # to its component min
-    labels = e.select(F.col("v").alias("node"), F.col("u").alias("canonical"))
-    mins = all_nodes.join(
-        labels.select(F.col("node").alias("n2")),
-        F.col("node") == F.col("n2"),
-        "left_anti",
-    ).select("node", F.col("node").alias("canonical"))
-    return labels.union(mins)
+        # the fixed point is a star: every non-min node has exactly one
+        # edge to its component min
+        labels = ee.select(F.col("v").alias("node"), F.col("u").alias("canonical"))
+        mins = nodes0.join(
+            labels.select(F.col("node").alias("n2")),
+            F.col("node") == F.col("n2"),
+            "left_anti",
+        ).select("node", F.col("node").alias("canonical"))
+        return labels.union(mins)
+
+    spark = edges.sparkSession
+    n_edges = e.count()
+    with _iteration_shuffle_width(spark, n_edges):
+        if not contract_first or n_edges == 0:
+            return _star(e, all_nodes)
+        # --- phase 1: forest contraction ---------------------------------
+        # parent pointers: m(u) = min(Γ(u) ∪ {u}). Non-roots point to a
+        # strictly smaller node, so m is a forest; ``und`` is a zero-cost
+        # double scan of the edge checkpoint.
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        part = (
+            und.groupBy(F.col("u").alias("node"))
+            .agg(F.min("v").alias("_mn"))
+            .select("node", F.least("_mn", "node").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        # pointer jumping: two lab ← lab(lab) hops composed per
+        # materialization (|V|-sized self-joins; each hop adds the
+        # current map's jump distance, so distance TRIPLES per round —
+        # unlike the star rewrite, composing jumps costs no transient
+        # edge inflation, so deeper composition is pure win here),
+        # until every node labels its tree ROOT.
+        # Labels are monotonically non-increasing, so the fixed point is
+        # exactly when the label sum stops falling (same scalar-agg
+        # discipline as connected_components; decimal — ANSI long sums
+        # overflow).
+        prev_sum = object()
+        for _ in range(max_iter):
+            hop = part
+            for _twice in range(2):
+                hop = hop.join(
+                    part.select(
+                        F.col("node").alias("lab"), F.col("lab").alias("_l2")
+                    ),
+                    "lab",
+                ).select("node", F.col("_l2").alias("lab"))
+            part = hop.localCheckpoint(eager=True)
+            cur_sum = part.agg(
+                F.sum(F.col("lab").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            raise RuntimeError(
+                f"pointer jumping did not converge in {max_iter} rounds"
+            )
+        # --- phase 2: star on the quotient graph -------------------------
+        # supernodes = the roots; quotient edges = cross-root edges,
+        # re-canonicalized. Components, and their minima, are preserved
+        # exactly (see docstring), so the composed output is
+        # bit-identical to star-on-raw. On the sorted-chain fixture the
+        # quotient is EMPTY and _star returns after one no-op rewrite.
+        lu = part.select(F.col("node").alias("u"), F.col("lab").alias("_lu"))
+        lv = part.select(F.col("node").alias("v"), F.col("lab").alias("_lv"))
+        e2 = (
+            e.join(lu, "u")
+            .join(lv, "v")
+            .where(F.col("_lu") != F.col("_lv"))
+            .select(
+                F.least("_lu", "_lv").alias("u"),
+                F.greatest("_lu", "_lv").alias("v"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        supernodes = part.select(F.col("lab").alias("node")).distinct()
+        comp = _star(e2, supernodes)
+        # compose: node → root → supernode canonical
+        return part.join(
+            comp.withColumnRenamed("node", "lab"), "lab"
+        ).select("node", "canonical")
 
 
 def collapse_clusters(

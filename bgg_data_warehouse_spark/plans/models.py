@@ -10,6 +10,8 @@ bodies full-refresh-pure exactly like Dataform SQLX bodies.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -35,10 +37,45 @@ ENTITY_ARRAYS = {
 }
 
 
+# The reference's full games_active projection (`games_active.sqlx:13-38`),
+# in OUR column names (primary_name→name, bayes_average→geek_rating,
+# average_weight→complexity — the repo-wide aliases every downstream model
+# keys on). A test pins this list 1:1 against the reference's.
+GAMES_ACTIVE_COLUMNS = [
+    "game_id",
+    "name",
+    "type",
+    "year_published",
+    "min_players",
+    "max_players",
+    "playing_time",
+    "min_playtime",
+    "max_playtime",
+    "min_age",
+    "description",
+    "thumbnail",
+    "image",
+    "users_rated",
+    "average_rating",
+    "geek_rating",
+    "complexity",
+    "owned_count",
+    "trading_count",
+    "wanting_count",
+    "wishing_count",
+    "num_comments",
+    "num_weights",
+    "load_timestamp",
+    "last_updated",
+]
+
+
 def games_active(t: dict[str, DataFrame]) -> DataFrame:
     """Latest snapshot per game (`definitions/games_active.sqlx:7-43`):
     MAX(load_timestamp) per game_id joined back on the composite key (J1),
-    renames (P2), defensive DISTINCT (U4)."""
+    renames (P2), defensive DISTINCT (U4), full reference column set
+    (`games_active.sqlx:13-38` — ownership/trade counts, playtime bounds)
+    plus the ``last_updated`` build timestamp (`:39`)."""
     games = t["games"]
     latest = games.groupBy("game_id").agg(F.max("load_timestamp").alias("load_timestamp"))
     return (
@@ -51,6 +88,8 @@ def games_active(t: dict[str, DataFrame]) -> DataFrame:
             "min_players",
             "max_players",
             "playing_time",
+            "min_playtime",
+            "max_playtime",
             "min_age",
             "description",
             "thumbnail",
@@ -60,9 +99,16 @@ def games_active(t: dict[str, DataFrame]) -> DataFrame:
             F.col("bayes_average").alias("geek_rating"),
             F.col("average_weight").alias("complexity"),
             "owned_count",
+            "trading_count",
+            "wanting_count",
+            "wishing_count",
+            "num_comments",
+            "num_weights",
             "load_timestamp",
         )
         .distinct()
+        # after DISTINCT: the build timestamp must not defeat row dedup
+        .withColumn("last_updated", F.current_timestamp())
     )
 
 
@@ -423,40 +469,94 @@ def game_similarity_search(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+@dataclass(frozen=True)
+class SimilarityProfile:
+    """One entry of the reference's PROFILES config
+    (`definitions/game_neighbors.sqlx:19-35`) — the ONE place similarity
+    defaults are declared. To tune, add a NEW profile alongside the
+    existing one and flip which one the API treats as default, rather
+    than mutating ``default`` in place: profiles live side-by-side in
+    the ``(profile, game_id)``-clustered table, so an extra profile
+    costs one more build block, not a migration."""
+
+    name: str = "default"
+    min_users_rated: int = 100  # matches DEFAULT_MIN_RATINGS in the viewer
+    complexity_band: float = 0.75  # source-relative: |candidate - source| <= band
+    distance: str = "COSINE"
+    dims: int = 64
+    top_k: int = 10
+
+
+DEFAULT_PROFILE = "default"
+PROFILES: list[SimilarityProfile] = [SimilarityProfile()]
+
+
+def _embedding_column(dims: int) -> str:
+    """64-d lives in ``embedding``; reduced dims in ``embedding_8/16/32``
+    (`game_neighbors.sqlx:38-40`)."""
+    return "embedding" if dims == 64 else f"embedding_{dims}"
+
+
 def game_neighbors(
     t: dict[str, DataFrame],
     *,
-    min_ratings: int = 100,
-    band: float = 0.75,
-    k: int = 10,
+    profiles: list[SimilarityProfile] | None = None,
 ) -> DataFrame:
-    """`definitions/game_neighbors.sqlx:16-93`: filter corpus (users_rated
-    floor — BASELINE.md "filter BEFORE distance"), banded complexity
-    self-join (J7) via the cogrouped bucket matmul, top-k (W3), ordered
-    ARRAY_AGG(STRUCT) (A3)."""
+    """`definitions/game_neighbors.sqlx:16-93`: one block per profile —
+    filter corpus (per-profile users_rated floor — BASELINE.md "filter
+    BEFORE distance"), banded complexity self-join (J7) via the
+    cogrouped bucket matmul, top-k (W3), ordered ARRAY_AGG(STRUCT) (A3)
+    — UNION ALL'd with the profile name and its tuning parameters on
+    every row (`:78-93`), so the table is self-describing and the API
+    dispatches per-profile from one clustered lookup. Layout is
+    ``(profile, game_id)`` (io.LAYOUTS), mirroring the reference's
+    clusterBy (`:6-8`)."""
     from ..operators.band_join import banded_cosine_pairs
 
-    corpus = (
-        t["game_similarity_search"]
-        .where(F.col("users_rated") >= min_ratings)
-        .where(F.col("complexity").isNotNull())
-        .select("game_id", "complexity", "embedding")
-    )
-    pairs = banded_cosine_pairs(corpus, "game_id", "complexity", "embedding", band)
-    top = topk_per_key(
-        pairs, ["s_id"], [F.col("cos").desc(), F.col("t_id").asc()], k=k
-    )
-    return top.groupBy(F.col("s_id").alias("game_id")).agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("rank").alias("rank"),
-                    F.col("t_id").alias("neighbor_id"),
-                    F.round(F.col("cos"), 6).alias("score"),
-                )
+    parts = []
+    for p in profiles or PROFILES:
+        corpus = (
+            t["game_similarity_search"]
+            .where(F.col("users_rated") >= p.min_users_rated)
+            .where(F.col("complexity").isNotNull())
+            .select(
+                "game_id", "complexity", F.col(_embedding_column(p.dims)).alias("embedding")
             )
-        ).alias("similar")
-    )
+        )
+        pairs = banded_cosine_pairs(
+            corpus, "game_id", "complexity", "embedding", p.complexity_band
+        )
+        top = topk_per_key(
+            pairs, ["s_id"], [F.col("cos").desc(), F.col("t_id").asc()], k=p.top_k
+        )
+        parts.append(
+            top.groupBy(F.col("s_id").alias("game_id"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("rank").alias("rank"),
+                            F.col("t_id").alias("neighbor_id"),
+                            F.round(F.col("cos"), 6).alias("score"),
+                        )
+                    )
+                ).alias("similar")
+            )
+            .select(
+                F.lit(p.name).alias("profile"),
+                "game_id",
+                "similar",
+                F.lit(p.min_users_rated).alias("min_users_rated"),
+                F.lit(p.complexity_band).alias("complexity_band"),
+                F.lit(p.distance).alias("distance_type"),
+                F.lit(p.dims).alias("embedding_dims"),
+                F.current_timestamp().alias("computed_ts"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 def game_profile(t: dict[str, DataFrame]) -> DataFrame:
@@ -505,7 +605,11 @@ def game_profile(t: dict[str, DataFrame]) -> DataFrame:
             "embedding_model", "embedding_version",
         ).alias("coordinates"),
     )
-    nbrs = t["game_neighbors"]
+    # the profile document embeds the DEFAULT profile's neighbor list;
+    # other profiles are served from the neighbors table directly
+    nbrs = t["game_neighbors"].where(F.col("profile") == DEFAULT_PROFILE).select(
+        "game_id", "similar"
+    )
     prof = (
         ga.join(pc, "game_id", "left")
         .join(pred, "game_id", "left")

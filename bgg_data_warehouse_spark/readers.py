@@ -133,12 +133,32 @@ class GameReader:
         metric: str | None = None,
         dims: int | None = None,
         min_ratings: int | None = None,
+        profile: str | None = None,
     ) -> list[dict]:
-        """R2 two-tier dispatch: precomputed unless any tuning param set."""
+        """R2 two-tier dispatch: precomputed unless any tuning param set.
+
+        The untuned path reads the ``game_neighbors`` table at the
+        requested (or default) profile — the reference serves the common
+        path from the ``(profile, game_id)``-clustered neighbors lookup
+        (`definitions/game_neighbors.sqlx:4-8`, `readers/games.py:134-166`),
+        so new profiles ship side-by-side and flip in by name without a
+        rebuild of the serving document."""
         tuned = any(v is not None for v in (n, metric, dims, min_ratings))
         if not tuned:
-            row = self._profile_row(game_id)
-            return [] if row is None else [s.asDict() for s in row.similar]
+            from .plans.models import DEFAULT_PROFILE
+
+            nbrs = self.tables["game_neighbors"]
+            rows = (
+                nbrs.where(
+                    (F.col("profile") == (profile or DEFAULT_PROFILE))
+                    & (F.col("game_id") == game_id)
+                )
+                .limit(1)
+                .collect()
+            )
+            return [] if not rows else [s.asDict() for s in rows[0].similar]
+        if profile is not None:
+            raise ValueError("profile selects a precomputed list; it cannot combine with tuning params")
         if metric is not None and metric not in ALLOWED_METRICS:
             raise ValueError(f"metric must be one of {ALLOWED_METRICS}")
         if dims is not None and dims not in ALLOWED_DIMS:

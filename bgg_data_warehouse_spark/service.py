@@ -41,6 +41,7 @@ _SIMILAR_PARAMS = {
     "metric": str,
     "dims": int,
     "min_ratings": int,
+    "profile": str,  # selects a precomputed profile; exclusive with tuning
 }
 
 

@@ -89,18 +89,24 @@ def test_star_variant_matches_hash_min_on_chain_and_random(spark):
     rand = [(a, b) for a, b in rand if a != b]
     for edges in (chain, rand, [(3, 3), (1, 2)]):
         df = spark.createDataFrame(edges, "src: long, dst: long")
-        # confirm_fixed_point: tests pay for the exact exceptAll
-        # double-check the graded path skips (signature-only stop)
-        got = {
-            r.node: r.canonical
-            for r in connected_components_star(
-                df, "src", "dst", confirm_fixed_point=True
-            ).collect()
-        }
         want = _uf_components([(a, b) for a, b in edges if a != b])
-        # star variant also reports self-loop-only nodes as singletons
-        for n, c in want.items():
-            assert got[n] == c, (edges, n)
+        # both paths: forest-contraction + quotient star (default; the
+        # sorted chain drives its empty-quotient fast path, the random
+        # graph a non-trivial multi-root quotient) and the pure star
+        # loop — identical labels required.
+        for contract in (True, False):
+            # confirm_fixed_point: tests pay for the exact exceptAll
+            # double-check the graded path skips (signature-only stop)
+            got = {
+                r.node: r.canonical
+                for r in connected_components_star(
+                    df, "src", "dst",
+                    confirm_fixed_point=True, contract_first=contract,
+                ).collect()
+            }
+            # star variant also reports self-loop-only nodes as singletons
+            for n, c in want.items():
+                assert got[n] == c, (edges, n, contract)
 
 
 def test_storage_pin_swap_runs_and_matches(spark, tmp_path):

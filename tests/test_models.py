@@ -157,6 +157,77 @@ def test_game_features_hash_change_detection(spark, built, tables):
     assert h1 == h2
 
 
+def test_games_active_column_parity_with_reference(built):
+    """`games_active.sqlx:13-38` column-for-column, in the repo's aliases
+    (primary_name→name, bayes_average→geek_rating,
+    average_weight→complexity — the repo-wide names every downstream
+    model keys on)."""
+    from bgg_data_warehouse_spark.plans.models import GAMES_ACTIVE_COLUMNS
+
+    assert built["games_active"].columns == GAMES_ACTIVE_COLUMNS
+    reference_select_list = [  # verbatim order from games_active.sqlx
+        "game_id", "type", "name", "year_published", "average_rating",
+        "average_weight", "bayes_average", "users_rated", "owned_count",
+        "trading_count", "wanting_count", "wishing_count", "num_comments",
+        "num_weights", "min_players", "max_players", "playing_time",
+        "min_playtime", "max_playtime", "min_age", "description",
+        "thumbnail", "image", "load_timestamp", "last_updated",
+    ]
+    alias = {"average_weight": "complexity", "bayes_average": "geek_rating"}
+    assert sorted(alias.get(c, c) for c in reference_select_list) == sorted(
+        GAMES_ACTIVE_COLUMNS
+    )
+
+
+def test_game_neighbors_profiles_side_by_side(built):
+    """`game_neighbors.sqlx:6-8,19-35,78-93`: profiles build as UNION'd
+    blocks keyed (profile, game_id), each row carrying its own tuning
+    parameters, so a new profile ships alongside `default` and the API
+    flips by name — never by mutating the default in place."""
+    from bgg_data_warehouse_spark.plans import models as M
+
+    profs = [
+        M.SimilarityProfile(),
+        M.SimilarityProfile(
+            name="loose_16", min_users_rated=0, complexity_band=2.0,
+            dims=16, top_k=3,
+        ),
+    ]
+    nbrs = M.game_neighbors(
+        {"game_similarity_search": built["game_similarity_search"]},
+        profiles=profs,
+    ).cache()
+    assert {r.profile for r in nbrs.select("profile").distinct().collect()} == {
+        "default", "loose_16",
+    }
+    # one row per (profile, game_id); self-describing tuning columns
+    assert (
+        nbrs.groupBy("profile", "game_id").count().where("count > 1").isEmpty()
+    )
+    by_profile = {
+        r.profile: r
+        for r in nbrs.select(
+            "profile", "min_users_rated", "complexity_band",
+            "distance_type", "embedding_dims",
+        ).distinct().collect()
+    }
+    assert by_profile["default"].embedding_dims == 64
+    assert by_profile["loose_16"].embedding_dims == 16
+    assert by_profile["loose_16"].complexity_band == 2.0
+    for row in nbrs.where("profile = 'loose_16'").collect():
+        assert len(row.similar) <= 3
+    # the default block is exactly the standing single-profile build
+    default_rows = {
+        r.game_id: [(s.rank, s.neighbor_id) for s in r.similar]
+        for r in nbrs.where("profile = 'default'").collect()
+    }
+    standing = {
+        r.game_id: [(s.rank, s.neighbor_id) for s in r.similar]
+        for r in built["game_neighbors"].where("profile = 'default'").collect()
+    }
+    assert default_rows == standing
+
+
 def test_game_neighbors_band_and_topk(built):
     sim = built["game_similarity_search"]
     cx = {r.game_id: r.complexity for r in sim.collect()}

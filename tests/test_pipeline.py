@@ -379,6 +379,17 @@ def test_get_similar_two_tier_dispatch(reader):
         reader.get_similar(1, dims=7)
 
 
+def test_get_similar_profile_dispatch(reader):
+    """Untuned path reads the (profile, game_id)-keyed neighbors table
+    (game_neighbors.sqlx:4-8): default and explicit profile='default'
+    agree, an unknown profile is empty (not an error), and profile
+    cannot combine with tuning params."""
+    assert reader.get_similar(1) == reader.get_similar(1, profile="default")
+    assert reader.get_similar(1, profile="no_such_profile") == []
+    with pytest.raises(ValueError, match="profile"):
+        reader.get_similar(1, profile="default", n=5)
+
+
 # ----------------------------------------------------------- streaming
 
 

@@ -78,6 +78,7 @@ ARROW_ALLOWED = {
     "embedding_near_dup",
     "embedding_near_dup_exact",
     "band_self_join_knn",
+    "neighbors_profiles",  # same cogrouped bucket matmul as band_self_join_knn
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_resize",

@@ -91,6 +91,27 @@ def test_archive_old_rows_heals_crashed_swap_first(spark, tmp_path):
     assert read_table(spark, root, "t").count() == 1
 
 
+def test_game_neighbors_layout_prunes_by_profile(spark, tmp_path):
+    """The neighbors table partitions on profile (io.LAYOUTS), mirroring
+    the reference's clusterBy ["profile", "game_id"]
+    (game_neighbors.sqlx:6-8): the untuned get_similar lookup scans one
+    profile directory, not every profile's files."""
+    from bgg_data_warehouse_spark.io import LAYOUTS
+
+    assert LAYOUTS["game_neighbors"].partition_cols == ["profile"]
+    assert LAYOUTS["game_neighbors"].sort_cols == ["game_id"]
+    root = str(tmp_path)
+    df = spark.createDataFrame(
+        [
+            Row(profile="default", game_id=1, similar=[11, 12]),
+            Row(profile="alt", game_id=1, similar=[13]),
+        ]
+    )
+    write_table(df, root, "game_neighbors")
+    dirs = sorted(os.listdir(os.path.join(root, "game_neighbors")))
+    assert "profile=alt" in dirs and "profile=default" in dirs
+
+
 def test_compact_table_heals_crashed_swap_first(spark, tmp_path):
     """compact_table is the other table_exists-gated maintenance entry
     point; it gets the same recover-first treatment."""

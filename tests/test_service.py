@@ -81,7 +81,21 @@ def test_similar_passes_tuning_params_through():
     )
     assert status == 200
     _, _, kwargs = rd.calls[0]
-    assert kwargs == {"n": 25, "metric": "euclidean", "min_ratings": 500, "dims": 32}
+    assert kwargs == {
+        "n": 25, "metric": "euclidean", "min_ratings": 500, "dims": 32,
+        "profile": None,
+    }
+
+
+def test_similar_passes_profile_through():
+    """?profile=name selects a precomputed profile list (R2 dispatch on
+    the (profile, game_id)-keyed neighbors table)."""
+    rd = FakeReader(get_similar=[])
+    status, _ = handle(rd, "GET", "/games/13/similar", {"profile": "coarse"})
+    assert status == 200
+    _, _, kwargs = rd.calls[0]
+    assert kwargs["profile"] == "coarse"
+    assert all(v is None for k, v in kwargs.items() if k != "profile")
 
 
 def test_similar_rejects_bad_metric_as_400():

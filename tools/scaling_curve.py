@@ -22,6 +22,19 @@ Prints ONE JSON line:
   {"small": ..., "big": ..., "factor": 10.0,
    "queries": {name: {"t_small": s, "t_big": s, "ratio": r}},
    "flagged": [names with ratio > FLAG_RATIO], ...}
+
+Skew audit (r8 VERDICT #7 — the 10x audit scales VOLUME; this scales
+KEY CONCENTRATION):  python tools/scaling_curve.py --skew [sf_dir]
+For each query in SKEW_QUERIES, builds a zipf-skewed variant of its
+driving table (30% of rows remapped onto 5 hot keys with geometric
+8:4:2:1:1 weights — deterministic, hash-selected), runs the query on
+the uniform dir and the skewed dir at the SAME volume, and prints
+  {"skew": {name: {"t_uniform": s, "t_skew": s, "ratio": r,
+                   "table": t, "key": k}}, "skew_flagged": [...]}
+A skew-resilient plan does the same total work on both (ratio ~1, a
+little above for the extra hot-key bytes); a skew-broken plan funnels
+the hot keys through one task and the ratio heads toward the task
+count. Flag bar is SKEW_FLAG_RATIO.
 """
 
 from __future__ import annotations
@@ -38,6 +51,135 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # deflates the denominator — so even a linear operator can brush 10.
 # Past 12 the growth is faster than the data and worth an explanation.
 FLAG_RATIO = 12.0
+
+# Same bytes, same rows — only the key distribution moves. A resilient
+# plan's wall time barely moves (the hot keys' work spreads: salting,
+# day-bucket segmentation, degree-bounded rounds); 4x is far above
+# measurement noise yet far below the ~32x a one-task funnel costs on
+# local[32].
+SKEW_FLAG_RATIO = 4.0
+
+# query -> (driving table, key column to skew). These are the suite's
+# explicit skew-resilience claims (salting / segmented as-of carry /
+# hub-degree LPA rounds) — measured here, not just asserted.
+SKEW_QUERIES = {
+    "salted_join_revenue": ("lineitem", "l_orderkey"),
+    "asof_feature_join_segmented": ("events", "user_id"),
+    "label_propagation": ("lineitem", "l_partkey"),
+}
+
+
+def _skewed_table(spark, src_path: str, key: str):
+    """30% of rows remapped onto 5 hot existing keys, geometric
+    8:4:2:1:1 (zipf-ish head). Hash-selected from the full row, so the
+    remap is deterministic across runs and partitionings."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_path)
+    hot = [r[0] for r in df.select(key).distinct().orderBy(key).limit(5).collect()]
+    cols = [F.col(c) for c in df.columns]
+    pick = F.pmod(F.xxhash64(*cols), F.lit(10)) < 3
+    r16 = F.pmod(F.xxhash64(F.lit(1), *cols), F.lit(16))
+    hot_key = (
+        F.when(r16 < 8, F.lit(hot[0]))
+        .when(r16 < 12, F.lit(hot[1]))
+        .when(r16 < 14, F.lit(hot[2]))
+        .when(r16 < 15, F.lit(hot[3]))
+        .otherwise(F.lit(hot[4 % len(hot)]))
+    )
+    return df.withColumn(
+        key, F.when(pick, hot_key.cast(df.schema[key].dataType)).otherwise(F.col(key))
+    )
+
+
+def _build_skew_dir(spark, sf_dir: str, table: str, key: str) -> str:
+    """A sibling data dir: every table symlinked from ``sf_dir`` except
+    ``table``, which is rewritten with the skewed key column."""
+    import shutil
+
+    out = os.path.join(
+        "/tmp", "spark_graft_skew", f"{os.path.basename(sf_dir)}_{table}_{key}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for f in os.listdir(sf_dir):
+        if not f.endswith(".parquet"):
+            continue
+        if f == f"{table}.parquet":
+            _skewed_table(spark, os.path.join(sf_dir, f), key).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out, f))
+        else:
+            os.symlink(os.path.join(sf_dir, f), os.path.join(out, f))
+    return out
+
+
+def skew_main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+
+    from bgg_data_warehouse_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("skew-curve", cpus=cpus)
+    qs = entrymod.queries()
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def reset() -> None:
+        spark.catalog.clearCache()
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+
+    def timed(fn, d: str) -> float:
+        # min-of-2 unconditionally: each (query, dir) cell is one number
+        # the flag decision rides on, so a single contention window must
+        # not fake (or mask) a skew funnel
+        best = float("inf")
+        for _ in range(2):
+            reset()
+            t0 = time.perf_counter()
+            force(fn(spark, d))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    out: dict[str, dict] = {}
+    for name, (table, key) in SKEW_QUERIES.items():
+        fn = qs[name]
+        skew_dir = _build_skew_dir(spark, sf_dir, table, key)
+        force(fn(spark, sf_dir))  # warm both dirs + JIT before timing
+        force(fn(spark, skew_dir))
+        tu = timed(fn, sf_dir)
+        tk = timed(fn, skew_dir)
+        out[name] = {
+            "table": table,
+            "key": key,
+            "t_uniform": round(tu, 3),
+            "t_skew": round(tk, 3),
+            "ratio": round(tk / tu, 2) if tu > 0 else None,
+        }
+    flagged = sorted(
+        (n for n, v in out.items() if (v["ratio"] or 0) > SKEW_FLAG_RATIO),
+        key=lambda n: -out[n]["ratio"],
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "skew_ratio_same_volume",
+                "sf_dir": sf_dir,
+                "skew_shape": "30pct_rows_on_5_hot_keys_geometric",
+                "skew_flag_ratio": SKEW_FLAG_RATIO,
+                "timing": "min2_all",
+                "skew": out,
+                "skew_flagged": flagged,
+            }
+        )
+    )
 
 
 def main() -> None:
@@ -119,4 +261,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--skew" in sys.argv:
+        skew_main()
+    else:
+        main()
