@@ -188,12 +188,7 @@ def connected_components_star(
             .distinct()
         )
     e = e.localCheckpoint(eager=True)
-    all_nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+
     def _sig(df: DataFrame) -> tuple:
         """One-scan aggregate signature of an edge set: count + endpoint
         sums + an order-independent hash sum. A per-round exceptAll diff
@@ -245,11 +240,12 @@ def connected_components_star(
             .distinct()
         )
 
-    def _star(e0: DataFrame, nodes0: DataFrame) -> DataFrame:
+    def _star(e0: DataFrame, nodes0: DataFrame, sig0: tuple | None = None) -> DataFrame:
         """The star loop proper: (node, canonical) for every node of
-        ``nodes0`` given the canonical edge set ``e0``."""
+        ``nodes0`` given the canonical edge set ``e0``. ``sig0`` lets a
+        caller that already signatured ``e0`` skip the duplicate scan."""
         ee = e0
-        sig = _sig(ee)
+        sig = sig0 if sig0 is not None else _sig(ee)
         for _ in range(max_iter):
             # one rewrite per materialization: composing two rewrites per
             # checkpoint was measured SLOWER (12.8 s vs 9.5 s at sf0.1) —
@@ -293,10 +289,21 @@ def connected_components_star(
         return labels.union(mins)
 
     spark = edges.sparkSession
-    n_edges = e.count()
+    # ONE scan seeds both the shuffle-width sizing and (on the pure-star
+    # path) the loop's convergence baseline
+    sig_e = _sig(e)
+    n_edges = sig_e[0]
     with _iteration_shuffle_width(spark, n_edges):
         if not contract_first or n_edges == 0:
-            return _star(e, all_nodes)
+            # built only on this path — the contract path derives its
+            # node universe from the parent-pointer map instead, and an
+            # eager |V| distinct+checkpoint here would be a wasted job
+            all_nodes = (
+                e.select(F.col("u").alias("node"))
+                .union(e.select(F.col("v").alias("node")))
+                .distinct()
+            )
+            return _star(e, all_nodes, sig_e)
         # --- phase 1: forest contraction ---------------------------------
         # parent pointers: m(u) = min(Γ(u) ∪ {u}). Non-roots point to a
         # strictly smaller node, so m is a forest; ``und`` is a zero-cost

@@ -148,10 +148,12 @@ class GameReader:
             from .plans.models import DEFAULT_PROFILE
 
             nbrs = self.tables["game_neighbors"]
+            # `is not None`, not truthiness: profile="" is an UNKNOWN
+            # profile (empty result), not a request for the default
+            wanted = profile if profile is not None else DEFAULT_PROFILE
             rows = (
                 nbrs.where(
-                    (F.col("profile") == (profile or DEFAULT_PROFILE))
-                    & (F.col("game_id") == game_id)
+                    (F.col("profile") == wanted) & (F.col("game_id") == game_id)
                 )
                 .limit(1)
                 .collect()

@@ -386,6 +386,7 @@ def test_get_similar_profile_dispatch(reader):
     cannot combine with tuning params."""
     assert reader.get_similar(1) == reader.get_similar(1, profile="default")
     assert reader.get_similar(1, profile="no_such_profile") == []
+    assert reader.get_similar(1, profile="") == []  # empty != default
     with pytest.raises(ValueError, match="profile"):
         reader.get_similar(1, profile="default", n=5)
 

@@ -80,12 +80,14 @@ def _skewed_table(spark, src_path: str, key: str):
     cols = [F.col(c) for c in df.columns]
     pick = F.pmod(F.xxhash64(*cols), F.lit(10)) < 3
     r16 = F.pmod(F.xxhash64(F.lit(1), *cols), F.lit(16))
+    # clamp: a key with < 5 distinct values still skews onto what exists
+    h = [hot[min(i, len(hot) - 1)] for i in range(5)]
     hot_key = (
-        F.when(r16 < 8, F.lit(hot[0]))
-        .when(r16 < 12, F.lit(hot[1]))
-        .when(r16 < 14, F.lit(hot[2]))
-        .when(r16 < 15, F.lit(hot[3]))
-        .otherwise(F.lit(hot[4 % len(hot)]))
+        F.when(r16 < 8, F.lit(h[0]))
+        .when(r16 < 12, F.lit(h[1]))
+        .when(r16 < 14, F.lit(h[2]))
+        .when(r16 < 15, F.lit(h[3]))
+        .otherwise(F.lit(h[4]))
     )
     return df.withColumn(
         key, F.when(pick, hot_key.cast(df.schema[key].dataType)).otherwise(F.col(key))
@@ -110,7 +112,11 @@ def _build_skew_dir(spark, sf_dir: str, table: str, key: str) -> str:
                 "overwrite"
             ).parquet(os.path.join(out, f))
         else:
-            os.symlink(os.path.join(sf_dir, f), os.path.join(out, f))
+            # absolute target: a relative sf_dir argument would otherwise
+            # dangle (symlinks resolve relative to their OWN directory)
+            os.symlink(
+                os.path.abspath(os.path.join(sf_dir, f)), os.path.join(out, f)
+            )
     return out
 
 
