@@ -3506,7 +3506,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -3527,15 +3527,17 @@ def session_rollup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming session rollup's EXACT batch twin (r8 VERDICT #6):
     the same ``session_window`` plan from streaming/windowed.py::
     session_rollup run on the bounded events table (watermark is a no-op
-    in batch), oracle-gated by replaying session assignment in SQL. The
-    boundary semantics differ from ``sessionize`` on purpose:
-    ``session_window`` occupies the HALF-OPEN interval
-    [first_ts, last_ts + gap), so an event exactly ``gap`` after the
-    previous one starts a NEW session (oracle: ``>= INTERVAL 30
-    MINUTE``), whereas the lag-gap formulation keeps it (``>``). With
-    this gate the streaming operator's session algebra is hash-checked
-    against an independent engine, not just against its own batch run
-    (tests/test_streaming.py pins stream ≡ batch)."""
+    in batch), oracle-gated by replaying session assignment in SQL with
+    the lag-gap running-sum formulation. Boundary semantics measured,
+    not assumed: ``session_window`` MERGES an event arriving exactly
+    ``gap`` after the previous one (the gap comparison is inclusive —
+    pinned by tests/test_round9_ops.py's exact-boundary fixture, which
+    testdata's microsecond timestamps would never exercise), so the
+    oracle's new-session predicate is strict ``>``, the same convention
+    as ``sessionize``. With this gate the streaming operator's session
+    algebra is hash-checked against an independent engine, not just
+    against its own batch run (test_streaming_windowed.py pins
+    stream ≡ batch)."""
     from .streaming.windowed import session_rollup
 
     events = load_table(spark, sf_dir, "events")

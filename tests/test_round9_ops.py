@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from bgg_data_warehouse_spark.io import (
     archive_old_rows,
@@ -89,6 +90,38 @@ def test_archive_old_rows_heals_crashed_swap_first(spark, tmp_path):
     assert archive_old_rows(spark, root, "t", "ts") == 0
     assert table_exists(root, "t")
     assert read_table(spark, root, "t").count() == 1
+
+
+def test_session_window_inclusive_gap_boundary(spark):
+    """The exact-gap boundary the ``session_rollup_batch`` oracle
+    encodes — MEASURED, not assumed: Spark's ``session_window`` MERGES
+    an event arriving exactly ``gap`` after the previous one (inclusive
+    comparison), agreeing with the lag-gap strict-``>`` new-session
+    predicate the oracle uses. Testdata's microsecond timestamps never
+    land on the exact boundary, so only this fixture guards the
+    convention; if a Spark upgrade flipped it to half-open, this test
+    fails before the driver gate silently diverges."""
+    from bgg_data_warehouse_spark.streaming.windowed import session_rollup
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:30:00"),  # exactly the 30-minute gap
+            (1, "2024-01-01 11:30:01"),  # one second PAST the gap
+        ],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    sessions = session_rollup(ev).collect()
+    assert sorted(r.n_events for r in sessions) == [1, 2]
+    # lag-gap (>) agrees: boundary event merged, past-gap event split
+    w = "PARTITION BY user_id ORDER BY ts"
+    lag_sessions = ev.selectExpr(
+        "user_id",
+        f"CASE WHEN lag(ts) OVER ({w}) IS NULL "
+        f"OR ts - lag(ts) OVER ({w}) > INTERVAL 30 MINUTE "
+        "THEN 1 ELSE 0 END AS new_sess",
+    ).agg(F.sum("new_sess")).collect()[0][0]
+    assert lag_sessions == 2
 
 
 def test_game_neighbors_layout_prunes_by_profile(spark, tmp_path):
