@@ -112,6 +112,32 @@ def test_ann_plans_have_no_global_window_or_limitless_sort(spark):
     assert "TakeOrderedAndProject" in ivf
 
 
+def test_neighbors_profiles_plan_is_grouped_topk_no_funnel(spark):
+    """The profile-dimensioned neighbors build must stay per-group at
+    every stage: the per-source top-k pushes WindowGroupLimit (rank
+    computed only until k survivors per s_id, not a full sort), and NO
+    stage funnels through a single partition — two profiles double the
+    blocks, not the depth."""
+    df = entrymod.queries()["neighbors_profiles"](spark, SF_SMALL)
+    plan = executed_plan(df)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_star_cc_final_plan_reads_checkpoints_only(spark):
+    """After the contract+star iteration converges, the composed labels
+    plan must read ONLY the materialized iteration state (checkpoint
+    RDDs): a parquet re-scan in the final plan would mean some lineage
+    escaped the per-round truncation and the source would be re-read —
+    the plan-doubling failure the checkpoints exist to prevent."""
+    df = entrymod.queries()["components_star_chains"](spark, SF_SMALL)
+    df.count()
+    plan = final_plan(df)
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert plan.count("Scan parquet") == 0, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]
+
+
 def test_dedup_exact_shuffles_fingerprint_first(spark):
     """The dedup_exact exchange must hash-partition on the xxhash64
     fingerprint (first key), not on raw document text alone."""
