@@ -12,10 +12,22 @@ never go stale in prose.
 Run:  python tools/staleness.py [next_round]
 Prints ONE JSON line:
   {"next_round": N, "ages": {age: [names...]}, "never": [names...],
-   "window_max_age": A, "out_of_window_max_age": B}
+   "window_max_age": A, "out_of_window_max_age": B,
+   "suggested_window": [50 names], "suggested_tail": [names...]}
 ``never`` lists registered gates with no green driver row in any round
 (the rows-only sketches by design — each has a hash-gated twin — plus
 any gate newer than its first window appearance).
+
+``suggested_window`` is the staleness-greedy 50-slot fill: never-graded
+HASH-GATED queries first (a registered gate with no green row is a
+ledger hole — new gates must debut in-window), then strictly oldest
+evidence first, alphabetical within an age class. It does NOT know
+which gates' code changed in the current round — those must be added
+by hand at the front (a changed gate needs a fresh green row
+regardless of age), displacing the youngest suggestions. The
+rows-only sketches are excluded from the suggestion (their driver row
+is a weak rows-only check; their hash-gated twins rotate instead) and
+appended to the tail.
 """
 
 from __future__ import annotations
@@ -49,6 +61,7 @@ def main() -> None:
     )
 
     names = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
     window = set(names[:50])
     ages: dict[int, list[str]] = {}
     never = []
@@ -57,6 +70,18 @@ def main() -> None:
             ages.setdefault(next_round - last[q], []).append(q)
         else:
             never.append(q)
+    # staleness-greedy fill: never-graded hash-gated debuts, then oldest
+    # first; rows-only sketches rotate via their hash-gated twins and go
+    # to the back of the tail.
+    rows_only = [q for q in names if q not in oracles]
+    ranked = sorted(never) + [
+        q
+        for a, qs in sorted(ages.items(), reverse=True)
+        for q in sorted(qs)
+    ]
+    ranked = [q for q in ranked if q not in rows_only]
+    suggested = ranked[:50]
+    tail = ranked[50:] + [q for q in rows_only if q not in suggested]
     print(
         json.dumps(
             {
@@ -76,6 +101,8 @@ def main() -> None:
                     ),
                     default=None,
                 ),
+                "suggested_window": suggested,
+                "suggested_tail": tail,
             }
         )
     )
