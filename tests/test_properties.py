@@ -814,3 +814,38 @@ def test_chisq_cells_match_exact_integer_reference(spark, rows):
         sum(v[2] for k, v in got.items() if k != ("ALL", "ALL")),
     )
     assert len(got) == len(cnt) + 1
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.data_too_large])
+def test_star_cc_contract_path_matches_union_find(spark, edges):
+    """The round-9 forest-contraction path (parent-pointer min + pointer
+    jumping + quotient star) must label ANY graph identically to a pure
+    union-find — including the quotient edge cases a fixture can miss:
+    multiple roots per component, components that collapse entirely in
+    phase 1 (isolated supernodes), self-loops, duplicate and two-way
+    duplicated edges."""
+    from bgg_data_warehouse_spark.operators.components import (
+        connected_components_star,
+    )
+    from tests.test_components import _uf_components
+
+    clean = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges or [(0, 0)], "src: long, dst: long")
+    got = {
+        r.node: r.canonical
+        for r in connected_components_star(df, "src", "dst").collect()
+    }
+    for n, c in _uf_components(clean).items():
+        assert got[n] == c, (edges, n)
