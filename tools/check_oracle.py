@@ -24,6 +24,7 @@ Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 from datetime import date, datetime
 from decimal import Decimal
@@ -81,7 +82,12 @@ def main():
     spark = get_spark("oracle-check", cpus=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # testdata ships single-file tables; generated fixtures (e.g. the
+        # skew-audit dirs under /tmp/spark_graft_skew) are Spark-written
+        # DIRECTORIES — glob those so the same oracle gate runs on both
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []

@@ -154,6 +154,26 @@ def skew_main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
+    def oracle_ok(skew_dir: str, name: str) -> bool:
+        """Hash-verify the query against its DuckDB oracle ON THE SKEWED
+        data (check_oracle reads Spark-written table dirs since r9) — a
+        plan that 'handles' skew by dropping or duplicating hot-key rows
+        must fail here, so the timing ratio can't be gamed."""
+        import subprocess
+
+        r = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "check_oracle.py"),
+                skew_dir,
+                name,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        return "0 failures" in r.stdout
+
     out: dict[str, dict] = {}
     for name, (table, key) in SKEW_QUERIES.items():
         fn = qs[name]
@@ -168,10 +188,15 @@ def skew_main() -> None:
             "t_uniform": round(tu, 3),
             "t_skew": round(tk, 3),
             "ratio": round(tk / tu, 2) if tu > 0 else None,
+            "oracle_ok_on_skew": oracle_ok(skew_dir, name),
         }
     flagged = sorted(
-        (n for n, v in out.items() if (v["ratio"] or 0) > SKEW_FLAG_RATIO),
-        key=lambda n: -out[n]["ratio"],
+        (
+            n
+            for n, v in out.items()
+            if (v["ratio"] or 0) > SKEW_FLAG_RATIO or not v["oracle_ok_on_skew"]
+        ),
+        key=lambda n: -(out[n]["ratio"] or 0),
     )
     print(
         json.dumps(
