@@ -211,6 +211,49 @@ def test_session_rollup_matches_batch_and_lag_formulation(spark, tmp_path):
     assert len(want) > 0
 
 
+def test_session_rollup_stream_batch_agree_on_exact_gap_boundary(spark, tmp_path):
+    """The one case the corpus-based three-way test above cannot reach:
+    an inter-event gap of EXACTLY 30 minutes. Batch session_window
+    merges it (inclusive gap comparison — pinned in test_round9_ops);
+    the STREAMING state store must apply the identical merge rule, or
+    stream and batch would silently diverge right at the boundary."""
+    from bgg_data_warehouse_spark.streaming.windowed import session_rollup
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:30:00"),  # exactly the gap: must MERGE
+            (1, "2024-01-01 11:30:01"),  # one second past: must SPLIT
+        ],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    landing = str(tmp_path / "landing")
+    ev.write.parquet(landing)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        landing
+    )
+    q = (
+        session_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("sess_boundary")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sess_boundary").collect()
+    }
+    got_batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_rollup(ev).collect()
+    }
+    assert got_stream == got_batch
+    assert sorted(n for _, _, _, n in got_stream) == [1, 2]
+
+
 def test_session_rollup_append_finalizes_closed_sessions(spark, tmp_path):
     """Append mode emits a session only after the watermark passes its
     end: file 1's 09:00 burst closes once file 2 advances event time to
