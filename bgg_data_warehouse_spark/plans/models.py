@@ -461,9 +461,13 @@ def game_features_hash(t: dict[str, DataFrame]) -> DataFrame:
 
 def game_similarity_search(t: dict[str, DataFrame]) -> DataFrame:
     """`definitions/game_similarity_search.sqlx:30-38` (J2): embeddings ⋈
-    features for the live-similarity corpus."""
+    features for the live-similarity corpus. Carries ``year_published``
+    so the precomputed neighbor rows can embed it
+    (`game_neighbors.sqlx:24,60,83`)."""
     return t["bgg_game_embeddings"].join(
-        t["games_features"].select("game_id", "users_rated", "complexity", "geek_rating"),
+        t["games_features"].select(
+            "game_id", "users_rated", "complexity", "geek_rating", "year_published"
+        ),
         "game_id",
         "inner",
     )
@@ -529,14 +533,25 @@ def game_neighbors(
         top = topk_per_key(
             pairs, ["s_id"], [F.col("cos").desc(), F.col("t_id").asc()], k=p.top_k
         )
+        # neighbor display attrs join AFTER top-k (k·|corpus| rows, not
+        # every candidate pair) — the reference's rows carry nbr
+        # name/year_published in the struct (`game_neighbors.sqlx:78-86`)
+        attrs = t["game_similarity_search"].select(
+            F.col("game_id").alias("t_id"),
+            F.col("name").alias("_nbr_name"),
+            F.col("year_published").alias("_nbr_year"),
+        )
         parts.append(
-            top.groupBy(F.col("s_id").alias("game_id"))
+            top.join(attrs, "t_id")
+            .groupBy(F.col("s_id").alias("game_id"))
             .agg(
                 F.array_sort(
                     F.collect_list(
                         F.struct(
                             F.col("rank").alias("rank"),
                             F.col("t_id").alias("neighbor_id"),
+                            F.col("_nbr_name").alias("name"),
+                            F.col("_nbr_year").alias("year_published"),
                             F.round(F.col("cos"), 6).alias("score"),
                         )
                     )
@@ -635,7 +650,10 @@ def game_profile(t: dict[str, DataFrame]) -> DataFrame:
         "coordinates",  # NULL struct when the game has no coordinates row
         F.coalesce(
             "similar",
-            F.array().cast("array<struct<rank:int,neighbor_id:long,score:double>>"),
+            F.array().cast(
+                "array<struct<rank:int,neighbor_id:long,name:string,"
+                "year_published:long,score:double>>"
+            ),
         ).alias("similar"),
         F.struct(
             F.col("load_timestamp").alias("snapshot_ts"),

@@ -200,6 +200,11 @@ def test_game_neighbors_profiles_side_by_side(built):
     assert {r.profile for r in nbrs.select("profile").distinct().collect()} == {
         "default", "loose_16",
     }
+    # reference struct content parity (`game_neighbors.sqlx:78-86`): the
+    # row embeds the neighbor's display attrs, not just its id
+    assert set(nbrs.schema["similar"].dataType.elementType.fieldNames()) == {
+        "rank", "neighbor_id", "name", "year_published", "score",
+    }
     # one row per (profile, game_id); self-describing tuning columns
     assert (
         nbrs.groupBy("profile", "game_id").count().where("count > 1").isEmpty()
