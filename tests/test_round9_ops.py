@@ -106,14 +106,15 @@ def test_session_window_inclusive_gap_boundary(spark):
     ev = spark.createDataFrame(
         [
             (1, "2024-01-01 10:00:00"),
-            (1, "2024-01-01 10:30:00"),  # exactly the 30-minute gap
-            (1, "2024-01-01 11:30:01"),  # one second PAST the gap
+            (1, "2024-01-01 10:30:00"),  # exactly the gap: MERGES
+            (1, "2024-01-01 11:00:00"),  # exactly the gap again: chains
+            (1, "2024-01-01 11:30:01"),  # ONE SECOND past: SPLITS
         ],
         "user_id long, ts_s string",
     ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
     sessions = session_rollup(ev).collect()
-    assert sorted(r.n_events for r in sessions) == [1, 2]
-    # lag-gap (>) agrees: boundary event merged, past-gap event split
+    assert sorted(r.n_events for r in sessions) == [1, 3]
+    # lag-gap (>) agrees: boundary events merged, past-gap event split
     w = "PARTITION BY user_id ORDER BY ts"
     lag_sessions = ev.selectExpr(
         "user_id",

@@ -223,7 +223,8 @@ def test_session_rollup_stream_batch_agree_on_exact_gap_boundary(spark, tmp_path
         [
             (1, "2024-01-01 10:00:00"),
             (1, "2024-01-01 10:30:00"),  # exactly the gap: must MERGE
-            (1, "2024-01-01 11:30:01"),  # one second past: must SPLIT
+            (1, "2024-01-01 11:00:00"),  # exactly the gap again: chains
+            (1, "2024-01-01 11:30:01"),  # ONE second past: must SPLIT
         ],
         "user_id long, ts_s string",
     ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
@@ -251,7 +252,7 @@ def test_session_rollup_stream_batch_agree_on_exact_gap_boundary(spark, tmp_path
         for r in session_rollup(ev).collect()
     }
     assert got_stream == got_batch
-    assert sorted(n for _, _, _, n in got_stream) == [1, 2]
+    assert sorted(n for _, _, _, n in got_stream) == [1, 3]
 
 
 def test_session_rollup_append_finalizes_closed_sessions(spark, tmp_path):

@@ -80,7 +80,9 @@ def _skewed_table(spark, src_path: str, key: str):
     cols = [F.col(c) for c in df.columns]
     pick = F.pmod(F.xxhash64(*cols), F.lit(10)) < 3
     r16 = F.pmod(F.xxhash64(F.lit(1), *cols), F.lit(16))
-    # clamp: a key with < 5 distinct values still skews onto what exists
+    if not hot:
+        raise ValueError(f"skew key '{key}' has no non-null values to skew onto")
+    # clamp: a key with 1-4 distinct values still skews onto what exists
     h = [hot[min(i, len(hot) - 1)] for i in range(5)]
     hot_key = (
         F.when(r16 < 8, F.lit(h[0]))
@@ -161,18 +163,27 @@ def skew_main() -> None:
         must fail here, so the timing ratio can't be gamed."""
         import subprocess
 
-        r = subprocess.run(
-            [
-                sys.executable,
-                os.path.join(os.path.dirname(os.path.abspath(__file__)), "check_oracle.py"),
-                skew_dir,
-                name,
-            ],
-            capture_output=True,
-            text=True,
-            timeout=600,
-        )
-        return "0 failures" in r.stdout
+        try:
+            r = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)), "check_oracle.py"
+                    ),
+                    skew_dir,
+                    name,
+                ],
+                capture_output=True,
+                text=True,
+                timeout=600,
+            )
+        except subprocess.TimeoutExpired:
+            return False
+        # exit code is the failure count (check_oracle exits via
+        # SystemExit(main())); ALSO require evidence the query actually
+        # ran — a renamed/unregistered name would run zero queries and
+        # exit 0, silently verifying nothing
+        return r.returncode == 0 and f"ok    {name}" in r.stdout
 
     out: dict[str, dict] = {}
     for name, (table, key) in SKEW_QUERIES.items():

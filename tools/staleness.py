@@ -81,7 +81,7 @@ def main() -> None:
     ]
     ranked = [q for q in ranked if q not in rows_only]
     suggested = ranked[:50]
-    tail = ranked[50:] + [q for q in rows_only if q not in suggested]
+    tail = ranked[50:] + rows_only  # ranked excludes rows-only entirely
     print(
         json.dumps(
             {
