@@ -23,83 +23,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness grades the FIRST 50 queries in dict
-# order. Round 9 rotation (r8 VERDICT "Next round" #1: promote the
-# stalest evidence; ages computed from CORRECTNESS_r01-r08 via
+# order. Round 10 rotation (r9 VERDICT "Next round" #1: promote the
+# stalest evidence; ages computed from CORRECTNESS_r01-r09 via
 # tools/staleness.py): the window holds
-#   - the 5 gates whose GATING CODE is new or changed this round:
-#     neighbors_profiles (NEW — profile-dimensioned game_neighbors
-#     twin), session_rollup_batch (NEW — streaming session_window
-#     algebra oracle-gated via its batch twin), and the three former
-#     rows-only gates now hash-gated directly (r8 VERDICT #5):
-#     content_hash_change (changed-key set + portable md5 value),
-#     dedup_minhash (exact-duplicate j=1.0 regime, corpus-independent
-#     recall-1 argument), dedup_simhash (portable md5 sketch at the
-#     strict hamming<=2 bar);
-#   - the 4 age-5 gates (displaced r4 pure-expression block — the
-#     oldest evidence in the ledger);
-#   - all 34 age-4 gates (r5-vintage block + TPC-H q6-q17), including
-#     components_star_chains, whose CC loop was reworked for
-#     performance this round and must re-gate;
-#   - the 6 standing sentinels (r6-green) + cdc_upsert (next in the
-#     documented r8 queue).
-# With 189 registered gates and a 50-slot window the steady-state
+#   - the 8 gates whose GATING CODE is new or changed this round: the
+#     five NEW gates (deployed_models_union, collection_predictions_
+#     latest, predictions_freshness — the three reference models that
+#     were unit-only, r9 VERDICT #2 — plus interval_islands and
+#     ols_two_feature, r9 VERDICT #6/#7), embedding_near_dup (now
+#     hash-gated at radius 0, r9 VERDICT #3), and label_propagation +
+#     kmeans_embeddings (vote-loop / centroid-pinning rework for r9
+#     VERDICT #5 — semantic_dedup, the other consumer, is in the age-4
+#     block below);
+#   - all 40 age-4 gates (last green round 6 — the oldest evidence in
+#     the ledger: the r4/r5-vintage expression blocks, TPC-H
+#     q1-q5/q18-q22, corr_matrix, mv_incremental_refresh, ...);
+#   - the 2 stalest age-3 gates that still fit (acf_lags,
+#     ann_recall_eval).
+# With 194 registered gates and a 50-slot window the steady-state
 # rotation cycle is ~4 rounds; after this window no gate's last green
-# row is older than round 6 (age 3). The position-51+ queue is ordered
-# by evidence age (age-3 block first — they refresh in round 10 — then
-# age-2, age-1, and the 4 remaining rows-only sketch gates last).
+# row is older than round 7 (age 3). The position-51+ queue is ordered
+# by evidence age (the remaining age-3 block first — they refresh in
+# round 11 — then age-2, age-1, and the 3 remaining rows-only sketch
+# gates last).
 _PRIORITY = [
-    "neighbors_profiles",
-    "session_rollup_batch",
-    "content_hash_change",
-    "dedup_minhash",
-    "dedup_simhash",
-    "content_hash_portable",
-    "multimodal_frame_sample",
-    "regexp_json_extract",
-    "request_stats",
-    "anti_join_pending",
-    "band_self_join_knn",
-    "bigram_perplexity",
-    "components_star_chains",
-    "curation_pipeline",
-    "dedup_cluster_collapse",
-    "dedup_exact",
-    "dedup_minhash_incremental",
-    "delete_insert_refresh",
-    "fuzzy_match_parts",
-    "latest_version_dedup",
-    "leakage_safe_split",
-    "merge_insert_missing",
-    "multimodal_png_features",
-    "multimodal_video_frames",
-    "ngram_jaccard",
-    "point_lookup",
-    "staleness_bands",
-    "substring_dedup",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "vocab_encode",
-    "weighted_sample",
-    "weighted_sample_stratified",
-    "latest_snapshot",
-    "semi_scoped_agg",
-    "watermark_increment",
-    "hourly_event_rollup",
-    "dedup_minhash_verified",
-    "knn_ivf_exact",
-    "cdc_upsert",
-    # ---- position 51+: next-up if the driver widens, ordered by
-    # evidence age (stalest first) for the round-10 window
+    "deployed_models_union",
+    "collection_predictions_latest",
+    "predictions_freshness",
+    "interval_islands",
+    "ols_two_feature",
+    "embedding_near_dup",
+    "label_propagation",
+    "kmeans_embeddings",
     "ab_test_eval",
     "bloom_pruned_join",
     "bpe_learn_encode",
@@ -163,7 +118,6 @@ _PRIORITY = [
     "kcore_parts",
     "knn_bruteforce",
     "knn_lsh_exact",
-    "label_propagation",
     "mannwhitney_u",
     "merkle_table_root",
     "ols_trend",
@@ -204,7 +158,6 @@ _PRIORITY = [
     "full_outer_reconcile",
     "grouping_sets_stats",
     "hll_set_ops",
-    "kmeans_embeddings",
     "ks_two_sample",
     "lang_id",
     "merkle_incremental_update",
@@ -235,9 +188,58 @@ _PRIORITY = [
     "union_discriminated",
     "value_percentiles",
     "weighted_sssp",
+    "anti_join_pending",
+    "band_self_join_knn",
+    "bigram_perplexity",
+    "cdc_upsert",
+    "components_star_chains",
+    "content_hash_change",
+    "content_hash_portable",
+    "curation_pipeline",
+    "dedup_cluster_collapse",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_minhash_incremental",
+    "dedup_minhash_verified",
+    "dedup_simhash",
+    "delete_insert_refresh",
+    "fuzzy_match_parts",
+    "hourly_event_rollup",
+    "knn_ivf_exact",
+    "latest_snapshot",
+    "latest_version_dedup",
+    "leakage_safe_split",
+    "merge_insert_missing",
+    "multimodal_frame_sample",
+    "multimodal_png_features",
+    "multimodal_video_frames",
+    "neighbors_profiles",
+    "ngram_jaccard",
+    "point_lookup",
+    "regexp_json_extract",
+    "request_stats",
+    "semi_scoped_agg",
+    "session_rollup_batch",
+    "staleness_bands",
+    "substring_dedup",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "vocab_encode",
+    "watermark_increment",
+    "weighted_sample",
+    "weighted_sample_stratified",
     "knn_lsh",
     "knn_ivf",
-    "embedding_near_dup",
     "approx_distinct_users",
 ]
 

@@ -142,7 +142,14 @@ def kmeans_quantized(
             F.array_sort(F.collect_list(F.struct("cluster", "cv"))).alias("_cents")
         )
         assigned = _assign(vectors, cent_arr)
-        centroids = _recompute(assigned)
+        # pin each round's k-row centroid frame: without this the final
+        # assignment plan nests every previous round's
+        # assign→posexplode→reaggregate chain (plan depth ∝ iters —
+        # Catalyst re-optimizes the whole tree and the vector scan
+        # repeats per round); with it each round starts from a k-row
+        # leaf, so the broadcast argmin is built once per round from
+        # materialized centroids
+        centroids = _recompute(assigned).localCheckpoint(eager=False)
     cent_arr = centroids.agg(
         F.array_sort(F.collect_list(F.struct("cluster", "cv"))).alias("_cents")
     )

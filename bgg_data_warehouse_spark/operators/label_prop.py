@@ -44,6 +44,7 @@ __all__ = [
     "canonical_pairs_from_baskets",
     "cooccurrence_edges",
     "label_propagation",
+    "label_propagation_from_baskets",
     "lpa_oracle_sql",
 ]
 
@@ -137,33 +138,199 @@ def label_propagation(
     returns (v, label). Nodes are the distinct edge endpoints (for a
     symmetrized edge list src-side suffices). Deterministic: max vote
     count, then smallest label."""
-    if iters < 1:
-        raise ValueError(f"iters must be >= 1, got {iters}")
     # the edge list feeds every round: pin it so the (potentially
-    # expensive) build runs once, not ``iters`` times. Do NOT
-    # pre-partition by the join key: a satisfied output partitioning
-    # locks the planner into per-round sort-merge (sorting |E| rows
-    # every round, measured 2x slower).
+    # expensive) build runs once, not ``iters`` times.
     edges = edges.localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("v")).distinct()
+    # The self-vote is a SELF-LOOP edge, not a per-round union: with
+    # (v, v) rows folded into the work list, `edges ⋈ labels ON dst = v`
+    # delivers each node's own current label as exactly one vote — the
+    # identical vote multiset the union-of-labels form produced, but
+    # the round body becomes a single join + aggregate chain whose
+    # input partitioning is KNOWN (a union node reports no output
+    # partitioning, so the old form shuffled twice per round).
+    work = edges.unionByName(
+        nodes.select(F.col("v").alias("src"), F.col("v").alias("dst"))
+    ).repartition("src")
+    return _lpa_rounds(work, nodes, iters, broadcast_nodes_max)
+
+
+def label_propagation_from_baskets(
+    baskets: DataFrame,
+    *,
+    iters: int = 3,
+    broadcast_nodes_max: int = 2_000_000,
+) -> DataFrame:
+    """:func:`label_propagation` fused with the edge-list build, for
+    callers holding a :func:`basket_sets` frame: equivalent to
+    ``label_propagation(cooccurrence_edges(...))`` but cheaper on the
+    co-purchase fixture, by deleting two of the build's three
+    exchanges:
+
+    - the canonical-pair ``distinct()`` is skipped — its measured dedup
+      rate here is ~0.3% (nearly every (order, pair) occurrence is
+      unique), so it shuffled 1.2M rows to remove 4k — and the raw
+      stream is mirrored MAP-side instead; the dedup happens for free
+      inside the one ``repartition(src)`` the vote loop needs anyway
+      (HashPartitioning(src) satisfies the (src, dst) clustering
+      requirement, so ``dropDuplicates`` adds no exchange);
+    - the node set comes from exploding the ≥2-item baskets (bounded
+      item lists, tiny distinct) instead of a distinct over the 2.4M
+      mirrored edge rows; both consumers read the SAME baskets
+      aggregate, so the basket exchange executes once (ReusedExchange);
+    - when the node-id space is DENSE and broadcast-sized, the vote
+      rounds run on the adjacency-array fast path
+      (:func:`_lpa_rounds_dense`) — per-round work collapses from a
+      2.4M-row join + two hash aggregates to a map-side array fold
+      over |V| rows.
+    """
+    mirrored = canonical_pairs_from_baskets(baskets).select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    nodes = (
+        baskets.where(F.size("ps") >= 2)
+        .select(F.explode("ps").alias("v"))
+        .distinct()
+    )
+    work = mirrored.unionByName(
+        nodes.select(F.col("v").alias("src"), F.col("v").alias("dst"))
+    ).repartition("src").dropDuplicates()
+    # adjacency arrays (self-loop included = the self-vote): collect is
+    # exchange-free on the src-partitioned deduped stream, and the
+    # frame is |V| rows regardless of |E|
+    adj = (
+        work.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .localCheckpoint(eager=False)
+    )
+    stats = adj.agg(
+        F.count("*").alias("n"), F.min("src").alias("lo"), F.max("src").alias("hi")
+    ).collect()[0]
+    if stats.n <= broadcast_nodes_max and stats.hi - stats.lo + 1 == stats.n:
+        return _lpa_rounds_dense(adj, int(stats.lo), iters)
+    work = adj.select("src", F.explode("nbrs").alias("dst"))
+    return _lpa_rounds(work, nodes, iters, broadcast_nodes_max)
+
+
+def _array_mode_smallest(labs) -> F.Column:
+    """Deterministic mode of an array column: the most frequent element,
+    ties to the SMALLEST — LPA's vote rule as a single codegen'd
+    expression. Sort ascending, then one fold tracks the current run
+    and the best run; a smaller label reaches any given count first and
+    later runs only win with a STRICTLY greater count, so ties resolve
+    small — the same total order as the oracle's ROW_NUMBER
+    (n DESC, label ASC). The -1/0 init never survives: the first
+    element's run count 1 always beats bestn=0."""
+    long_ = lambda x: F.lit(x).cast("long")  # noqa: E731
+
+    def step(acc, x):
+        curn = F.when(x == acc["cur"], acc["curn"] + long_(1)).otherwise(long_(1))
+        win = curn > acc["bestn"]
+        return F.struct(
+            F.when(win, x).otherwise(acc["best"]).alias("best"),
+            F.when(win, curn).otherwise(acc["bestn"]).alias("bestn"),
+            x.alias("cur"),
+            curn.alias("curn"),
+        )
+
+    init = F.struct(
+        long_(-1).alias("best"),
+        long_(0).alias("bestn"),
+        long_(-1).alias("cur"),
+        long_(0).alias("curn"),
+    )
+    return F.aggregate(F.array_sort(labs), init, step, lambda acc: acc["best"])
+
+
+def _lpa_rounds_dense(adj: DataFrame, lo: int, iters: int) -> DataFrame:
+    """Vote loop on the adjacency-array fast path, used when node ids
+    are DENSE (max-min+1 == |V|) and |V| is broadcast-sized: each
+    round's full label state is ONE positionally-indexed array (entry i
+    = label of node lo+i, built by an ordered |V|-row collect), shipped
+    as a 1-row broadcast; every node then votes entirely MAP-side —
+    ``element_at`` on an array literal is O(1), and the deterministic
+    mode is a codegen'd fold (:func:`_array_mode_smallest`). A round
+    therefore touches |V| rows with Θ(|E|) array-element work and NO
+    join, aggregate, or exchange — versus the generic path's |E|-row
+    join plus two hash aggregates. The same |V| bound that lets the
+    generic path broadcast its label frame guarantees this array fits;
+    non-dense or oversized graphs take :func:`_lpa_rounds`."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    labels = None
+    for k in range(iters):
+        if k == 0:
+            # round-1 fusion: l0 is the identity labeling, so the vote
+            # multiset IS the neighbor list (self-loop = self-vote)
+            base, labs = adj, F.col("nbrs")
+        else:
+            la = labels.agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("v", "label"))),
+                    lambda s: s["label"],
+                ).alias("la")
+            )
+            base = adj.crossJoin(F.broadcast(la))
+            labs = F.transform(
+                "nbrs",
+                lambda u: F.element_at(
+                    F.col("la"), (u - F.lit(lo) + F.lit(1)).cast("int")
+                ),
+            )
+        labels = base.select(
+            F.col("src").alias("v"), _array_mode_smallest(labs).alias("label")
+        ).localCheckpoint(eager=False)
+    return labels
+
+
+def _lpa_rounds(
+    work: DataFrame, nodes: DataFrame, iters: int, broadcast_nodes_max: int
+) -> DataFrame:
+    """Shared vote loop: ``work`` is the symmetric edge list WITH
+    self-loops, hash-partitioned on ``src`` (the vote grouping key) —
+    under the broadcast join (which preserves stream-side partitioning)
+    both per-round aggregates — groupBy(v, label) and the argmax
+    groupBy(v) — are satisfied by HashPartitioning(v) and plan with
+    ZERO exchanges, so a round is one in-memory map stage over the
+    pinned list. Do NOT partition by the JOIN key (dst): a satisfied
+    join-side partitioning locks the planner into per-round sort-merge
+    (sorting |E| rows every round, measured 2x slower); the agg keys
+    are where the reuse is."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    work = work.localCheckpoint(eager=False)
     # Catalyst's row estimate for a generated/exploded edge list can be
     # off by the basket fan-out (a Generate doesn't multiply the
     # parent's estimate), and that bad stat survives the checkpoint —
     # measured picking a broadcast of the |E|-row edge side (3x
     # slower). The join-side decision is made HERE from the true node
-    # count instead (one scalar job over the pinned edges): broadcast
-    # the |V|-sized label frame only while it is provably small,
-    # otherwise a shuffled hash join — labels as build side, no |E|
-    # sort per round, valid at any |V|.
+    # count instead (one scalar job over the pinned work list):
+    # broadcast the |V|-sized label frame only while it is provably
+    # small, otherwise a shuffled hash join — labels as build side, no
+    # |E| sort per round, valid at any |V|.
     hint = "broadcast" if nodes.count() <= broadcast_nodes_max else "shuffle_hash"
     labels = nodes.select("v", F.col("v").alias("label"))
-    for _ in range(iters):
-        lab_j = labels.hint(hint)
-        votes = (
-            edges.join(lab_j, edges["dst"] == lab_j["v"])
-            .select(edges["src"].alias("v"), lab_j["label"])
-            .unionByName(labels)
-        )
+    for k in range(iters):
+        if k == 0:
+            # Round-1 fusion: l0 is the identity labeling (label(v) = v),
+            # so joining work.dst against it yields exactly (src, dst) —
+            # the join is algebraically the work list itself. Skipping
+            # it removes one of the K joins with bit-identical output
+            # (the oracle's l0/v1 CTEs are unchanged; the self-loop
+            # contributes the self-vote on both sides).
+            votes = work.select(
+                F.col("src").alias("v"), F.col("dst").alias("label")
+            )
+        else:
+            lab_j = labels.hint(hint)
+            votes = work.join(lab_j, work["dst"] == lab_j["v"]).select(
+                work["src"].alias("v"), lab_j["label"]
+            )
         counted = votes.groupBy("v", "label").agg(F.count("*").alias("n"))
         # deterministic argmax with NO sort: pack (n, label-reversed)
         # into one BIGINT so the per-round winner is a plain max —

@@ -250,6 +250,43 @@ def ivf_topk(
     )
 
 
+def embedding_exact_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    num_tables: int = 8,
+    bits_per_table: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Radius-0 embedding near-dup: the PRODUCTION LSH candidate join
+    (bits > 0 — bucketed, never all-pairs) verified by exact vector
+    equality instead of a cosine threshold.
+
+    At radius 0 the recall argument is corpus-independent, the same
+    shape as MinHash at j = 1.0 (see workload.dedup_minhash): an
+    identical vector produces identical hyperplane dot products, hence
+    identical sign bits, hence the same bucket in EVERY table under ANY
+    hyperplane family — recall is exactly 1 by construction — and the
+    array-equality verifier gives precision 1. So the bucketed plan's
+    output provably equals the equality self-join oracle while the
+    candidate set stays bucket-bounded.
+    """
+    buckets = _with_lsh_buckets(
+        df, id_col, vec_col, "doc", "vec", num_tables, bits_per_table, seed,
+        "_n2", dim
+    )
+    return (
+        buckets.alias("l")
+        .join(buckets.alias("r"), ["table", "bucket"])
+        .where(F.col("l.doc") < F.col("r.doc"))
+        .where(F.col("l.vec") == F.col("r.vec"))
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -23,12 +23,55 @@ aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .prefix import running_sum
 
-__all__ = ["interval_boundaries", "interval_concurrency"]
+__all__ = ["interval_boundaries", "interval_concurrency", "merge_intervals"]
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gaps-and-islands interval merge: label every row with the id of
+    the maximal chain of overlapping-or-touching [start, end] intervals
+    it belongs to, per key.
+
+    The classic formulation: in (start, tiebreak) order, a row opens a
+    NEW island iff its start lies strictly beyond the running maximum
+    of all PRECEDING ends (running max, not lag(end) — an early long
+    interval can swallow several later short ones, which lag would
+    mis-split); the island id is the running count of those opens.
+    Touching intervals (start == previous end) MERGE — the same
+    inclusive-boundary convention the streaming session_window gap
+    comparison was measured to have (see workload.session_rollup_batch).
+
+    Scale shape: one hash partition per key and one per-key sort — the
+    same cost profile as sessionize; per-key history is bounded (a
+    user's events), so no single-partition global window exists. Start
+    and end may be any mutually-comparable orderable type; for
+    timestamps pass microsecond longs (``F.unix_micros``) so the
+    comparison is exact.
+
+    Returns the input columns plus ``island_id`` (1-based per key).
+    """
+    order_cols = order_cols or []
+    w = Window.partitionBy(*key_cols).orderBy(start_col, *order_cols)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "island_id",
+        F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
 
 
 def interval_boundaries(

@@ -319,10 +319,18 @@ def game_dropdown_options(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def bgg_predictions(t: dict[str, DataFrame]) -> DataFrame:
+def bgg_predictions(t: dict[str, DataFrame], as_of=None) -> DataFrame:
     """`definitions/bgg_predictions.sqlx:36-49`: latest prediction per game
     (W1 by score_ts, job_id), DATE casts + freshness flags (F9), helper
-    rank dropped (P3)."""
+    rank dropped (P3).
+
+    ``as_of`` optionally replaces ``CURRENT_DATE()`` as the freshness
+    anchor (a Column — e.g. a broadcast-joined dataset max) so the
+    is_new_1d/7d flags can be computed deterministically; the reference
+    anchors to the wall clock (`bgg_predictions.sqlx:45-46`), which is
+    the default here.
+    """
+    anchor = F.current_date() if as_of is None else as_of
     latest = latest_per_key(
         t["ml_predictions_landing"],
         ["game_id"],
@@ -338,8 +346,8 @@ def bgg_predictions(t: dict[str, DataFrame]) -> DataFrame:
         "predicted_geek_rating",
         F.col("score_ts"),
         F.to_date("score_ts").alias("score_date"),
-        (F.datediff(F.current_date(), F.to_date("score_ts")) <= 1).alias("is_new_1d"),
-        (F.datediff(F.current_date(), F.to_date("score_ts")) <= 7).alias("is_new_7d"),
+        (F.datediff(anchor, F.to_date("score_ts")) <= 1).alias("is_new_1d"),
+        (F.datediff(anchor, F.to_date("score_ts")) <= 7).alias("is_new_7d"),
     )
 
 

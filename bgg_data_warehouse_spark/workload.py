@@ -1058,14 +1058,48 @@ def knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_near_dup")  # LSH candidate generation → rows-only check
+@query(
+    "embedding_near_dup",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 200
+    )
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM corpus a JOIN corpus b
+      ON a.embedding = b.embedding AND a.vec_id < b.vec_id
+    """,
+)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-gate twin: ``embedding_near_dup_exact`` (bits_per_table=0 ⇒
-    exhaustive candidate join, hash-gated vs the all-pairs oracle)."""
-    from .operators.similarity import embedding_near_dup_pairs
+    """Embedding near-dup at RADIUS 0, hash-gated directly (r9 VERDICT
+    #3 — rows-only through round 9; the dedup_minhash j=1.0 conversion
+    applied to the embedding tier).
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    The plan is the PRODUCTION bucketed LSH candidate join (8 tables ×
+    8 hyperplane bits — never all-pairs); only the verifier changes, a
+    cosine threshold → exact vector equality. Recall 1 is
+    corpus-independent at radius 0: identical vectors get identical
+    sign bits under ANY hyperplane family, so they collide in every
+    table (operators/similarity.py::embedding_exact_dup_pairs), and the
+    equality verifier gives precision 1 — the bucketed output provably
+    equals the equality self-join oracle. The testdata has no natural
+    byte-identical vectors, so the gate plants them: vec_id < 200 is
+    re-inserted shifted by 1e6 (same derivation in the oracle), making
+    the result exactly those 200 pairs PLUS any natural duplicates —
+    non-vacuous by construction. The positive-radius regime (which
+    pairs an index MISSES is signature-dependent by design) stays
+    covered by ``embedding_near_dup_exact``'s exhaustive bits=0 gate at
+    threshold 0.35 and the unit suite."""
+    from .operators.similarity import embedding_exact_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return embedding_exact_dup_pairs(
+        emb.unionByName(planted), "vec_id", "embedding"
+    )
 
 
 @query(
@@ -7392,6 +7426,7 @@ from .operators.label_prop import (  # noqa: E402
     canonical_pairs_from_baskets,
     cooccurrence_edges,
     label_propagation,
+    label_propagation_from_baskets,
     lpa_oracle_sql,
 )
 
@@ -7545,8 +7580,9 @@ def label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable vote aggregate; labels stay |V|-sized and are
     lineage-pinned per round."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    labels = label_propagation(edges, iters=3)
+    labels = label_propagation_from_baskets(
+        basket_sets(li, "l_orderkey", "l_partkey"), iters=3
+    )
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_nodes"),
         F.min("v").alias("min_member"),
@@ -10554,4 +10590,450 @@ def weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sssp_labels(edges, seeds, rounds=4).select(
         F.col("v").alias("part"), "dist"
+    )
+
+
+# ===========================================================================
+# Reference-model oracle gates (r9 VERDICT #2): the three Dataform models
+# whose transform patterns previously had unit-only coverage —
+# deployed_models' branch unpivot (U2), user_collection_predictions'
+# multi-key JOIN USING + W1 (J9), bgg_predictions' freshness flags (F9) —
+# re-run through plans/models.py itself on landing analogs derived from
+# the testdata tables, so the GATED code is the model code.
+# ===========================================================================
+
+# (family, name_prefix, name_modulus, version_modulus) — five prediction
+# families sharing ONE landing table, exactly the shape of
+# `definitions/deployed_models.sqlx:9-129`'s seven-branch UNION (name and
+# version derive from different keys with different moduli so every branch
+# produces a distinct grouping structure).
+_DEPLOYED_FAMS = [
+    ("geek_rating", "gr", 2, 3),
+    ("hurdle", "hu", 3, 2),
+    ("complexity", "cx", 2, 4),
+    ("rating", "rt", 4, 2),
+    ("users_rated", "ur", 2, 5),
+]
+
+# 2024-01-01T00:00:00Z in microseconds — the synthetic created_ts epoch
+# for the embeddings branch of the deployed-models analog.
+_EMB_TS0_US = 1_704_067_200_000_000
+
+
+def _deployed_models_oracle() -> str:
+    branches = []
+    for fam, pre, nm, nv in _DEPLOYED_FAMS:
+        branches.append(f"""
+    SELECT '{fam}' AS model_type,
+           '{pre}' || CAST(o_custkey % {nm} AS VARCHAR) AS model_name,
+           'v' || CAST(o_orderkey % {nv} AS VARCHAR) AS model_version,
+           count(DISTINCT o_orderkey % 1000) AS game_count,
+           max(o_orderdate) AS last_score_ts
+    FROM orders GROUP BY 2, 3""")
+    branches.append(f"""
+    SELECT 'game_embeddings' AS model_type,
+           'emb' || CAST(label % 2 AS VARCHAR) AS model_name,
+           CAST(label % 4 AS VARCHAR) AS model_version,
+           count(DISTINCT vec_id % 500) AS game_count,
+           max(make_timestamp({_EMB_TS0_US}
+                              + (vec_id % 365) * 86400000000)) AS last_score_ts
+    FROM embeddings GROUP BY 2, 3""")
+    return "\nUNION ALL\n".join(branches)
+
+
+@query("deployed_models_union", oracle=_deployed_models_oracle())
+def deployed_models_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`definitions/deployed_models.sqlx:9-129` (U2) run through
+    plans/models.py::deployed_models itself: one branch per model family
+    over the SAME landing table — each branch groups a different
+    (name, version) column pair under a literal discriminator and
+    aggregates COUNT(DISTINCT game_id) + MAX(score_ts) — plus the
+    embeddings branch with its numeric-version cast, all UNION ALL'd.
+    The landing analog derives the five families' name/version columns
+    from orders keys with per-family moduli; the embeddings branch maps
+    the embeddings table onto the game_embeddings landing shape. Plan
+    shape at scale: N independent partial-aggregable groupBys over one
+    scan each — the unpivot never widens rows, and every branch's
+    distinct-count shuffles only (name, version, game_id)."""
+    from .plans import models
+
+    orders = load_table(spark, sf_dir, "orders")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = [
+        (F.col("o_orderkey") % 1000).alias("game_id"),
+        F.col("o_orderdate").alias("score_ts"),
+    ]
+    for fam, pre, nm, nv in _DEPLOYED_FAMS:
+        cols.append(
+            F.concat(F.lit(pre), (F.col("o_custkey") % nm).cast("string"))
+            .alias(f"{fam}_model_name")
+        )
+        cols.append(
+            F.concat(F.lit("v"), (F.col("o_orderkey") % nv).cast("string"))
+            .alias(f"{fam}_model_version")
+        )
+    landing = orders.select(*cols)
+    game_embeddings = emb.select(
+        (F.col("vec_id") % 500).alias("game_id"),
+        F.concat(F.lit("emb"), (F.col("label") % 2).cast("string")).alias(
+            "embedding_model"
+        ),
+        (F.col("label") % 4).alias("embedding_version"),
+        F.timestamp_micros(
+            F.lit(_EMB_TS0_US) + (F.col("vec_id") % 365) * F.lit(86_400_000_000)
+        ).alias("created_ts"),
+    )
+    return models.deployed_models(
+        {"ml_predictions_landing": landing, "game_embeddings": game_embeddings}
+    )
+
+
+@query(
+    "collection_predictions_latest",
+    oracle="""
+    WITH landing AS (
+      SELECT user_id AS username,
+             event_id % 97 AS game_id,
+             event_type AS outcome,
+             'v' || CAST(event_id % 3 AS VARCHAR) AS model_version,
+             value AS predicted,
+             ts AS score_ts,
+             event_id AS job_id
+      FROM events
+    ), registry AS (
+      SELECT DISTINCT user_id AS username,
+             event_type AS outcome,
+             'v' || CAST(user_id % 3 AS VARCHAR) AS model_version,
+             CASE WHEN user_id % 7 = 0 THEN 'retired'
+                  ELSE 'active' END AS status
+      FROM events
+    ), latest AS (
+      SELECT * FROM (
+        SELECT l.*, ROW_NUMBER() OVER (
+          PARTITION BY username, game_id, outcome
+          ORDER BY score_ts DESC, job_id DESC) AS rn
+        FROM landing l
+      ) WHERE rn = 1
+    )
+    SELECT username, game_id, outcome, model_version,
+           predicted, score_ts, job_id
+    FROM latest
+    JOIN (SELECT username, outcome, model_version FROM registry
+          WHERE status = 'active')
+      USING (username, outcome, model_version)
+    """,
+)
+def collection_predictions_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`definitions/user_collection_predictions.sqlx:30-56` (J9 + W1 +
+    P5) run through plans/models.py::user_collection_predictions itself:
+    latest prediction per (username, game_id, outcome) — ROW_NUMBER by
+    score_ts then job_id — joined USING (username, outcome,
+    model_version) against the status='active' slice of the model
+    registry, so predictions scored by a deposed model version drop out.
+    The landing analog derives all three keys plus the scoring version
+    from events; the registry analog pins one active version per
+    (username, outcome) with a deterministic retired band. Plan shape at
+    scale: one W1 shuffle on the composite key, then an equi-join whose
+    right side is registry-sized (dimension-small — broadcastable)."""
+    from .plans import models
+
+    ev = load_table(spark, sf_dir, "events")
+    landing = ev.select(
+        F.col("user_id").alias("username"),
+        (F.col("event_id") % 97).alias("game_id"),
+        F.col("event_type").alias("outcome"),
+        F.concat(F.lit("v"), (F.col("event_id") % 3).cast("string")).alias(
+            "model_version"
+        ),
+        F.col("value").alias("predicted"),
+        F.col("ts").alias("score_ts"),
+        F.col("event_id").alias("job_id"),
+    )
+    registry = ev.select(
+        F.col("user_id").alias("username"),
+        F.col("event_type").alias("outcome"),
+        F.concat(F.lit("v"), (F.col("user_id") % 3).cast("string")).alias(
+            "model_version"
+        ),
+        F.when(F.col("user_id") % 7 == 0, F.lit("retired"))
+        .otherwise(F.lit("active"))
+        .alias("status"),
+    ).distinct()
+    return models.user_collection_predictions(
+        {
+            "collection_predictions_landing": landing,
+            "collection_models_registry": registry,
+        }
+    ).select(
+        "username", "game_id", "outcome", "model_version",
+        "predicted", "score_ts", "job_id",
+    )
+
+
+@query(
+    "predictions_freshness",
+    oracle="""
+    WITH a AS (SELECT max(CAST(ts AS DATE)) AS as_of FROM events),
+    landing AS (
+      SELECT user_id AS game_id,
+             'game-' || CAST(user_id AS VARCHAR) AS name,
+             value AS predicted_hurdle_prob,
+             CAST(event_id % 5 AS DOUBLE) AS predicted_complexity,
+             CAST(event_id % 10 AS DOUBLE) AS predicted_rating,
+             event_id % 1000 AS predicted_users_rated,
+             value AS predicted_geek_rating,
+             ts AS score_ts,
+             event_id AS job_id
+      FROM events
+    ), latest AS (
+      SELECT * FROM (
+        SELECT l.*, ROW_NUMBER() OVER (
+          PARTITION BY game_id ORDER BY score_ts DESC, job_id DESC) AS rn
+        FROM landing l
+      ) WHERE rn = 1
+    )
+    SELECT game_id, name, predicted_hurdle_prob, predicted_complexity,
+           predicted_rating, predicted_users_rated, predicted_geek_rating,
+           score_ts,
+           CAST(score_ts AS DATE) AS score_date,
+           date_diff('day', CAST(score_ts AS DATE), a.as_of) <= 1
+             AS is_new_1d,
+           date_diff('day', CAST(score_ts AS DATE), a.as_of) <= 7
+             AS is_new_7d
+    FROM latest CROSS JOIN a
+    """,
+)
+def predictions_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`definitions/bgg_predictions.sqlx:36-49` (W1 + F9) run through
+    plans/models.py::bgg_predictions itself: latest prediction per game,
+    DATE cast, and the is_new_1d/7d DATE_DIFF freshness flags — the last
+    reference transform pattern without a DuckDB hash gate (r9 VERDICT
+    #2). The reference anchors the flags to CURRENT_DATE(); a wall-clock
+    anchor can't be hash-compared across engines (and flips at
+    midnight), so the gate passes the dataset's max event date as the
+    ``as_of`` anchor — a 1-row broadcast scalar, the P7 pattern — which
+    exercises the identical DATE_DIFF/casting code path
+    deterministically. Plan shape at scale: one W1 shuffle on game_id;
+    the anchor rides a broadcast, never a shuffle."""
+    from .plans import models
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("as_of"))
+    landing = ev.select(
+        F.col("user_id").alias("game_id"),
+        F.concat(F.lit("game-"), F.col("user_id").cast("string")).alias("name"),
+        F.col("value").alias("predicted_hurdle_prob"),
+        (F.col("event_id") % 5).cast("double").alias("predicted_complexity"),
+        (F.col("event_id") % 10).cast("double").alias("predicted_rating"),
+        (F.col("event_id") % 1000).alias("predicted_users_rated"),
+        F.col("value").alias("predicted_geek_rating"),
+        F.col("ts").alias("score_ts"),
+        F.col("event_id").alias("job_id"),
+    ).crossJoin(F.broadcast(mx))
+    out = models.bgg_predictions(
+        {"ml_predictions_landing": landing}, as_of=F.col("as_of")
+    )
+    # hashing render only: a DuckDB DATE reaches pandas as a midnight
+    # datetime64, while a Spark DateType stays a bare date — cast the
+    # model's score_date to timestamp so both sides render identically
+    # (the model itself keeps DateType; this is the to_json-for-arrays
+    # convention applied to dates)
+    return out.withColumn("score_date", F.col("score_date").cast("timestamp"))
+
+
+# ===========================================================================
+# Gaps-and-islands interval merge (r9 VERDICT #6): the interval-algebra
+# sibling of sessionize (fixed gap from the LAST event) — islands merge on
+# the running MAX of interval ENDS, so an early long interval swallows
+# later short ones that a lag-based split would separate. Pairs with
+# scd2_intervals and the reference's lease-expiry interval logic
+# (src/pipeline/fetcher/response_fetcher.py:60-64: in-flight = lease rows
+# whose [claim_ts, claim_ts + timeout) interval still covers NOW).
+# ===========================================================================
+
+
+@query(
+    "interval_islands",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, value,
+             epoch_us(ts) AS start_us,
+             epoch_us(ts) + (30 + event_id % 270) * 1000000 AS end_us
+      FROM events
+    ), g AS (
+      SELECT *,
+             CASE WHEN max(end_us) OVER w1 IS NULL
+                    OR start_us > max(end_us) OVER w1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+      WINDOW w1 AS (PARTITION BY user_id ORDER BY start_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), s AS (
+      SELECT *,
+             CAST(sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY start_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+      FROM g
+    )
+    SELECT user_id, island_id,
+           count(*) AS n_events,
+           make_timestamp(min(start_us)) AS island_start,
+           make_timestamp(max(end_us)) AS island_end,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS total_value
+    FROM s GROUP BY user_id, island_id
+    """,
+)
+def interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands merge of per-user activity intervals
+    (operators/sweepline.py::merge_intervals): each event spans
+    [ts, ts + 30..300 s) — duration derived from event_id so both
+    engines compute the identical span — and overlapping-or-touching
+    spans merge into islands via the running-max-of-ends formulation
+    (strictly-greater comparison: touching intervals MERGE, the same
+    inclusive boundary the streaming session_window was measured to
+    have). Comparisons run on microsecond longs (the sessionize
+    convention — interval types don't hash portably); island bounds
+    return as timestamps via timestamp_micros/make_timestamp. Plan
+    shape at scale: one hash partition per user and one per-user sort —
+    identical cost profile to sessionize, no global window."""
+    from .operators.sweepline import merge_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("start_us"),
+        (
+            F.unix_micros("ts")
+            + (F.lit(30) + F.col("event_id") % 270) * F.lit(1_000_000)
+        ).alias("end_us"),
+    )
+    islands = merge_intervals(
+        iv, ["user_id"], "start_us", "end_us", order_cols=["event_id"]
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.count("*").alias("n_events"),
+        F.timestamp_micros(F.min("start_us")).alias("island_start"),
+        F.timestamp_micros(F.max("end_us")).alias("island_end"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("total_value"),
+    )
+
+
+# ===========================================================================
+# Two-feature closed-form OLS (r9 VERDICT #7): normal equations solved by
+# Cramer's rule from EXACT integer moment sums — the multi-regressor
+# extension of ols_trend's single-feature closed form.
+# ===========================================================================
+
+
+@query(
+    "ols_two_feature",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag AS grp,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT grp,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS sx1,
+             CAST(sum(x2) AS DOUBLE) AS sx2,
+             CAST(sum(x1 * x1) AS DOUBLE) AS sx11,
+             CAST(sum(x1 * x2) AS DOUBLE) AS sx12,
+             CAST(sum(x2 * x2) AS DOUBLE) AS sx22,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x1 * y) AS DOUBLE) AS sx1y,
+             CAST(sum(x2 * y) AS DOUBLE) AS sx2y,
+             count(*) AS n_rows
+      FROM d GROUP BY grp
+    )
+    SELECT grp, n_rows,
+           (sy * (sx11 * sx22 - sx12 * sx12)
+            - sx1 * (sx1y * sx22 - sx12 * sx2y)
+            + sx2 * (sx1y * sx12 - sx11 * sx2y))
+           / (n * (sx11 * sx22 - sx12 * sx12)
+              - sx1 * (sx1 * sx22 - sx12 * sx2)
+              + sx2 * (sx1 * sx12 - sx11 * sx2)) AS b0,
+           (n * (sx1y * sx22 - sx12 * sx2y)
+            - sy * (sx1 * sx22 - sx12 * sx2)
+            + sx2 * (sx1 * sx2y - sx1y * sx2))
+           / (n * (sx11 * sx22 - sx12 * sx12)
+              - sx1 * (sx1 * sx22 - sx12 * sx2)
+              + sx2 * (sx1 * sx12 - sx11 * sx2)) AS b1,
+           (n * (sx11 * sx2y - sx1y * sx12)
+            - sx1 * (sx1 * sx2y - sx1y * sx2)
+            + sy * (sx1 * sx12 - sx11 * sx2))
+           / (n * (sx11 * sx22 - sx12 * sx12)
+              - sx1 * (sx1 * sx22 - sx12 * sx2)
+              + sx2 * (sx1 * sx12 - sx11 * sx2)) AS b2
+    FROM m
+    """,
+)
+def ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS with two regressors + intercept, per group:
+    y_cents ~ b0 + b1*quantity + b2*discount_pct over lineitem, grouped
+    by l_returnflag. The nine moment sums are EXACT BIGINTs (quantity is
+    whole; discount and price scale to integer pct/cents via round — all
+    << 2^53, so the subsequent cast to double is lossless), and the 3×3
+    normal equations are solved by Cramer's rule with the SAME
+    parenthesization in both engines — IEEE double products/sums of
+    identical inputs are bit-identical, the ols_trend convention
+    extended to a matrix solve. Correctness of the Cramer expansion is
+    unit-pinned against numpy.linalg.lstsq. Plan shape at scale: one
+    map-side-combinable moment aggregate over a single scan — the
+    cardinality after the shuffle is the group count, and the solve is
+    a per-group scalar expression."""
+    d = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    m = d.groupBy("grp").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("sx22"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("sx2y"),
+        F.count("*").alias("n_rows"),
+    )
+    n, sx1, sx2 = F.col("n"), F.col("sx1"), F.col("sx2")
+    sx11, sx12, sx22 = F.col("sx11"), F.col("sx12"), F.col("sx22")
+    sy, sx1y, sx2y = F.col("sy"), F.col("sx1y"), F.col("sx2y")
+    det = (
+        n * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx12 - sx11 * sx2)
+    )
+    d0 = (
+        sy * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1y * sx22 - sx12 * sx2y)
+        + sx2 * (sx1y * sx12 - sx11 * sx2y)
+    )
+    d1 = (
+        n * (sx1y * sx22 - sx12 * sx2y)
+        - sy * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx2y - sx1y * sx2)
+    )
+    d2 = (
+        n * (sx11 * sx2y - sx1y * sx12)
+        - sx1 * (sx1 * sx2y - sx1y * sx2)
+        + sy * (sx1 * sx12 - sx11 * sx2)
+    )
+    return m.select(
+        "grp",
+        "n_rows",
+        (d0 / det).alias("b0"),
+        (d1 / det).alias("b1"),
+        (d2 / det).alias("b2"),
     )
