@@ -142,7 +142,17 @@ class GameReader:
         path from the ``(profile, game_id)``-clustered neighbors lookup
         (`definitions/game_neighbors.sqlx:4-8`, `readers/games.py:134-166`),
         so new profiles ship side-by-side and flip in by name without a
-        rebuild of the serving document."""
+        rebuild of the serving document.
+
+        DELIBERATE deviation from the reference: combining ``profile``
+        with any tuning param raises ValueError (HTTP 400 at the
+        service layer), where the reference's tuned path silently
+        ignores ``profile`` (`src/warehouse/readers/games.py:144-174`).
+        A request naming a precomputed list AND ad-hoc tuning knobs is
+        contradictory — answering the tuned query under the profile's
+        name would mislabel the result — so we reject it loudly. Pinned
+        by tests/test_service.py (profile/tuning exclusivity) and
+        listed in COVERAGE.md's deviation notes."""
         tuned = any(v is not None for v in (n, metric, dims, min_ratings))
         if not tuned:
             from .plans.models import DEFAULT_PROFILE

@@ -84,10 +84,19 @@ def main():
     for t in TABLES:
         # testdata ships single-file tables; generated fixtures (e.g. the
         # skew-audit dirs under /tmp/spark_graft_skew) are Spark-written
-        # DIRECTORIES — glob those so the same oracle gate runs on both
+        # DIRECTORIES — glob those so the same oracle gate runs on both.
+        # Recursive glob + hive_partitioning so a PARTITIONED Spark table
+        # dir (profile=X/ subdirs from io.LAYOUTS) also reads correctly,
+        # not just flat single-level dirs.
         p = os.path.join(sf_dir, f"{t}.parquet")
-        src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        if os.path.isdir(p):
+            src = os.path.join(p, "**", "*.parquet")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{src}', hive_partitioning = true)"
+            )
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
