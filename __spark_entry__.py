@@ -30,7 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     five NEW gates (deployed_models_union, collection_predictions_
 #     latest, predictions_freshness — the three reference models that
 #     were unit-only, r9 VERDICT #2 — plus interval_islands and
-#     ols_two_feature, r9 VERDICT #6/#7), embedding_near_dup (now
+#     ols_two_feature, r9 VERDICT #6/#7, and item_item_recommender —
+#     the co-purchase cosine top-k recommender from the r9 queue),
+#     embedding_near_dup (now
 #     hash-gated at radius 0, r9 VERDICT #3), and label_propagation +
 #     kmeans_embeddings (vote-loop / centroid-pinning rework for r9
 #     VERDICT #5 — semantic_dedup, the other consumer, is in the age-4
@@ -38,8 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   - all 40 age-4 gates (last green round 6 — the oldest evidence in
 #     the ledger: the r4/r5-vintage expression blocks, TPC-H
 #     q1-q5/q18-q22, corr_matrix, mv_incremental_refresh, ...);
-#   - the 2 stalest age-3 gates that still fit (acf_lags,
-#     ann_recall_eval).
+#   - the stalest age-3 gate that still fits (acf_lags).
 # With 194 registered gates and a 50-slot window the steady-state
 # rotation cycle is ~4 rounds; after this window no gate's last green
 # row is older than round 7 (age 3). The position-51+ queue is ordered
@@ -52,6 +53,7 @@ _PRIORITY = [
     "predictions_freshness",
     "interval_islands",
     "ols_two_feature",
+    "item_item_recommender",
     "embedding_near_dup",
     "label_propagation",
     "kmeans_embeddings",

@@ -11037,3 +11037,124 @@ def ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d1 / det).alias("b1"),
         (d2 / det).alias("b2"),
     )
+
+
+# ===========================================================================
+# Item-item cosine recommender: binary co-purchase collaborative filtering —
+# the recommender a warehouse user builds next from the reference's
+# collection data (user_collection_predictions.sqlx models per-user outcome
+# scores; this is the item-side neighborhood model over the same
+# interaction shape), and the co-purchase sibling of game_neighbors'
+# embedding-space top-k.
+# ===========================================================================
+
+
+@query(
+    "item_item_recommender",
+    oracle="""
+    WITH ui AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_partkey % 5 = 0
+    ), deg AS (
+      SELECT i, count(*) AS d FROM ui GROUP BY i
+    ), co AS (
+      SELECT a.i AS item_a, b.i AS item_b, count(*) AS c
+      FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), sym AS (
+      SELECT item_a AS item, item_b AS nbr, c FROM co
+      UNION ALL
+      SELECT item_b, item_a, c FROM co
+    ), scored AS (
+      SELECT s.item, s.nbr,
+             CAST(s.c AS DOUBLE) / sqrt(CAST(da.d AS DOUBLE) * CAST(db.d AS DOUBLE))
+               AS cos,
+             s.c
+      FROM sym s JOIN deg da ON da.i = s.item JOIN deg db ON db.i = s.nbr
+    ), ranked AS (
+      SELECT item, nbr, cos, c,
+             ROW_NUMBER() OVER (PARTITION BY item
+                                ORDER BY cos DESC, nbr ASC) AS rank
+      FROM scored
+    )
+    SELECT item, nbr, CAST(round(cos * 1000000) AS BIGINT) AS score_x1e6,
+           c AS co_count, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def item_item_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine recommender over binary co-purchase vectors:
+    sim(i, j) = |U_i ∩ U_j| / sqrt(|U_i|·|U_j|), support cutoff ≥ 2
+    co-buyers, top-5 neighbors per item. All inputs to the score are
+    exact BIGINT counts, so both engines compute the identical IEEE
+    double (and hence the identical ranking); the output score ships as
+    a micro-int (the nested_profile convention). Plan shape: distinct
+    (user, item) in ONE shuffle; candidate pairs generated MAP-side per
+    user via the bounded basket explode (never an items self-join);
+    one (pair)-keyed count with map-side combine; degrees ride a
+    broadcast; top-k is WindowGroupLimit per item. At 100 TB the only
+    token-volume shuffles are the interaction distinct and the pair
+    count — both linear in interactions for bounded basket width; the
+    part-key filter (%5) budgets the graded fixture, not the shape."""
+    from .operators.label_prop import basket_sets, canonical_pairs_from_baskets
+    from .operators.latest import topk_per_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 5 == 0)
+    ui = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    # one basket frame feeds BOTH the pair stream and the item degrees —
+    # the collect_set exchange materializes once (ReusedExchange)
+    baskets = basket_sets(ui, "u", "i")
+    deg = (
+        baskets.select(F.explode("ps").alias("i"))
+        .groupBy("i")
+        .agg(F.count("*").alias("d"))
+    )
+    co = (
+        canonical_pairs_from_baskets(baskets)
+        .groupBy(F.col("src").alias("item_a"), F.col("dst").alias("item_b"))
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+    )
+    sym = co.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("item"),
+                    F.col("item_b").alias("nbr"),
+                    F.col("c"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("item"),
+                    F.col("item_a").alias("nbr"),
+                    F.col("c"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.item", "e.nbr", "e.c")
+    da = F.broadcast(deg.select(F.col("i").alias("item"), F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("i").alias("nbr"), F.col("d").alias("db")))
+    scored = (
+        sym.join(da, "item")
+        .join(db, "nbr")
+        .withColumn(
+            "cos",
+            F.col("c").cast("double")
+            / F.sqrt(F.col("da").cast("double") * F.col("db").cast("double")),
+        )
+    )
+    top = topk_per_key(
+        scored, ["item"], [F.col("cos").desc(), F.col("nbr").asc()], k=5
+    )
+    return top.select(
+        "item",
+        "nbr",
+        F.round(F.col("cos") * 1e6).cast("long").alias("score_x1e6"),
+        F.col("c").alias("co_count"),
+        "rank",
+    )
