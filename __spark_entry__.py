@@ -26,8 +26,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # order. Round 10 rotation (r9 VERDICT "Next round" #1: promote the
 # stalest evidence; ages computed from CORRECTNESS_r01-r09 via
 # tools/staleness.py): the window holds
-#   - the 8 gates whose GATING CODE is new or changed this round: the
-#     five NEW gates (deployed_models_union, collection_predictions_
+#   - the 9 gates whose GATING CODE is new or changed this round: the
+#     six NEW gates (deployed_models_union, collection_predictions_
 #     latest, predictions_freshness — the three reference models that
 #     were unit-only, r9 VERDICT #2 — plus interval_islands and
 #     ols_two_feature, r9 VERDICT #6/#7, and item_item_recommender —
@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the ledger: the r4/r5-vintage expression blocks, TPC-H
 #     q1-q5/q18-q22, corr_matrix, mv_incremental_refresh, ...);
 #   - the stalest age-3 gate that still fits (acf_lags).
-# With 194 registered gates and a 50-slot window the steady-state
+# With 195 registered gates and a 50-slot window the steady-state
 # rotation cycle is ~4 rounds; after this window no gate's last green
 # row is older than round 7 (age 3). The position-51+ queue is ordered
 # by evidence age (the remaining age-3 block first — they refresh in

@@ -46,11 +46,33 @@ __all__ = [
     "label_propagation",
     "label_propagation_from_baskets",
     "lpa_oracle_sql",
+    "mirror_pairs",
 ]
 
 # packing radix for the (vote count, label) argmax: supports node ids
 # < 2^40 and vote counts < 2^23 inside one int64
 _PACK = 1 << 40
+
+
+def mirror_pairs(pairs: DataFrame, *extra_cols: str) -> DataFrame:
+    """Symmetrize a canonical (src, dst) pair stream MAP-side: each row
+    explodes to itself plus its (dst, src) twin — a 2-struct array
+    explode, no shuffle. ``extra_cols`` ride along both twins (e.g. a
+    pair weight). The shared mirror step of the co-occurrence edge
+    builders and the item-item recommender."""
+    carried = [F.col(c) for c in extra_cols]
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst"), *carried),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    *carried,
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", *[f"e.{c}" for c in extra_cols])
 
 
 def cooccurrence_edges(
@@ -64,16 +86,8 @@ def cooccurrence_edges(
     # Only CANONICAL (src < dst) pairs are deduped — the distinct is
     # this builder's dominant exchange, and halving its input pays at
     # every scale — then the symmetric twin is mirrored back map-side
-    # (explode of a 2-struct array, no shuffle) after the dedup.
-    canon = canonical_pairs(df, group_col, item_col).distinct()
-    return canon.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("src"), F.col("dst")),
-                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    # after the dedup.
+    return mirror_pairs(canonical_pairs(df, group_col, item_col).distinct())
 
 
 def basket_sets(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
@@ -184,14 +198,7 @@ def label_propagation_from_baskets(
       2.4M-row join + two hash aggregates to a map-side array fold
       over |V| rows.
     """
-    mirrored = canonical_pairs_from_baskets(baskets).select(
-        F.explode(
-            F.array(
-                F.struct(F.col("src"), F.col("dst")),
-                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    mirrored = mirror_pairs(canonical_pairs_from_baskets(baskets))
     nodes = (
         baskets.where(F.size("ps") >= 2)
         .select(F.explode("ps").alias("v"))
@@ -211,6 +218,12 @@ def label_propagation_from_baskets(
     stats = adj.agg(
         F.count("*").alias("n"), F.min("src").alias("lo"), F.max("src").alias("hi")
     ).collect()[0]
+    if stats.n == 0:
+        # no basket has 2+ items → no edges, no nodes: an empty (v,
+        # label) frame, matching label_propagation(cooccurrence_edges)
+        # on the same input (lo/hi are NULL here, so the dense check
+        # below would TypeError)
+        return adj.select(F.col("src").alias("v"), F.col("src").alias("label"))
     if stats.n <= broadcast_nodes_max and stats.hi - stats.lo + 1 == stats.n:
         return _lpa_rounds_dense(adj, int(stats.lo), iters)
     work = adj.select("src", F.explode("nbrs").alias("dst"))

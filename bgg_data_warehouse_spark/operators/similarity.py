@@ -273,9 +273,12 @@ def embedding_exact_dup_pairs(
     output provably equals the equality self-join oracle while the
     candidate set stays bucket-bounded.
     """
+    # no norm column: the verifier is exact array equality, so unlike the
+    # cosine tier there is nothing to re-rank — folding an L2 norm here
+    # would be dead O(dim) work carried through the per-table explode
     buckets = _with_lsh_buckets(
         df, id_col, vec_col, "doc", "vec", num_tables, bits_per_table, seed,
-        "_n2", dim
+        None, dim
     )
     return (
         buckets.alias("l")

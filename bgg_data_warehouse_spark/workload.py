@@ -11097,7 +11097,11 @@ def item_item_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-volume shuffles are the interaction distinct and the pair
     count — both linear in interactions for bounded basket width; the
     part-key filter (%5) budgets the graded fixture, not the shape."""
-    from .operators.label_prop import basket_sets, canonical_pairs_from_baskets
+    from .operators.label_prop import (
+        basket_sets,
+        canonical_pairs_from_baskets,
+        mirror_pairs,
+    )
     from .operators.latest import topk_per_key
 
     orders = load_table(spark, sf_dir, "orders")
@@ -11121,22 +11125,12 @@ def item_item_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .where(F.col("c") >= 2)
     )
-    sym = co.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("item_a").alias("item"),
-                    F.col("item_b").alias("nbr"),
-                    F.col("c"),
-                ),
-                F.struct(
-                    F.col("item_b").alias("item"),
-                    F.col("item_a").alias("nbr"),
-                    F.col("c"),
-                ),
-            )
-        ).alias("e")
-    ).select("e.item", "e.nbr", "e.c")
+    sym = mirror_pairs(
+        co.select(
+            F.col("item_a").alias("src"), F.col("item_b").alias("dst"), "c"
+        ),
+        "c",
+    ).select(F.col("src").alias("item"), F.col("dst").alias("nbr"), "c")
     da = F.broadcast(deg.select(F.col("i").alias("item"), F.col("d").alias("da")))
     db = F.broadcast(deg.select(F.col("i").alias("nbr"), F.col("d").alias("db")))
     scored = (

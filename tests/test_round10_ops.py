@@ -176,6 +176,22 @@ def test_lpa_fused_equals_generic_sparse_ids(spark):
     assert generic == fused and len(fused) == 6
 
 
+def test_lpa_fused_empty_and_singleton_baskets(spark):
+    """No basket has 2+ items → no edges, no nodes: the fused path must
+    return an EMPTY (v, label) frame like the generic path, not
+    TypeError on the NULL min/max of the dense check (code-review r10
+    finding)."""
+    from bgg_data_warehouse_spark.operators.label_prop import (
+        basket_sets,
+        label_propagation_from_baskets,
+    )
+
+    for rows in [[], [(1, 10), (2, 20), (3, 30)]]:
+        df = spark.createDataFrame(rows, "g long, item long")
+        out = label_propagation_from_baskets(basket_sets(df, "g", "item"))
+        assert out.columns == ["v", "label"] and out.count() == 0
+
+
 def test_lpa_fused_matches_duckdb_replay(spark):
     """End-to-end: the fused path on a random basket fixture vs the
     DuckDB CTE replay (the gate's oracle machinery), labels compared
