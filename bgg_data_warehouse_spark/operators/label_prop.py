@@ -199,22 +199,26 @@ def label_propagation_from_baskets(
       over |V| rows.
     """
     mirrored = mirror_pairs(canonical_pairs_from_baskets(baskets))
-    nodes = (
-        baskets.where(F.size("ps") >= 2)
-        .select(F.explode("ps").alias("v"))
-        .distinct()
-    )
-    work = mirrored.unionByName(
-        nodes.select(F.col("v").alias("src"), F.col("v").alias("dst"))
-    ).repartition("src").dropDuplicates()
-    # adjacency arrays (self-loop included = the self-vote): collect is
-    # exchange-free on the src-partitioned deduped stream, and the
-    # frame is |V| rows regardless of |E|
+    # adjacency in ONE aggregate pass: collect_set dedups the raw mirror
+    # stream while arrayizing it (dropDuplicates + collect_list would be
+    # two full passes over the same partitions), and the self-loop (=
+    # the self-vote) is appended MAP-side via array_union instead of
+    # shipping |V| extra rows through the shuffle — which also deletes
+    # the separate node-distinct exchange (nodes are exactly adj's
+    # keys). collect_set's element order is nondeterministic, which is
+    # fine: every consumer treats nbrs as a multiset (the mode fold
+    # sorts internally; the fallback path explodes).
     adj = (
-        work.groupBy("src")
-        .agg(F.collect_list("dst").alias("nbrs"))
+        mirrored.repartition("src")
+        .groupBy("src")
+        .agg(
+            F.array_union(
+                F.collect_set("dst"), F.array(F.col("src"))
+            ).alias("nbrs")
+        )
         .localCheckpoint(eager=False)
     )
+    nodes = adj.select(F.col("src").alias("v"))
     stats = adj.agg(
         F.count("*").alias("n"), F.min("src").alias("lo"), F.max("src").alias("hi")
     ).collect()[0]

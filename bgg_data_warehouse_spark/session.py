@@ -32,6 +32,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
@@ -65,6 +66,15 @@ def tune_session(spark: SparkSession) -> SparkSession:
         # the driver canonicalizes results via toPandas(); Arrow makes
         # that a columnar transfer instead of row-by-row pickling
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # ObjectHashAggregate (collect_set/collect_list/percentile...)
+        # falls back to SORT-based aggregation at 128 in-memory keys —
+        # any task aggregating a few hundred groups of arrays pays a
+        # full per-partition sort. 64k keys of basket-sized arrays is
+        # still small memory per task (groups-per-task shrinks with the
+        # partition count at scale), and keeps the suite's adjacency /
+        # feature-array builders hash-based (measured: nested_profile
+        # 1.6->1.25s, feature_arrays first-run 2.5->1.7s at sf0.1).
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "65536",
     }.items():
         try:
             spark.conf.set(k, v)
