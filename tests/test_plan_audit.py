@@ -676,3 +676,67 @@ def test_merkle_update_is_one_scan_no_per_level_joins(spark):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert line.strip().endswith("BuildRight, Cross"), line
+
+
+def test_lpa_dense_round_plans_zero_exchange(spark):
+    """The r10 LPA fast path's contract: with adjacency pinned, a vote
+    round is ONE map stage — the broadcast of the label array is the
+    only data movement, so the round plan must contain no Exchange at
+    all (a regression to join/aggregate rounds reintroduces 2 shuffles
+    x K rounds). Audited on the real co-purchase build at sf0.001."""
+    from bgg_data_warehouse_spark.operators.label_prop import (
+        _array_mode_smallest,
+        basket_sets,
+        canonical_pairs_from_baskets,
+        mirror_pairs,
+    )
+    from bgg_data_warehouse_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    mirrored = mirror_pairs(
+        canonical_pairs_from_baskets(basket_sets(li, "l_orderkey", "l_partkey"))
+    )
+    built = (
+        mirrored.repartition("src")
+        .groupBy("src")
+        .agg(
+            F.array_union(F.collect_set("dst"), F.array(F.col("src"))).alias(
+                "nbrs"
+            )
+        )
+    )
+    # the whole adjacency build: exactly TWO exchanges — the basket
+    # collect_set and the src repartition. The pair mirror must be
+    # map-side (no third exchange) and the adjacency collect_set must
+    # ride the repartition, not add its own. Audited BEFORE the
+    # checkpoint — a checkpointed frame's plan is just the RDD scan.
+    build_plan = executed_plan(built)
+    assert build_plan.count("Exchange") == 2, build_plan
+    adj = built.localCheckpoint(eager=False)
+    # a round-2-shaped step: labels from a prior round, broadcast as the
+    # positional array, mode fold map-side
+    labels = adj.select(F.col("src").alias("v"), F.col("src").alias("label"))
+    la = labels.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("v", "label"))),
+            lambda s: s["label"],
+        ).alias("la")
+    )
+    lo = adj.agg(F.min("src")).collect()[0][0]
+    round_df = adj.crossJoin(F.broadcast(la)).select(
+        F.col("src").alias("v"),
+        _array_mode_smallest(
+            F.transform(
+                "nbrs",
+                lambda u: F.element_at(
+                    F.col("la"), (u - F.lit(int(lo)) + F.lit(1)).cast("int")
+                ),
+            )
+        ).alias("label"),
+    )
+    plan = executed_plan(round_df)
+    # the only allowed movement is the 1-row label-array broadcast; the
+    # adjacency side must stream from the checkpoint with no shuffle
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
