@@ -26,12 +26,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # order. Round 10 rotation (r9 VERDICT "Next round" #1: promote the
 # stalest evidence; ages computed from CORRECTNESS_r01-r09 via
 # tools/staleness.py): the window holds
-#   - the 9 gates whose GATING CODE is new or changed this round: the
-#     six NEW gates (deployed_models_union, collection_predictions_
+#   - the 10 gates whose GATING CODE is new or changed this round: the
+#     seven NEW gates (deployed_models_union, collection_predictions_
 #     latest, predictions_freshness — the three reference models that
 #     were unit-only, r9 VERDICT #2 — plus interval_islands and
 #     ols_two_feature, r9 VERDICT #6/#7, and item_item_recommender —
-#     the co-purchase cosine top-k recommender from the r9 queue),
+#     the co-purchase cosine top-k recommender from the r9 queue, and
+#     jsonl_quarantine_roundtrip — S12's quarantined JSONL source
+#     driven end-to-end, previously hermetic-unit only),
 #     embedding_near_dup (now
 #     hash-gated at radius 0, r9 VERDICT #3), and label_propagation +
 #     kmeans_embeddings (vote-loop / centroid-pinning rework for r9
@@ -40,8 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   - all 40 age-4 gates (last green round 6 — the oldest evidence in
 #     the ledger: the r4/r5-vintage expression blocks, TPC-H
 #     q1-q5/q18-q22, corr_matrix, mv_incremental_refresh, ...);
-#   - the stalest age-3 gate that still fits (acf_lags).
-# With 195 registered gates and a 50-slot window the steady-state
+#   - no age-3 gates fit this round; the age-3 block (acf_lags first)
+#     heads the tail and refreshes in round 11.
+# With 196 registered gates and a 50-slot window the steady-state
 # rotation cycle is ~4 rounds; after this window no gate's last green
 # row is older than round 7 (age 3). The position-51+ queue is ordered
 # by evidence age (the remaining age-3 block first — they refresh in
@@ -54,6 +57,7 @@ _PRIORITY = [
     "interval_islands",
     "ols_two_feature",
     "item_item_recommender",
+    "jsonl_quarantine_roundtrip",
     "embedding_near_dup",
     "label_propagation",
     "kmeans_embeddings",
