@@ -849,3 +849,70 @@ def test_star_cc_contract_path_matches_union_find(spark, edges):
     }
     for n, c in _uf_components(clean).items():
         assert got[n] == c, (edges, n)
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # key
+        st.integers(min_value=0, max_value=60),    # start
+        st.integers(min_value=0, max_value=40),    # duration
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=intervals_strategy)
+@settings(**SETTINGS)
+def test_merge_intervals_matches_python_sweep(spark, rows):
+    """Gaps-and-islands (r10 interval_islands): for ANY interval set,
+    the distributed running-max formulation must produce exactly the
+    islands a sequential sweep produces — same membership, same
+    per-key 1-based numbering in start order. Random durations
+    exercise the long-interval-swallows-shorts case and exact-touch
+    boundaries (start == running max end MERGES) that fixtures can
+    only spot-check."""
+    from bgg_data_warehouse_spark.operators.sweepline import merge_intervals
+
+    data = [
+        (k, s, s + d, i)  # id = input index, the deterministic tiebreak
+        for i, (k, s, d) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "k long, s long, e long, id long")
+    got = {
+        (r["k"], r["id"]): r["island_id"]
+        for r in merge_intervals(df, ["k"], "s", "e", order_cols=["id"]).collect()
+    }
+    # sequential reference sweep
+    want = {}
+    by_key: dict[int, list] = {}
+    for k, s, e, i in data:
+        by_key.setdefault(k, []).append((s, i, e))
+    for k, ivs in by_key.items():
+        ivs.sort()
+        island, max_end = 0, None
+        for s, i, e in ivs:
+            if max_end is None or s > max_end:
+                island += 1
+            max_end = e if max_end is None else max(max_end, e)
+            want[(k, i)] = island
+    assert got == want
+
+
+@given(labs=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_array_mode_smallest_property(spark, labs):
+    """The codegen'd array-mode fold (the r10 LPA dense path's vote
+    rule) vs Python's Counter for ANY multiset: most frequent element,
+    ties to the smallest."""
+    from collections import Counter
+
+    from bgg_data_warehouse_spark.operators.label_prop import (
+        _array_mode_smallest,
+    )
+
+    df = spark.createDataFrame([(labs,)], "labs array<long>")
+    got = df.select(_array_mode_smallest(F.col("labs"))).collect()[0][0]
+    cnt = Counter(labs)
+    want = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert got == want
