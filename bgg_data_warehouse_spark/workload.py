@@ -1002,20 +1002,174 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_lsh")  # approximate by construction → rows-only check
+# Shared exact-side replay for the bounded-assert ANN gates: the
+# knn_bruteforce oracle's top-10 pair set, reused as a CTE body.
+_EXACT_TOP10_SQL = f"""
+      SELECT query_id, nbr_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY
+                 {_DUCK_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                                  c.vec_id) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+      ) WHERE rank <= 10
+"""
+
+# (config label, num_tables, bits_per_table, min overall recall %).
+# Bounds are measured floors with wide margins: overall recall at
+# sf0.001/0.01/0.1 is 0.10/0.11/0.13 for the default 8x8 (candidate
+# rate ~3%/table → sparse buckets on near-random synthetic vectors),
+# 0.90/0.89/0.89 for 16x4, and 0.99/0.98/1.00 for 32x4 — the
+# recall-vs-cost knob an LSH deployment actually tunes (more tables ×
+# fewer bits → denser buckets → higher recall, more candidates).
+_LSH_RECALL_CONFIGS = (
+    ("nt8_b8", 8, 8, 4),
+    ("nt16_b4", 16, 4, 50),
+    ("nt32_b4", 32, 4, 80),
+)
+
+
+@query(
+    "knn_lsh",
+    oracle=f"""
+    WITH exact AS ({_EXACT_TOP10_SQL}),
+    s AS (
+      SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+             CAST(count(*) AS BIGINT) AS exact_pairs
+      FROM exact
+    )
+    SELECT c.config, c.num_tables, c.bits_per_table,
+           s.n_queries, s.exact_pairs, c.min_recall_pct,
+           TRUE AS recall_ok
+    FROM s CROSS JOIN (VALUES
+      ('nt8_b8',  CAST(8 AS BIGINT),  CAST(8 AS BIGINT), CAST(4 AS BIGINT)),
+      ('nt16_b4', CAST(16 AS BIGINT), CAST(4 AS BIGINT), CAST(50 AS BIGINT)),
+      ('nt32_b4', CAST(32 AS BIGINT), CAST(4 AS BIGINT), CAST(80 AS BIGINT))
+    ) AS c(config, num_tables, bits_per_table, min_recall_pct)
+    """,
+)
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import lsh_topk
+    """LSH recall sweep, bounded-assert oracle-gated (r10 VERDICT #3 —
+    rows-only through round 10). WHICH neighbors a signature family
+    misses is index-dependent by design, so the exact result set cannot
+    hash-match; what CAN is (a) the exact brute-force side, fully
+    replayed in SQL, and (b) the accuracy CONTRACT: one row per LSH
+    config asserting overall recall@10 >= a measured floor (margins
+    2.5-7x, see _LSH_RECALL_CONFIGS). A recall regression in the
+    signature UDF, the bucket join, or the re-rank flips recall_ok and
+    hash-mismatches — the same bounded-assert shape as
+    ``ann_recall_eval``, extended to the config sweep a deployment runs
+    when tuning tables × bits. Exhaustive-regime twin: ``knn_lsh_exact``
+    (bits=0). Scale shape: the exact side is the broadcast-query
+    brute-force scan (gated at knn_bruteforce); each config's candidate
+    join stays (table, bucket)-bucketed; the per-config summary
+    aggregates a <= 100-row joined frame."""
+    from .operators.similarity import brute_force_topk, lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb.where(F.col("vec_id") < 10), emb, "vec_id", "embedding", k=10)
+    q = emb.where(F.col("vec_id") < 10)
+    # pinned: three config branches each join against the exact side and
+    # union branches are not CSE'd — without the pin the brute-force
+    # corpus scan would run 3x. <= 100 rows.
+    exact = (
+        brute_force_topk(q, emb, "vec_id", "embedding", k=10)
+        .select("query_id", "nbr_id")
+        .localCheckpoint()
+    )
+    out = None
+    for config, nt, bits, min_pct in _LSH_RECALL_CONFIGS:
+        approx = lsh_topk(
+            q, emb, "vec_id", "embedding", k=10,
+            num_tables=nt, bits_per_table=bits,
+        ).select("query_id", "nbr_id", F.lit(1).alias("hit"))
+        row = (
+            exact.join(approx, ["query_id", "nbr_id"], "left")
+            .agg(
+                F.count_distinct("query_id").alias("n_queries"),
+                F.count(F.lit(1)).alias("exact_pairs"),
+                F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+            )
+            .select(
+                F.lit(config).alias("config"),
+                F.lit(nt).cast("long").alias("num_tables"),
+                F.lit(bits).cast("long").alias("bits_per_table"),
+                "n_queries",
+                "exact_pairs",
+                F.lit(min_pct).cast("long").alias("min_recall_pct"),
+                (
+                    F.col("n_hits") * 100 >= F.lit(min_pct) * F.col("exact_pairs")
+                ).alias("recall_ok"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
-@query("knn_ivf")  # approximate by construction → rows-only check
+@query(
+    "knn_ivf",
+    oracle=f"""
+    WITH exact AS ({_EXACT_TOP10_SQL}),
+    per AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+      FROM exact GROUP BY query_id
+    )
+    SELECT query_id, n_exact,
+           CAST(30 AS BIGINT) AS min_recall_pct, TRUE AS recall_ok
+    FROM per
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(sum(n_exact) AS BIGINT),
+           CAST(60 AS BIGINT), TRUE
+    FROM per
+    """,
+)
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import ivf_topk
+    """IVF (production nprobe=2 < cells) recall contract, bounded-assert
+    oracle-gated (r10 VERDICT #3). The probe-limited result set is
+    index-dependent, so the gate hash-checks what is deterministic
+    cross-engine: the exact side's per-query neighbor counts (SQL
+    replay) plus per-query and overall recall@10 floor booleans.
+    Measured floors: per-query min hits 7/10 across sf0.001-0.1 (bound
+    30%), overall 0.88/0.88/0.97 (bound 60%) — 2.3x/1.5x margins. The
+    nprobe=1 regime is fully SQL-replayed in ``ann_recall_eval``; the
+    exhaustive regime in ``knn_ivf_exact``. Scale shape identical to
+    those gates: broadcast 16-cell argmin assignment, (cell)-bucketed
+    probe join, per-query TakeOrdered re-rank."""
+    from .operators.similarity import brute_force_topk, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb.where(F.col("vec_id") < 10), emb, "vec_id", "embedding", k=10)
+    q = emb.where(F.col("vec_id") < 10)
+    approx = ivf_topk(q, emb, "vec_id", "embedding", k=10).select(
+        "query_id", "nbr_id", F.lit(1).alias("hit")
+    )
+    per = (
+        brute_force_topk(q, emb, "vec_id", "embedding", k=10)
+        .select("query_id", "nbr_id")
+        .join(approx, ["query_id", "nbr_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        )
+        # pinned: the summary branch re-aggregates `per` and union
+        # branches are not CSE'd — the brute-force + probe join would
+        # execute twice otherwise (ann_recall_eval's pin rationale).
+        # 10 rows, bounded by the query set at any corpus scale.
+        .localCheckpoint()
+    )
+    per_rows = per.select(
+        "query_id",
+        "n_exact",
+        F.lit(30).cast("long").alias("min_recall_pct"),
+        (F.col("n_hits") * 100 >= 30 * F.col("n_exact")).alias("recall_ok"),
+    )
+    summary = per.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.sum("n_exact").alias("n_exact"),
+        F.lit(60).cast("long").alias("min_recall_pct"),
+        (F.sum("n_hits") * 100 >= 60 * F.sum("n_exact")).alias("recall_ok"),
+    )
+    return per_rows.unionByName(summary)
 
 
 @query(
