@@ -23,84 +23,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness grades the FIRST 50 queries in dict
-# order. Round 10 rotation (r9 VERDICT "Next round" #1: promote the
-# stalest evidence; ages computed from CORRECTNESS_r01-r09 via
-# tools/staleness.py): the window holds
-#   - the 10 gates whose GATING CODE is new or changed this round: the
-#     seven NEW gates (deployed_models_union, collection_predictions_
-#     latest, predictions_freshness — the three reference models that
-#     were unit-only, r9 VERDICT #2 — plus interval_islands and
-#     ols_two_feature, r9 VERDICT #6/#7, and item_item_recommender —
-#     the co-purchase cosine top-k recommender from the r9 queue, and
-#     jsonl_quarantine_roundtrip — S12's quarantined JSONL source
-#     driven end-to-end, previously hermetic-unit only),
-#     embedding_near_dup (now
-#     hash-gated at radius 0, r9 VERDICT #3), and label_propagation +
-#     kmeans_embeddings (vote-loop / centroid-pinning rework for r9
-#     VERDICT #5 — semantic_dedup, the other consumer, is in the age-4
-#     block below);
-#   - all 40 age-4 gates (last green round 6 — the oldest evidence in
-#     the ledger: the r4/r5-vintage expression blocks, TPC-H
-#     q1-q5/q18-q22, corr_matrix, mv_incremental_refresh, ...);
-#   - no age-3 gates fit this round; the age-3 block (acf_lags first)
-#     heads the tail and refreshes in round 11.
-# With 196 registered gates and a 50-slot window the steady-state
-# rotation cycle is ~4 rounds; after this window no gate's last green
-# row is older than round 7 (age 3). The position-51+ queue is ordered
-# by evidence age (the remaining age-3 block first — they refresh in
-# round 11 — then age-2, age-1, and the 3 remaining rows-only sketch
-# gates last).
+# order. Round 11 rotation (r10 VERDICT "Next round" #1, ages computed
+# from CORRECTNESS_r01-r10 via tools/staleness.py): the window holds
+#   - the 5 gates whose GATING CODE is new or changed this round: the
+#     three former rows-only gates converted to bounded-assert oracles
+#     (knn_lsh — recall sweep vs the SQL-replayed exact side; knn_ivf —
+#     per-query + overall recall floors; approx_distinct_users — HLL
+#     |est-exact| <= 3*rsd*exact contract; r10 VERDICT #3 — all three
+#     had NO oracle evidence before this round), plus the two NEW
+#     composite gates: cc_incremental_update (delta-edge CC maintenance
+#     without base-edge scans, r10 VERDICT #4) and retrieval_pipeline
+#     (chunk -> BM25/vector channels at chunk grain -> RRF fusion,
+#     r10 VERDICT #6);
+#   - all 44 age-4 gates (last green round 7 — the oldest evidence in
+#     the ledger: acf_lags block through wordpiece_encode, exactly the
+#     block r10's tail queued for this round);
+#   - topped up with the alphabetically-first age-3 gate
+#     (approx_distinct_hll).
+# With 198 registered gates and a 50-slot window the steady-state
+# rotation cycle stays ~4 rounds; after this window no gate's latest
+# green row is older than round 8. The position-51+ queue is ordered by
+# evidence age (remaining age-3 block first — they refresh in round 12
+# — then age-2, then age-1).
 _PRIORITY = [
-    "deployed_models_union",
-    "collection_predictions_latest",
-    "predictions_freshness",
-    "interval_islands",
-    "ols_two_feature",
-    "item_item_recommender",
-    "jsonl_quarantine_roundtrip",
-    "embedding_near_dup",
-    "label_propagation",
-    "kmeans_embeddings",
-    "ab_test_eval",
-    "bloom_pruned_join",
-    "bpe_learn_encode",
-    "cms_heavy_hitters",
-    "corpus_kl_shift",
-    "corr_matrix",
-    "dedup_keep_best",
-    "dsir_importance",
-    "entity_resolution",
-    "equidepth_histogram",
-    "funnel_steps",
-    "gapfill_interpolate",
-    "gopher_quality_rules",
-    "holt_trend_forecast",
-    "inverted_index",
-    "join_skew_report",
-    "knn_quantized",
-    "label_centroids",
-    "mv_incremental_refresh",
-    "nb_lang_classify",
-    "profile_documents",
-    "retention_cohorts",
-    "semantic_dedup",
-    "sliding_window_distinct",
-    "table_checksum_manifest",
-    "temperature_mix",
-    "token_budget_report",
-    "tpch_q1",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "trigram_backoff_ppl",
-    "winsorize_robust",
-    "zorder_layout",
+    "knn_lsh",
+    "knn_ivf",
+    "approx_distinct_users",
+    "cc_incremental_update",
+    "retrieval_pipeline",
     "acf_lags",
     "ann_recall_eval",
     "aqp_sampled_agg",
@@ -244,9 +194,56 @@ _PRIORITY = [
     "watermark_increment",
     "weighted_sample",
     "weighted_sample_stratified",
-    "knn_lsh",
-    "knn_ivf",
-    "approx_distinct_users",
+    "ab_test_eval",
+    "bloom_pruned_join",
+    "bpe_learn_encode",
+    "cms_heavy_hitters",
+    "collection_predictions_latest",
+    "corpus_kl_shift",
+    "corr_matrix",
+    "dedup_keep_best",
+    "deployed_models_union",
+    "dsir_importance",
+    "embedding_near_dup",
+    "entity_resolution",
+    "equidepth_histogram",
+    "funnel_steps",
+    "gapfill_interpolate",
+    "gopher_quality_rules",
+    "holt_trend_forecast",
+    "interval_islands",
+    "inverted_index",
+    "item_item_recommender",
+    "join_skew_report",
+    "jsonl_quarantine_roundtrip",
+    "kmeans_embeddings",
+    "knn_quantized",
+    "label_centroids",
+    "label_propagation",
+    "mv_incremental_refresh",
+    "nb_lang_classify",
+    "ols_two_feature",
+    "predictions_freshness",
+    "profile_documents",
+    "retention_cohorts",
+    "semantic_dedup",
+    "sliding_window_distinct",
+    "table_checksum_manifest",
+    "temperature_mix",
+    "token_budget_report",
+    "tpch_q1",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "trigram_backoff_ppl",
+    "winsorize_robust",
+    "zorder_layout",
 ]
 
 

@@ -398,3 +398,95 @@ def collapse_clusters(
         F.coalesce("canonical", F.col("doc")).alias("canonical"),
         (F.coalesce("canonical", F.col("doc")) == F.col("doc")).alias("is_kept"),
     )
+
+
+def incremental_components_update(
+    labels: DataFrame,
+    delta_edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    max_iter: int = 40,
+) -> DataFrame:
+    """Absorb a batch of NEW edges into a stored CC labeling without
+    touching the base edge set (r10 VERDICT #4 — the graph twin of
+    ``operators.merge.refresh_additive_mv`` and the reference's
+    incremental lesson, docs/dataform_operations.md:15, 8 s vs 4+ h).
+
+    ``labels`` is the stored (node, canonical) table for the base graph;
+    ``delta_edges`` are edges being appended. Edge ADDITIONS only merge
+    components (monotone), so the stored labeling already encodes all
+    base connectivity and the base EDGES are never needed:
+
+    1. map each delta endpoint to its stored canonical — nodes absent
+       from ``labels`` are new singletons, canonical = self;
+    2. contract: each delta edge becomes a SUPER-EDGE between two
+       canonicals (same-canonical edges are intra-component no-ops and
+       drop out);
+    3. run CC on the super-graph — |V| <= 2·|delta|, independent of base
+       graph size; star variant, since merging chain segments can itself
+       produce long super-chains;
+    4. relabel: broadcast the (old canonical → merged canonical) map
+       over ``labels`` ∪ new-node rows — one narrow pass, no shuffle of
+       the label table.
+
+    Correctness: every stored canonical is the min node id of its base
+    component, and every new node is its own min; the merged component's
+    global min is therefore the min over its member super-nodes, which
+    is exactly what CC on the super-graph computes. Returns the full
+    updated (node, canonical) labeling — hash-gated equal to a full
+    recompute on base ∪ delta by the ``cc_incremental_update`` gate.
+
+    Scale shape (100 TB graph, small delta): the delta joins ``labels``
+    on node — a broadcast of the delta endpoint set against the stored
+    label table, pruned further if ``labels`` is bucketed by node; the
+    super-graph CC runs on a delta-sized edge set; the relabel join
+    broadcasts the super-map (bounded by |delta| components). Nothing
+    scans base edges — tests/test_plan_audit.py pins zero base-edge
+    scans in the update plan.
+    """
+    d = delta_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    endpoints = (
+        d.select(F.col("a").alias("node"))
+        .union(d.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    # stored canonical per delta endpoint; new nodes default to self.
+    # The endpoint set is delta-sized — broadcast it so the big label
+    # table is probed, never shuffled.
+    ep_canon = (
+        labels.join(F.broadcast(endpoints), "node")
+        .unionByName(
+            endpoints.join(
+                labels.select("node"), "node", "left_anti"
+            ).select("node", F.col("node").alias("canonical"))
+        )
+        .localCheckpoint(eager=True)  # reused by both edge endpoints
+    )
+    super_edges = (
+        d.join(
+            F.broadcast(ep_canon.withColumnRenamed("node", "a")), "a"
+        )
+        .withColumnRenamed("canonical", "ca")
+        .join(F.broadcast(ep_canon.withColumnRenamed("node", "b")), "b")
+        .withColumnRenamed("canonical", "cb")
+        .where(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("u"), F.greatest("ca", "cb").alias("v")
+        )
+        .distinct()
+    )
+    # (old canonical -> merged canonical), only for canonicals whose
+    # component actually changed; everything else passes through below.
+    super_map = connected_components_star(
+        super_edges, "u", "v", max_iter=max_iter, canonical_edges=True
+    ).select(F.col("node").alias("canonical"), F.col("canonical").alias("merged"))
+    new_nodes = ep_canon.join(labels.select("node"), "node", "left_anti")
+    return (
+        labels.unionByName(new_nodes)
+        .join(F.broadcast(super_map), "canonical", "left_outer")
+        .select(
+            "node",
+            F.coalesce("merged", F.col("canonical")).alias("canonical"),
+        )
+    )

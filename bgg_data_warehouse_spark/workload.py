@@ -1694,6 +1694,69 @@ def components_star_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cc_incremental_update",
+    oracle="""
+    WITH RECURSIVE nxt AS (
+      SELECT event_id AS k,
+             lead(event_id) OVER (PARTITION BY user_id
+                                  ORDER BY event_id) AS nk
+      FROM events
+    ), e0 AS (
+      SELECT k AS a, nk AS b FROM nxt WHERE nk IS NOT NULL
+    ), edges AS (
+      SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+    ), walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    )
+    SELECT node, CAST(min(label) AS BIGINT) AS canonical
+    FROM walk GROUP BY node
+    """,
+)
+def cc_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected-components maintenance (r10 VERDICT #4):
+    a stored CC labeling absorbs a batch of NEW edges WITHOUT touching
+    the base edge set — delta endpoints contract to their stored
+    canonicals, CC runs on the delta-sized super-graph only, and a
+    broadcast relabel pass updates the label table
+    (operators/components.py::incremental_components_update; the graph
+    twin of ``mv_incremental_refresh`` and the reference's incremental
+    lesson, docs/dataform_operations.md:15 — 8 s vs 4+ h). The graph is
+    per-user event chains (one component per multi-event user, diameter
+    = chain length — the adversarial shape for label propagation);
+    ~1/8 of edges, hash-selected, arrive as the delta, splitting every
+    chain into segments whose re-merge exercises real multi-hop
+    super-graph work. The oracle is the defining correctness statement:
+    the FULL RECOMPUTE over base ∪ delta, walked by a recursive CTE.
+    Here the 'stored' labeling is built from the base split (in
+    production it IS the stored table — the build is fixture setup, not
+    update cost); the update path reads delta edges + the label table
+    only, pinned by tests/test_plan_audit.py (zero base-edge scans)."""
+    from .operators.components import (
+        connected_components_star,
+        incremental_components_update,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    edges = ev.select(
+        F.col("event_id").alias("src"),
+        F.lead("event_id").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    is_delta = F.pmod(F.xxhash64("src", "dst"), F.lit(8)) == 0
+    # fixture setup: the stored labeling of the base graph (production
+    # reads this from its label table; lead() emits distinct src < dst
+    # pairs, so the prep canonicalize shuffle is skippable)
+    labels0 = connected_components_star(
+        edges.where(~is_delta), "src", "dst", canonical_edges=True
+    )
+    return incremental_components_update(
+        labels0, edges.where(is_delta), "src", "dst"
+    ).select("node", F.col("canonical").cast("long").alias("canonical"))
+
+
+@query(
     "benchmark_contamination",
     oracle="""
     WITH arr AS (
@@ -3782,16 +3845,47 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users")  # approximate by construction → rows-only
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           CAST(3 AS BIGINT) AS tol_pct,
+           TRUE AS within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (SURVEY §7.7): the sketch-based cardinality
-    path for 100 TB fact tables where exact COUNT(DISTINCT) would shuffle
-    every value; rsd=0.01 keeps it within ~1% of exact. Exact-gate twin:
-    ``distinct_users_exact`` (same grouping, exact COUNT(DISTINCT),
-    oracle-hash-gated) — the sketch/twin pattern the ANN family uses."""
+    """approx_count_distinct (SURVEY §7.7), bounded-assert oracle-gated
+    (r10 VERDICT #3 — the last rows-only gate): the sketch-based
+    cardinality path for 100 TB fact tables where exact COUNT(DISTINCT)
+    would shuffle every value. The HLL estimate itself cannot hash-match
+    a SQL replay (engine-internal sketch), so the gate hash-checks what
+    is deterministic: the exact side (COUNT(DISTINCT), replayed in
+    DuckDB) plus the accuracy CONTRACT ``|est - exact| <= 3*rsd*exact``
+    as a boolean per group (rsd=0.01 → 3-sigma bound 3%; HLL falls back
+    to exact linear counting at small cardinalities, so tiny groups
+    cannot flip it spuriously). Exact-gate twin: ``distinct_users_exact``
+    (same grouping, oracle-hash-gated since r3). At 100 TB the exact
+    column in this gate is the expensive side — production drops it and
+    keeps the sketch; the gate's job is to pin the sketch's contract."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count_distinct("user_id").alias("n_users_exact"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            F.lit(3).cast("long").alias("tol_pct"),
+            (
+                F.abs(F.col("approx_users") - F.col("n_users_exact")) * 100
+                <= F.lit(3) * F.col("n_users_exact")
+            ).alias("within_tol"),
+        )
     )
 
 
@@ -4625,10 +4719,23 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bm25) for every doc matching any fixed term — the scored
     relation behind ``bm25_search``, shared with ``hybrid_rrf_search``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _bm25_over(docs, "doc_id", "text")
+
+
+def _bm25_over(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(``id_col``, bm25) over an arbitrary (id, text) corpus — the BM25
+    scorer parameterized over its unit of retrieval, so the same scored
+    relation serves whole documents (``bm25_search``) and chunks
+    (``retrieval_pipeline``). k1=1.2, b=0.75, Lucene idf; per-term
+    contributions summed in a FIXED left-to-right order (mirrored in
+    every oracle) so double addition cannot reorder."""
     from .functions.text import word_tokens
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("tok"))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(F.col(text_col))).alias("tok"),
+    )
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tot")
@@ -4665,7 +4772,11 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in _BM25_TERMS:  # fixed association order, mirrored in the oracle
         piece = F.coalesce(F.max(F.when(F.col("tok") == t, F.col("c"))), F.lit(0.0))
         term_sum = piece if term_sum is None else term_sum + piece
-    return contrib.groupBy("doc_id").agg(F.round(term_sum, 4).alias("bm25"))
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(term_sum, 4).alias("bm25"))
+        .withColumnRenamed("doc_id", id_col)
+    )
 
 
 @query(
@@ -7283,6 +7394,228 @@ def hybrid_rrf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_micro"),
     )
     return fused.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc()).limit(10)
+
+
+@query(
+    "retrieval_pipeline",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS doc,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc, doc * 1000 + CAST(k AS BIGINT) AS ckey,
+             list_slice(toks, k * 48 + 1, k * 48 + 64) AS chunk
+      FROM t,
+           unnest(generate_series(0,
+             CAST(floor((len(toks) - 1) / 48.0) AS BIGINT))) AS u(k)
+      WHERE len(toks) >= 1
+    ), ctoks AS (
+      SELECT ckey, unnest(chunk) AS tok FROM c
+    ), dl AS (
+      SELECT ckey, CAST(count(*) AS BIGINT) AS n_tokens
+      FROM ctoks GROUP BY ckey
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tot
+      FROM dl
+    ), tf AS (
+      SELECT ckey, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM ctoks WHERE tok IN ('join', 'merge', 'spark', 'vector')
+      GROUP BY ckey, tok
+    ), dfc AS (
+      SELECT tok, CAST(count(DISTINCT ckey) AS BIGINT) AS df
+      FROM tf GROUP BY tok
+    ), contrib AS (
+      SELECT tf.ckey, tf.tok,
+             ln((s.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.n_tokens
+                               / (CAST(s.tot AS DOUBLE) / s.n_docs))) AS cb
+      FROM tf
+      JOIN dfc USING (tok)
+      JOIN dl USING (ckey)
+      CROSS JOIN stats s
+    ), chunk_bm25 AS (
+      SELECT ckey,
+             round(coalesce(max(CASE WHEN tok = 'join' THEN cb END), 0)
+                 + coalesce(max(CASE WHEN tok = 'merge' THEN cb END), 0)
+                 + coalesce(max(CASE WHEN tok = 'spark' THEN cb END), 0)
+                 + coalesce(max(CASE WHEN tok = 'vector' THEN cb END), 0),
+               4) AS bm25
+      FROM contrib GROUP BY ckey
+    ), doc_best AS (
+      SELECT ckey // 1000 AS doc_id, max(bm25) AS best
+      FROM chunk_bm25 WHERE ckey // 1000 <> 0 GROUP BY 1
+    ), lex AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (
+          ORDER BY best DESC, doc_id) AS BIGINT) AS lex_rank
+        FROM doc_best
+      ) WHERE lex_rank <= 20
+    ), bucketed AS (
+      SELECT ckey,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(tok) + 1),
+                 i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 2147483647) % 64 AS bucket
+      FROM ctoks
+    ), counts AS (
+      SELECT ckey, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM bucketed GROUP BY ckey, bucket
+    ), norms AS (
+      SELECT ckey, sum(n * n) AS n2 FROM counts GROUP BY ckey
+    ), dots AS (
+      SELECT cc.ckey AS nbr, sum(q.n * cc.n) AS dot
+      FROM counts q JOIN counts cc
+        ON cc.bucket = q.bucket AND cc.ckey // 1000 <> 0
+      WHERE q.ckey = 0
+      GROUP BY 1
+    ), sims AS (
+      SELECT d.nbr // 1000 AS doc_id,
+             max(round(d.dot / sqrt(CAST(nq.n2 * nc.n2 AS DOUBLE)), 6))
+               AS best_sim
+      FROM dots d
+      JOIN norms nq ON nq.ckey = 0
+      JOIN norms nc ON nc.ckey = d.nbr
+      GROUP BY 1
+    ), vec AS (
+      SELECT doc_id, vec_rank FROM (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (
+          ORDER BY best_sim DESC, doc_id) AS BIGINT) AS vec_rank
+        FROM sims
+      ) WHERE vec_rank <= 20
+    )
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           l.lex_rank AS lex_rank, v.vec_rank AS vec_rank,
+           (COALESCE(1000000000 // (60 + l.lex_rank), 0)
+            + COALESCE(1000000000 // (60 + v.vec_rank), 0)) AS rrf_micro
+    FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id
+    ORDER BY rrf_micro DESC, doc_id LIMIT 10
+    """,
+)
+def retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval pipeline (r10 VERDICT #6): chunk →
+    vectorize → BM25-index + vector channel → RRF fusion, composed from
+    the individually-gated stages into the realistic chunk-then-index
+    interaction no single gate covers. Documents are split into 64/48
+    sliding windows (operators/sampling.py::chunk_documents); BOTH
+    channels index CHUNKS — the unit a serving stack actually retrieves
+    — and a per-doc MAX collapses chunk scores to document scores
+    before ranking (best-passage retrieval):
+
+    - lexical: BM25 over the chunk corpus (chunk-grain tf/dl/avgdl/df —
+      genuinely different statistics from ``bm25_search``'s doc grain),
+      query = the fixed term set, doc 0 excluded; top-20 by best chunk;
+    - vector: portable hashed-count cosine (dim 64) of every chunk
+      against the QUERY CHUNK (doc 0, chunk 0 — a bounded window, as a
+      real query encoder sees); integer dot/norms make the per-chunk
+      similarity float-association-free; top-20 docs by best chunk;
+    - fusion: reciprocal-rank fusion in exact integer micro-units
+      (10^9 div (60 + rank)), full-outer over the two <= 20-row lists,
+      top-10.
+
+    Both channels are replayed end-to-end in the oracle, chunking
+    included. Scale shape: chunking is two generators + one shuffle;
+    each channel is the already-audited top-k plan at chunk grain plus
+    one (doc)-keyed max-aggregate; fusion joins two k-row frames. The
+    chunk key packs (doc, idx) into one long (doc*1000 + idx) so every
+    chunk-grain shuffle keys on an 8-byte long, not a struct."""
+    from .functions.text import word_tokens
+    from .operators.sampling import chunk_documents
+    from .operators.text_vectorize import hashed_count_sparse
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, stride=48
+    ).select(
+        (F.col("doc") * 1000 + F.col("chunk_idx")).alias("ckey"),
+        "chunk_text",
+    )
+    # pinned: the chunk relation feeds BOTH channels; union-free but
+    # two independent consumers would re-run tokenize+chunk twice.
+    chunks = chunks.localCheckpoint(eager=True)
+
+    chunk_bm25 = _bm25_over(chunks, "ckey", "chunk_text")
+    doc_best = (
+        chunk_bm25.where(F.expr("ckey div 1000") != 0)
+        .groupBy(F.expr("ckey div 1000").alias("doc_id"))
+        .agg(F.max("bm25").alias("best"))
+    )
+    w_lex = Window.orderBy(F.col("best").desc(), F.col("doc_id").asc())
+    lex = (
+        doc_best.orderBy(F.col("best").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number().over(w_lex).cast("long").alias("lex_rank"),
+        )
+    )
+
+    counts = hashed_count_sparse(
+        chunks, "ckey", "chunk_text", dim=64, portable=True
+    ).withColumn(
+        "n2", F.sum(F.col("n") * F.col("n")).over(Window.partitionBy("doc"))
+    )
+    q = counts.where(F.col("doc") == 0).select(
+        "bucket", F.col("n").alias("qn"), F.col("n2").alias("q_n2")
+    )
+    sims = (
+        F.broadcast(q)
+        .join(
+            counts.where(F.expr("doc div 1000") != 0).select(
+                F.col("doc").alias("nbr"),
+                "bucket",
+                "n",
+                F.col("n2").alias("n_n2"),
+            ),
+            "bucket",
+        )
+        .groupBy("nbr")
+        .agg(
+            F.sum(F.col("qn") * F.col("n")).alias("dot"),
+            F.first("q_n2").alias("q_n2"),
+            F.first("n_n2").alias("n_n2"),
+        )
+        .groupBy(F.expr("nbr div 1000").alias("doc_id"))
+        .agg(
+            F.max(
+                F.round(
+                    F.col("dot")
+                    / F.sqrt((F.col("q_n2") * F.col("n_n2")).cast("double")),
+                    6,
+                )
+            ).alias("best_sim")
+        )
+    )
+    w_vec = Window.orderBy(F.col("best_sim").desc(), F.col("doc_id").asc())
+    vec = (
+        sims.orderBy(F.col("best_sim").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number().over(w_vec).cast("long").alias("vec_rank"),
+        )
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(
+                F.expr("CAST(1000000000 AS BIGINT) div (60 + lex_rank)"),
+                F.lit(0).cast("long"),
+            )
+            + F.coalesce(
+                F.expr("CAST(1000000000 AS BIGINT) div (60 + vec_rank)"),
+                F.lit(0).cast("long"),
+            )
+        ).alias("rrf_micro"),
+    )
+    return fused.orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    ).limit(10)
 
 
 def _hll_grid_sql(src_where: str, m: int = 16) -> str:

@@ -740,3 +740,115 @@ def test_lpa_dense_round_plans_zero_exchange(spark):
     # adjacency side must stream from the checkpoint with no shuffle
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_cc_incremental_update_never_scans_base_edges(spark, tmp_path):
+    """The incremental CC contract (r10 VERDICT #4): given the STORED
+    label table on disk, absorbing a delta batch must read the label
+    parquet and the delta parquet only — the base edge parquet (4+ h of
+    recompute input at reference scale) must appear in no scan. Also
+    asserts the output equals the full recompute on base ∪ delta."""
+    from bgg_data_warehouse_spark.operators.components import (
+        connected_components_star,
+        incremental_components_update,
+    )
+    from bgg_data_warehouse_spark.sources.tables import load_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMALL, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    edges = ev.select(
+        F.col("event_id").alias("src"),
+        F.lead("event_id").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    is_delta = F.pmod(F.xxhash64("src", "dst"), F.lit(8)) == 0
+    base_dir = str(tmp_path / "base_edges")
+    labels_dir = str(tmp_path / "stored_labels")
+    delta_dir = str(tmp_path / "delta_edges")
+    # base-edge fixture gets UNIQUE column names: plan Location paths are
+    # truncated in explain output, but ReadSchema column names are not —
+    # a scan of the base parquet would surface `base_src`.
+    edges.where(~is_delta).select(
+        F.col("src").alias("base_src"), F.col("dst").alias("base_dst")
+    ).write.parquet(base_dir)
+    edges.where(is_delta).write.parquet(delta_dir)
+    connected_components_star(
+        spark.read.parquet(base_dir), "base_src", "base_dst",
+        canonical_edges=True,
+    ).write.parquet(labels_dir)
+
+    out = incremental_components_update(
+        spark.read.parquet(labels_dir),
+        spark.read.parquet(delta_dir),
+        "src",
+        "dst",
+    )
+    got = {(r["node"], r["canonical"]) for r in out.collect()}
+    plan = executed_plan(out)
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans, plan[:2000]
+    assert all("base_src" not in l for l in scans), scans
+    assert any("node" in l and "canonical" in l for l in scans), scans
+
+    full = connected_components_star(edges, "src", "dst", canonical_edges=True)
+    want = {(r["node"], r["canonical"]) for r in full.collect()}
+    assert got == want
+
+
+def _scan_output_rows(df) -> int:
+    """Sum of numOutputRows over every file scan in the EXECUTED plan —
+    rows the parquet reader actually materialized, i.e. rows in row
+    groups that survived zone-map (min/max) pruning. Must be read after
+    an action has run the plan."""
+    plan = df._jdf.queryExecution().executedPlan()
+    leaves = plan.collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        m = leaf.metrics()
+        if m.contains("numOutputRows"):
+            total += m.apply("numOutputRows").value()
+    return total
+
+
+def test_zorder_rewrite_prunes_row_groups_on_2d_range(spark, tmp_path):
+    """Zone-map skipping audit (r10 VERDICT #5): after an OPTIMIZE-ZORDER
+    rewrite, a 2-D range predicate must actually READ less data — the
+    Spark analog of the reference's 85.8% clustering-prune measurement
+    (BASELINE.md, spec :35-36). `zorder_layout` gates the Morton codes;
+    this pins the LAYOUT EFFECT: parquet min/max stats per file/row-group
+    are tight under z-order, so the scan materializes a small fraction
+    of rows for a small 2-D box, while the same predicate over the same
+    rows in insertion order materializes nearly everything. Red test if
+    pruning stops firing (stats dropped, pushdown disabled, or the
+    rewrite stops clustering)."""
+    from bgg_data_warehouse_spark.operators.zorder import zorder_layout
+    from pyspark.sql import functions as F
+
+    n = 300_000
+    base = spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(1024)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1024)).alias("y"),
+    )
+    z_dir = str(tmp_path / "zordered")
+    lin_dir = str(tmp_path / "linear")
+    zorder_layout(base, "x", "y", bits=10, num_files=64).write.parquet(z_dir)
+    base.repartition(64, "id").write.parquet(lin_dir)
+
+    pred = "x BETWEEN 100 AND 131 AND y BETWEEN 200 AND 231"
+    z_df = spark.read.parquet(z_dir).where(pred)
+    lin_df = spark.read.parquet(lin_dir).where(pred)
+    n_match = z_df.count()
+    assert n_match == lin_df.count()  # same rows either way
+
+    z_df.collect()
+    lin_df.collect()
+    z_read = _scan_output_rows(z_df)
+    lin_read = _scan_output_rows(lin_df)
+    # the 32x32 box is ~0.1% of the 1024x1024 domain; z-order must keep
+    # the materialized fraction small while the linear layout reads ~all
+    assert z_read <= n // 4, (z_read, n)
+    assert lin_read >= n * 9 // 10, (lin_read, n)
+    assert z_read * 4 <= lin_read, (z_read, lin_read)
