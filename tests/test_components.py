@@ -159,3 +159,44 @@ def test_storage_pin_swap_runs_and_matches(spark, tmp_path):
     }
     assert got_pairs == want_pairs and (1, 2, 1.0) in got_pairs
     assert len(os.listdir(mh_dir)) >= 1
+
+
+def test_incremental_update_matches_full_recompute_both_solve_paths(spark):
+    """incremental_components_update == CC(base ∪ delta) on a mixed
+    delta: segment-merging edges, an intra-component no-op edge, and
+    edges introducing brand-new nodes — under BOTH super-graph solvers
+    (driver union-find and, with driver_solve_max=0, distributed star).
+    Also pins that untouched components keep their stored labels."""
+    from pyspark.sql import functions as F
+
+    from bgg_data_warehouse_spark.operators.components import (
+        connected_components_star,
+        incremental_components_update,
+    )
+
+    # base graph: chains {1-2-3}, {10-11}, {20-21-22}, singleton-ish {30,31}
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (30, 31)],
+        "src long, dst long",
+    )
+    labels0 = connected_components_star(base, "src", "dst")
+    # delta: merge {1..3}+{10,11}; no-op inside {20..22}; new nodes 40,41
+    # chained onto 22; fully-new pair 50-51
+    delta = spark.createDataFrame(
+        [(3, 10), (20, 22), (22, 40), (40, 41), (50, 51)],
+        "src long, dst long",
+    )
+    full = connected_components_star(
+        base.unionByName(delta), "src", "dst"
+    )
+    want = {(r.node, r.canonical) for r in full.collect()}
+    for solve_max in (2_000_000, 0):
+        got = {
+            (r.node, r.canonical)
+            for r in incremental_components_update(
+                labels0, delta, "src", "dst", driver_solve_max=solve_max
+            ).collect()
+        }
+        assert got == want, solve_max
+    # untouched component {30,31} kept its stored label
+    assert (31, 30) in want and (30, 30) in want
