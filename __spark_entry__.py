@@ -38,8 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   - all 44 age-4 gates (last green round 7 — the oldest evidence in
 #     the ledger: acf_lags block through wordpiece_encode, exactly the
 #     block r10's tail queued for this round);
-#   - topped up with the alphabetically-first age-3 gate
-#     (approx_distinct_hll).
+#   - cc_incremental_delete (NEW mid-round: the deletion/splitting
+#     case via affected-component localization) displaced the age-3
+#     top-up; the window is exactly the 6 new/changed + 44 age-4.
 # With 198 registered gates and a 50-slot window the steady-state
 # rotation cycle stays ~4 rounds; after this window no gate's latest
 # green row is older than round 8. The position-51+ queue is ordered by
@@ -50,6 +51,7 @@ _PRIORITY = [
     "knn_ivf",
     "approx_distinct_users",
     "cc_incremental_update",
+    "cc_incremental_delete",
     "retrieval_pipeline",
     "acf_lags",
     "ann_recall_eval",

@@ -539,3 +539,104 @@ def _union_find_map(super_edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="canonical long, merged long"
     )
+
+
+def incremental_components_delete(
+    labels: DataFrame,
+    edges: DataFrame,
+    deleted_edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    canonical_col: str | None = None,
+    max_iter: int = 40,
+    driver_solve_max: int = 2_000_000,
+) -> DataFrame:
+    """Absorb a batch of edge DELETIONS into a stored CC labeling by
+    recomputing ONLY the affected components (r10 VERDICT #4's
+    affected-component localization, completing
+    :func:`incremental_components_update`, which handles the monotone
+    addition case without edges at all). Deletions can SPLIT a
+    component, so its edges must be rescanned — but only its:
+
+    1. affected set A = stored canonicals of the deleted edges'
+       endpoints (both endpoints of any edge share one) — |A| is
+       delta-bounded and broadcast;
+    2. localize: keep only edges of components in A. With
+       ``canonical_col`` (the production layout: the stored edge table
+       carries its component id, e.g. as a partition/bucket column) the
+       filter is a scan-side IN-predicate over A — partition pruning
+       skips unaffected components' FILES (pinned by
+       tests/test_plan_audit.py); otherwise one semi-join via
+       ``labels`` derives it;
+    3. drop the deleted pairs (orientation-normalized anti-join);
+    4. rerun CC on the surviving affected edges — driver union-find
+       under ``driver_solve_max`` (the affected subgraph is small when
+       deltas touch few components), distributed star above it;
+    5. union with the untouched components' labels, passed through
+       unread.
+
+    Returns (node, canonical) for every node of the UPDATED graph —
+    nodes isolated by the deletions drop out, matching a full recompute
+    on ``edges`` ∖ ``deleted_edges`` (hash-gated by
+    ``cc_incremental_delete``). Scale shape: one broadcast semi-join
+    over the label table, one (pruned) scan of affected edges, CC
+    sized by the affected components, never the graph.
+    """
+    d = deleted_edges.select(
+        F.least(F.col(src), F.col(dst)).alias("del_u"),
+        F.greatest(F.col(src), F.col(dst)).alias("del_v"),
+    ).distinct()
+    endpoints = (
+        d.select(F.col("del_u").alias("node"))
+        .union(d.select(F.col("del_v").alias("node")))
+        .distinct()
+    )
+    affected = (
+        labels.join(F.broadcast(endpoints), "node")
+        .select("canonical")
+        .distinct()
+        # pinned: consumed 2-3x (localization, pass-through anti-join,
+        # and the IN-list collect) — each re-derivation would rescan the
+        # label table
+        .localCheckpoint(eager=True)
+    )
+    if canonical_col is not None:
+        # the affected set is delta-bounded BY CONTRACT (it must
+        # broadcast for the relabel join regardless), so collect it and
+        # push a LITERAL IN-filter: static partition pruning at the
+        # scan — unaffected components' files are never opened — rather
+        # than relying on dynamic pruning to fire for a join.
+        aff_vals = [r[0] for r in affected.collect()]
+        aff_edges = edges.where(
+            F.col(canonical_col).isin(aff_vals)
+        ).select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    else:
+        aff_nodes = labels.join(F.broadcast(affected), "canonical").select(
+            F.col("node").alias(src)
+        )
+        aff_edges = edges.join(aff_nodes, src, "left_semi").select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        )
+    survivors = (
+        aff_edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .join(
+            F.broadcast(d),
+            (F.col("u") == F.col("del_u")) & (F.col("v") == F.col("del_v")),
+            "left_anti",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed twice: size probe + solve
+    )
+    if survivors.count() <= driver_solve_max:
+        new_aff = _union_find_map(survivors).select(
+            F.col("canonical").alias("node"), F.col("merged").alias("canonical")
+        )
+    else:
+        new_aff = connected_components_star(
+            survivors, "u", "v", max_iter=max_iter, canonical_edges=True
+        )
+    untouched = labels.join(F.broadcast(affected), "canonical", "left_anti")
+    return untouched.select("node", "canonical").unionByName(new_aff)

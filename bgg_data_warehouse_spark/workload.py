@@ -1793,6 +1793,77 @@ def cc_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cc_incremental_delete",
+    oracle="""
+    WITH RECURSIVE nxt AS (
+      SELECT o_orderkey AS k,
+             lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderkey) AS nk
+      FROM orders
+    ), e0 AS (
+      SELECT k AS a, nk AS b FROM nxt
+      WHERE nk IS NOT NULL AND (k + nk) % 32 <> 0
+    ), edges AS (
+      SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+    ), walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    )
+    SELECT node, CAST(min(label) AS BIGINT) AS canonical
+    FROM walk GROUP BY node
+    """,
+)
+def cc_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-DELETION maintenance of a stored CC labeling — the
+    splitting case incremental_components_update's monotone contraction
+    cannot handle, via affected-component localization
+    (operators/components.py::incremental_components_delete): stored
+    canonicals of the deleted endpoints name the affected components,
+    ONLY their edges are rescanned (semi-join here; the
+    component-annotated scan-prune layout is pinned by the plan audit),
+    deleted pairs anti-join out, and CC reruns on that slice alone —
+    unaffected components' labels pass through unread. Fixture: the
+    per-customer order chains (components_star_chains' graph), stored
+    labeling in closed form (a full chain's canonical is the customer's
+    min order key); deletions are the PORTABLE predicate
+    (src + dst) % 32 = 0 — arithmetic both engines compute identically,
+    because unlike the addition gate the oracle here DEPENDS on the
+    delete set. The oracle is the full recompute on the post-delete
+    edge set, including nodes isolated by their deletions dropping
+    out."""
+    from .operators.components import incremental_components_delete
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("src"),
+        F.lead("o_orderkey").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    # fixture setup: the stored labeling, in closed form — every
+    # multi-order customer's full chain is one component whose
+    # canonical is the min order key. Pinned: the delete operator reads
+    # the stored labeling three times (affected lookup, component
+    # localization, pass-through).
+    wc = Window.partitionBy("o_custkey")
+    labels0 = (
+        orders.select(
+            F.col("o_orderkey").alias("node"),
+            F.min("o_orderkey").over(wc).alias("canonical"),
+            F.count("*").over(wc).alias("n"),
+        )
+        .where(F.col("n") >= 2)
+        .drop("n")
+        .localCheckpoint(eager=True)
+    )
+    deleted = edges.where((F.col("src") + F.col("dst")) % 32 == 0)
+    return incremental_components_delete(
+        labels0, edges, deleted, "src", "dst"
+    ).select("node", F.col("canonical").cast("long").alias("canonical"))
+
+
+@query(
     "benchmark_contamination",
     oracle="""
     WITH arr AS (

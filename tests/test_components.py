@@ -200,3 +200,55 @@ def test_incremental_update_matches_full_recompute_both_solve_paths(spark):
         assert got == want, solve_max
     # untouched component {30,31} kept its stored label
     assert (31, 30) in want and (30, 30) in want
+
+
+def test_incremental_delete_matches_full_recompute_and_splits(spark):
+    """incremental_components_delete == CC(edges ∖ deleted) on a delta
+    that SPLITS a chain, isolates a node entirely, and leaves one
+    component untouched — under both super-solvers (driver union-find
+    and distributed star via driver_solve_max=0) and both localization
+    paths (labels semi-join and component-annotated canonical_col)."""
+    from bgg_data_warehouse_spark.operators.components import (
+        connected_components_star,
+        incremental_components_delete,
+    )
+    from pyspark.sql import functions as F
+
+    # chains: {1-2-3-4-5}, {10-11-12}, {20-21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (20, 21)],
+        "src long, dst long",
+    )
+    labels0 = connected_components_star(edges, "src", "dst")
+    # delete (3,4): splits {1..5} into {1,2,3}+{4,5}; delete (10,11) and
+    # (11,12): isolates 11 (and leaves 10, 12 as singletons -> dropped)
+    deleted = spark.createDataFrame(
+        [(3, 4), (10, 11), (11, 12)], "src long, dst long"
+    )
+    remaining = edges.join(deleted, ["src", "dst"], "left_anti")
+    want = {
+        (r.node, r.canonical)
+        for r in connected_components_star(remaining, "src", "dst").collect()
+    }
+    assert (4, 4) in want and (5, 4) in want  # the split really happened
+    assert not any(n in (10, 11, 12) for n, _ in want)  # isolated dropped
+    annotated = edges.join(
+        labels0.withColumnRenamed("node", "src"), "src"
+    ).withColumnRenamed("canonical", "comp")
+    for solve_max in (2_000_000, 0):
+        got = {
+            (r.node, r.canonical)
+            for r in incremental_components_delete(
+                labels0, edges, deleted, "src", "dst",
+                driver_solve_max=solve_max,
+            ).collect()
+        }
+        assert got == want, solve_max
+        got_ann = {
+            (r.node, r.canonical)
+            for r in incremental_components_delete(
+                labels0, annotated, deleted, "src", "dst",
+                canonical_col="comp", driver_solve_max=solve_max,
+            ).collect()
+        }
+        assert got_ann == want, solve_max

@@ -102,14 +102,34 @@ def test_no_row_at_a_time_python(spark, name):
 def test_ann_plans_have_no_global_window_or_limitless_sort(spark):
     """A partitionless Window funnels the whole corpus through one task —
     the r1 ivf_topk centroid-selection bug. Centroid top-n must plan as
-    TakeOrderedAndProject; no ANN plan may contain a global WindowExec."""
-    for name in ("knn_ivf", "knn_lsh", "knn_bruteforce", "doc_vector_knn"):
-        plan = executed_plan(entrymod.queries()[name](spark, SF_SMALL))
+    TakeOrderedAndProject; no ANN SEARCH plan may contain a global
+    WindowExec. Audited on the raw top-k engines: since r11 the
+    knn_lsh/knn_ivf GATES wrap these in <= 100-row recall-contract
+    aggregates (r10 VERDICT #3) whose tiny global aggs are benign — the
+    corpus-sized search underneath is what must never funnel."""
+    from bgg_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+    from bgg_data_warehouse_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    engines = {
+        "lsh_topk": lsh_topk(q, emb, "vec_id", "embedding", k=10),
+        "ivf_topk": ivf_topk(q, emb, "vec_id", "embedding", k=10),
+        "brute_force_topk": brute_force_topk(q, emb, "vec_id", "embedding", k=10),
+    }
+    for name, df in engines.items():
+        plan = executed_plan(df)
         # a global Window (or global Sort/Limit mid-plan) materializes as an
-        # Exchange SinglePartition — none may appear anywhere in an ANN plan
+        # Exchange SinglePartition — none may appear anywhere in a search plan
         assert "SinglePartition" not in plan, f"{name}: single-partition exchange"
-    ivf = executed_plan(entrymod.queries()["knn_ivf"](spark, SF_SMALL))
-    assert "TakeOrderedAndProject" in ivf
+    assert "TakeOrderedAndProject" in executed_plan(engines["ivf_topk"])
+    plan = executed_plan(entrymod.queries()["doc_vector_knn"](spark, SF_SMALL))
+    assert "SinglePartition" not in plan, "doc_vector_knn"
 
 
 def test_neighbors_profiles_plan_is_grouped_topk_no_funnel(spark):
@@ -852,3 +872,81 @@ def test_zorder_rewrite_prunes_row_groups_on_2d_range(spark, tmp_path):
     assert z_read <= n // 4, (z_read, n)
     assert lin_read >= n * 9 // 10, (lin_read, n)
     assert z_read * 4 <= lin_read, (z_read, lin_read)
+
+
+def test_cc_incremental_delete_prunes_unaffected_component_partitions(spark, tmp_path):
+    """The delete-side localization contract (r10 VERDICT #4): with the
+    production layout — stored edges PARTITIONED by their component id
+    (canonical_col) — deleting edges inside one component must read only
+    that component's partition. The operator collects the delta-bounded
+    affected set and pushes a LITERAL IN-filter
+    (incremental_components_delete's canonical_col path), so the scan
+    carries a static PartitionFilter and unaffected components' files
+    are never opened. Asserted on the localization slice's executed
+    plan + scan metrics (the operator checkpoints it internally, so its
+    scan is invisible in the output plan), then on the operator's
+    output equality with the full recompute."""
+    from bgg_data_warehouse_spark.operators.components import (
+        connected_components_star,
+        incremental_components_delete,
+    )
+    from bgg_data_warehouse_spark.sources.tables import load_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = orders.select(
+        F.col("o_orderkey").alias("src"),
+        F.lead("o_orderkey").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    labels0 = connected_components_star(
+        edges, "src", "dst", canonical_edges=True
+    ).localCheckpoint(eager=True)
+    edges_dir = str(tmp_path / "edges_by_comp")
+    (
+        edges.join(labels0.withColumnRenamed("node", "src"), "src")
+        .select("src", "dst", F.col("canonical").alias("comp"))
+        .write.partitionBy("comp")
+        .parquet(edges_dir)
+    )
+    stored = spark.read.parquet(edges_dir)
+    n_total = stored.count()
+    # delete one edge from ONE component: the largest chain's first link
+    top = (
+        labels0.groupBy("canonical").count().orderBy(F.col("count").desc())
+        .limit(1).collect()[0]
+    )
+    victim = (
+        edges.join(
+            labels0.where(F.col("canonical") == top["canonical"])
+            .withColumnRenamed("node", "src"),
+            "src",
+        ).select("src", "dst").limit(1).localCheckpoint(eager=True)
+    )
+    # the localization slice, exactly as the operator's canonical_col
+    # path builds it (a literal IN over the affected component ids)
+    slice_df = stored.where(F.col("comp").isin([top["canonical"]]))
+    slice_df.collect()
+    plan = final_plan(slice_df)
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans, plan[:3000]
+    assert any(
+        "PartitionFilters" in l and "comp" in l.split("PartitionFilters", 1)[1][:120]
+        for l in scans
+    ), scans
+    # files outside the affected partition were never materialized
+    n_read = _scan_output_rows(slice_df)
+    assert n_read < n_total // 2, (n_read, n_total)
+    assert n_read == int(top["count"]) - 1, (n_read, top)  # chain edges = nodes-1
+
+    out = incremental_components_delete(
+        labels0, stored, victim, "src", "dst", canonical_col="comp"
+    )
+    got = {(r.node, r.canonical) for r in out.collect()}
+    remaining = edges.join(victim, ["src", "dst"], "left_anti")
+    want = {
+        (r.node, r.canonical)
+        for r in connected_components_star(remaining, "src", "dst").collect()
+    }
+    assert got == want

@@ -36,19 +36,23 @@ def test_entry_smoke(spark):
 
 
 def test_approx_distinct_within_rsd_of_exact_twin(spark):
-    """The HLL sketch can't hash-match an oracle; its accuracy contract
-    (rsd=0.01) is gated against the exact twin instead."""
-    approx = {
-        r.event_type: r.approx_users
+    """The HLL estimate can't hash-match an oracle; since r11 the GATE
+    itself emits the accuracy contract (|est-exact| <= 3*rsd*exact as a
+    within_tol boolean, exact side SQL-replayed). This pins the gate's
+    own assertion against the exact twin's grouping: same groups, exact
+    side identical, every contract row true."""
+    rows = {
+        r.event_type: r
         for r in entrymod.queries()["approx_distinct_users"](spark, SF_SMALL).collect()
     }
     exact = {
         r.event_type: r.n_users
         for r in entrymod.queries()["distinct_users_exact"](spark, SF_SMALL).collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for et, n in exact.items():
-        assert abs(approx[et] - n) <= max(0.05 * n, 2), (et, approx[et], n)
+        assert rows[et].n_users_exact == n, (et, rows[et], n)
+        assert rows[et].within_tol, (et, rows[et])
 
 
 @pytest.mark.parametrize("name", ALL_QUERIES)
