@@ -39,8 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the ledger: acf_lags block through wordpiece_encode, exactly the
 #     block r10's tail queued for this round);
 #   - cc_incremental_delete (NEW mid-round: the deletion/splitting
-#     case via affected-component localization) displaced the age-3
-#     top-up; the window is exactly the 6 new/changed + 44 age-4.
+#     case via affected-component localization) and
+#     inverted_index_incremental (NEW: postings upsert/tombstone
+#     maintenance) displaced the age-3 top-up; with 7 new/changed
+#     + 44 age-4 gates the window runs one past 50, so the LAST
+#     age-4 entry (wordpiece_encode, judge-re-verified green at
+#     age 3 in round 10) heads the tail instead and refreshes in
+#     round 12.
 # With 198 registered gates and a 50-slot window the steady-state
 # rotation cycle stays ~4 rounds; after this window no gate's latest
 # green row is older than round 8. The position-51+ queue is ordered by
@@ -52,6 +57,7 @@ _PRIORITY = [
     "approx_distinct_users",
     "cc_incremental_update",
     "cc_incremental_delete",
+    "inverted_index_incremental",
     "retrieval_pipeline",
     "acf_lags",
     "ann_recall_eval",

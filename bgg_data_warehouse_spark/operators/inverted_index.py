@@ -52,3 +52,42 @@ def term_lookup(postings: DataFrame, terms: list[str]) -> DataFrame:
     """Serve path: posting rows for a term set — a pruned scan when the
     postings table is bucketed/partitioned by ``tok``."""
     return postings.where(F.col("tok").isin(*terms))
+
+
+def update_postings(
+    postings: DataFrame,
+    delta_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    deleted_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental index maintenance: absorb re-ingested documents
+    (upserts) and deletions into a stored postings table without
+    rebuilding it — the IR twin of the round-11 incremental CC pair and
+    the reference's incremental lesson (docs/dataform_operations.md:15).
+
+    Semantics: every document in ``delta_docs`` REPLACES its stored
+    postings (stale rows out, fresh tokenization in); every id in
+    ``deleted_ids`` is tombstoned. Returns the updated (tok, doc, tf)
+    relation — hash-gated equal to a full rebuild on the post-update
+    corpus by ``inverted_index_incremental``.
+
+    Scale shape: the changed-id set is delta-bounded and broadcast, so
+    the tombstone pass is a map-side broadcast LEFT-ANTI over the
+    stored index — no shuffle of the posting rows, and with the index
+    stored bucketed by ``tok`` the output keeps that layout property
+    for untouched rows (production writes this as delta files +
+    tombstones, MERGE-on-read). The fresh postings are one delta-sized
+    tokenize aggregate appended behind it.
+    """
+    removed = delta_docs.select(F.col(id_col).alias("doc"))
+    if deleted_ids is not None:
+        removed = removed.unionByName(
+            deleted_ids.select(F.col(deleted_ids.columns[0]).alias("doc"))
+        )
+    kept = postings.join(F.broadcast(removed.distinct()), "doc", "left_anti")
+    fresh = inverted_postings(delta_docs, id_col, text_col)
+    return kept.select("tok", "doc", "tf").unionByName(
+        fresh.select("tok", "doc", "tf")
+    )

@@ -4913,6 +4913,61 @@ def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_summary(inverted_postings(docs, "doc_id", "text"))
 
 
+@query(
+    "inverted_index_incremental",
+    oracle=f"""
+    WITH live AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 16 <> 1
+    ), toks AS (
+      SELECT doc_id AS doc, unnest({_duck_tokens()}) AS tok FROM live
+    ), tf AS (
+      SELECT tok, doc, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    )
+    SELECT tok, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+           to_json(list(struct_pack(doc := doc, tf := tf) ORDER BY doc))
+             AS postings_json
+    FROM tf GROUP BY tok
+    """,
+)
+def inverted_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance
+    (operators/inverted_index.py::update_postings — the IR twin of
+    cc_incremental_update/delete): a stored postings table absorbs
+    RE-INGESTED documents (every doc_id % 16 == 0 was first indexed
+    from a stale 20-char prefix and now arrives with full text — its
+    old postings must be fully replaced, not appended to) and
+    DELETIONS (doc_id % 16 == 1 tombstoned) via one broadcast anti-join
+    over the index (map-side, no shuffle of posting rows) plus a
+    delta-sized tokenize aggregate. The oracle is the full rebuild on
+    the post-update corpus — it never sees the stale text, so any
+    stale posting the replacement fails to remove, or any live posting
+    the tombstone over-removes, hash-mismatches. The stored build from
+    the stale corpus is fixture setup (production reads its postings
+    table); the update path touches delta docs + the index only."""
+    from .operators.inverted_index import (
+        index_summary,
+        inverted_postings,
+        update_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stale = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 16 == 0, F.substring("text", 1, 20)
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    base = inverted_postings(stale, "doc_id", "text")
+    merged = update_postings(
+        base,
+        docs.where(F.col("doc_id") % 16 == 0),
+        "doc_id",
+        "text",
+        deleted_ids=docs.where(F.col("doc_id") % 16 == 1).select("doc_id"),
+    )
+    return index_summary(merged)
+
+
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 

@@ -950,3 +950,14 @@ def test_cc_incremental_delete_prunes_unaffected_component_partitions(spark, tmp
         for r in connected_components_star(remaining, "src", "dst").collect()
     }
     assert got == want
+
+
+def test_inverted_index_update_tombstones_map_side(spark):
+    """update_postings' tombstone pass must plan as a broadcast
+    LEFT-ANTI over the stored index — the changed-id set is
+    delta-bounded, so no shuffle of posting rows is ever justified."""
+    df = entrymod.queries()["inverted_index_incremental"](spark, SF_SMALL)
+    plan = final_plan(df)
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti, plan[:2000]
+    assert all("BroadcastHashJoin" in l for l in anti), anti

@@ -916,3 +916,91 @@ def test_array_mode_smallest_property(spark, labs):
     cnt = Counter(labs)
     want = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
     assert got == want
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ).filter(lambda p: p[0] != p[1]).map(lambda p: (min(p), max(p))),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _cc_py(pairs):
+    """Reference CC: union-find with union-by-min root, so every node's
+    root IS its component minimum — the oracle for both incremental
+    maintenance directions."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in pairs:
+        nodes.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {n: find(n) for n in nodes}
+
+
+@given(edges=edges_strategy, mask=st.lists(st.booleans(), min_size=25, max_size=25))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_cc_update_equals_full_recompute(spark, edges, mask):
+    """For ANY split of ANY small graph into base + added delta,
+    incremental_components_update(stored CC of base, delta) must equal
+    CC(base ∪ delta). Stored/expected labelings come from a pure-Python
+    union-find reference so each example costs one Spark op."""
+    from bgg_data_warehouse_spark.operators.components import (
+        incremental_components_update,
+    )
+
+    edges = sorted(set(edges))
+    base = [e for e, m in zip(edges, mask) if m]
+    delta = [e for e, m in zip(edges, mask) if not m]
+    labels0 = spark.createDataFrame(
+        list(_cc_py(base).items()) or [], "node long, canonical long"
+    )
+    delta_df = spark.createDataFrame(delta or [], "src long, dst long")
+    got = {
+        (r.node, r.canonical)
+        for r in incremental_components_update(
+            labels0, delta_df, "src", "dst"
+        ).collect()
+    }
+    assert got == set(_cc_py(edges).items())
+
+
+@given(edges=edges_strategy, mask=st.lists(st.booleans(), min_size=25, max_size=25))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_cc_delete_equals_full_recompute(spark, edges, mask):
+    """For ANY deletion subset of ANY small graph,
+    incremental_components_delete(stored CC, edges, deleted) must equal
+    CC(edges ∖ deleted) — including splits and fully-isolated nodes."""
+    from bgg_data_warehouse_spark.operators.components import (
+        incremental_components_delete,
+    )
+
+    edges = sorted(set(edges))
+    deleted = [e for e, m in zip(edges, mask) if m]
+    remaining = [e for e, m in zip(edges, mask) if not m]
+    labels0 = spark.createDataFrame(
+        list(_cc_py(edges).items()) or [], "node long, canonical long"
+    )
+    edges_df = spark.createDataFrame(edges or [], "src long, dst long")
+    deleted_df = spark.createDataFrame(deleted or [], "src long, dst long")
+    got = {
+        (r.node, r.canonical)
+        for r in incremental_components_delete(
+            labels0, edges_df, deleted_df, "src", "dst"
+        ).collect()
+    }
+    assert got == set(_cc_py(remaining).items())
