@@ -406,3 +406,50 @@ def optimize_table_zorder(
     for dirpath, _dirs, files in os.walk(path):
         n_new += sum(1 for f in files if f.endswith(".parquet"))
     return n_new
+
+
+def maintain_components_table(
+    spark: SparkSession,
+    root: str,
+    labels_name: str,
+    delta_edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    deleted: bool = False,
+    edges_name: str | None = None,
+    canonical_col: str | None = None,
+) -> int:
+    """End-to-end incremental CC maintenance against STORED state: read
+    the label table, absorb the delta (additions by default; with
+    ``deleted=True`` the splitting case, which reads the stored edge
+    table ``edges_name`` — pass ``canonical_col`` when that table is
+    component-annotated so the rescan partition-prunes), and atomically
+    swap the updated labels in via the S9 staging machinery
+    (:func:`_rewrite` — concurrent readers never see a half-written
+    table, crash windows heal via :func:`recover_table`). Returns the
+    updated row count. The storage-integration wrapper for
+    ``operators.components.incremental_components_update`` /
+    ``incremental_components_delete`` — the reference's 8-second
+    incremental refresh (docs/dataform_operations.md:15) realized for
+    graph state."""
+    from .operators.components import (
+        incremental_components_delete,
+        incremental_components_update,
+    )
+
+    labels = read_table(spark, root, labels_name)
+    if deleted:
+        if edges_name is None:
+            raise ValueError("deletion maintenance needs the stored edge table")
+        edges = read_table(spark, root, edges_name)
+        updated = incremental_components_delete(
+            labels, edges, delta_edges, src, dst, canonical_col=canonical_col
+        )
+    else:
+        updated = incremental_components_update(labels, delta_edges, src, dst)
+    # the update plans read the CURRENT label files; materialize before
+    # the swap renames them out from under the scan
+    updated = updated.localCheckpoint(eager=True)
+    _rewrite(updated, root, labels_name)
+    return updated.count()
