@@ -961,3 +961,18 @@ def test_inverted_index_update_tombstones_map_side(spark):
     anti = [l for l in plan.splitlines() if "LeftAnti" in l]
     assert anti, plan[:2000]
     assert all("BroadcastHashJoin" in l for l in anti), anti
+
+
+def test_retrieval_pipeline_reads_pinned_chunks_no_cartesian(spark):
+    """The end-to-end retrieval gate must (a) tokenize+chunk ONCE — both
+    channels read the pinned chunk checkpoint, so the executed plan
+    contains no parquet re-scan of documents; (b) never plan a
+    cartesian product; (c) broadcast the query-chunk side of the
+    vector channel's bucket join."""
+    df = entrymod.queries()["retrieval_pipeline"](spark, SF_SMALL)
+    df.count()
+    plan = final_plan(df)
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert plan.count("Scan parquet") == 0, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastExchange" in plan, plan[:2000]
