@@ -69,9 +69,13 @@ def update_postings(
 
     Semantics: every document in ``delta_docs`` REPLACES its stored
     postings (stale rows out, fresh tokenization in); every id in
-    ``deleted_ids`` is tombstoned. Returns the updated (tok, doc, tf)
-    relation — hash-gated equal to a full rebuild on the post-update
-    corpus by ``inverted_index_incremental``.
+    ``deleted_ids`` is tombstoned, and DELETION WINS — a doc appearing
+    in both ``delta_docs`` and ``deleted_ids`` ends up absent (ADVICE
+    r11: the fresh delta postings are anti-joined against the tombstone
+    set, so a concurrent re-ingest cannot resurrect a deleted doc).
+    Returns the updated (tok, doc, tf) relation — hash-gated equal to a
+    full rebuild on the post-update corpus by
+    ``inverted_index_incremental``.
 
     Scale shape: the changed-id set is delta-bounded and broadcast, so
     the tombstone pass is a map-side broadcast LEFT-ANTI over the
@@ -82,12 +86,16 @@ def update_postings(
     tokenize aggregate appended behind it.
     """
     removed = delta_docs.select(F.col(id_col).alias("doc"))
-    if deleted_ids is not None:
-        removed = removed.unionByName(
-            deleted_ids.select(F.col(deleted_ids.columns[0]).alias("doc"))
-        )
-    kept = postings.join(F.broadcast(removed.distinct()), "doc", "left_anti")
     fresh = inverted_postings(delta_docs, id_col, text_col)
+    if deleted_ids is not None:
+        tomb = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias("doc")
+        ).distinct()
+        removed = removed.unionByName(tomb)
+        # deletion precedence: a doc both re-ingested and deleted stays
+        # deleted (both passes are the same delta-bounded broadcast anti)
+        fresh = fresh.join(F.broadcast(tomb), "doc", "left_anti")
+    kept = postings.join(F.broadcast(removed.distinct()), "doc", "left_anti")
     return kept.select("tok", "doc", "tf").unionByName(
         fresh.select("tok", "doc", "tf")
     )

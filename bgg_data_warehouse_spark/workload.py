@@ -7567,7 +7567,7 @@ def hybrid_rrf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                          x -> x <> '') AS toks
       FROM documents
     ), c AS (
-      SELECT doc, doc * 1000 + CAST(k AS BIGINT) AS ckey,
+      SELECT doc, doc * 1048576 + CAST(k AS BIGINT) AS ckey,
              list_slice(toks, k * 48 + 1, k * 48 + 64) AS chunk
       FROM t,
            unnest(generate_series(0,
@@ -7608,8 +7608,8 @@ def hybrid_rrf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                4) AS bm25
       FROM contrib GROUP BY ckey
     ), doc_best AS (
-      SELECT ckey // 1000 AS doc_id, max(bm25) AS best
-      FROM chunk_bm25 WHERE ckey // 1000 <> 0 GROUP BY 1
+      SELECT ckey // 1048576 AS doc_id, max(bm25) AS best
+      FROM chunk_bm25 WHERE ckey // 1048576 <> 0 GROUP BY 1
     ), lex AS (
       SELECT doc_id, lex_rank FROM (
         SELECT doc_id, CAST(ROW_NUMBER() OVER (
@@ -7631,11 +7631,11 @@ def hybrid_rrf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), dots AS (
       SELECT cc.ckey AS nbr, sum(q.n * cc.n) AS dot
       FROM counts q JOIN counts cc
-        ON cc.bucket = q.bucket AND cc.ckey // 1000 <> 0
+        ON cc.bucket = q.bucket AND cc.ckey // 1048576 <> 0
       WHERE q.ckey = 0
       GROUP BY 1
     ), sims AS (
-      SELECT d.nbr // 1000 AS doc_id,
+      SELECT d.nbr // 1048576 AS doc_id,
              max(round(d.dot / sqrt(CAST(nq.n2 * nc.n2 AS DOUBLE)), 6))
                AS best_sim
       FROM dots d
@@ -7682,8 +7682,11 @@ def retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     included. Scale shape: chunking is two generators + one shuffle;
     each channel is the already-audited top-k plan at chunk grain plus
     one (doc)-keyed max-aggregate; fusion joins two k-row frames. The
-    chunk key packs (doc, idx) into one long (doc*1000 + idx) so every
-    chunk-grain shuffle keys on an 8-byte long, not a struct."""
+    chunk key packs (doc, idx) into one long (doc << 20 | idx) so every
+    chunk-grain shuffle keys on an 8-byte long, not a struct; a
+    runtime guard raises if any chunk_idx reaches 2^20 (~50M tokens at
+    stride 48), so a pathological document cannot silently collide
+    into the next doc's keyspace (ADVICE r11)."""
     from .functions.text import word_tokens
     from .operators.sampling import chunk_documents
     from .operators.text_vectorize import hashed_count_sparse
@@ -7692,7 +7695,19 @@ def retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunk_documents(
         docs, "doc_id", "text", chunk_tokens=64, stride=48
     ).select(
-        (F.col("doc") * 1000 + F.col("chunk_idx")).alias("ckey"),
+        F.when(
+            F.col("chunk_idx") < F.lit(1 << 20),
+            F.col("doc") * F.lit(1 << 20) + F.col("chunk_idx"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("chunk_idx overflows the 20-bit chunk-key pack: "),
+                    F.col("chunk_idx").cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("ckey"),
         "chunk_text",
     )
     # pinned: the chunk relation feeds BOTH channels; union-free but
@@ -7701,8 +7716,8 @@ def retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     chunk_bm25 = _bm25_over(chunks, "ckey", "chunk_text")
     doc_best = (
-        chunk_bm25.where(F.expr("ckey div 1000") != 0)
-        .groupBy(F.expr("ckey div 1000").alias("doc_id"))
+        chunk_bm25.where(F.expr("ckey div 1048576") != 0)
+        .groupBy(F.expr("ckey div 1048576").alias("doc_id"))
         .agg(F.max("bm25").alias("best"))
     )
     w_lex = Window.orderBy(F.col("best").desc(), F.col("doc_id").asc())
@@ -7726,7 +7741,7 @@ def retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = (
         F.broadcast(q)
         .join(
-            counts.where(F.expr("doc div 1000") != 0).select(
+            counts.where(F.expr("doc div 1048576") != 0).select(
                 F.col("doc").alias("nbr"),
                 "bucket",
                 "n",
@@ -7740,7 +7755,7 @@ def retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("q_n2").alias("q_n2"),
             F.first("n_n2").alias("n_n2"),
         )
-        .groupBy(F.expr("nbr div 1000").alias("doc_id"))
+        .groupBy(F.expr("nbr div 1048576").alias("doc_id"))
         .agg(
             F.max(
                 F.round(
