@@ -453,3 +453,74 @@ def maintain_components_table(
     updated = updated.localCheckpoint(eager=True)
     _rewrite(updated, root, labels_name)
     return updated.count()
+
+
+def maintain_postings_table(
+    spark: SparkSession,
+    root: str,
+    postings_name: str,
+    delta_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    deleted_ids: DataFrame | None = None,
+) -> int:
+    """End-to-end incremental inverted-index maintenance against STORED
+    state (r11 VERDICT #3 — the postings twin of
+    :func:`maintain_components_table`): read the postings table, absorb
+    re-ingested documents and tombstones via
+    ``operators.inverted_index.update_postings`` (broadcast-anti,
+    map-side), and atomically swap the updated index in through the S9
+    staging machinery — concurrent term lookups never see a
+    half-written index, and a crash between the two swap renames heals
+    via :func:`recover_table`. Returns the updated posting-row count.
+    The index the serving path scans is now the same table the
+    maintenance path updates."""
+    from .operators.inverted_index import update_postings
+
+    postings = read_table(spark, root, postings_name)
+    updated = update_postings(
+        postings, delta_docs, id_col, text_col, deleted_ids=deleted_ids
+    )
+    # the update plan reads the CURRENT posting files; materialize
+    # before the swap renames them out from under the scan
+    updated = updated.localCheckpoint(eager=True)
+    _rewrite(updated, root, postings_name)
+    return updated.count()
+
+
+def maintain_minhash_index_table(
+    spark: SparkSession,
+    root: str,
+    index_name: str,
+    delta_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    deleted_ids: DataFrame | None = None,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    verify_tokens: bool = False,
+) -> int:
+    """Stored-table wrapper for the MinHash dedup index (r11 VERDICT
+    #2/#3): read the persisted (doc, shingles, sig) sketch table, absorb
+    re-ingests/tombstones via ``operators.dedup.update_minhash_index``,
+    and atomically swap — same staging/recovery contract as
+    :func:`maintain_postings_table`. Returns the updated sketch-row
+    count."""
+    from .operators.dedup import update_minhash_index
+
+    index = read_table(spark, root, index_name)
+    updated = update_minhash_index(
+        index,
+        delta_docs,
+        id_col,
+        text_col,
+        shingle_k=shingle_k,
+        num_hashes=num_hashes,
+        verify_tokens=verify_tokens,
+        deleted_ids=deleted_ids,
+    )
+    updated = updated.localCheckpoint(eager=True)
+    _rewrite(updated, root, index_name)
+    return updated.count()

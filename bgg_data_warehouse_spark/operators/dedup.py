@@ -207,7 +207,6 @@ def minhash_lsh_pairs(
     and skew-free; token-set verification keeps the reported jaccard the
     quantity an exact all-pairs oracle computes.
     """
-    rows_per_band = num_hashes // bands
     # pinned: buckets self-join reads it twice, the verify join twice more
     sigs = pin(
         minhash_sketch(
@@ -219,7 +218,31 @@ def minhash_lsh_pairs(
             verify_tokens=verify_tokens,
         )
     )
+    return sketch_pairs(
+        sigs,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
 
+
+def sketch_pairs(
+    sigs: DataFrame,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Verified near-dup pairs from a PERSISTED sketch table — the
+    pair-generation half of :func:`minhash_lsh_pairs`, split out so a
+    maintained ``minhash_sketch`` index (see
+    :func:`update_minhash_index`) can be re-paired without re-reading
+    any document text. The index is touched only through the
+    (band, bucket) self equi-join plus the doc-keyed verify joins —
+    never an all-pairs product. Callers owning a multiply-read sketch
+    should pin/persist it; this function adds no caching of its own.
+    """
+    rows_per_band = num_hashes // bands
     buckets = sigs.select(
         "doc",
         F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bb"),
@@ -236,6 +259,59 @@ def minhash_lsh_pairs(
     )
 
     return _verify_pairs(cand, shing, jaccard_threshold)
+
+
+def update_minhash_index(
+    index_sketch: DataFrame,
+    delta_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    verify_tokens: bool = False,
+    deleted_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental maintenance of the persisted ``minhash_sketch`` index
+    (r11 VERDICT #2 — the dedup twin of
+    ``operators.inverted_index.update_postings``): absorb RE-INGESTED
+    documents and DELETIONS into the stored (doc, shingles, sig) table
+    without re-sketching the corpus.
+
+    Semantics: every document in ``delta_docs`` REPLACES its stored
+    sketch row (a stale sketch would keep pairing the doc by its old
+    content); every id in ``deleted_ids`` is tombstoned, and DELETION
+    WINS — a doc both re-ingested and deleted ends up absent, matching
+    ``update_postings``. The returned index is hash-gated equal to a
+    fresh ``minhash_sketch`` of the post-update corpus by the
+    ``dedup_minhash_delete`` gate (pairs from the maintained index ==
+    pairs from a full rebuild).
+
+    Scale shape: the changed-id set is delta-bounded and broadcast, so
+    both the tombstone pass over the stored index and the
+    delta-vs-tombstone precedence pass are map-side broadcast
+    LEFT-ANTIs — no shuffle of corpus sketch rows, and a stored index
+    bucketed by ``doc`` keeps its layout for untouched rows. The fresh
+    sketches are one delta-sized shingle aggregate appended behind it.
+    """
+    removed = delta_docs.select(F.col(id_col).alias("doc"))
+    fresh = minhash_sketch(
+        delta_docs,
+        id_col,
+        text_col,
+        shingle_k=shingle_k,
+        num_hashes=num_hashes,
+        verify_tokens=verify_tokens,
+    )
+    if deleted_ids is not None:
+        tomb = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias("doc")
+        ).distinct()
+        removed = removed.unionByName(tomb)
+        fresh = fresh.join(F.broadcast(tomb), "doc", "left_anti")
+    kept = index_sketch.join(F.broadcast(removed.distinct()), "doc", "left_anti")
+    cols = ["doc", "shingles", "sig"]
+    return kept.select(*cols).unionByName(fresh.select(*cols))
 
 
 def _verify_pairs(

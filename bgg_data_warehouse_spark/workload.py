@@ -1586,6 +1586,89 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_minhash_delete",
+    oracle="""
+    WITH live AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 16 <> 1 AND doc_id % 64 <> 0
+    ), toks AS (
+      SELECT DISTINCT doc_id AS doc, tok
+      FROM live,
+           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS t(tok)
+    ), sizes AS (
+      SELECT doc, count(*) AS n_tok FROM toks GROUP BY doc
+    ), inter AS (
+      SELECT l.doc AS doc_a, r.doc AS doc_b, count(*) AS i
+      FROM toks l JOIN toks r ON l.tok = r.tok AND l.doc < r.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.n_tok + sb.n_tok - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc
+    JOIN sizes sb ON inter.doc_b = sb.doc
+    WHERE i * 1.0 / (sa.n_tok + sb.n_tok - i) >= 0.97
+    """,
+)
+def dedup_minhash_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion/re-ingest maintenance of the persisted MinHash dedup
+    index (r11 VERDICT #2, completing the incremental dedup family):
+    the stored (doc, shingles, sig) sketch table was built from a STALE
+    corpus — every doc_id % 16 == 0 was sketched from a 20-char text
+    prefix, and the doc_id % 16 == 1 docs haven't been deleted yet —
+    then ``operators.dedup.update_minhash_index`` absorbs the fresh
+    re-ingest of the % 16 == 0 docs and tombstones % 16 == 1, with the
+    % 64 == 0 docs appearing in BOTH the delta and the tombstone set
+    (deletion precedence: they must end absent). Pairs are then
+    regenerated from the MAINTAINED index alone
+    (``operators.dedup.sketch_pairs`` — no document text re-read), and
+    the oracle is the all-pairs token-Jaccard computation on the
+    post-update corpus: any stale sketch the replacement missed, any
+    tombstoned doc that survived, or any live pair the maintained
+    buckets lost would hash-mismatch. Same recall-1 configuration as
+    dedup_minhash_verified (48 hashes × 2 bands, identical token sets
+    collide in every band). The stale build is fixture setup
+    (production reads its sketch table); the update touches delta docs
+    + the index only, via broadcast anti-joins
+    (tests/test_plan_audit.py pins the maintenance joins map-side)."""
+    from .operators.dedup import (
+        _default_pin,
+        minhash_sketch,
+        sketch_pairs,
+        update_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    conf = dict(shingle_k=1, num_hashes=48)
+    stale = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 16 == 0, F.substring("text", 1, 20)
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    index = minhash_sketch(stale, "doc_id", "text", **conf)
+    maintained = update_minhash_index(
+        index,
+        docs.where(F.col("doc_id") % 16 == 0),
+        "doc_id",
+        "text",
+        deleted_ids=docs.where(
+            (F.col("doc_id") % 16 == 1) | (F.col("doc_id") % 64 == 0)
+        ).select("doc_id"),
+        **conf,
+    )
+    # the maintained index feeds the bucket self-join AND two verify
+    # joins — pin it, as the steady state reads it from storage
+    return sketch_pairs(
+        _default_pin(maintained),
+        num_hashes=48,
+        bands=2,
+        jaccard_threshold=0.97,
+    )
+
+
+@query(
     "dedup_cluster_collapse",
     oracle="""
     WITH RECURSIVE toks AS (

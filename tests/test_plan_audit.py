@@ -963,6 +963,27 @@ def test_inverted_index_update_tombstones_map_side(spark):
     assert all("BroadcastHashJoin" in l for l in anti), anti
 
 
+def test_minhash_index_maintenance_map_side_band_bucket_only(spark):
+    """dedup_minhash_delete's maintenance passes (tombstone over the
+    stored sketch index + deletion-precedence filter on the delta) must
+    plan as broadcast LEFT-ANTIs — the changed-id set is delta-bounded,
+    so no shuffle of corpus sketch rows is ever justified — and the
+    pair regeneration must touch the maintained index only through the
+    (band, bucket) equi-join, never a cartesian."""
+    df = entrymod.queries()["dedup_minhash_delete"](spark, SF_SMALL)
+    plan = final_plan(df)
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti, plan[:2000]
+    assert all("BroadcastHashJoin" in l for l in anti), anti
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # the bucket self-join keys on (band, bucket), not doc
+    inner = [
+        l for l in plan.splitlines()
+        if "Join" in l and "Inner" in l and "band" in l and "bucket" in l
+    ]
+    assert inner, plan[:3000]
+
+
 def test_retrieval_pipeline_reads_pinned_chunks_no_cartesian(spark):
     """The end-to-end retrieval gate must (a) tokenize+chunk ONCE — both
     channels read the pinned chunk checkpoint, so the executed plan
