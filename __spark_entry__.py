@@ -23,85 +23,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness grades the FIRST 50 queries in dict
-# order. Round 11 rotation (r10 VERDICT "Next round" #1, ages computed
-# from CORRECTNESS_r01-r10 via tools/staleness.py): the window holds
-#   - the 5 gates whose GATING CODE is new or changed this round: the
-#     three former rows-only gates converted to bounded-assert oracles
-#     (knn_lsh — recall sweep vs the SQL-replayed exact side; knn_ivf —
-#     per-query + overall recall floors; approx_distinct_users — HLL
-#     |est-exact| <= 3*rsd*exact contract; r10 VERDICT #3 — all three
-#     had NO oracle evidence before this round), plus the two NEW
-#     composite gates: cc_incremental_update (delta-edge CC maintenance
-#     without base-edge scans, r10 VERDICT #4) and retrieval_pipeline
-#     (chunk -> BM25/vector channels at chunk grain -> RRF fusion,
-#     r10 VERDICT #6);
-#   - all 44 age-4 gates (last green round 7 — the oldest evidence in
-#     the ledger: acf_lags block through wordpiece_encode, exactly the
-#     block r10's tail queued for this round);
-#   - cc_incremental_delete (NEW mid-round: the deletion/splitting
-#     case via affected-component localization) and
-#     inverted_index_incremental (NEW: postings upsert/tombstone
-#     maintenance) displaced the age-3 top-up; with 7 new/changed
-#     + 44 age-4 gates the window runs one past 50, so the LAST
-#     age-4 entry (wordpiece_encode, judge-re-verified green at
-#     age 3 in round 10) heads the tail instead and refreshes in
-#     round 12.
-# With 198 registered gates and a 50-slot window the steady-state
+# order. Round 12 rotation (r11 VERDICT "Next round" #1; window and
+# tail emitted verbatim by tools/staleness.py from CORRECTNESS_r01-r11):
+#   - the 2 gates NEW this round, with no driver evidence yet:
+#     dedup_minhash_delete (deletion/re-ingest maintenance of the
+#     persisted MinHash sketch index, r11 VERDICT #2) and
+#     neighbors_incremental (delta-scoped refresh of the precomputed
+#     k-NN table, r11 VERDICT #5);
+#   - wordpiece_encode — the ledger's only age-5 gate. Its last DRIVER
+#     green row is round 7; the round-11 judge re-verified it green by
+#     hand, but judge spot-checks are not driver rows and the ledger
+#     tracks driver evidence only (r11 VERDICT #7);
+#   - the first 47 of the 49 age-4 gates (last driver green: round 8,
+#     approx_distinct_hll ... union_discriminated, alphabetical). With
+#     the two new gates the window runs two past 50, so the LAST two
+#     age-4 entries (value_percentiles, weighted_sssp) head the tail
+#     instead and refresh in round 13.
+# With 202 registered gates and a 50-slot window the steady-state
 # rotation cycle stays ~4 rounds; after this window no gate's latest
-# green row is older than round 8. The position-51+ queue is ordered by
-# evidence age (remaining age-3 block first — they refresh in round 12
-# — then age-2, then age-1).
+# driver-green row is older than round 9 except value_percentiles /
+# weighted_sssp (round 8, queued first for round 13). The position-51+
+# queue is ordered by evidence age: those two, then the age-3 block
+# (refresh r13), then age-2, then age-1.
 _PRIORITY = [
-    "knn_lsh",
-    "knn_ivf",
-    "approx_distinct_users",
-    "cc_incremental_update",
-    "cc_incremental_delete",
-    "inverted_index_incremental",
-    "retrieval_pipeline",
-    "acf_lags",
-    "ann_recall_eval",
-    "aqp_sampled_agg",
-    "association_rules",
-    "attribution_last_touch",
-    "bfs_reach",
-    "bm25_search",
-    "budget_allocation",
-    "cusum_drift",
-    "decision_stump",
-    "doc_vector_knn",
-    "edge_support_topk",
-    "embedding_near_dup_exact",
-    "event_debounce",
-    "event_transition_matrix",
-    "feature_mi_ranking",
-    "gini_concentration",
-    "hits_scores",
-    "holt_winters_seasonal",
-    "hybrid_rrf_search",
-    "kcore_parts",
-    "knn_bruteforce",
-    "knn_lsh_exact",
-    "mannwhitney_u",
-    "merkle_table_root",
-    "ols_trend",
-    "pareto_frontier",
-    "peak_concurrency",
-    "pmi_collocations",
-    "quantile_normalize",
-    "quantile_sketch_merge",
-    "quantile_sketch_query",
-    "random_projection",
-    "rolling_regression",
-    "set_similarity_join",
-    "shard_manifest",
-    "sorted_neighborhood_pairs",
-    "survival_first_purchase",
-    "target_encode_oof",
-    "tfidf_keywords",
-    "top_user_paths",
-    "triangle_census",
-    "unigram_segment_compounds",
+    "dedup_minhash_delete",
+    "neighbors_incremental",
     "wordpiece_encode",
     "approx_distinct_hll",
     "asof_feature_join",
@@ -252,6 +198,56 @@ _PRIORITY = [
     "trigram_backoff_ppl",
     "winsorize_robust",
     "zorder_layout",
+    "acf_lags",
+    "ann_recall_eval",
+    "approx_distinct_users",
+    "aqp_sampled_agg",
+    "association_rules",
+    "attribution_last_touch",
+    "bfs_reach",
+    "bm25_search",
+    "budget_allocation",
+    "cc_incremental_delete",
+    "cc_incremental_update",
+    "cusum_drift",
+    "decision_stump",
+    "doc_vector_knn",
+    "edge_support_topk",
+    "embedding_near_dup_exact",
+    "event_debounce",
+    "event_transition_matrix",
+    "feature_mi_ranking",
+    "gini_concentration",
+    "hits_scores",
+    "holt_winters_seasonal",
+    "hybrid_rrf_search",
+    "inverted_index_incremental",
+    "kcore_parts",
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_lsh",
+    "knn_lsh_exact",
+    "mannwhitney_u",
+    "merkle_table_root",
+    "ols_trend",
+    "pareto_frontier",
+    "peak_concurrency",
+    "pmi_collocations",
+    "quantile_normalize",
+    "quantile_sketch_merge",
+    "quantile_sketch_query",
+    "random_projection",
+    "retrieval_pipeline",
+    "rolling_regression",
+    "set_similarity_join",
+    "shard_manifest",
+    "sorted_neighborhood_pairs",
+    "survival_first_purchase",
+    "target_encode_oof",
+    "tfidf_keywords",
+    "top_user_paths",
+    "triangle_census",
+    "unigram_segment_compounds",
 ]
 
 

@@ -524,3 +524,35 @@ def maintain_minhash_index_table(
     updated = updated.localCheckpoint(eager=True)
     _rewrite(updated, root, index_name)
     return updated.count()
+
+
+def maintain_neighbors_table(
+    spark: SparkSession,
+    root: str,
+    neighbors_name: str,
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    band_col: str,
+    vec_col: str,
+    *,
+    band: float,
+    k: int,
+) -> int:
+    """Stored-table wrapper for the incremental k-NN refresh (r11
+    VERDICT #5): read the precomputed neighbors table, absorb the
+    arriving vector batch via
+    ``operators.band_join.incremental_neighbors`` (delta-scoped probe,
+    unaffected rows passed through), and atomically swap — same
+    staging/recovery contract as :func:`maintain_components_table`.
+    ``base`` is the corpus the stored table was built from; ``delta``
+    the new vectors. Returns the refreshed row count."""
+    from .operators.band_join import incremental_neighbors
+
+    stored = read_table(spark, root, neighbors_name)
+    updated = incremental_neighbors(
+        stored, base, delta, id_col, band_col, vec_col, band, k
+    )
+    updated = updated.localCheckpoint(eager=True)
+    _rewrite(updated, root, neighbors_name)
+    return updated.count()

@@ -74,6 +74,7 @@ def banded_cosine_pairs(
     vec_col: str,
     band: float,
     probe_blocks: int = 16,
+    probe_df: DataFrame | None = None,
 ) -> DataFrame:
     """(s_id, t_id, cos) for all band-eligible pairs — cogrouped matmul.
 
@@ -100,12 +101,18 @@ def banded_cosine_pairs(
     single Arrow worker — measured 4× faster at 20k vectors with blocking.
     Build rows replicate into every block of their bucket (small: the
     build side ships once per block, the probe side still ships once).
+
+    ``probe_df`` makes the join ASYMMETRIC: pairs (s, t) with s drawn
+    from ``probe_df`` and t from ``df`` — the incremental-refresh shape
+    (``incremental_neighbors``), where only a delta-scoped probe set
+    re-enters the join while the full corpus stays on the build side.
+    Defaults to ``df`` (the self-join).
     """
     import numpy as np
     import pandas as pd
 
     bucket = F.floor(F.col(band_col) / F.lit(band)).cast("long")
-    probe = df.select(
+    probe = (df if probe_df is None else probe_df).select(
         F.col(id_col).alias("s_id"),
         F.col(band_col).alias("s_band"),
         F.col(vec_col).alias("s_vec"),
@@ -153,3 +160,86 @@ def banded_cosine_pairs(
         .cogroup(build.groupby("_bucket", "_block"))
         .applyInPandas(pair_block, schema="s_id long, t_id long, cos double")
     )
+
+
+def incremental_neighbors(
+    stored: DataFrame,
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    band_col: str,
+    vec_col: str,
+    band: float,
+    k: int,
+) -> DataFrame:
+    """Incremental refresh of a precomputed k-NN neighbors table (r11
+    VERDICT #5 — the serving-layer twin of
+    ``operators.components.incremental_components_update``; the
+    reference instead rebuilds its neighbors table fully,
+    `/root/reference/definitions/game_neighbors.sqlx:16`, 13.1 s for
+    17,258 games per BASELINE.md).
+
+    ``stored`` is the (query_id, nbr_id, cosine_sim, rank) table built
+    from ``base``; ``delta`` is the arriving batch of vectors (new ids —
+    the watermark-scoped arrivals). A base query's top-k can only change
+    if a delta vector enters its candidate band, so:
+
+    1. affected scoping (J6): delta band-bucket ids (own ±1, the exact
+       cover of |Δband| <= band) are distinct-collected into a
+       delta-bounded frame and BROADCAST; base rows semi-join on their
+       bucket — one map-side pass over the corpus, no shuffle;
+    2. re-rank (J7): probe = affected ∪ delta re-enters the banded
+       cogroup matmul ASYMMETRICALLY against the full corpus build side
+       (``banded_cosine_pairs(probe_df=...)``) — unchanged queries'
+       vectors are never probed, pinned by
+       tests/test_plan_audit.py::test_neighbors_incremental_*;
+    3. pass-through: stored rows of unaffected queries are kept via one
+       broadcast LEFT-ANTI on the affected-query-id set — never
+       recomputed, never shuffled.
+
+    Returns the refreshed neighbors table — hash-gated equal to a full
+    rebuild on base ∪ delta by the ``neighbors_incremental`` gate.
+
+    Scale shape: cost is (one broadcast semi over the corpus) + (band
+    join sized by the delta's bucket coverage) + (broadcast anti over
+    the stored table). When a delta's buckets cover the whole band
+    space the probe degrades to the full corpus — as it must, since
+    every query is then genuinely affected; the win is the common case
+    where arrivals cluster in few bands.
+    """
+    from .latest import topk_per_key
+
+    corpus = base.unionByName(delta)
+    bucket = F.floor(F.col(band_col) / F.lit(band)).cast("long")
+    delta_buckets = (
+        delta.select(
+            F.explode(
+                F.array(bucket - 1, bucket, bucket + 1)
+            ).alias("_bkt")
+        )
+        .distinct()
+    )
+    affected = base.withColumn("_bkt", bucket).join(
+        F.broadcast(delta_buckets), "_bkt", "left_semi"
+    ).drop("_bkt")
+    probe = affected.unionByName(delta)
+
+    pairs = banded_cosine_pairs(
+        corpus, id_col, band_col, vec_col, band, probe_df=probe
+    )
+    recomputed = topk_per_key(
+        pairs, ["s_id"], [F.col("cos").desc(), F.col("t_id").asc()], k=k
+    ).select(
+        F.col("s_id").alias("query_id"),
+        F.col("t_id").alias("nbr_id"),
+        F.round("cos", 6).alias("cosine_sim"),
+        "rank",
+    )
+    kept = stored.join(
+        F.broadcast(
+            probe.select(F.col(id_col).alias("query_id")).distinct()
+        ),
+        "query_id",
+        "left_anti",
+    )
+    return kept.unionByName(recomputed)

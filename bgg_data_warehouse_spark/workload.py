@@ -873,6 +873,66 @@ def band_self_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "neighbors_incremental",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT s.vec_id AS query_id, t.vec_id AS nbr_id,
+             {_DUCK_COS.format(a='s.embedding', b='t.embedding')} AS cos
+      FROM embeddings s JOIN embeddings t
+        ON t.vec_id <> s.vec_id
+       AND t.label BETWEEN s.label - 1 AND s.label + 1
+    ), ranked AS (
+      SELECT query_id, nbr_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, nbr_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, nbr_id, round(cos, 6) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def neighbors_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh of the precomputed neighbors table (r11
+    VERDICT #5 — operators/band_join.py::incremental_neighbors,
+    composing the green J6 semi-scoping + J7 band join + I1 watermark
+    pieces; the reference rebuilds its neighbors table FULLY on every
+    run, definitions/game_neighbors.sqlx:16, 13.1 s / 17,258 games).
+    Fixture: the stored table is the band_self_join_knn result on the
+    base corpus (everything except the arriving batch — label == 9,
+    vec_id % 5 == 0, standing in for the watermark-scoped arrivals);
+    the refresh then (1) broadcast-semi-joins base vectors onto the
+    delta's band buckets (only labels 8-9 are affected at band 1.0),
+    (2) re-ranks affected ∪ delta queries ASYMMETRICALLY against the
+    full corpus through the banded cogroup matmul — unchanged queries'
+    vectors never enter the probe side (plan-audited), and (3) passes
+    unaffected stored rows through a broadcast anti-join untouched. The
+    oracle is the full rebuild on the whole corpus, so a query the
+    scoping wrongly skipped, a stale stored row the anti-join wrongly
+    kept, or any rank drift in the recomputed slice hash-mismatches."""
+    from .operators.band_join import banded_cosine_pairs, incremental_neighbors
+    from .operators.latest import topk_per_key
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_delta = (F.col("label") == 9) & (F.col("vec_id") % 5 == 0)
+    base, delta = emb.where(~is_delta), emb.where(is_delta)
+    # fixture: the stored neighbors table, as band_self_join_knn built it
+    stored = topk_per_key(
+        banded_cosine_pairs(base, "vec_id", "label", "embedding", 1.0),
+        ["s_id"],
+        [F.col("cos").desc(), F.col("t_id").asc()],
+        k=5,
+    ).select(
+        F.col("s_id").alias("query_id"),
+        F.col("t_id").alias("nbr_id"),
+        F.round("cos", 6).alias("cosine_sim"),
+        "rank",
+    )
+    return incremental_neighbors(
+        stored, base, delta, "vec_id", "label", "embedding", 1.0, 5
+    )
+
+
 # (name, min_label, band, dims, top_k) — the PROFILES config analog of
 # `definitions/game_neighbors.sqlx:19-35` over the embeddings testdata:
 # min_label stands in for the users_rated corpus floor, label for the

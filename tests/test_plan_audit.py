@@ -79,6 +79,7 @@ ARROW_ALLOWED = {
     "embedding_near_dup_exact",
     "band_self_join_knn",
     "neighbors_profiles",  # same cogrouped bucket matmul as band_self_join_knn
+    "neighbors_incremental",  # banded cogroup matmul on the delta-scoped probe
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_resize",
@@ -982,6 +983,48 @@ def test_minhash_index_maintenance_map_side_band_bucket_only(spark):
         if "Join" in l and "Inner" in l and "band" in l and "bucket" in l
     ]
     assert inner, plan[:3000]
+
+
+def test_neighbors_incremental_scoping_broadcast_single_cogroup(spark):
+    """incremental_neighbors' refresh plan (stored fixture cut off via
+    checkpoint): the affected scoping is a broadcast LEFT-SEMI, the
+    stored-row pass-through a broadcast LEFT-ANTI, and exactly ONE
+    banded cogroup runs — the stored table is never recomputed and
+    unchanged queries never re-enter the band join."""
+    from pyspark.sql import functions as F
+
+    from bgg_data_warehouse_spark.operators.band_join import (
+        banded_cosine_pairs,
+        incremental_neighbors,
+    )
+    from bgg_data_warehouse_spark.operators.latest import topk_per_key
+    from bgg_data_warehouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    is_delta = (F.col("label") == 9) & (F.col("vec_id") % 5 == 0)
+    base, delta = emb.where(~is_delta), emb.where(is_delta)
+    stored = topk_per_key(
+        banded_cosine_pairs(base, "vec_id", "label", "embedding", 1.0),
+        ["s_id"],
+        [F.col("cos").desc(), F.col("t_id").asc()],
+        k=5,
+    ).select(
+        F.col("s_id").alias("query_id"),
+        F.col("t_id").alias("nbr_id"),
+        F.round("cos", 6).alias("cosine_sim"),
+        "rank",
+    ).localCheckpoint(eager=True)
+    df = incremental_neighbors(
+        stored, base, delta, "vec_id", "label", "embedding", 1.0, 5
+    )
+    df.count()
+    plan = final_plan(df)
+    assert plan.count("FlatMapCoGroupsInPandas") == 1, plan[:3000]
+    semi = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert semi and all("BroadcastHashJoin" in l for l in semi), semi
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti and all("BroadcastHashJoin" in l for l in anti), anti
+    assert "CartesianProduct" not in plan, plan[:2000]
 
 
 def test_retrieval_pipeline_reads_pinned_chunks_no_cartesian(spark):

@@ -229,3 +229,125 @@ def test_maintain_minhash_index_table_roundtrip(spark, tmp_path):
     want = _pairs_set(sketch_pairs(rebuilt, num_hashes=16, bands=2,
                                    jaccard_threshold=0.9))
     assert got == want
+
+
+def _knn_set(df):
+    return {(r.query_id, r.nbr_id, r.cosine_sim, r.rank) for r in df.collect()}
+
+
+def test_incremental_neighbors_equals_full_rebuild(spark):
+    """Refresh(stored-on-base, delta) == full rebuild on base ∪ delta,
+    on the real embeddings testdata."""
+    from bgg_data_warehouse_spark.operators.band_join import (
+        banded_cosine_pairs,
+        incremental_neighbors,
+    )
+    from bgg_data_warehouse_spark.operators.latest import topk_per_key
+    from bgg_data_warehouse_spark.sources.tables import load_table
+
+    def _topk(corpus, probe_df=None):
+        return topk_per_key(
+            banded_cosine_pairs(
+                corpus, "vec_id", "label", "embedding", 1.0, probe_df=probe_df
+            ),
+            ["s_id"],
+            [F.col("cos").desc(), F.col("t_id").asc()],
+            k=5,
+        ).select(
+            F.col("s_id").alias("query_id"),
+            F.col("t_id").alias("nbr_id"),
+            F.round("cos", 6).alias("cosine_sim"),
+            "rank",
+        )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    is_delta = (F.col("label") == 9) & (F.col("vec_id") % 5 == 0)
+    base, delta = emb.where(~is_delta), emb.where(is_delta)
+    assert delta.count() > 0
+    stored = _topk(base).localCheckpoint(eager=True)
+    got = _knn_set(
+        incremental_neighbors(
+            stored, base, delta, "vec_id", "label", "embedding", 1.0, 5
+        )
+    )
+    want = _knn_set(_topk(emb))
+    assert got == want
+
+
+def test_incremental_neighbors_probe_scoped_to_affected(spark):
+    """The asymmetric band join only ever probes affected ∪ delta
+    queries: every s_id the cogroup emits has label within band of a
+    delta label, and unaffected queries keep their stored rows."""
+    from bgg_data_warehouse_spark.operators.band_join import banded_cosine_pairs
+    from bgg_data_warehouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    is_delta = (F.col("label") == 9) & (F.col("vec_id") % 5 == 0)
+    base, delta = emb.where(~is_delta), emb.where(is_delta)
+    bucket = F.floor(F.col("label") / F.lit(1.0)).cast("long")
+    delta_buckets = delta.select(
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("_bkt")
+    ).distinct()
+    affected = (
+        base.withColumn("_bkt", bucket)
+        .join(F.broadcast(delta_buckets), "_bkt", "left_semi")
+        .drop("_bkt")
+    )
+    probe = affected.unionByName(delta)
+    pairs = banded_cosine_pairs(
+        emb, "vec_id", "label", "embedding", 1.0, probe_df=probe
+    )
+    probed = {r.s_id for r in pairs.select("s_id").distinct().collect()}
+    allowed = {r.vec_id for r in probe.select("vec_id").collect()}
+    assert probed <= allowed
+    # the scoping is genuinely partial: labels <= 7 are never probed
+    labels = {
+        r.label
+        for r in emb.join(
+            spark.createDataFrame([(i,) for i in probed], "vec_id long"),
+            "vec_id",
+        ).select("label").distinct().collect()
+    }
+    assert labels <= {8, 9}
+    n_corpus = emb.count()
+    assert len(allowed) < n_corpus // 2, (len(allowed), n_corpus)
+
+
+def test_maintain_neighbors_table_roundtrip(spark, tmp_path):
+    """Stored neighbors table refreshed through the atomic swap equals
+    the full rebuild on base ∪ delta."""
+    from bgg_data_warehouse_spark.io import (
+        maintain_neighbors_table,
+        read_table,
+        write_table,
+    )
+    from bgg_data_warehouse_spark.operators.band_join import banded_cosine_pairs
+    from bgg_data_warehouse_spark.operators.latest import topk_per_key
+    from bgg_data_warehouse_spark.sources.tables import load_table
+
+    def _topk(corpus):
+        return topk_per_key(
+            banded_cosine_pairs(corpus, "vec_id", "label", "embedding", 1.0),
+            ["s_id"],
+            [F.col("cos").desc(), F.col("t_id").asc()],
+            k=5,
+        ).select(
+            F.col("s_id").alias("query_id"),
+            F.col("t_id").alias("nbr_id"),
+            F.round("cos", 6).alias("cosine_sim"),
+            "rank",
+        )
+
+    root = str(tmp_path)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    is_delta = (F.col("label") == 9) & (F.col("vec_id") % 5 == 0)
+    base, delta = emb.where(~is_delta), emb.where(is_delta)
+    write_table(_topk(base), root, "neighbors")
+    n = maintain_neighbors_table(
+        spark, root, "neighbors", base, delta,
+        "vec_id", "label", "embedding", band=1.0, k=5,
+    )
+    assert n > 0
+    got = _knn_set(read_table(spark, root, "neighbors"))
+    want = _knn_set(_topk(emb))
+    assert got == want

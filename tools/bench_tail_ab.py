@@ -1,0 +1,111 @@
+"""Interleaved A/B for unexplained bench-tail drift (r11 VERDICT #4).
+
+Four queries regressed r10 -> r11 beyond the documented ±9 % ambient
+band (ngram_jaccard 1.47->2.44 s, session_rollup_batch 0.94->1.58 s,
+fk_integrity_audit 2.16->2.67 s, dedup_simhash_verified 1.72->2.20 s)
+with ZERO code changes to any of them. The lpa_ab protocol applied to
+the driver-bench question: on an idle host, run the suspects
+round-robin-interleaved for ``reps`` rounds (so ambient drift hits
+every query equally rather than whichever ran during a contention
+window), then compare each query's MIN — the plan's cost — against the
+r10 and r11 driver-bench numbers.
+
+Reading the output: if min ≈ r10's number, the r11 reading was ambient
+(GC/heap/neighbor) inflation on an unchanged plan — "ambient,
+confirmed". If min ≈ r11's number, the regression is real and needs a
+plan-level fix.
+
+Prints one JSON line. Usage:
+
+    python tools/bench_tail_ab.py [sf_dir] [reps=5] [q1,q2,...]
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_SUSPECTS = [
+    "ngram_jaccard",
+    "session_rollup_batch",
+    "fk_integrity_audit",
+    "dedup_simhash_verified",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    names = sys.argv[3].split(",") if len(sys.argv) > 3 else DEFAULT_SUSPECTS
+
+    import __spark_entry__ as entrymod
+    from bgg_data_warehouse_spark.session import get_spark
+
+    spark = get_spark("bench-tail-ab", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    qs = entrymod.queries()
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def reset() -> None:
+        spark.catalog.clearCache()
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+
+    # warmup: one untimed pass per suspect (JIT + table cache)
+    force(qs["latest_snapshot"](spark, sf_dir))
+    for n in names:
+        reset()
+        force(qs[n](spark, sf_dir))
+
+    times: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(reps):
+        for n in names:  # interleaved: every rep visits every query
+            reset()
+            t0 = time.perf_counter()
+            force(qs[n](spark, sf_dir))
+            times[n].append(round(time.perf_counter() - t0, 3))
+
+    prior: dict[str, dict[str, float]] = {}
+    for tag in ("r10", "r11"):
+        path = os.path.join(os.path.dirname(__file__), "..", f"BENCH_{tag}.json")
+        try:
+            with open(path) as f:
+                prior[tag] = json.load(f).get("queries", {})
+        except OSError:
+            prior[tag] = {}
+
+    report = {}
+    for n in names:
+        ts = times[n]
+        lo = min(ts)
+        r10, r11 = prior["r10"].get(n), prior["r11"].get(n)
+        verdict = None
+        if r10 is not None and r11 is not None and r11 > r10:
+            # closer to which prior reading?
+            verdict = (
+                "ambient_confirmed"
+                if abs(lo - r10) <= abs(lo - r11)
+                else "real_regression"
+            )
+        report[n] = {
+            "times": ts,
+            "min": lo,
+            "mean": round(sum(ts) / len(ts), 3),
+            "r10": r10,
+            "r11": r11,
+            "verdict": verdict,
+        }
+    print(json.dumps({"sf_dir": sf_dir, "reps": reps, "queries": report}))
+
+
+if __name__ == "__main__":
+    main()

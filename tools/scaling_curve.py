@@ -330,8 +330,352 @@ def main() -> None:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Fixed-delta / growing-base curves for the incremental-maintenance family
+# (r11 VERDICT #6): the point of delta-sized maintenance is BASE-SIZE
+# independence of the work the full rebuild redoes — prove it by holding
+# the delta at a fixed absolute size while the base grows 100x
+# (sf0.001 -> 0.01 -> 0.1), timing the maintenance op and its
+# full-rebuild twin at each base size. Stored state is written to (and
+# read back from) parquet so the timed op starts from storage, exactly
+# like production; setup/rebuild of that state is never timed.
+#
+# Reading the output: slope_incr = t_incr(big)/t_incr(small) across the
+# 100x base step, vs slope_full for the rebuild twin. Maintenance whose
+# compute is delta-sized should hold slope_incr well under slope_full
+# (flat up to the O(base) narrow output pass some maintainers
+# necessarily keep — relabel/anti-join passes write base-sized state);
+# merkle/MV, whose state is log/grain-sized, should be near-1.
+# ---------------------------------------------------------------------------
+
+INCR_SMALL = "/root/testdata/sf0.001"
+INCR_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def incremental_main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--incremental"]
+    sf_dirs = args if args else INCR_SFS
+
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bgg_data_warehouse_spark.session import get_spark
+    import __spark_entry__ as entrymod  # noqa: F401 — session tuning
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("incr-curve", cpus=cpus)
+
+    store_root = "/tmp/spark_graft_incr"
+    shutil.rmtree(store_root, ignore_errors=True)
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def reset() -> None:
+        spark.catalog.clearCache()
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+
+    def store(df, name: str):
+        path = os.path.join(store_root, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def timed(thunk) -> float:
+        best = float("inf")
+        for _ in range(2):  # min-of-2 unconditionally: slopes ride on it
+            reset()
+            t0 = time.perf_counter()
+            force(thunk())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def tbl(sf_dir: str, name: str):
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    # per family: setup(sf_dir, tag) -> (incr_thunk, full_thunk)
+    def fam_cc_update(sf_dir, tag):
+        from bgg_data_warehouse_spark.operators.components import (
+            connected_components_star,
+            incremental_components_update,
+        )
+        from pyspark.sql import Window
+
+        orders = tbl(sf_dir, "orders")
+        w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        edges = store(
+            orders.select(
+                F.col("o_orderkey").alias("src"),
+                F.lead("o_orderkey").over(w).alias("dst"),
+            ).where(F.col("dst").isNotNull()),
+            f"cc_edges_{tag}",
+        )
+        labels = store(
+            connected_components_star(edges, "src", "dst", canonical_edges=True),
+            f"cc_labels_{tag}",
+        )
+        # fixed delta: 100 new edges chaining the 200 smallest node ids
+        ids = [r[0] for r in labels.select("node").orderBy("node").limit(200).collect()]
+        delta = spark.createDataFrame(
+            [(ids[2 * i], ids[2 * i + 1]) for i in range(100)], "src long, dst long"
+        )
+        return (
+            lambda: incremental_components_update(labels, delta, "src", "dst"),
+            lambda: connected_components_star(
+                edges.unionByName(delta), "src", "dst"
+            ),
+        )
+
+    def fam_cc_delete(sf_dir, tag):
+        from bgg_data_warehouse_spark.operators.components import (
+            connected_components_star,
+            incremental_components_delete,
+        )
+        from pyspark.sql import Window
+
+        orders = tbl(sf_dir, "orders")
+        w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        edges = store(
+            orders.select(
+                F.col("o_orderkey").alias("src"),
+                F.lead("o_orderkey").over(w).alias("dst"),
+            ).where(F.col("dst").isNotNull()),
+            f"ccd_edges_{tag}",
+        )
+        labels = store(
+            connected_components_star(edges, "src", "dst", canonical_edges=True),
+            f"ccd_labels_{tag}",
+        )
+        victim = store(edges.orderBy("src", "dst").limit(50), f"ccd_victim_{tag}")
+        survivors = edges.join(victim, ["src", "dst"], "left_anti")
+        return (
+            lambda: incremental_components_delete(
+                labels, edges, victim, "src", "dst"
+            ),
+            lambda: connected_components_star(survivors, "src", "dst"),
+        )
+
+    def fam_postings(sf_dir, tag):
+        from bgg_data_warehouse_spark.operators.inverted_index import (
+            inverted_postings,
+            update_postings,
+        )
+
+        docs = tbl(sf_dir, "documents")
+        base = store(inverted_postings(docs, "doc_id", "text"), f"post_{tag}")
+        delta = store(docs.orderBy("doc_id").limit(50), f"post_delta_{tag}")
+        dels = store(
+            docs.orderBy(F.col("doc_id").desc()).limit(25).select("doc_id"),
+            f"post_dels_{tag}",
+        )
+        return (
+            lambda: update_postings(base, delta, "doc_id", "text", deleted_ids=dels),
+            lambda: inverted_postings(docs, "doc_id", "text"),
+        )
+
+    def fam_minhash(sf_dir, tag):
+        from bgg_data_warehouse_spark.operators.dedup import (
+            incremental_minhash_pairs,
+            minhash_lsh_pairs,
+            minhash_sketch,
+        )
+
+        docs = tbl(sf_dir, "documents")
+        batch_ids = [
+            r[0] for r in docs.select("doc_id").orderBy("doc_id").limit(50).collect()
+        ]
+        batch_docs = store(
+            docs.where(F.col("doc_id").isin(batch_ids)), f"mh_batch_{tag}"
+        )
+        index = store(
+            minhash_sketch(
+                docs.where(~F.col("doc_id").isin(batch_ids)),
+                "doc_id",
+                "text",
+                shingle_k=1,
+                num_hashes=48,
+            ),
+            f"mh_index_{tag}",
+        )
+        return (
+            lambda: incremental_minhash_pairs(
+                index,
+                minhash_sketch(
+                    batch_docs, "doc_id", "text", shingle_k=1, num_hashes=48
+                ),
+                num_hashes=48,
+                bands=2,
+                jaccard_threshold=0.97,
+            ),
+            lambda: minhash_lsh_pairs(
+                docs,
+                "doc_id",
+                "text",
+                shingle_k=1,
+                num_hashes=48,
+                bands=2,
+                jaccard_threshold=0.97,
+            ),
+        )
+
+    def fam_merkle(sf_dir, tag):
+        from bgg_data_warehouse_spark.operators.merkle import (
+            merkle_tree,
+            merkle_update,
+        )
+
+        li = tbl(sf_dir, "lineitem")
+        leaves_df = li.groupBy(
+            F.pmod(F.xxhash64("l_orderkey"), F.lit(256)).alias("bucket")
+        ).agg(
+            F.sum(F.xxhash64("l_orderkey", "l_linenumber")).alias("checksum"),
+            F.count("*").alias("n_rows"),
+        )
+        leaves = store(leaves_df, f"mk_leaves_{tag}")
+        tree = store(merkle_tree(leaves, 256), f"mk_tree_{tag}")
+        new_leaf = store(
+            leaves.where(F.col("bucket") == 3).select(
+                (F.col("checksum") + 1).alias("checksum"), "n_rows"
+            ),
+            f"mk_new_{tag}",
+        )
+        return (
+            lambda: merkle_update(tree, new_leaf, 3, 256),
+            lambda: merkle_tree(leaves_df, 256),
+        )
+
+    def fam_mv(sf_dir, tag):
+        from bgg_data_warehouse_spark.operators.merge import refresh_additive_mv
+
+        orders = tbl(sf_dir, "orders")
+        cust = tbl(sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+        def mv_agg(df):
+            return (
+                df.join(F.broadcast(cust), df["o_custkey"] == cust["c_custkey"])
+                .groupBy(
+                    F.col("c_mktsegment").alias("seg"),
+                    F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+                )
+                .agg(
+                    F.count("*").alias("n_orders"),
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                        "rev_exact"
+                    ),
+                )
+            )
+
+        delta_rows = store(orders.orderBy("o_orderkey").limit(1000), f"mv_delta_{tag}")
+        prior = store(mv_agg(orders), f"mv_prior_{tag}")
+        return (
+            lambda: refresh_additive_mv(
+                prior,
+                mv_agg(delta_rows),
+                keys=["seg", "month"],
+                sum_cols=["n_orders", "rev_exact"],
+            ),
+            lambda: mv_agg(orders),
+        )
+
+    def fam_neighbors(sf_dir, tag):
+        from bgg_data_warehouse_spark.operators.band_join import (
+            banded_cosine_pairs,
+            incremental_neighbors,
+        )
+        from bgg_data_warehouse_spark.operators.latest import topk_per_key
+
+        emb = tbl(sf_dir, "embeddings")
+        delta_ids = [
+            r[0]
+            for r in emb.where(F.col("label") == 9)
+            .select("vec_id")
+            .orderBy("vec_id")
+            .limit(10)
+            .collect()
+        ]
+        base = store(emb.where(~F.col("vec_id").isin(delta_ids)), f"nb_base_{tag}")
+        delta = store(emb.where(F.col("vec_id").isin(delta_ids)), f"nb_delta_{tag}")
+
+        def _topk(corpus):
+            return topk_per_key(
+                banded_cosine_pairs(corpus, "vec_id", "label", "embedding", 1.0),
+                ["s_id"],
+                [F.col("cos").desc(), F.col("t_id").asc()],
+                k=5,
+            ).select(
+                F.col("s_id").alias("query_id"),
+                F.col("t_id").alias("nbr_id"),
+                F.round("cos", 6).alias("cosine_sim"),
+                "rank",
+            )
+
+        stored = store(_topk(base), f"nb_stored_{tag}")
+        return (
+            lambda: incremental_neighbors(
+                stored, base, delta, "vec_id", "label", "embedding", 1.0, 5
+            ),
+            lambda: _topk(emb),
+        )
+
+    families = {
+        "cc_incremental_update": fam_cc_update,
+        "cc_incremental_delete": fam_cc_delete,
+        "inverted_index_incremental": fam_postings,
+        "dedup_minhash_incremental": fam_minhash,
+        "merkle_incremental_update": fam_merkle,
+        "mv_incremental_refresh": fam_mv,
+        "neighbors_incremental": fam_neighbors,
+    }
+
+    out: dict[str, dict] = {}
+    for name, setup in families.items():
+        rows = {}
+        for sf_dir in sf_dirs:
+            tag = os.path.basename(sf_dir)
+            incr, full = setup(sf_dir, tag)
+            force(incr())  # warm both paths + JIT before timing
+            force(full())
+            rows[tag] = {
+                "t_incr": round(timed(incr), 3),
+                "t_full": round(timed(full), 3),
+            }
+        tags = [os.path.basename(d) for d in sf_dirs]
+        lo, hi = rows[tags[0]], rows[tags[-1]]
+        out[name] = {
+            "by_sf": rows,
+            "slope_incr": round(hi["t_incr"] / lo["t_incr"], 2) if lo["t_incr"] else None,
+            "slope_full": round(hi["t_full"] / lo["t_full"], 2) if lo["t_full"] else None,
+            "speedup_at_big": round(hi["t_full"] / hi["t_incr"], 2)
+            if hi["t_incr"]
+            else None,
+        }
+
+    print(
+        json.dumps(
+            {
+                "metric": "incremental_fixed_delta_curve",
+                "sf_dirs": sf_dirs,
+                "delta": "fixed absolute size per family (edges=100, "
+                "deleted_edges=50, docs=50(+25 del), minhash_batch=50, "
+                "merkle_leaf=1, mv_orders=1000, vectors=10)",
+                "timing": "min2_all; stored state read from parquet, "
+                "setup untimed",
+                "families": out,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--skew" in sys.argv:
         skew_main()
+    elif "--incremental" in sys.argv:
+        incremental_main()
     else:
         main()
