@@ -38,6 +38,49 @@ DEFAULT_SUSPECTS = [
 ]
 
 
+def isolate_main() -> None:
+    """One FRESH JVM per measurement (`python bench.py` with
+    SPARK_GRAFT_ONLY=<name>): removes accumulated-heap/JIT state as a
+    variable entirely — the cleanest per-plan cost this host can give.
+    Usage: python tools/bench_tail_ab.py --isolate [sf_dir] [reps=3] [qs]
+    """
+    import subprocess
+
+    args = [a for a in sys.argv[1:] if a != "--isolate"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    reps = int(args[1]) if len(args) > 1 else 3
+    names = args[2].split(",") if len(args) > 2 else DEFAULT_SUSPECTS
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    times: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(reps):
+        for n in names:  # interleaved across JVMs too
+            env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_ONLY=n)
+            r = subprocess.run(
+                [sys.executable, os.path.join(root, "bench.py")],
+                capture_output=True,
+                text=True,
+                env=env,
+                timeout=900,
+            )
+            line = r.stdout.strip().splitlines()[-1]
+            times[n].append(json.loads(line)["queries"][n])
+    print(
+        json.dumps(
+            {
+                "mode": "fresh_jvm_per_measurement",
+                "sf_dir": sf_dir,
+                "reps": reps,
+                "queries": {
+                    n: {"times": ts, "min": min(ts),
+                        "mean": round(sum(ts) / len(ts), 3)}
+                    for n, ts in times.items()
+                },
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
@@ -76,7 +119,11 @@ def main() -> None:
 
     prior: dict[str, dict[str, float]] = {}
     for tag in ("r10", "r11"):
-        path = os.path.join(os.path.dirname(__file__), "..", f"BENCH_{tag}.json")
+        # per-query numbers live in the builder snapshots (BENCH_rN.json
+        # holds only the driver's truncated tail)
+        path = os.path.join(
+            os.path.dirname(__file__), "..", f"BENCH_builder_{tag}.json"
+        )
         try:
             with open(path) as f:
                 prior[tag] = json.load(f).get("queries", {})
@@ -108,4 +155,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--isolate" in sys.argv:
+        isolate_main()
+    else:
+        main()

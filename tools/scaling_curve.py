@@ -534,7 +534,11 @@ def incremental_main() -> None:
         leaves_df = li.groupBy(
             F.pmod(F.xxhash64("l_orderkey"), F.lit(256)).alias("bucket")
         ).agg(
-            F.sum(F.xxhash64("l_orderkey", "l_linenumber")).alias("checksum"),
+            # pmod before sum keeps the ANSI-mode long sum overflow-free
+            # at any row count that fits this harness
+            F.sum(
+                F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(1_000_000_007))
+            ).alias("checksum"),
             F.count("*").alias("n_rows"),
         )
         leaves = store(leaves_df, f"mk_leaves_{tag}")
