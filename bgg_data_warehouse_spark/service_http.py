@@ -1,0 +1,85 @@
+"""Stdlib HTTP shell for the read service — closes the last transport
+gap the routing contract left open.
+
+Reference: `/root/reference/services/warehouse_api/main.py:18-25` mounts
+its routers under FastAPI. ``service.py::handle`` already carries the
+whole ROUTING contract (status mapping, tuning-param validation,
+allow-list 400s) as a pure function; this module is the thin transport
+that serves it over real HTTP using only the standard library — no web
+framework dependency, per the container's no-install rule.
+
+Transport responsibilities only (everything else stays in ``handle``):
+
+- parse method / path / query string (query params arrive as single
+  values; repeated keys keep the FIRST, matching FastAPI's scalar
+  query-param binding);
+- JSON-encode the body, set Content-Type, map the (status, body) pair
+  onto the HTTP response line;
+- ``ThreadingHTTPServer`` so a slow reader call can't head-of-line
+  block health checks.
+
+Scale note: the serving tier is stateless — ``handle`` closes over a
+reader whose point lookups are the partition-pruned single-row reads
+R1-R3 audit; horizontal scale is N copies of this process behind any
+TCP balancer, exactly the reference's Cloud-Run-shaped deployment.
+
+Usage::
+
+    srv = serve(reader, port=0)      # port 0 = ephemeral, for tests
+    ...
+    srv.shutdown()
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlsplit
+
+from .service import handle
+
+
+def _make_handler(reader):
+    class _Handler(BaseHTTPRequestHandler):
+        # the routing contract owns 405 semantics — route every method
+        # through handle() rather than letting BaseHTTPRequestHandler
+        # 501 on verbs it doesn't know
+        def _dispatch(self, method: str) -> None:
+            parts = urlsplit(self.path)
+            params = {
+                k: v[0] for k, v in parse_qs(parts.query).items() if v
+            }
+            status, body = handle(reader, method, parts.path, params)
+            payload = json.dumps(body).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self) -> None:  # noqa: N802 — BaseHTTPRequestHandler API
+            self._dispatch("GET")
+
+        def do_POST(self) -> None:  # noqa: N802
+            self._dispatch("POST")
+
+        def do_PUT(self) -> None:  # noqa: N802
+            self._dispatch("PUT")
+
+        def do_DELETE(self) -> None:  # noqa: N802
+            self._dispatch("DELETE")
+
+        def log_message(self, fmt: str, *args) -> None:
+            pass  # tests and embedded use: no stderr access log
+
+    return _Handler
+
+
+def serve(reader, host: str = "127.0.0.1", port: int = 8080) -> ThreadingHTTPServer:
+    """Start the HTTP shell on a daemon thread and return the server
+    (``.server_address`` has the bound port; ``.shutdown()`` stops it)."""
+    srv = ThreadingHTTPServer((host, port), _make_handler(reader))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv

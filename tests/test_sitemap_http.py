@@ -1,0 +1,170 @@
+"""Round-12 scope-closers: the S3 sitemap id source (engine-side parse /
+type resolution; browser fetch stays out of scope) and the stdlib HTTP
+shell over the service routing contract."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from bgg_data_warehouse_spark.sources.sitemap import (
+    ids_from_sitemap,
+    sitemap_urls_from_index,
+    thing_ids_table,
+)
+
+BASE = "https://boardgamegeek.com"
+
+INDEX = f"""<?xml version="1.0"?>
+<sitemapindex>
+  <sitemap><loc>{BASE}/sitemap_geekitems_boardgameexpansion_1</loc></sitemap>
+  <sitemap><loc>{BASE}/sitemap_geekitems_boardgame_2</loc></sitemap>
+  <sitemap><loc>{BASE}/sitemap_geekitems_boardgame_1</loc></sitemap>
+  <sitemap><loc>{BASE}/sitemap_geekitems_boardgameaccessory_1</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_index_urls_sorted_by_type_then_page():
+    urls = sitemap_urls_from_index(INDEX)
+    assert urls == [
+        f"{BASE}/sitemap_geekitems_boardgame_1",
+        f"{BASE}/sitemap_geekitems_boardgame_2",
+        f"{BASE}/sitemap_geekitems_boardgameexpansion_1",
+        f"{BASE}/sitemap_geekitems_boardgameaccessory_1",
+    ]
+
+
+def test_index_with_no_sitemaps_raises():
+    """A 200 with zero sitemap URLs is a block page, not an empty
+    universe (reference id_fetcher_browser.py:120-125)."""
+    with pytest.raises(ValueError, match="block page"):
+        sitemap_urls_from_index("<html>Just a moment...</html>")
+
+
+def test_ids_from_sitemap_extracts_id_and_type():
+    page = f"""<urlset>
+      <url><loc>{BASE}/boardgame/13</loc></url>
+      <url><loc>{BASE}/boardgameexpansion/926</loc></url>
+      <url><loc>{BASE}/boardgameaccessory/22510</loc></url>
+    </urlset>"""
+    assert ids_from_sitemap(page) == [
+        {"game_id": 13, "type": "boardgame"},
+        {"game_id": 926, "type": "boardgameexpansion"},
+        {"game_id": 22510, "type": "boardgameaccessory"},
+    ]
+
+
+def test_thing_ids_table_last_write_wins_type_resolution(spark):
+    """A game listed both as base game and expansion resolves to the
+    MORE SPECIFIC type, independent of row order — the relational form
+    of the reference's ordered last-write-wins dict
+    (id_fetcher_browser.py:192-235)."""
+    pages = spark.createDataFrame(
+        [
+            (
+                f"{BASE}/sitemap_geekitems_boardgame_1",
+                f"<urlset><url><loc>{BASE}/boardgame/13</loc></url>"
+                f"<url><loc>{BASE}/boardgame/926</loc></url></urlset>",
+            ),
+            (
+                f"{BASE}/sitemap_geekitems_boardgameexpansion_1",
+                f"<urlset><url><loc>{BASE}/boardgameexpansion/926</loc></url>"
+                f"<url><loc>{BASE}/boardgameexpansion/926</loc></url></urlset>",
+            ),
+            (
+                f"{BASE}/sitemap_geekitems_boardgameaccessory_1",
+                f"<urlset><url><loc>{BASE}/boardgameaccessory/500</loc></url></urlset>",
+            ),
+        ],
+        "url string, content string",
+    )
+    got = {
+        r.game_id: r.type for r in thing_ids_table(pages).collect()
+    }
+    assert got == {
+        13: "boardgame",
+        926: "boardgameexpansion",  # expansion overwrites base listing
+        500: "boardgameaccessory",
+    }
+
+
+def test_thing_ids_table_plan_is_udf_free(spark):
+    """The harvest stays in built-in expressions — no Python boundary."""
+    pages = spark.createDataFrame(
+        [("u", f"{BASE}/boardgame/1")], "url string, content string"
+    )
+    plan = thing_ids_table(pages)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan[:2000]
+
+
+class FakeReader:
+    def __init__(self, **returns):
+        self.returns = returns
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        val = self.returns.get(name, None)
+
+        def method(*args, **kwargs):
+            if isinstance(val, Exception):
+                raise val
+            return val
+
+        return method
+
+
+@pytest.fixture()
+def http_srv():
+    from bgg_data_warehouse_spark.service_http import serve
+
+    reader = FakeReader(
+        get_game={"game_id": 13, "name": "Catan"},
+        get_similar=[{"game_id": 21, "score": 0.9}],
+        get_predictions=None,
+    )
+    srv = serve(reader, port=0)
+    yield srv
+    srv.shutdown()
+
+
+def _get(srv, path):
+    host, port = srv.server_address
+    try:
+        with urllib.request.urlopen(f"http://{host}:{port}{path}") as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_health_and_game(http_srv):
+    assert _get(http_srv, "/health") == (200, {"status": "ok"})
+    status, body = _get(http_srv, "/games/13")
+    assert status == 200 and body["name"] == "Catan"
+
+
+def test_http_404_null_and_400_mapping(http_srv):
+    assert _get(http_srv, "/unknown")[0] == 404
+    # optional block absent -> 200 with JSON null body
+    assert _get(http_srv, "/games/7/predictions") == (200, None)
+    # malformed tuning param -> 400 through the query-string layer
+    status, body = _get(http_srv, "/games/13/similar?n=abc")
+    assert status == 400 and "malformed" in body["detail"]
+
+
+def test_http_tuning_param_passthrough_and_405(http_srv):
+    status, body = _get(http_srv, "/games/13/similar?n=5")
+    assert status == 200 and body == [{"game_id": 21, "score": 0.9}]
+    # non-GET routes through handle()'s 405, not the socket layer
+    host, port = http_srv.server_address
+    req = urllib.request.Request(
+        f"http://{host}:{port}/games/13", method="POST", data=b"{}"
+    )
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected 405")
+    except urllib.error.HTTPError as e:
+        assert e.code == 405
