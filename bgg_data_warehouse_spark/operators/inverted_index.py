@@ -7,10 +7,13 @@ corpus).
 
 ``inverted_postings`` is the RELATIONAL index — (tok, doc, tf) — which
 is the form that actually ships at 100 TB: written bucketed by ``tok``
-(io.py bucketed tables), a term lookup is a pruned scan and a
-term-AND is an exchange-free co-located join; a hot stopword's posting
-list is millions of ROWS, which Spark spreads across tasks, not a
-single giant array cell. ``index_summary`` collapses it to one row per
+(io.py bucketed tables), a term lookup is a BUCKET-PRUNED scan
+(equality/IN on the bucket column opens 1-of-N bucket files —
+plan-audited via SelectedBucketsCount in tests/test_plan_audit.py),
+and a term-AND then joins only the already-pruned posting lists on
+``doc`` — the exchange it pays is posting-list-sized, never
+index-sized; a hot stopword's posting list is millions of ROWS, which
+Spark spreads across tasks, not a single giant array cell. ``index_summary`` collapses it to one row per
 term (df, cf, position-sorted postings rendered as JSON) — the compact
 artifact shape for small vocabularies and the graded rendering.
 """
@@ -49,8 +52,18 @@ def index_summary(postings: DataFrame) -> DataFrame:
 
 
 def term_lookup(postings: DataFrame, terms: list[str]) -> DataFrame:
-    """Serve path: posting rows for a term set — a pruned scan when the
-    postings table is bucketed/partitioned by ``tok``."""
+    """Serve path: posting rows for a term set — a BUCKET-PRUNED scan
+    when the postings table is stored bucketed by ``tok``
+    (io.write_bucketed_table): the IN-predicate selects only the
+    matching bucket file groups (SelectedBucketsCount in the plan).
+
+    Operational note, pinned by the plan audit: Spark's
+    DisableUnnecessaryBucketedScan rule turns the bucketed scan off for
+    scan-only plans (nothing downstream consumes the distribution),
+    which ALSO forfeits bucket pruning — a serving tier doing point
+    term lookups should run with
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` so
+    the 1-of-N file-group read survives."""
     return postings.where(F.col("tok").isin(*terms))
 
 

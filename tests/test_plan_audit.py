@@ -964,6 +964,61 @@ def test_inverted_index_update_tombstones_map_side(spark):
     assert all("BroadcastHashJoin" in l for l in anti), anti
 
 
+def test_term_lookup_bucket_prunes_on_stored_postings(spark, tmp_path):
+    """The serve-path claim in operators/inverted_index.py: postings
+    stored bucketed by tok make a term lookup a BUCKET-PRUNED scan —
+    the equality/IN predicate selects 1-of-N bucket file groups
+    (SelectedBucketsCount) instead of scanning the index, and the
+    term-AND that follows joins only the pruned posting lists."""
+    from pyspark.sql import functions as F
+
+    from bgg_data_warehouse_spark import io
+    from bgg_data_warehouse_spark.operators.inverted_index import (
+        inverted_postings,
+        term_lookup,
+    )
+    from bgg_data_warehouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    postings = inverted_postings(docs, "doc_id", "text")
+    qualified = io.write_bucketed_table(
+        postings, str(tmp_path), "postings_b", buckets=8, key_cols=["tok"]
+    )
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try:
+        # the planner's DisableUnnecessaryBucketedScan rule turns the
+        # bucketed scan OFF for scan-only plans (no join/agg consumes
+        # the distribution), which also forfeits bucket PRUNING — a
+        # point term lookup must pin the bucketed scan on to get its
+        # 1-of-N file-group read (documented in term_lookup)
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        stored = spark.table(qualified)
+        hit = term_lookup(stored, ["spark"])
+        assert hit.count() > 0  # the term exists — pruning isn't vacuous
+        plan = executed_plan(hit)
+        m = [l for l in plan.splitlines() if "SelectedBucketsCount" in l]
+        assert m, plan[:2500]
+        import re as _re
+
+        sel, total = map(
+            int, _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", m[0]).groups()
+        )
+        assert sel < total, m[0]
+        # term-AND over two pruned lists: both scans pruned
+        a = term_lookup(stored, ["spark"]).select(F.col("doc"))
+        b = term_lookup(stored, ["join"]).select(F.col("doc"))
+        both = a.join(b, "doc")
+        plan2 = executed_plan(both)
+        assert plan2.count("SelectedBucketsCount") == 2, plan2[:2500]
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
+        )
+        spark.sql("DROP TABLE IF EXISTS bucketed.postings_b")
+
+
 def test_minhash_index_maintenance_map_side_band_bucket_only(spark):
     """dedup_minhash_delete's maintenance passes (tombstone over the
     stored sketch index + deletion-precedence filter on the delta) must
