@@ -1,0 +1,190 @@
+"""Streaming search-index maintenance — the Structured Streaming face
+of the incremental index family (operators/inverted_index.py
+``update_postings``, operators/dedup.py ``update_minhash_index``),
+completing it the way streaming/cdc.py completes
+``operators/merge.apply_changelog``.
+
+A document change stream (full-text images with an op column, 'U'
+re-ingest / 'D' delete, plus a globally-monotone sequence — the same
+Debezium-shaped contract the CDC consumer takes) keeps the STORED
+postings table and/or MinHash sketch index fresh per micro-batch:
+each epoch LWW-collapses to one surviving op per doc, the surviving
+re-ingests replace their index rows, the surviving deletes tombstone,
+and the updated index lands through the S9 staging + atomic-swap
+discipline so term lookups never observe a half-applied epoch.
+
+Within-batch semantics: a doc may appear many times per epoch (rapid
+re-edits, delete-then-recreate); ``seq_cols`` orders them and the
+NEWEST image wins — so a doc deleted at seq 5 and re-ingested at seq 7
+inside one batch ends up indexed, while one re-ingested then deleted
+ends up absent. This is the log-ordered refinement of the batch
+maintainers' static deletion-precedence rule (there, delta and
+tombstone sets are unordered inputs, so delete must win; here the log
+supplies the order the batch API lacks).
+
+Exactly-once: identical argument to streaming/cdc.py — foreachBatch
+replays at most the last uncommitted epoch; re-applying the same epoch
+replaces the same docs with the same tokenizations and re-deletes
+already-absent docs (both idempotent, pinned by test); a crash inside
+the swap heals via io.recover_table before the existence check.
+
+Scale shape per epoch: one delta-sized LWW window, one delta-sized
+tokenize/sketch aggregate, one broadcast map-side anti over the stored
+index, one staged rewrite. Only the rewrite is index-sized — the same
+honest floor as the CDC snapshot (log-structured delta files +
+compaction when that dominates); everything upstream of it is
+delta-bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import (
+    read_table,
+    recover_table,
+    rewrite_table,
+    table_exists,
+    write_table,
+)
+
+
+def _lww_split(
+    batch_df: DataFrame,
+    id_col: str,
+    seq_cols: Sequence[str],
+    op_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(surviving 'U' rows, surviving 'D' ids): newest image per doc."""
+    w = Window.partitionBy(id_col).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    latest = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        latest.where(F.col(op_col) == "U"),
+        latest.where(F.col(op_col) == "D").select(id_col),
+    )
+
+
+def apply_postings_batch(
+    batch_df: DataFrame,
+    root: str,
+    name: str,
+    *,
+    id_col: str,
+    text_col: str,
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+) -> None:
+    """Apply ONE epoch of document changes to the stored postings
+    table. Exposed separately from the stream wiring (like
+    cdc.apply_cdc_batch) so replay behavior is directly testable and a
+    backfill can drive the same path batch-by-batch."""
+    from ..operators.inverted_index import inverted_postings, update_postings
+
+    recover_table(root, name)
+    if not batch_df.take(1):
+        return
+    spark = batch_df.sparkSession
+    delta, deleted = _lww_split(batch_df, id_col, seq_cols, op_col)
+    delta = delta.select(id_col, text_col)
+    if table_exists(root, name):
+        base = read_table(spark, root, name)
+        rewrite_table(
+            update_postings(
+                base, delta, id_col, text_col, deleted_ids=deleted
+            ),
+            root,
+            name,
+        )
+    else:
+        # first epoch: the index is exactly the surviving re-ingests'
+        # postings (surviving deletes have nothing to remove)
+        write_table(inverted_postings(delta, id_col, text_col), root, name)
+
+
+def apply_minhash_batch(
+    batch_df: DataFrame,
+    root: str,
+    name: str,
+    *,
+    id_col: str,
+    text_col: str,
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    verify_tokens: bool = False,
+) -> None:
+    """Same epoch contract for the MinHash sketch index — the dedup
+    index stays fresh as documents arrive, so each epoch can be
+    near-dup-checked against the live corpus
+    (operators/dedup.incremental_minhash_pairs) without re-sketching."""
+    from ..operators.dedup import minhash_sketch, update_minhash_index
+
+    conf = dict(
+        shingle_k=shingle_k, num_hashes=num_hashes, verify_tokens=verify_tokens
+    )
+    recover_table(root, name)
+    if not batch_df.take(1):
+        return
+    spark = batch_df.sparkSession
+    delta, deleted = _lww_split(batch_df, id_col, seq_cols, op_col)
+    delta = delta.select(id_col, text_col)
+    if table_exists(root, name):
+        base = read_table(spark, root, name)
+        rewrite_table(
+            update_minhash_index(
+                base, delta, id_col, text_col, deleted_ids=deleted, **conf
+            ),
+            root,
+            name,
+        )
+    else:
+        write_table(minhash_sketch(delta, id_col, text_col, **conf), root, name)
+
+
+def start_streaming_index(
+    stream: DataFrame,
+    root: str,
+    name: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str,
+    text_col: str,
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+):
+    """Consume a document change stream into a stored postings table;
+    returns the StreamingQuery. ``stream`` must carry ``id_col``,
+    ``text_col``, ``seq_cols`` (a total order over the log) and
+    ``op_col`` in {'U','D'}."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_postings_batch(
+            batch_df,
+            root,
+            name,
+            id_col=id_col,
+            text_col=text_col,
+            seq_cols=seq_cols,
+            op_col=op_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_index(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """The current stored index."""
+    return read_table(spark, root, name)
