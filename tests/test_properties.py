@@ -1004,3 +1004,106 @@ def test_incremental_cc_delete_equals_full_recompute(spark, edges, mask):
         ).collect()
     }
     assert got == set(_cc_py(remaining).items())
+
+
+# ---------------------------------------------------------------------------
+# Round 12: index-maintenance algebra — update == rebuild for ANY corpus,
+# delta, and tombstone set (the gates pin one fixture; these pin the law)
+# ---------------------------------------------------------------------------
+
+_docs_strategy = st.dictionaries(
+    st.integers(min_value=0, max_value=15),  # doc id
+    st.text(alphabet="ab c", min_size=0, max_size=12),  # tiny texts, spaces
+    max_size=10,
+)
+
+
+@given(
+    base=_docs_strategy,
+    fresh=_docs_strategy,
+    deleted=st.sets(st.integers(min_value=0, max_value=15), max_size=6),
+)
+@settings(**SETTINGS)
+def test_update_postings_equals_rebuild_any_input(spark, base, fresh, deleted):
+    """update_postings(stored postings of base, fresh, deleted) must
+    equal inverted_postings of the post-update corpus — (base minus
+    re-ingested/deleted) plus surviving fresh — for ANY overlap between
+    the three sets, including docs both re-ingested and deleted
+    (deletion wins)."""
+    from bgg_data_warehouse_spark.operators.inverted_index import (
+        inverted_postings,
+        update_postings,
+    )
+
+    schema = "doc_id long, text string"
+    base_df = spark.createDataFrame(sorted(base.items()) or [], schema)
+    fresh_df = spark.createDataFrame(sorted(fresh.items()) or [], schema)
+    del_df = spark.createDataFrame([(d,) for d in sorted(deleted)] or [], "doc_id long")
+
+    merged = update_postings(
+        inverted_postings(base_df, "doc_id", "text"),
+        fresh_df,
+        "doc_id",
+        "text",
+        deleted_ids=del_df,
+    )
+    want_corpus = dict(base)
+    want_corpus.update(fresh)
+    for d in set(fresh) | deleted:
+        if d in deleted:
+            want_corpus.pop(d, None)
+    want_df = spark.createDataFrame(sorted(want_corpus.items()) or [], schema)
+    got = {(r.tok, r.doc, r.tf) for r in merged.collect()}
+    want = {
+        (r.tok, r.doc, r.tf)
+        for r in inverted_postings(want_df, "doc_id", "text").collect()
+    }
+    assert got == want
+
+
+@given(
+    base=_docs_strategy,
+    fresh=_docs_strategy,
+    deleted=st.sets(st.integers(min_value=0, max_value=15), max_size=6),
+)
+@settings(**SETTINGS)
+def test_update_minhash_index_equals_rebuild_any_input(
+    spark, base, fresh, deleted
+):
+    """Same law for the sketch index: the maintained (doc, shingles,
+    sig) rows must equal a fresh minhash_sketch of the post-update
+    corpus (docs with no tokens legitimately have no sketch row)."""
+    from bgg_data_warehouse_spark.operators.dedup import (
+        minhash_sketch,
+        update_minhash_index,
+    )
+
+    conf = dict(shingle_k=1, num_hashes=4)
+    schema = "doc_id long, text string"
+    base_df = spark.createDataFrame(sorted(base.items()) or [], schema)
+    fresh_df = spark.createDataFrame(sorted(fresh.items()) or [], schema)
+    del_df = spark.createDataFrame([(d,) for d in sorted(deleted)] or [], "doc_id long")
+
+    maintained = update_minhash_index(
+        minhash_sketch(base_df, "doc_id", "text", **conf),
+        fresh_df,
+        "doc_id",
+        "text",
+        deleted_ids=del_df,
+        **conf,
+    )
+    want_corpus = dict(base)
+    want_corpus.update(fresh)
+    for d in set(fresh) | deleted:
+        if d in deleted:
+            want_corpus.pop(d, None)
+    want_df = spark.createDataFrame(sorted(want_corpus.items()) or [], schema)
+
+    def canon(df):
+        return {
+            (r.doc, frozenset(r.shingles), tuple(r.sig)) for r in df.collect()
+        }
+
+    assert canon(maintained) == canon(
+        minhash_sketch(want_df, "doc_id", "text", **conf)
+    )
