@@ -171,56 +171,88 @@ def incremental_neighbors(
     vec_col: str,
     band: float,
     k: int,
+    *,
+    deleted_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental refresh of a precomputed k-NN neighbors table (r11
     VERDICT #5 — the serving-layer twin of
-    ``operators.components.incremental_components_update``; the
-    reference instead rebuilds its neighbors table fully,
+    ``operators.components.incremental_components_update`` and the
+    index maintainers' upsert/delete contract; the reference instead
+    rebuilds its neighbors table fully,
     `/root/reference/definitions/game_neighbors.sqlx:16`, 13.1 s for
     17,258 games per BASELINE.md).
 
     ``stored`` is the (query_id, nbr_id, cosine_sim, rank) table built
-    from ``base``; ``delta`` is the arriving batch of vectors (new ids —
-    the watermark-scoped arrivals). A base query's top-k can only change
-    if a delta vector enters its candidate band, so:
+    from ``base``; ``delta`` is the arriving vector batch as UPSERTS —
+    new ids appear, existing ids REPLACE their base vector (a
+    re-embedded document, possibly in a different band); ``deleted_ids``
+    tombstones vectors, and DELETION WINS on conflict, matching
+    ``update_postings``/``update_minhash_index``. A base query's top-k
+    can only change if a touched vector enters OR LEAVES its candidate
+    band, so:
 
-    1. affected scoping (J6): delta band-bucket ids (own ±1, the exact
-       cover of |Δband| <= band) are distinct-collected into a
-       delta-bounded frame and BROADCAST; base rows semi-join on their
-       bucket — one map-side pass over the corpus, no shuffle;
-    2. re-rank (J7): probe = affected ∪ delta re-enters the banded
-       cogroup matmul ASYMMETRICALLY against the full corpus build side
-       (``banded_cosine_pairs(probe_df=...)``) — unchanged queries'
-       vectors are never probed, pinned by
+    1. affected scoping (J6): band-bucket ids (own ±1, the exact cover
+       of |Δband| <= band) of BOTH the touched vectors' OLD positions
+       (their base rows — a vanished or moved neighbor can demote out
+       of a stored top-k) and the upserts' NEW positions are
+       distinct-collected into a delta-bounded frame and BROADCAST;
+       surviving base rows semi-join on their bucket — one map-side
+       pass over the corpus, no shuffle;
+    2. re-rank (J7): probe = affected ∪ upserts re-enters the banded
+       cogroup matmul ASYMMETRICALLY against the post-update corpus
+       build side (``banded_cosine_pairs(probe_df=...)``) — untouched
+       queries' vectors are never probed, pinned by
        tests/test_plan_audit.py::test_neighbors_incremental_*;
     3. pass-through: stored rows of unaffected queries are kept via one
-       broadcast LEFT-ANTI on the affected-query-id set — never
-       recomputed, never shuffled.
+       broadcast LEFT-ANTI over (probed ids ∪ removed ids) — never
+       recomputed, never shuffled. Correctness of the pass-through: if
+       a touched vector sat in a stored top-k of query q, then q was
+       within band of its OLD position, so q is in the affected set by
+       step 1 — no stale neighbor can survive.
 
     Returns the refreshed neighbors table — hash-gated equal to a full
-    rebuild on base ∪ delta by the ``neighbors_incremental`` gate.
+    rebuild on the post-update corpus by the ``neighbors_incremental``
+    gate (adds + re-embeds + deletes in one batch), and law-tested for
+    arbitrary upsert/delete overlap in tests/test_properties.py.
 
     Scale shape: cost is (one broadcast semi over the corpus) + (band
-    join sized by the delta's bucket coverage) + (broadcast anti over
-    the stored table). When a delta's buckets cover the whole band
-    space the probe degrades to the full corpus — as it must, since
-    every query is then genuinely affected; the win is the common case
-    where arrivals cluster in few bands.
+    join sized by the touched buckets' population) + (broadcast anti
+    over the stored table). When the touched buckets cover the whole
+    band space the probe degrades to the full corpus — as it must,
+    since every query is then genuinely affected; the win is the
+    common case where arrivals cluster in few bands.
     """
     from .latest import topk_per_key
 
-    corpus = base.unionByName(delta)
+    delta_ids = delta.select(id_col).distinct()
+    removed = delta_ids
+    if deleted_ids is not None:
+        tomb = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias(id_col)
+        ).distinct()
+        removed = removed.unionByName(tomb)
+        # deletion precedence: an id both upserted and deleted ends absent
+        delta = delta.join(F.broadcast(tomb), id_col, "left_anti")
+    removed = removed.distinct()
+    base_kept = base.join(F.broadcast(removed), id_col, "left_anti")
+    corpus = base_kept.unionByName(delta)
+
     bucket = F.floor(F.col(band_col) / F.lit(band)).cast("long")
-    delta_buckets = (
-        delta.select(
+    # old positions of every touched id (re-embeds + deletes) + new
+    # positions of the surviving upserts
+    touched_positions = base.join(
+        F.broadcast(removed), id_col, "left_semi"
+    ).select(band_col).unionByName(delta.select(band_col))
+    touched_buckets = (
+        touched_positions.select(
             F.explode(
                 F.array(bucket - 1, bucket, bucket + 1)
             ).alias("_bkt")
         )
         .distinct()
     )
-    affected = base.withColumn("_bkt", bucket).join(
-        F.broadcast(delta_buckets), "_bkt", "left_semi"
+    affected = base_kept.withColumn("_bkt", bucket).join(
+        F.broadcast(touched_buckets), "_bkt", "left_semi"
     ).drop("_bkt")
     probe = affected.unionByName(delta)
 
@@ -237,7 +269,9 @@ def incremental_neighbors(
     )
     kept = stored.join(
         F.broadcast(
-            probe.select(F.col(id_col).alias("query_id")).distinct()
+            probe.select(F.col(id_col).alias("query_id"))
+            .unionByName(removed.select(F.col(id_col).alias("query_id")))
+            .distinct()
         ),
         "query_id",
         "left_anti",

@@ -876,10 +876,17 @@ def band_self_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "neighbors_incremental",
     oracle=f"""
-    WITH pairs AS (
+    WITH corpus AS (
+      SELECT vec_id, label,
+             CASE WHEN label = 8 AND vec_id % 7 = 0
+                  THEN list_reverse(embedding) ELSE embedding
+             END AS embedding
+      FROM embeddings
+      WHERE NOT (label = 7 AND vec_id % 9 = 0)
+    ), pairs AS (
       SELECT s.vec_id AS query_id, t.vec_id AS nbr_id,
              {_DUCK_COS.format(a='s.embedding', b='t.embedding')} AS cos
-      FROM embeddings s JOIN embeddings t
+      FROM corpus s JOIN corpus t
         ON t.vec_id <> s.vec_id
        AND t.label BETWEEN s.label - 1 AND s.label + 1
     ), ranked AS (
@@ -896,26 +903,38 @@ def neighbors_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental refresh of the precomputed neighbors table (r11
     VERDICT #5 — operators/band_join.py::incremental_neighbors,
     composing the green J6 semi-scoping + J7 band join + I1 watermark
-    pieces; the reference rebuilds its neighbors table FULLY on every
-    run, definitions/game_neighbors.sqlx:16, 13.1 s / 17,258 games).
+    pieces under the maintenance family's upsert/delete contract; the
+    reference rebuilds its neighbors table FULLY on every run,
+    definitions/game_neighbors.sqlx:16, 13.1 s / 17,258 games).
     Fixture: the stored table is the band_self_join_knn result on the
-    base corpus (everything except the arriving batch — label == 9,
-    vec_id % 5 == 0, standing in for the watermark-scoped arrivals);
-    the refresh then (1) broadcast-semi-joins base vectors onto the
-    delta's band buckets (only labels 8-9 are affected at band 1.0),
-    (2) re-ranks affected ∪ delta queries ASYMMETRICALLY against the
-    full corpus through the banded cogroup matmul — unchanged queries'
-    vectors never enter the probe side (plan-audited), and (3) passes
-    unaffected stored rows through a broadcast anti-join untouched. The
-    oracle is the full rebuild on the whole corpus, so a query the
-    scoping wrongly skipped, a stale stored row the anti-join wrongly
-    kept, or any rank drift in the recomputed slice hash-mismatches."""
+    base corpus; one arriving batch then carries all three change
+    kinds — ADDS (label == 9, vec_id % 5 == 0, absent from base),
+    RE-EMBEDS (label == 8, vec_id % 7 == 0 arrive with reversed
+    embeddings — a re-encoded document), and DELETES (label == 7,
+    vec_id % 9 == 0 tombstoned). The refresh (1) broadcast-semi-joins
+    surviving base vectors onto the touched band buckets — old AND new
+    positions, so a vanished or moved neighbor can demote out of a
+    stored top-k (labels 6-9 are affected at band 1.0; labels <= 5
+    pass through), (2) re-ranks affected ∪ upserts ASYMMETRICALLY
+    against the post-update corpus through the banded cogroup matmul —
+    untouched queries' vectors never enter the probe side
+    (plan-audited), and (3) keeps unaffected stored rows via one
+    broadcast anti over probed ∪ removed ids. The oracle is the full
+    rebuild on the post-update corpus, so a query the scoping wrongly
+    skipped, a stale neighbor the anti-join wrongly kept, a surviving
+    tombstoned row, or any rank drift hash-mismatches."""
     from .operators.band_join import banded_cosine_pairs, incremental_neighbors
     from .operators.latest import topk_per_key
 
     emb = load_table(spark, sf_dir, "embeddings")
-    is_delta = (F.col("label") == 9) & (F.col("vec_id") % 5 == 0)
-    base, delta = emb.where(~is_delta), emb.where(is_delta)
+    is_add = (F.col("label") == 9) & (F.col("vec_id") % 5 == 0)
+    is_chg = (F.col("label") == 8) & (F.col("vec_id") % 7 == 0)
+    is_del = (F.col("label") == 7) & (F.col("vec_id") % 9 == 0)
+    base = emb.where(~is_add)  # re-embeds/deletes exist in base (old rows)
+    delta = emb.where(is_add).unionByName(
+        emb.where(is_chg).withColumn("embedding", F.reverse("embedding"))
+    )
+    deleted = emb.where(is_del).select("vec_id")
     # fixture: the stored neighbors table, as band_self_join_knn built it
     stored = topk_per_key(
         banded_cosine_pairs(base, "vec_id", "label", "embedding", 1.0),
@@ -929,7 +948,8 @@ def neighbors_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
     )
     return incremental_neighbors(
-        stored, base, delta, "vec_id", "label", "embedding", 1.0, 5
+        stored, base, delta, "vec_id", "label", "embedding", 1.0, 5,
+        deleted_ids=deleted,
     )
 
 

@@ -1107,3 +1107,93 @@ def test_update_minhash_index_equals_rebuild_any_input(
     assert canon(maintained) == canon(
         minhash_sketch(want_df, "doc_id", "text", **conf)
     )
+
+
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=12),
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # band label
+            st.lists(st.integers(min_value=-3, max_value=3), min_size=2, max_size=2),
+        ),
+        max_size=8,
+    ),
+    ups=st.dictionaries(
+        st.integers(min_value=0, max_value=12),
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.lists(st.integers(min_value=-3, max_value=3), min_size=2, max_size=2),
+        ),
+        max_size=5,
+    ),
+    deleted=st.sets(st.integers(min_value=0, max_value=12), max_size=4),
+)
+@settings(**SETTINGS)
+def test_incremental_neighbors_equals_rebuild_any_input(
+    spark, base, ups, deleted
+):
+    """incremental_neighbors(stored, base, upserts, deleted) must equal
+    a full rebuild on the post-update corpus for ANY overlap — new ids,
+    re-embedded ids (possibly moving bands), deletes, and ids both
+    upserted and deleted (deletion wins). Zero vectors are excluded
+    (cosine undefined)."""
+    from bgg_data_warehouse_spark.operators.band_join import (
+        banded_cosine_pairs,
+        incremental_neighbors,
+    )
+    from bgg_data_warehouse_spark.operators.latest import topk_per_key
+
+    def ok(v):
+        return any(x != 0 for x in v[1])
+
+    base = {i: v for i, v in base.items() if ok(v)}
+    ups = {i: v for i, v in ups.items() if ok(v)}
+
+    schema = "vec_id long, label double, vec array<double>"
+
+    def mk(d):
+        rows = [
+            (i, float(lab), [float(x) for x in v]) for i, (lab, v) in sorted(d.items())
+        ]
+        return spark.createDataFrame(rows or [], schema)
+
+    def _topk(corpus):
+        return topk_per_key(
+            banded_cosine_pairs(corpus, "vec_id", "label", "vec", 1.0),
+            ["s_id"],
+            [F.col("cos").desc(), F.col("t_id").asc()],
+            k=3,
+        ).select(
+            F.col("s_id").alias("query_id"),
+            F.col("t_id").alias("nbr_id"),
+            F.round("cos", 6).alias("cosine_sim"),
+            "rank",
+        )
+
+    base_df = mk(base)
+    stored = _topk(base_df).localCheckpoint(eager=True)
+    got = {
+        (r.query_id, r.nbr_id, r.cosine_sim, r.rank)
+        for r in incremental_neighbors(
+            stored,
+            base_df,
+            mk(ups),
+            "vec_id",
+            "label",
+            "vec",
+            1.0,
+            3,
+            deleted_ids=spark.createDataFrame(
+                [(d,) for d in sorted(deleted)] or [], "vec_id long"
+            ),
+        ).collect()
+    }
+    final = dict(base)
+    final.update(ups)
+    for d in deleted:
+        final.pop(d, None)
+    want = {
+        (r.query_id, r.nbr_id, r.cosine_sim, r.rank)
+        for r in _topk(mk(final)).collect()
+    }
+    assert got == want
