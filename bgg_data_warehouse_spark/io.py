@@ -538,6 +538,7 @@ def maintain_neighbors_table(
     *,
     band: float,
     k: int,
+    deleted_ids: DataFrame | None = None,
 ) -> int:
     """Stored-table wrapper for the incremental k-NN refresh (r11
     VERDICT #5): read the precomputed neighbors table, absorb the
@@ -546,12 +547,15 @@ def maintain_neighbors_table(
     unaffected rows passed through), and atomically swap — same
     staging/recovery contract as :func:`maintain_components_table`.
     ``base`` is the corpus the stored table was built from; ``delta``
-    the new vectors. Returns the refreshed row count."""
+    the vector upserts (new or re-embedded ids); ``deleted_ids``
+    tombstones, deletion winning on conflict. Returns the refreshed
+    row count."""
     from .operators.band_join import incremental_neighbors
 
     stored = read_table(spark, root, neighbors_name)
     updated = incremental_neighbors(
-        stored, base, delta, id_col, band_col, vec_col, band, k
+        stored, base, delta, id_col, band_col, vec_col, band, k,
+        deleted_ids=deleted_ids,
     )
     updated = updated.localCheckpoint(eager=True)
     _rewrite(updated, root, neighbors_name)
