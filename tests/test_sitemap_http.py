@@ -168,3 +168,42 @@ def test_http_tuning_param_passthrough_and_405(http_srv):
         raise AssertionError("expected 405")
     except urllib.error.HTTPError as e:
         assert e.code == 405
+
+
+def test_sitemap_feeds_tracking_cold_start(spark):
+    """Cold-start integration: the sitemap harvest IS the `thing_ids`
+    table the work-queue consumes (reference: fetch_all_ids seeds
+    thing_ids, response_fetcher drains it) — with nothing fetched yet,
+    every harvested id is pending work."""
+    from datetime import datetime, timezone
+
+    from bgg_data_warehouse_spark.streaming import tracking
+
+    pages = spark.createDataFrame(
+        [
+            (
+                f"{BASE}/sitemap_geekitems_boardgame_1",
+                f"<urlset><url><loc>{BASE}/boardgame/13</loc></url>"
+                f"<url><loc>{BASE}/boardgame/174430</loc></url></urlset>",
+            ),
+            (
+                f"{BASE}/sitemap_geekitems_boardgameexpansion_1",
+                f"<urlset><url><loc>{BASE}/boardgameexpansion/926</loc></url></urlset>",
+            ),
+        ],
+        "url string, content string",
+    )
+    thing_ids = thing_ids_table(pages)
+    empty_fetched = spark.createDataFrame(
+        [], "game_id long, fetch_status string, fetch_timestamp timestamp"
+    )
+    empty_leases = spark.createDataFrame(
+        [], "game_id long, fetch_start_timestamp timestamp"
+    )
+    pending = tracking.unfetched_ids(
+        thing_ids,
+        empty_fetched,
+        empty_leases,
+        now=datetime(2026, 1, 1, tzinfo=timezone.utc),
+    )
+    assert {r.game_id for r in pending.collect()} == {13, 926, 174430}
