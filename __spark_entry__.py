@@ -3,8 +3,10 @@
 ``entry(spark)`` runs the flagship latest-snapshot query (the reference's
 core W1 pattern — games_active) at sf0.001. ``queries()`` exposes every
 implemented operator from SURVEY.md §2 plus the LLM-pipeline extensions;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for everything
-ANSI-expressible (sketch/ANN ops are rows-only by design).
+``oracle_sql()`` covers ALL of them — exact gates replay the semantics
+in ANSI SQL, and the sketch/ANN gates carry bounded-assert oracles
+(recall floors / error contracts vs an SQL-replayed exact side), so
+nothing in the registry is rows-only.
 """
 
 from __future__ import annotations
