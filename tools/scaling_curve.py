@@ -524,6 +524,30 @@ def incremental_main() -> None:
             ),
         )
 
+    def fam_minhash_delete(sf_dir, tag):
+        from bgg_data_warehouse_spark.operators.dedup import (
+            minhash_sketch,
+            update_minhash_index,
+        )
+
+        docs = tbl(sf_dir, "documents")
+        conf = dict(shingle_k=1, num_hashes=48)
+        index = store(
+            minhash_sketch(docs, "doc_id", "text", **conf), f"mhd_index_{tag}"
+        )
+        delta = store(docs.orderBy("doc_id").limit(50), f"mhd_delta_{tag}")
+        dels = store(
+            docs.orderBy(F.col("doc_id").desc()).limit(25).select("doc_id"),
+            f"mhd_dels_{tag}",
+        )
+        final = docs.join(dels, "doc_id", "left_anti")
+        return (
+            lambda: update_minhash_index(
+                index, delta, "doc_id", "text", deleted_ids=dels, **conf
+            ),
+            lambda: minhash_sketch(final, "doc_id", "text", **conf),
+        )
+
     def fam_merkle(sf_dir, tag):
         from bgg_data_warehouse_spark.operators.merkle import (
             merkle_tree,
@@ -632,6 +656,7 @@ def incremental_main() -> None:
         "cc_incremental_delete": fam_cc_delete,
         "inverted_index_incremental": fam_postings,
         "dedup_minhash_incremental": fam_minhash,
+        "dedup_minhash_delete": fam_minhash_delete,
         "merkle_incremental_update": fam_merkle,
         "mv_incremental_refresh": fam_mv,
         "neighbors_incremental": fam_neighbors,
@@ -667,7 +692,8 @@ def incremental_main() -> None:
                 "sf_dirs": sf_dirs,
                 "delta": "fixed absolute size per family (edges=100, "
                 "deleted_edges=50, docs=50(+25 del), minhash_batch=50, "
-                "merkle_leaf=1, mv_orders=1000, vectors=10)",
+                "minhash_delete=50(+25 del), merkle_leaf=1, mv_orders=1000, "
+                "vectors=10)",
                 "timing": "min2_all; stored state read from parquet, "
                 "setup untimed",
                 "families": out,
