@@ -100,14 +100,14 @@ def thing_ids_table(pages: DataFrame, content_col: str = "content") -> DataFrame
     work; the only exchange is the per-id aggregate on a long key.
     """
     entries = pages.select(
-        F.posexplode(
+        F.explode(
             F.regexp_extract_all(
                 F.col(content_col),
                 F.lit(r"https://boardgamegeek\.com/boardgame"
                       r"(expansion|accessory|)/(\d+)"),
                 0,
             )
-        ).alias("_pos", "_url")
+        ).alias("_url")
     ).select(
         F.regexp_extract("_url", r"/boardgame(?:expansion|accessory)?/(\d+)", 1)
         .cast("long")
