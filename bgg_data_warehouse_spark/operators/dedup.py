@@ -293,6 +293,12 @@ def update_minhash_index(
     LEFT-ANTIs — no shuffle of corpus sketch rows, and a stored index
     bucketed by ``doc`` keeps its layout for untouched rows. The fresh
     sketches are one delta-sized shingle aggregate appended behind it.
+
+    Contract: ``delta_docs`` carries ONE row per re-ingested id (the
+    sketch aggregate groups by doc, so two text versions of one id
+    would blend into a single nonsense sketch). An ordered feed
+    collapses to the newest image first —
+    ``streaming/index_maintenance.py`` does exactly that per epoch.
     """
     removed = delta_docs.select(F.col(id_col).alias("doc"))
     fresh = minhash_sketch(

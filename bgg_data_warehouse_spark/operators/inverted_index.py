@@ -97,6 +97,11 @@ def update_postings(
     for untouched rows (production writes this as delta files +
     tombstones, MERGE-on-read). The fresh postings are one delta-sized
     tokenize aggregate appended behind it.
+
+    Contract: ``delta_docs`` carries ONE row per re-ingested id (two
+    versions of the same doc in one delta would both index). An ordered
+    feed collapses to the newest image first —
+    ``streaming/index_maintenance.py`` does exactly that per epoch.
     """
     removed = delta_docs.select(F.col(id_col).alias("doc"))
     fresh = inverted_postings(delta_docs, id_col, text_col)
