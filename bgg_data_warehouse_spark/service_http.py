@@ -11,10 +11,16 @@ framework dependency, per the container's no-install rule.
 Transport responsibilities only (everything else stays in ``handle``):
 
 - parse method / path / query string (query params arrive as single
-  values; repeated keys keep the FIRST, matching FastAPI's scalar
-  query-param binding);
+  values; repeated keys keep the LAST occurrence — Starlette's
+  QueryParams builds a dict comprehension over the pairs, so FastAPI's
+  scalar query-param binding sees the last value win);
+- drain any request body per Content-Length before responding — an
+  unread body on a keep-alive-capable client surfaces as a connection
+  reset before the response is read;
 - JSON-encode the body, set Content-Type, map the (status, body) pair
-  onto the HTTP response line;
+  onto the HTTP response line; an exception escaping the reader maps
+  to a 500 JSON error body instead of a dropped connection (the
+  FastAPI shell's default exception handler contract);
 - ``ThreadingHTTPServer`` so a slow reader call can't head-of-line
   block health checks.
 
@@ -46,11 +52,24 @@ def _make_handler(reader):
         # through handle() rather than letting BaseHTTPRequestHandler
         # 501 on verbs it doesn't know
         def _dispatch(self, method: str) -> None:
+            # drain the request body (if any) before responding: leaving
+            # Content-Length bytes unread can reset the connection under
+            # a client that pipelines, before it reads our 405/400
+            length = int(self.headers.get("Content-Length") or 0)
+            while length > 0:
+                chunk = self.rfile.read(min(length, 65536))
+                if not chunk:
+                    break
+                length -= len(chunk)
             parts = urlsplit(self.path)
             params = {
-                k: v[0] for k, v in parse_qs(parts.query).items() if v
+                k: v[-1] for k, v in parse_qs(parts.query).items() if v
             }
-            status, body = handle(reader, method, parts.path, params)
+            try:
+                status, body = handle(reader, method, parts.path, params)
+            except Exception as exc:  # reader/route bug → 500 JSON, not a
+                # dropped connection (FastAPI's default handler contract)
+                status, body = 500, {"detail": f"internal error: {exc}"}
             payload = json.dumps(body).encode("utf-8")
             self.send_response(status)
             self.send_header("Content-Type", "application/json")

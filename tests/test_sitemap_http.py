@@ -170,6 +170,26 @@ def test_http_tuning_param_passthrough_and_405(http_srv):
         assert e.code == 405
 
 
+def test_http_repeated_query_key_keeps_last(http_srv):
+    """Starlette's QueryParams dict-comprehension keeps the LAST
+    occurrence of a repeated key; the shell matches (ADVICE r12)."""
+    status, body = _get(http_srv, "/games/13/similar?n=abc&n=5")
+    assert (status, body) == (200, [{"game_id": 21, "score": 0.9}])
+
+
+def test_http_reader_exception_maps_to_500_json():
+    """An exception escaping the reader returns a 500 JSON error body,
+    not a dropped connection (ADVICE r12)."""
+    from bgg_data_warehouse_spark.service_http import serve
+
+    srv = serve(FakeReader(get_game=RuntimeError("boom")), port=0)
+    try:
+        status, body = _get(srv, "/games/13")
+        assert status == 500 and "internal error" in body["detail"]
+    finally:
+        srv.shutdown()
+
+
 def test_sitemap_feeds_tracking_cold_start(spark):
     """Cold-start integration: the sitemap harvest IS the `thing_ids`
     table the work-queue consumes (reference: fetch_all_ids seeds
