@@ -1,0 +1,244 @@
+"""Log-structured generational store — delta-sized writes for stored
+indexes (r12 VERDICT #3).
+
+The batch index maintainers (io.maintain_postings_table and kin) and the
+streaming epoch appliers (streaming/index_maintenance.py) keep a stored
+index fresh with delta-bounded COMPUTE, but every application ends in a
+staged rewrite of the whole table — at 100 TB that write makes per-epoch
+maintenance index-sized again, the honest floor those modules' docstrings
+name. This module is the named alternative, for any index keyed by a
+single replacement column: a BASE parquet table plus an ordered chain of
+DELTA GENERATIONS, each holding the epoch's fresh rows and its tombstoned
+keys. Appending an epoch writes ONLY the generation (delta-sized);
+reading merges base + generations relationally; a COMPACTION op folds
+the accumulated generations back into base on whatever cadence amortizes
+the rewrite (the Delta/Iceberg/LSM discipline, re-expressed over plain
+parquet directories with the same two-rename atomic-swap machinery io.py
+already proves out).
+
+Merge semantics (REPLACE-by-key, the contract all the index maintainers
+share): a generation either re-ingests a key — its rows REPLACE every
+older row for that key — or tombstones it; the NEWEST generation touching
+a key wins, and within one generation deletion wins (enforced
+structurally: ``append_log_delta`` anti-joins the rows against the
+generation's own tombstones, so rows and tombstones are key-disjoint on
+disk). The read path is therefore:
+
+    touched(key, gen) = ∪ over generations of (rows' keys ∪ tombstones)
+    winner(key)       = max gen per touched key          (delta-sized agg)
+    result            = base ANTI touched-keys           (broadcast, map-side)
+                        ∪ rows whose (key, gen) = winner (delta-sized semi)
+
+Base rows are never shuffled: the touched-key set is delta-bounded and
+broadcast, so the only corpus-sized work is the one base scan every
+consumer pays anyway. Generation count is bounded by compaction cadence;
+each uncompacted generation adds one delta-sized scan to reads, which is
+the standard LSM read-amplification trade.
+
+Crash matrix (single-runner-per-store model, same as io.py):
+
+- torn append (generation dir without its ``_COMMITTED`` marker):
+  invisible to readers, removed by :func:`recover_log_store`;
+- compaction died between the base swap's two renames: no live base,
+  healed by io.recover_table's newest-backup restore (the base subtable
+  uses io._rewrite verbatim);
+- compaction died after the swap, before folded generations were
+  deleted: the leftover generations REPLAY IDEMPOTENTLY over the
+  compacted base — a folded upsert's rows re-replace themselves, a
+  folded tombstone re-deletes an already-absent key — so readers are
+  correct immediately and the next compaction folds them away
+  (pinned by tests/test_log_store.py).
+
+Reference anchor: the reference rewrites its BigQuery tables wholesale on
+every refresh (e.g. `/root/reference/definitions/game_neighbors.sqlx:16`)
+because BigQuery owns storage internally; on Spark the engine owns the
+files, so the write path must earn its own delta-sizing.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import _rewrite, recover_table
+
+_BASE = "base"
+_DELTA_PREFIX = "delta_"
+_COMMIT = "_COMMITTED"
+
+
+def _store_path(root: str, name: str) -> str:
+    return os.path.join(root, name)
+
+
+def _base_path(store: str) -> str:
+    return os.path.join(store, _BASE)
+
+
+def _delta_dirs(store: str, *, committed: bool) -> list[str]:
+    """Generation dirs in commit order (zero-padded time_ns name prefix
+    — same exact-ordering trick as io._rewrite's backup names)."""
+    if not os.path.isdir(store):
+        return []
+    out = []
+    for e in sorted(os.listdir(store)):
+        if not e.startswith(_DELTA_PREFIX):
+            continue
+        d = os.path.join(store, e)
+        has_marker = os.path.exists(os.path.join(d, _COMMIT))
+        if has_marker == committed:
+            out.append(d)
+    return out
+
+
+def init_log_store(df: DataFrame, root: str, name: str) -> None:
+    """Create (or re-create) a store whose base is ``df``. Any existing
+    generations are discarded — this is CREATE, not maintenance."""
+    store = _store_path(root, name)
+    shutil.rmtree(store, ignore_errors=True)
+    df.write.mode("overwrite").parquet(_base_path(store))
+
+
+def log_store_exists(root: str, name: str) -> bool:
+    store = _store_path(root, name)
+    return os.path.isdir(_base_path(store)) or bool(
+        _delta_dirs(store, committed=True)
+    )
+
+
+def recover_log_store(root: str, name: str) -> bool:
+    """Heal every crash window: restore a mid-swap base from its newest
+    backup (io.recover_table machinery), drop torn (uncommitted)
+    generation appends. Leftover COMMITTED generations that a crashed
+    compaction already folded are deliberately kept — they replay
+    idempotently (module docstring) and the next compaction folds them.
+    Returns True if the base was restored from a backup."""
+    store = _store_path(root, name)
+    if not os.path.isdir(store):
+        return False
+    healed = recover_table(store, _BASE)
+    for d in _delta_dirs(store, committed=False):
+        shutil.rmtree(d, ignore_errors=True)
+    return healed
+
+
+def append_log_delta(
+    root: str,
+    name: str,
+    rows: DataFrame,
+    key_col: str,
+    *,
+    tombstones: DataFrame | None = None,
+) -> str:
+    """Write ONE generation: ``rows`` re-ingest their keys (replacing all
+    older rows per key), ``tombstones``' first column lists deleted keys.
+    The only bytes written are the generation's own — never base-sized.
+    Commit protocol: rows dir, tombstones dir, then the ``_COMMITTED``
+    marker last, so a crash mid-append leaves an invisible torn dir that
+    :func:`recover_log_store` removes. Returns the generation dir name."""
+    store = _store_path(root, name)
+    gen = f"{_DELTA_PREFIX}{time.time_ns():020d}_{uuid.uuid4().hex[:6]}"
+    gdir = os.path.join(store, gen)
+    if tombstones is not None:
+        tombs = tombstones.select(
+            F.col(tombstones.columns[0]).alias(key_col)
+        ).distinct()
+    else:
+        tombs = rows.select(key_col).limit(0)
+    # deletion wins within a generation: rows and tombstones key-disjoint
+    live_rows = rows.join(F.broadcast(tombs), key_col, "left_anti")
+    live_rows.write.mode("overwrite").parquet(os.path.join(gdir, "rows"))
+    tombs.write.mode("overwrite").parquet(os.path.join(gdir, "tombstones"))
+    with open(os.path.join(gdir, _COMMIT), "w"):
+        pass
+    return gen
+
+
+def _merge(
+    spark: SparkSession, base: DataFrame, gen_dirs: list[str], key_col: str
+) -> DataFrame:
+    """The generational merge (module docstring): newest touch per key
+    wins; base rows leave via ONE broadcast anti on the delta-bounded
+    touched-key set — no corpus shuffle."""
+    fresh_parts, touched_parts = [], []
+    for i, g in enumerate(gen_dirs):
+        r = spark.read.parquet(os.path.join(g, "rows")).withColumn(
+            "_gen", F.lit(i)
+        )
+        t = (
+            spark.read.parquet(os.path.join(g, "tombstones"))
+            .select(key_col)
+            .withColumn("_gen", F.lit(i))
+        )
+        fresh_parts.append(r)
+        touched_parts.append(r.select(key_col, "_gen").unionByName(t))
+    fresh = reduce(DataFrame.unionByName, fresh_parts)
+    touched = reduce(DataFrame.unionByName, touched_parts)
+    winner = touched.groupBy(key_col).agg(F.max("_gen").alias("_gen"))
+    live_fresh = fresh.join(
+        winner, [key_col, "_gen"], "left_semi"
+    ).drop("_gen")
+    kept = base.join(
+        F.broadcast(winner.select(key_col)), key_col, "left_anti"
+    )
+    return kept.unionByName(live_fresh)
+
+
+def read_log_store(
+    spark: SparkSession, root: str, name: str, key_col: str
+) -> DataFrame:
+    """The store's current contents — base if compacted, the generational
+    merge otherwise. Heals crash windows first (cheap, idempotent under
+    the single-runner model), exactly like the table read paths call
+    io.recover_table, so 'base missing' can never silently read as an
+    empty corpus mid-swap."""
+    recover_log_store(root, name)
+    store = _store_path(root, name)
+    gens = _delta_dirs(store, committed=True)
+    base_dir = _base_path(store)
+    if os.path.isdir(base_dir):
+        base = spark.read.parquet(base_dir)
+    elif gens:
+        # store created by a first delta-only epoch: empty base with the
+        # generation's row schema
+        base = spark.read.parquet(os.path.join(gens[0], "rows")).limit(0)
+    else:
+        raise FileNotFoundError(f"log store {store} has no base and no deltas")
+    if not gens:
+        return base
+    return _merge(spark, base, gens, key_col)
+
+
+def compact_log_store(
+    spark: SparkSession, root: str, name: str, key_col: str
+) -> int:
+    """Fold every committed generation into base: compute the merge,
+    stage-write it, atomically swap base (io._rewrite — concurrent
+    readers of the old files are never corrupted, a mid-swap crash heals
+    via recover_table), then delete the folded generations. A crash
+    between swap and deletion leaves generations that replay
+    idempotently over the new base (module docstring). Returns the
+    number of generations folded."""
+    recover_log_store(root, name)
+    store = _store_path(root, name)
+    gens = _delta_dirs(store, committed=True)  # snapshot: fold exactly these
+    if not gens:
+        return 0
+    base_dir = _base_path(store)
+    if os.path.isdir(base_dir):
+        base = spark.read.parquet(base_dir)
+    else:
+        base = spark.read.parquet(os.path.join(gens[0], "rows")).limit(0)
+    folded = _merge(spark, base, gens, key_col)
+    # _rewrite stages the full write BEFORE the swap, so the plan's scan
+    # of the old base + generation files completes while they still exist
+    _rewrite(folded, store, _BASE)
+    for g in gens:
+        shutil.rmtree(g, ignore_errors=True)
+    return len(gens)

@@ -31,9 +31,18 @@ the swap heals via io.recover_table before the existence check.
 Scale shape per epoch: one delta-sized LWW window, one delta-sized
 tokenize/sketch aggregate, one broadcast map-side anti over the stored
 index, one staged rewrite. Only the rewrite is index-sized — the same
-honest floor as the CDC snapshot (log-structured delta files +
-compaction when that dominates); everything upstream of it is
+honest floor as the CDC snapshot; everything upstream of it is
 delta-bounded.
+
+That floor is now CLOSED for the postings table (r12 VERDICT #3):
+``apply_postings_log_batch`` / ``start_streaming_index_logged`` land
+each epoch as a log_store.py GENERATION — the epoch's write volume is
+delta-sized, reads go through the generational merge
+(``read_index_logged``), and ``log_store.compact_log_store`` folds
+generations into base on whatever cadence amortizes the index-sized
+rewrite. The snapshot appliers above remain for the small-index /
+read-latency-critical regime where one parquet dir with no merge on
+read is worth the rewrite.
 """
 
 from __future__ import annotations
@@ -188,3 +197,85 @@ def start_streaming_index(
 def read_index(spark: SparkSession, root: str, name: str) -> DataFrame:
     """The current stored index."""
     return read_table(spark, root, name)
+
+
+def apply_postings_log_batch(
+    batch_df: DataFrame,
+    root: str,
+    name: str,
+    *,
+    id_col: str,
+    text_col: str,
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+) -> None:
+    """The log-structured twin of :func:`apply_postings_batch`: same
+    epoch contract (LWW collapse, 'U' replaces / 'D' tombstones,
+    deletion wins within an epoch via the collapsed log order), but the
+    epoch lands as ONE log_store generation — write volume is
+    delta-sized, never index-sized. Replay idempotence shifts shape:
+    re-applying an epoch appends a DUPLICATE generation rather than
+    re-rewriting the snapshot, and the generational merge makes the
+    duplicate a no-op (the newer copy's rows replace the older copy's
+    identical rows) — pinned by tests/test_streaming_index.py."""
+    from ..log_store import (
+        append_log_delta,
+        init_log_store,
+        log_store_exists,
+        recover_log_store,
+    )
+    from ..operators.inverted_index import inverted_postings
+
+    recover_log_store(root, name)
+    if not batch_df.take(1):
+        return
+    delta, deleted = _lww_split(batch_df, id_col, seq_cols, op_col)
+    fresh = inverted_postings(delta.select(id_col, text_col), id_col, text_col)
+    if log_store_exists(root, name):
+        append_log_delta(root, name, fresh, "doc", tombstones=deleted)
+    else:
+        # first epoch: base = the surviving re-ingests' postings
+        # (surviving deletes have nothing to remove)
+        init_log_store(fresh, root, name)
+
+
+def start_streaming_index_logged(
+    stream: DataFrame,
+    root: str,
+    name: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str,
+    text_col: str,
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+):
+    """Consume a document change stream into a log-structured postings
+    store (delta-sized epoch writes); returns the StreamingQuery. Run
+    ``log_store.compact_log_store(spark, root, name, "doc")`` on a
+    maintenance cadence to fold generations."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_postings_log_batch(
+            batch_df,
+            root,
+            name,
+            id_col=id_col,
+            text_col=text_col,
+            seq_cols=seq_cols,
+            op_col=op_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_index_logged(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """The current log-structured postings store contents (generational
+    merge; base-only after compaction)."""
+    from ..log_store import read_log_store
+
+    return read_log_store(spark, root, name, "doc")

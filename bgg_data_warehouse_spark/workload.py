@@ -5131,6 +5131,107 @@ def inverted_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_summary(merged)
 
 
+@query(
+    "inverted_index_compaction",
+    oracle=f"""
+    WITH live AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 16 = 2 THEN text || ' v2' ELSE text END AS text
+      FROM documents
+      WHERE doc_id % 48 <> 0
+        AND doc_id % 16 <> 3
+        AND (doc_id % 16 <> 1 OR doc_id % 32 = 1)
+    ), toks AS (
+      SELECT doc_id AS doc, unnest({_duck_tokens()}) AS tok FROM live
+    ), tf AS (
+      SELECT tok, doc, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), summary AS MATERIALIZED (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+             to_json(list(struct_pack(doc := doc, tf := tf) ORDER BY doc))
+               AS postings_json
+      FROM tf GROUP BY tok
+    )
+    SELECT 'generational' AS phase, tok, df, cf, postings_json FROM summary
+    UNION ALL
+    SELECT 'compacted' AS phase, tok, df, cf, postings_json FROM summary
+    """,
+)
+def inverted_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-structured postings maintenance end-to-end (log_store.py,
+    r12 VERDICT #3 — the delta-sized-WRITE answer to the snapshot
+    appliers' index-sized rewrite floor): a stored postings BASE absorbs
+    two epochs as parquet GENERATIONS — epoch 1 re-ingests every
+    doc_id % 16 == 0 (first indexed from a stale 20-char prefix) and
+    tombstones doc_id % 16 == 1; epoch 2 re-ingests doc_id % 16 == 2
+    with REVISED text (' v2' appended), RE-CREATES half the epoch-1
+    deletions (doc_id % 32 == 1 — later generation wins over the older
+    tombstone), and deletes doc_id % 48 == 0 (deletion wins over
+    epoch 1's re-ingest — the cross-generation conflict matrix). The
+    gate hash-checks the GENERATIONAL read path (base + 2 generations
+    merged: newest-touch-per-doc wins via a delta-sized max-gen
+    aggregate, base leaves through ONE broadcast anti — plan-pinned in
+    tests/test_log_store.py) AND the post-COMPACTION read (generations
+    folded into base by the staged atomic swap) against one full-rebuild
+    oracle on the final corpus — so a stale posting surviving a
+    replacement, a tombstone out-living a re-create, or compaction
+    dropping/duplicating anything all hash-mismatch in whichever phase
+    row carries it. Epoch write volume is delta-sized (base files
+    bit-untouched, pinned by test); crash windows heal per the module's
+    matrix, including idempotent replay of folded generations."""
+    import os
+
+    from .log_store import (
+        append_log_delta,
+        compact_log_store,
+        init_log_store,
+        read_log_store,
+    )
+    from .operators.inverted_index import index_summary, inverted_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = os.path.join(
+        "/tmp", "spark_graft_logstore", os.path.basename(os.path.normpath(sf_dir))
+    )
+    stale = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 16 == 0, F.substring("text", 1, 20)
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    init_log_store(inverted_postings(stale, "doc_id", "text"), root, "postings")
+    append_log_delta(
+        root,
+        "postings",
+        inverted_postings(docs.where(F.col("doc_id") % 16 == 0), "doc_id", "text"),
+        "doc",
+        tombstones=docs.where(F.col("doc_id") % 16 == 1).select("doc_id"),
+    )
+    e2_docs = docs.where(F.col("doc_id") % 16 == 2).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" v2"))
+    ).unionByName(docs.where(F.col("doc_id") % 32 == 1))
+    append_log_delta(
+        root,
+        "postings",
+        inverted_postings(e2_docs, "doc_id", "text"),
+        "doc",
+        tombstones=docs.where(
+            (F.col("doc_id") % 16 == 3) | (F.col("doc_id") % 48 == 0)
+        ).select("doc_id"),
+    )
+    gen = index_summary(
+        read_log_store(spark, root, "postings", "doc")
+    ).withColumn("phase", F.lit("generational"))
+    # compaction below swaps the very files this lazy plan scans —
+    # materialize the generational phase first
+    gen = gen.localCheckpoint(eager=True)
+    compact_log_store(spark, root, "postings", "doc")
+    comp = index_summary(
+        read_log_store(spark, root, "postings", "doc")
+    ).withColumn("phase", F.lit("compacted"))
+    cols = ["phase", "tok", "df", "cf", "postings_json"]
+    return gen.select(*cols).unionByName(comp.select(*cols))
+
+
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 

@@ -1,0 +1,291 @@
+"""Log-structured generational store (log_store.py, r12 VERDICT #3):
+generational reads must equal the replace-by-key semantics, appends must
+write only delta-sized bytes (base untouched), compaction must fold to
+an identical base, and every crash window in the module's matrix must
+heal — including idempotent replay of generations a crashed compaction
+already folded."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bgg_data_warehouse_spark.log_store import (
+    _base_path,
+    _delta_dirs,
+    _store_path,
+    append_log_delta,
+    compact_log_store,
+    init_log_store,
+    log_store_exists,
+    read_log_store,
+    recover_log_store,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc long, tok string, tf long")
+
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc long")
+
+
+def _contents(df):
+    return {(r.doc, r.tok, r.tf) for r in df.collect()}
+
+
+BASE_ROWS = [(1, "a", 1), (1, "b", 2), (2, "c", 1), (3, "d", 4), (4, "e", 1)]
+
+
+def _store(spark, root):
+    init_log_store(_df(spark, BASE_ROWS), root, "idx")
+    # gen 0: re-ingest doc 1 (replaces BOTH its base rows), delete doc 2
+    append_log_delta(
+        root, "idx", _df(spark, [(1, "x", 9)]), "doc",
+        tombstones=_keys(spark, [2]),
+    )
+    # gen 1: re-ingest doc 2 (re-created after delete), delete doc 3,
+    # re-ingest doc 5 (never in base)
+    append_log_delta(
+        root, "idx", _df(spark, [(2, "y", 7), (5, "z", 1)]), "doc",
+        tombstones=_keys(spark, [3]),
+    )
+    return {(1, "x", 9), (2, "y", 7), (4, "e", 1), (5, "z", 1)}
+
+
+def test_generational_read_replace_by_key(spark, tmp_path):
+    root = str(tmp_path)
+    want = _store(spark, root)
+    assert _contents(read_log_store(spark, root, "idx", "doc")) == want
+
+
+def test_newest_generation_wins_and_within_gen_delete_wins(spark, tmp_path):
+    root = str(tmp_path)
+    _store(spark, root)
+    # gen 2: doc 1 both re-ingested and tombstoned in ONE generation —
+    # deletion wins structurally (rows anti-joined on write); doc 5
+    # re-ingested again — newest generation's rows win
+    append_log_delta(
+        root, "idx", _df(spark, [(1, "q", 1), (5, "w", 2)]), "doc",
+        tombstones=_keys(spark, [1]),
+    )
+    got = _contents(read_log_store(spark, root, "idx", "doc"))
+    assert got == {(2, "y", 7), (4, "e", 1), (5, "w", 2)}
+
+
+def test_append_writes_only_delta_bytes(spark, tmp_path):
+    """The whole point of the store: an epoch append never rewrites the
+    base — base's file set (names + sizes + mtimes) is bit-identical
+    before and after, and the new generation's bytes are the only new
+    bytes in the store."""
+    root = str(tmp_path)
+    init_log_store(_df(spark, BASE_ROWS), root, "idx")
+    base_dir = _base_path(_store_path(root, "idx"))
+
+    def snapshot(d):
+        out = {}
+        for dirpath, _dirs, files in os.walk(d):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot(base_dir)
+    gen = append_log_delta(
+        root, "idx", _df(spark, [(9, "n", 1)]), "doc",
+        tombstones=_keys(spark, [1]),
+    )
+    assert snapshot(base_dir) == before
+    assert os.path.isdir(os.path.join(_store_path(root, "idx"), gen))
+
+
+def test_compaction_folds_to_identical_base(spark, tmp_path):
+    root = str(tmp_path)
+    want = _store(spark, root)
+    before = _contents(read_log_store(spark, root, "idx", "doc"))
+    n = compact_log_store(spark, root, "idx", "doc")
+    assert n == 2
+    assert _delta_dirs(_store_path(root, "idx"), committed=True) == []
+    after = read_log_store(spark, root, "idx", "doc")
+    assert _contents(after) == before == want
+    # post-compaction reads are a plain base scan — no merge joins
+    plan = after._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_torn_append_invisible_and_healed(spark, tmp_path):
+    root = str(tmp_path)
+    want = _store(spark, root)
+    # simulate a crash mid-append: generation dir without _COMMITTED
+    store = _store_path(root, "idx")
+    torn = os.path.join(store, "delta_99999999999999999999_dead")
+    _df(spark, [(4, "BAD", 1)]).write.parquet(os.path.join(torn, "rows"))
+    _keys(spark, [1]).write.parquet(os.path.join(torn, "tombstones"))
+    assert _contents(read_log_store(spark, root, "idx", "doc")) == want
+    recover_log_store(root, "idx")
+    assert not os.path.isdir(torn)
+
+
+def test_mid_swap_crash_heals_from_backup(spark, tmp_path):
+    root = str(tmp_path)
+    want = _store(spark, root)
+    store = _store_path(root, "idx")
+    # simulate compaction dying between the swap's two renames: base
+    # renamed to a backup, staging never promoted
+    os.rename(
+        _base_path(store), os.path.join(store, "base__old_00000000000000000001_x")
+    )
+    assert recover_log_store(root, "idx") is True
+    assert _contents(read_log_store(spark, root, "idx", "doc")) == want
+
+
+def test_folded_generations_replay_idempotently(spark, tmp_path):
+    """Crash window: compaction swapped the new base in but died before
+    deleting the folded generations. Readers must already be correct
+    (replay is a no-op), and the next compaction folds the leftovers."""
+    import shutil
+
+    root = str(tmp_path)
+    want = _store(spark, root)
+    store = _store_path(root, "idx")
+    gens = _delta_dirs(store, committed=True)
+    saved = str(tmp_path / "saved_gens")
+    for g in gens:
+        shutil.copytree(g, os.path.join(saved, os.path.basename(g)))
+    compact_log_store(spark, root, "idx", "doc")
+    for g in os.listdir(saved):  # resurrect the folded generations
+        shutil.copytree(os.path.join(saved, g), os.path.join(store, g))
+    assert _contents(read_log_store(spark, root, "idx", "doc")) == want
+    assert compact_log_store(spark, root, "idx", "doc") == len(gens)
+    assert _contents(read_log_store(spark, root, "idx", "doc")) == want
+
+
+def test_read_merge_base_anti_is_broadcast(spark, tmp_path):
+    """Scale pin: the base side of the generational merge leaves via a
+    BROADCAST anti on the delta-bounded touched-key set — base rows are
+    never shuffled for a read."""
+    root = str(tmp_path)
+    _store(spark, root)
+    plan = (
+        read_log_store(spark, root, "idx", "doc")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_delta_only_first_epoch_then_exists(spark, tmp_path):
+    root = str(tmp_path)
+    assert not log_store_exists(root, "idx")
+    init_log_store(_df(spark, BASE_ROWS), root, "idx")
+    assert log_store_exists(root, "idx")
+
+
+# ---------------------------------------------------------------------------
+# streaming face (apply_postings_log_batch / start_streaming_index_logged)
+# — same epochs as test_streaming_index.py, landed as generations
+# ---------------------------------------------------------------------------
+
+SCHEMA = "doc_id long, seq long, op string, text string"
+
+
+def _epochs():
+    from tests.test_streaming_index import _epochs as e
+
+    return e()
+
+
+def _final_corpus(spark):
+    from tests.test_streaming_index import _final_corpus as f
+
+    return f(spark)
+
+
+def test_streaming_logged_postings_matches_full_rebuild(spark, tmp_path):
+    from bgg_data_warehouse_spark.operators.inverted_index import (
+        inverted_postings,
+    )
+    from bgg_data_warehouse_spark.streaming.index_maintenance import (
+        read_index_logged,
+        start_streaming_index_logged,
+    )
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "tables")
+    epochs = _epochs()
+
+    def write_epoch(i):
+        spark.createDataFrame(epochs[i], SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    write_epoch(0)
+    q = start_streaming_index_logged(
+        spark.readStream.schema(SCHEMA).parquet(landing),
+        root,
+        "postings",
+        str(tmp_path / "ckpt"),
+        id_col="doc_id",
+        text_col="text",
+        seq_cols=["seq"],
+    )
+    try:
+        q.processAllAvailable()
+        write_epoch(1)
+        q.processAllAvailable()
+        write_epoch(2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.tok, r.doc, r.tf)
+        for r in read_index_logged(spark, root, "postings").collect()
+    }
+    want = {
+        (r.tok, r.doc, r.tf)
+        for r in inverted_postings(
+            _final_corpus(spark), "doc_id", "text"
+        ).collect()
+    }
+    assert got == want
+    # epochs 2 and 3 landed as generations, not base rewrites
+    assert len(_delta_dirs(_store_path(root, "postings"), committed=True)) == 2
+
+
+def test_logged_epoch_replay_and_compaction(spark, tmp_path):
+    from bgg_data_warehouse_spark.streaming.index_maintenance import (
+        apply_postings_log_batch,
+        read_index_logged,
+    )
+
+    root = str(tmp_path / "tables")
+    epochs = _epochs()
+    kw = dict(id_col="doc_id", text_col="text", seq_cols=["seq"])
+    for e in epochs:
+        apply_postings_log_batch(
+            spark.createDataFrame(e, SCHEMA), root, "postings", **kw
+        )
+    before = {
+        (r.tok, r.doc, r.tf)
+        for r in read_index_logged(spark, root, "postings").collect()
+    }
+    # foreachBatch replay of the last epoch: appends a duplicate
+    # generation whose rows replace their identical older copies
+    apply_postings_log_batch(
+        spark.createDataFrame(epochs[-1], SCHEMA), root, "postings", **kw
+    )
+    assert {
+        (r.tok, r.doc, r.tf)
+        for r in read_index_logged(spark, root, "postings").collect()
+    } == before
+    compact_log_store(spark, root, "postings", "doc")
+    assert {
+        (r.tok, r.doc, r.tf)
+        for r in read_index_logged(spark, root, "postings").collect()
+    } == before
