@@ -25,79 +25,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness grades the FIRST 50 queries in dict
-# order. Round 12 rotation (r11 VERDICT "Next round" #1; window and
-# tail emitted verbatim by tools/staleness.py from CORRECTNESS_r01-r11):
+# order. Round 13 rotation (r12 VERDICT "Next round" #1; window and
+# tail below emitted VERBATIM by tools/staleness.py from
+# CORRECTNESS_r01-r12 plus the two gates registered this round):
 #   - the 2 gates NEW this round, with no driver evidence yet:
-#     dedup_minhash_delete (deletion/re-ingest maintenance of the
-#     persisted MinHash sketch index, r11 VERDICT #2) and
-#     neighbors_incremental (delta-scoped refresh of the precomputed
-#     k-NN table, r11 VERDICT #5);
-#   - wordpiece_encode — the ledger's only age-5 gate. Its last DRIVER
-#     green row is round 7; the round-11 judge re-verified it green by
-#     hand, but judge spot-checks are not driver rows and the ledger
-#     tracks driver evidence only (r11 VERDICT #7);
-#   - the first 47 of the 49 age-4 gates (last driver green: round 8,
-#     approx_distinct_hll ... union_discriminated, alphabetical). With
-#     the two new gates the window runs two past 50, so the LAST two
-#     age-4 entries (value_percentiles, weighted_sssp) head the tail
-#     instead and refresh in round 13.
-# With 202 registered gates and a 50-slot window the steady-state
-# rotation cycle stays ~4 rounds; after this window no gate's latest
-# driver-green row is older than round 9 except value_percentiles /
-# weighted_sssp (round 8, queued first for round 13). The position-51+
-# queue is ordered by evidence age: those two, then the age-3 block
-# (refresh r13), then age-2, then age-1.
+#     inverted_index_compaction (log-structured generational postings
+#     store + compaction, r12 VERDICT #3) and sitemap_thing_ids (the S3
+#     harvest's relational core oracle-gated, r12 VERDICT #6);
+#   - value_percentiles + weighted_sssp — the ledger's only r8-evidence
+#     gates (displaced from the r12 window by that round's two new
+#     gates, re-verified green by the r12 judge, queued first here
+#     exactly as that verdict directed);
+#   - the first 46 of the 48 age-4 gates (last driver green: round 9,
+#     anti_join_pending ... tpch_q9, alphabetical). The two new gates
+#     push the window two past 50 again, so the LAST two age-4 entries
+#     (vocab_encode, watermark_increment) head the tail and refresh in
+#     round 14.
+# With 204 registered gates and a 50-slot window the steady-state
+# rotation cycle stays ~4 rounds; after this window every gate's
+# latest driver-green row is round 10 or newer except vocab_encode /
+# watermark_increment (round 9, queued first for round 14). The
+# position-51+ queue is ordered by evidence age: those two, then the
+# age-3 block (refresh r14), then age-2, then age-1.
 _PRIORITY = [
-    "dedup_minhash_delete",
-    "neighbors_incremental",
-    "wordpiece_encode",
-    "approx_distinct_hll",
-    "asof_feature_join",
-    "asof_feature_join_segmented",
-    "benchmark_contamination",
-    "benford_digits",
-    "chisq_independence",
-    "chunk_documents",
-    "cube_order_stats",
-    "dedup_simhash_verified",
-    "distinct_users_exact",
-    "doc_fingerprint",
-    "dual_rank_topk",
-    "except_intersect_keys",
-    "feature_arrays",
-    "filter_topn",
-    "fk_integrity_audit",
-    "full_outer_reconcile",
-    "grouping_sets_stats",
-    "hll_set_ops",
-    "ks_two_sample",
-    "lang_id",
-    "merkle_incremental_update",
-    "mix_sources",
-    "multimodal_audio_features",
-    "multimodal_features",
-    "multimodal_resize",
-    "nested_profile",
-    "ntile_value_buckets",
-    "pack_sequences",
-    "pagerank_bipartite",
-    "pii_redact",
-    "pivot_status_counts",
-    "quality_score",
-    "range_join_recent_activity",
-    "ratio_guarded",
-    "repetition_stats",
-    "robust_outliers",
-    "rollup_returns",
-    "salted_join_revenue",
-    "scd2_intervals",
-    "sessionize",
-    "split_assign",
-    "stratified_sample",
-    "token_count",
-    "top_ngrams",
-    "trailing_window_sum",
-    "union_discriminated",
+    "inverted_index_compaction",
+    "sitemap_thing_ids",
     "value_percentiles",
     "weighted_sssp",
     "anti_join_pending",
@@ -250,6 +202,56 @@ _PRIORITY = [
     "top_user_paths",
     "triangle_census",
     "unigram_segment_compounds",
+    "approx_distinct_hll",
+    "asof_feature_join",
+    "asof_feature_join_segmented",
+    "benchmark_contamination",
+    "benford_digits",
+    "chisq_independence",
+    "chunk_documents",
+    "cube_order_stats",
+    "dedup_minhash_delete",
+    "dedup_simhash_verified",
+    "distinct_users_exact",
+    "doc_fingerprint",
+    "dual_rank_topk",
+    "except_intersect_keys",
+    "feature_arrays",
+    "filter_topn",
+    "fk_integrity_audit",
+    "full_outer_reconcile",
+    "grouping_sets_stats",
+    "hll_set_ops",
+    "ks_two_sample",
+    "lang_id",
+    "merkle_incremental_update",
+    "mix_sources",
+    "multimodal_audio_features",
+    "multimodal_features",
+    "multimodal_resize",
+    "neighbors_incremental",
+    "nested_profile",
+    "ntile_value_buckets",
+    "pack_sequences",
+    "pagerank_bipartite",
+    "pii_redact",
+    "pivot_status_counts",
+    "quality_score",
+    "range_join_recent_activity",
+    "ratio_guarded",
+    "repetition_stats",
+    "robust_outliers",
+    "rollup_returns",
+    "salted_join_revenue",
+    "scd2_intervals",
+    "sessionize",
+    "split_assign",
+    "stratified_sample",
+    "token_count",
+    "top_ngrams",
+    "trailing_window_sum",
+    "union_discriminated",
+    "wordpiece_encode",
 ]
 
 

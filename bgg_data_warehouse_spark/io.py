@@ -188,20 +188,18 @@ def _backup_order(d: str):
     return (0, os.path.getmtime(d), d)
 
 
-def _rewrite(df: DataFrame, root: str, name: str) -> None:
-    """Materialize a full-table rewrite via staging dir + atomic swap.
-
-    The merged plan reads the live table lazily; writing over it in place
-    would corrupt the scan. Stage next to the target then swap.
-    """
+def _staged_swap(root: str, name: str, build) -> None:
+    """Build new contents into a staging dir (``build(staging_path)``
+    writes them — one table or several subtables), then atomically swap
+    the whole dir into place with the two-rename protocol
+    :func:`recover_table` heals. Factoring the swap out of
+    :func:`_rewrite` lets MULTI-table state (the neighbors store's
+    corpus + neighbors pair) change in ONE atomic unit — both subtables
+    land or neither does, so no crash window can publish a corpus
+    inconsistent with the index built from it."""
     final = _path(root, name)
     staging = f"{final}__stage_{uuid.uuid4().hex[:8]}"
-    layout = LAYOUTS.get(name, Layout())
-    out = _apply_layout(df, layout)
-    writer = out.write.mode("overwrite")
-    if layout.partition_cols:
-        writer = writer.partitionBy(*layout.partition_cols)
-    writer.parquet(staging)
+    build(staging)
     # monotonic-ns prefix makes "newest backup" exact for recover_table
     # (directory mtimes can tie at coarse filesystem granularity)
     backup = f"{final}__old_{time.time_ns():020d}_{uuid.uuid4().hex[:6]}"
@@ -210,6 +208,24 @@ def _rewrite(df: DataFrame, root: str, name: str) -> None:
     os.rename(staging, final)
     if os.path.exists(backup):
         shutil.rmtree(backup)
+
+
+def _rewrite(df: DataFrame, root: str, name: str) -> None:
+    """Materialize a full-table rewrite via staging dir + atomic swap.
+
+    The merged plan reads the live table lazily; writing over it in place
+    would corrupt the scan. Stage next to the target then swap.
+    """
+    layout = LAYOUTS.get(name, Layout())
+    out = _apply_layout(df, layout)
+
+    def build(staging: str) -> None:
+        writer = out.write.mode("overwrite")
+        if layout.partition_cols:
+            writer = writer.partitionBy(*layout.partition_cols)
+        writer.parquet(staging)
+
+    _staged_swap(root, name, build)
 
 
 def rewrite_table(df: DataFrame, root: str, name: str) -> None:
@@ -526,11 +542,69 @@ def maintain_minhash_index_table(
     return updated.count()
 
 
+def _neighbors_topk(
+    corpus: DataFrame, id_col: str, band_col: str, vec_col: str, band: float, k: int
+) -> DataFrame:
+    """The canonical (query_id, nbr_id, cosine_sim, rank) build the
+    neighbors store keeps — the same rendering every k-NN gate uses."""
+    from .operators.band_join import banded_cosine_pairs
+    from .operators.latest import topk_per_key
+
+    pairs = banded_cosine_pairs(corpus, id_col, band_col, vec_col, band)
+    return topk_per_key(
+        pairs, ["s_id"], [F.col("cos").desc(), F.col("t_id").asc()], k=k
+    ).select(
+        F.col("s_id").alias("query_id"),
+        F.col("t_id").alias("nbr_id"),
+        F.round("cos", 6).alias("cosine_sim"),
+        "rank",
+    )
+
+
+def init_neighbors_store(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    corpus: DataFrame,
+    id_col: str,
+    band_col: str,
+    vec_col: str,
+    *,
+    band: float,
+    k: int,
+) -> None:
+    """Create the paired neighbors store ``root/name/{vectors,
+    neighbors}``: the vector corpus AND the k-NN table built from it
+    live under ONE directory and every maintenance call swaps the pair
+    atomically — the store can never publish a corpus inconsistent with
+    its index (r12 VERDICT #4: the old wrapper took the corpus as a
+    caller argument, and a caller passing one inconsistent with the
+    stored table got silently wrong pass-through rows)."""
+    store = _path(root, name)
+    shutil.rmtree(store, ignore_errors=True)
+    corpus.write.mode("overwrite").parquet(os.path.join(store, "vectors"))
+    _neighbors_topk(corpus, id_col, band_col, vec_col, band, k).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store, "neighbors"))
+
+
+def read_neighbors_table(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """The store's current neighbors table (serving path). Heals a
+    crashed pair swap first so 'store missing' can never read as empty
+    mid-swap."""
+    recover_table(root, name)
+    return spark.read.parquet(os.path.join(_path(root, name), "neighbors"))
+
+
+def read_neighbors_corpus(spark: SparkSession, root: str, name: str) -> DataFrame:
+    recover_table(root, name)
+    return spark.read.parquet(os.path.join(_path(root, name), "vectors"))
+
+
 def maintain_neighbors_table(
     spark: SparkSession,
     root: str,
-    neighbors_name: str,
-    base: DataFrame,
+    name: str,
     delta: DataFrame,
     id_col: str,
     band_col: str,
@@ -540,23 +614,47 @@ def maintain_neighbors_table(
     k: int,
     deleted_ids: DataFrame | None = None,
 ) -> int:
-    """Stored-table wrapper for the incremental k-NN refresh (r11
-    VERDICT #5): read the precomputed neighbors table, absorb the
-    arriving vector batch via
+    """Stored-store wrapper for the incremental k-NN refresh (r11
+    VERDICT #5, contract closed per r12 VERDICT #4): read the corpus
+    AND the precomputed neighbors table from the store
+    (:func:`init_neighbors_store`'s paired layout — no caller-supplied
+    base, so the refresh provably runs against the corpus the stored
+    table was built from), absorb the arriving vector batch via
     ``operators.band_join.incremental_neighbors`` (delta-scoped probe,
-    unaffected rows passed through), and atomically swap — same
-    staging/recovery contract as :func:`maintain_components_table`.
-    ``base`` is the corpus the stored table was built from; ``delta``
-    the vector upserts (new or re-embedded ids); ``deleted_ids``
-    tombstones, deletion winning on conflict. Returns the refreshed
-    row count."""
+    unaffected rows passed through), and swap corpus' + neighbors' in
+    as ONE atomic unit (:func:`_staged_swap` on the parent dir — a
+    crash between two separate table swaps could otherwise publish a
+    new corpus with a stale index). ``delta`` carries vector upserts
+    (new or re-embedded ids); ``deleted_ids`` tombstones, deletion
+    winning on conflict. Returns the refreshed neighbor row count."""
     from .operators.band_join import incremental_neighbors
 
-    stored = read_table(spark, root, neighbors_name)
+    recover_table(root, name)  # crashed pair swap must heal before reads
+    store = _path(root, name)
+    base = spark.read.parquet(os.path.join(store, "vectors"))
+    stored = spark.read.parquet(os.path.join(store, "neighbors"))
+    removed = delta.select(id_col).distinct()
+    if deleted_ids is not None:
+        tomb = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias(id_col)
+        ).distinct()
+        removed = removed.unionByName(tomb).distinct()
+        delta = delta.join(F.broadcast(tomb), id_col, "left_anti")
+    new_corpus = base.join(F.broadcast(removed), id_col, "left_anti").unionByName(
+        delta.select(*base.columns)
+    )
     updated = incremental_neighbors(
         stored, base, delta, id_col, band_col, vec_col, band, k,
         deleted_ids=deleted_ids,
     )
+    # both plans read the CURRENT store files; materialize before the
+    # swap renames them out from under the scans
+    new_corpus = new_corpus.localCheckpoint(eager=True)
     updated = updated.localCheckpoint(eager=True)
-    _rewrite(updated, root, neighbors_name)
+
+    def build(staging: str) -> None:
+        new_corpus.write.mode("overwrite").parquet(os.path.join(staging, "vectors"))
+        updated.write.mode("overwrite").parquet(os.path.join(staging, "neighbors"))
+
+    _staged_swap(root, name, build)
     return updated.count()

@@ -279,3 +279,90 @@ def read_index_logged(spark: SparkSession, root: str, name: str) -> DataFrame:
     from ..log_store import read_log_store
 
     return read_log_store(spark, root, name, "doc")
+
+
+def apply_neighbors_batch(
+    batch_df: DataFrame,
+    root: str,
+    name: str,
+    *,
+    id_col: str,
+    band_col: str,
+    vec_col: str,
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    band: float,
+    k: int,
+) -> None:
+    """Same epoch contract for the paired corpus+neighbors store (r12
+    VERDICT #5 — the third index family gets its streaming face): a
+    vector change stream ('U' upsert with the embedding image / 'D'
+    delete, ``seq_cols`` ordering the log) keeps the stored k-NN table
+    fresh per micro-batch through ``io.maintain_neighbors_table`` —
+    delta-scoped probe, pair swapped atomically, crash windows healed by
+    recover_table before the existence check. Replay of an epoch
+    re-upserts the same vectors (affected set identical, recomputed
+    rows identical) and re-deletes absent ids (anti-join no-op) — both
+    idempotent, pinned by tests/test_streaming_index.py."""
+    from ..io import (
+        init_neighbors_store,
+        maintain_neighbors_table,
+        recover_table,
+        table_exists,
+    )
+
+    recover_table(root, name)
+    if not batch_df.take(1):
+        return
+    spark = batch_df.sparkSession
+    delta, deleted = _lww_split(batch_df, id_col, seq_cols, op_col)
+    delta = delta.select(id_col, band_col, vec_col)
+    if table_exists(root, name):
+        maintain_neighbors_table(
+            spark, root, name, delta, id_col, band_col, vec_col,
+            band=band, k=k, deleted_ids=deleted,
+        )
+    else:
+        # first epoch: the corpus is exactly the surviving upserts
+        init_neighbors_store(
+            spark, root, name, delta, id_col, band_col, vec_col,
+            band=band, k=k,
+        )
+
+
+def start_streaming_neighbors(
+    stream: DataFrame,
+    root: str,
+    name: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str,
+    band_col: str,
+    vec_col: str,
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    band: float,
+    k: int,
+):
+    """Consume a vector change stream into a stored neighbors pair;
+    returns the StreamingQuery."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_neighbors_batch(
+            batch_df,
+            root,
+            name,
+            id_col=id_col,
+            band_col=band_col,
+            vec_col=vec_col,
+            seq_cols=seq_cols,
+            op_col=op_col,
+            band=band,
+            k=k,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -12155,3 +12155,98 @@ def jsonl_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small text scan per run; the bench harness clears caches between
     # queries.
     return clean_agg.unionByName(sentinel)
+
+
+# ===========================================================================
+# S3 sitemap harvest (engine side → oracle-gated, r12 VERDICT #6): the
+# relational core of sources/sitemap.py — regexp URL extraction + per-id
+# last-write-wins type resolution — driven over a sitemap-shaped page
+# corpus rendered from the documents table, replayed in DuckDB.
+# ===========================================================================
+
+
+@query(
+    "sitemap_thing_ids",
+    oracle=r"""
+    WITH pages AS (
+      SELECT string_agg('<url><loc>https://boardgamegeek.com/boardgame/'
+                        || doc_id || '</loc></url>', '') AS content
+      FROM documents GROUP BY doc_id % 4
+      UNION ALL
+      SELECT string_agg('<url><loc>https://boardgamegeek.com/boardgameexpansion/'
+                        || doc_id || '</loc></url>', '')
+      FROM documents WHERE doc_id % 3 = 0 GROUP BY doc_id % 4
+      UNION ALL
+      SELECT string_agg('<url><loc>https://boardgamegeek.com/boardgameaccessory/'
+                        || doc_id || '</loc></url>', '')
+      FROM documents WHERE doc_id % 5 = 0 GROUP BY doc_id % 4
+    ), hits AS (
+      SELECT unnest(regexp_extract_all(content,
+        'https://boardgamegeek\.com/boardgame(expansion|accessory|)/(\d+)', 0)) AS u
+      FROM pages
+    ), entries AS (
+      SELECT CAST(regexp_extract(u, '/boardgame(?:expansion|accessory)?/(\d+)', 1)
+                  AS BIGINT) AS game_id,
+             'boardgame' ||
+               regexp_extract(u, '/boardgame(expansion|accessory|)/', 1) AS type
+      FROM hits
+    )
+    SELECT game_id,
+           max_by(type, CASE type WHEN 'boardgameexpansion' THEN 1
+                                  WHEN 'boardgameaccessory' THEN 2
+                                  ELSE 0 END) AS type
+    FROM entries
+    GROUP BY game_id
+    """,
+)
+def sitemap_thing_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 sitemap id harvest, oracle-gated end-to-end (r12 VERDICT #6 —
+    sources/sitemap.py::thing_ids_table was the last engine component
+    whose relational core ran unit-only). The page corpus is RENDERED
+    inside the gate from the documents table into real sitemap shape:
+    every doc_id lists as a boardgame URL, every doc_id % 3 == 0 ALSO
+    as an expansion, every doc_id % 5 == 0 ALSO as an accessory —
+    spread across 4 pages per type — so per-id type resolution faces
+    genuine multi-listing conflicts (ids ≡ 0 mod 15 appear under all
+    three types) exactly like the reference's ordered sitemap walk
+    (`/root/reference/src/modules/id_fetcher_browser.py:192-235`, where
+    the LAST write in boardgame < expansion < accessory order wins).
+    The harvest itself stays UDF-free (regexp_extract_all → explode →
+    per-id max_by over the type order — the associative form of
+    last-write-wins, pinned plan-side by test_sitemap_http.py); the
+    oracle replays the SAME render + extraction + MAX-over-type-order
+    in DuckDB, so a regex miss, a type mis-parse, or an order-dependent
+    resolution hash-mismatches."""
+    from .sources.sitemap import thing_ids_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def pages_for(suffix: str, cond):
+        entry = F.concat(
+            F.lit(f"<url><loc>https://boardgamegeek.com/boardgame{suffix}/"),
+            F.col("doc_id").cast("string"),
+            F.lit("</loc></url>"),
+        )
+        return (
+            docs.where(cond)
+            .select((F.col("doc_id") % 4).alias("pg"), entry.alias("entry"))
+            .groupBy("pg")
+            .agg(F.concat_ws("", F.collect_list("entry")).alias("content"))
+            .select(
+                F.concat(
+                    F.lit(
+                        "https://boardgamegeek.com/sitemap_geekitems_boardgame"
+                        f"{suffix}_"
+                    ),
+                    F.col("pg").cast("string"),
+                ).alias("url"),
+                "content",
+            )
+        )
+
+    pages = (
+        pages_for("", F.lit(True))
+        .unionByName(pages_for("expansion", F.col("doc_id") % 3 == 0))
+        .unionByName(pages_for("accessory", F.col("doc_id") % 5 == 0))
+    )
+    return thing_ids_table(pages)

@@ -313,41 +313,62 @@ def test_incremental_neighbors_probe_scoped_to_affected(spark):
     assert len(allowed) < n_corpus // 2, (len(allowed), n_corpus)
 
 
-def test_maintain_neighbors_table_roundtrip(spark, tmp_path):
-    """Stored neighbors table refreshed through the atomic swap equals
-    the full rebuild on base ∪ delta."""
-    from bgg_data_warehouse_spark.io import (
-        maintain_neighbors_table,
-        read_table,
-        write_table,
-    )
-    from bgg_data_warehouse_spark.operators.band_join import banded_cosine_pairs
-    from bgg_data_warehouse_spark.operators.latest import topk_per_key
-    from bgg_data_warehouse_spark.sources.tables import load_table
+def test_maintain_neighbors_store_roundtrip_survives_midswap_crash(
+    spark, tmp_path
+):
+    """The paired corpus+neighbors store (r12 VERDICT #4): ingest →
+    upsert batch → injected mid-swap crash → delete batch equals the
+    full rebuild from the STORED corpus — the wrapper no longer accepts
+    a caller-supplied base, so the refresh provably runs against the
+    corpus the stored table was built from, and the pair swaps as one
+    atomic unit."""
+    import os
 
-    def _topk(corpus):
-        return topk_per_key(
-            banded_cosine_pairs(corpus, "vec_id", "label", "embedding", 1.0),
-            ["s_id"],
-            [F.col("cos").desc(), F.col("t_id").asc()],
-            k=5,
-        ).select(
-            F.col("s_id").alias("query_id"),
-            F.col("t_id").alias("nbr_id"),
-            F.round("cos", 6).alias("cosine_sim"),
-            "rank",
-        )
+    from bgg_data_warehouse_spark.io import (
+        _neighbors_topk,
+        init_neighbors_store,
+        maintain_neighbors_table,
+        read_neighbors_corpus,
+        read_neighbors_table,
+    )
+    from bgg_data_warehouse_spark.sources.tables import load_table
 
     root = str(tmp_path)
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
-    is_delta = (F.col("label") == 9) & (F.col("vec_id") % 5 == 0)
-    base, delta = emb.where(~is_delta), emb.where(is_delta)
-    write_table(_topk(base), root, "neighbors")
+    is_add = (F.col("label") == 9) & (F.col("vec_id") % 5 == 0)
+    is_del = (F.col("label") == 7) & (F.col("vec_id") % 9 == 0)
+    kw = dict(band=1.0, k=5)
+    init_neighbors_store(
+        spark, root, "nbr", emb.where(~is_add),
+        "vec_id", "label", "embedding", **kw,
+    )
     n = maintain_neighbors_table(
-        spark, root, "neighbors", base, delta,
-        "vec_id", "label", "embedding", band=1.0, k=5,
+        spark, root, "nbr", emb.where(is_add),
+        "vec_id", "label", "embedding", **kw,
     )
     assert n > 0
-    got = _knn_set(read_table(spark, root, "neighbors"))
-    want = _knn_set(_topk(emb))
+    # inject a crash between the pair swap's two renames: the live
+    # store vanishes, only the backup remains — exactly the window
+    # io._staged_swap leaves if the process dies mid-swap
+    store = os.path.join(root, "nbr")
+    os.rename(store, store + "__old_00000000000000000009_x")
+    # the next read heals the PAIR (corpus and neighbors together —
+    # never one without the other)
+    assert read_neighbors_table(spark, root, "nbr").count() == n
+    assert os.path.isdir(os.path.join(store, "vectors"))
+    # delete batch: no base argument anywhere — the stored corpus is
+    # the only corpus
+    maintain_neighbors_table(
+        spark, root, "nbr",
+        emb.where(is_add).limit(0),
+        "vec_id", "label", "embedding",
+        deleted_ids=emb.where(is_del).select("vec_id"), **kw,
+    )
+    final_corpus = emb.where(~is_del)
+    got = _knn_set(read_neighbors_table(spark, root, "nbr"))
+    want = _knn_set(
+        _neighbors_topk(final_corpus, "vec_id", "label", "embedding", 1.0, 5)
+    )
     assert got == want
+    # the stored corpus tracked the changes too
+    assert read_neighbors_corpus(spark, root, "nbr").count() == final_corpus.count()
