@@ -215,6 +215,46 @@ def read_log_store(
     return _merge(spark, base, gens, key_col)
 
 
+def compact_if_needed(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    key_col: str,
+    *,
+    max_generations: int = 16,
+    max_delta_fraction: float = 0.2,
+) -> int:
+    """Compaction policy: fold when the generation COUNT exceeds
+    ``max_generations`` (read amplification: each generation is one
+    extra scan per read) or the generations' total BYTES exceed
+    ``max_delta_fraction`` of base (merge-work amplification: the
+    touched-key set must stay broadcast-small relative to base). Call
+    after every N epochs — e.g. from the foreachBatch sink — and the
+    index-sized rewrite amortizes to 1/N of epochs while per-epoch
+    writes stay delta-sized. Returns generations folded (0 = below both
+    thresholds)."""
+    store = _store_path(root, name)
+    gens = _delta_dirs(store, committed=True)
+    if not gens:
+        return 0
+
+    def _bytes(d: str) -> int:
+        total = 0
+        for dirpath, _dirs, files in os.walk(d):
+            total += sum(
+                os.path.getsize(os.path.join(dirpath, f)) for f in files
+            )
+        return total
+
+    base_bytes = _bytes(_base_path(store)) or 1
+    if (
+        len(gens) <= max_generations
+        and sum(_bytes(g) for g in gens) <= max_delta_fraction * base_bytes
+    ):
+        return 0
+    return compact_log_store(spark, root, name, key_col)
+
+
 def compact_log_store(
     spark: SparkSession, root: str, name: str, key_col: str
 ) -> int:

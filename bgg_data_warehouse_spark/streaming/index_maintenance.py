@@ -281,6 +281,47 @@ def read_index_logged(spark: SparkSession, root: str, name: str) -> DataFrame:
     return read_log_store(spark, root, name, "doc")
 
 
+def apply_minhash_log_batch(
+    batch_df: DataFrame,
+    root: str,
+    name: str,
+    *,
+    id_col: str,
+    text_col: str,
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    verify_tokens: bool = False,
+) -> None:
+    """Log-structured twin of :func:`apply_minhash_batch`: the sketch
+    index is keyed by ``doc`` exactly like the postings table, so the
+    same generic log_store carries it — each epoch's re-sketches land
+    as one generation (delta-sized write), deletes as its tombstones.
+    Read with ``log_store.read_log_store(spark, root, name, "doc")``;
+    fold with ``compact_log_store`` / ``compact_if_needed``."""
+    from ..log_store import (
+        append_log_delta,
+        init_log_store,
+        log_store_exists,
+        recover_log_store,
+    )
+    from ..operators.dedup import minhash_sketch
+
+    conf = dict(
+        shingle_k=shingle_k, num_hashes=num_hashes, verify_tokens=verify_tokens
+    )
+    recover_log_store(root, name)
+    if not batch_df.take(1):
+        return
+    delta, deleted = _lww_split(batch_df, id_col, seq_cols, op_col)
+    fresh = minhash_sketch(delta.select(id_col, text_col), id_col, text_col, **conf)
+    if log_store_exists(root, name):
+        append_log_delta(root, name, fresh, "doc", tombstones=deleted)
+    else:
+        init_log_store(fresh, root, name)
+
+
 def apply_neighbors_batch(
     batch_df: DataFrame,
     root: str,

@@ -258,6 +258,66 @@ def test_streaming_logged_postings_matches_full_rebuild(spark, tmp_path):
     assert len(_delta_dirs(_store_path(root, "postings"), committed=True)) == 2
 
 
+def test_minhash_log_store_matches_fresh_sketch(spark, tmp_path):
+    """The generic store carries the MinHash sketch index too (keyed by
+    doc like the postings): drained logged epochs == a fresh sketch of
+    the final corpus, pair-for-pair, before AND after compaction."""
+    from bgg_data_warehouse_spark.log_store import read_log_store
+    from bgg_data_warehouse_spark.operators.dedup import (
+        minhash_sketch,
+        sketch_pairs,
+    )
+    from bgg_data_warehouse_spark.streaming.index_maintenance import (
+        apply_minhash_log_batch,
+    )
+
+    root = str(tmp_path / "tables")
+    conf = dict(shingle_k=1, num_hashes=16)
+    kw = dict(id_col="doc_id", text_col="text", seq_cols=["seq"], **conf)
+    for e in _epochs():
+        apply_minhash_log_batch(
+            spark.createDataFrame(e, SCHEMA), root, "mh", **kw
+        )
+    pconf = dict(num_hashes=16, bands=2, jaccard_threshold=0.9)
+
+    def pairs(df):
+        return {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in sketch_pairs(df, **pconf).collect()
+        }
+
+    want = pairs(minhash_sketch(_final_corpus(spark), "doc_id", "text", **conf))
+    stored = read_log_store(spark, root, "mh", "doc")
+    assert {r.doc for r in stored.select("doc").collect()} == {1, 2, 4, 5}
+    assert pairs(stored) == want
+    compact_log_store(spark, root, "mh", "doc")
+    assert pairs(read_log_store(spark, root, "mh", "doc")) == want
+
+
+def test_compact_if_needed_policy(spark, tmp_path):
+    """Below both thresholds: no fold (per-epoch cost stays delta-sized);
+    past the generation-count threshold: folds."""
+    from bgg_data_warehouse_spark.log_store import compact_if_needed
+
+    root = str(tmp_path)
+    _store(spark, root)  # 2 generations
+    assert (
+        compact_if_needed(
+            spark, root, "idx", "doc",
+            max_generations=16, max_delta_fraction=10.0,
+        )
+        == 0
+    )
+    assert (
+        compact_if_needed(
+            spark, root, "idx", "doc",
+            max_generations=1, max_delta_fraction=10.0,
+        )
+        == 2
+    )
+    assert _delta_dirs(_store_path(root, "idx"), committed=True) == []
+
+
 def test_logged_epoch_replay_and_compaction(spark, tmp_path):
     from bgg_data_warehouse_spark.streaming.index_maintenance import (
         apply_postings_log_batch,

@@ -354,6 +354,44 @@ INCR_SMALL = "/root/testdata/sf0.001"
 INCR_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
+def _rest_stages(spark) -> list[dict]:
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages") as r:
+        return _json.load(r)
+
+
+def _max_stage_id(spark) -> int:
+    """High-watermark over ALL retained stages (any status). Stage ids
+    are monotone, so 'work since' = stages above this id — immune to
+    the UI's retainedStages eviction, which silently shrinks any
+    sum-of-totals delta (the first cut of this harness measured
+    NEGATIVE read slopes that way)."""
+    return max((s["stageId"] for s in _rest_stages(spark)), default=-1)
+
+
+def _work_since(spark, after_id: int) -> dict[str, int]:
+    """Executor work counters for completed stages newer than
+    ``after_id`` (r12 VERDICT #7): the run's ACTUAL read volume and
+    shuffle volume — the base-size-independence claim becomes
+    'incremental maintenance READS O(delta + index), rebuild reads
+    O(corpus)', immune to the round-latency floors that flatten the
+    rebuild twins' wall-clock slopes at small SFs."""
+    new = [
+        s
+        for s in _rest_stages(spark)
+        if s["stageId"] > after_id and s.get("status") == "COMPLETE"
+    ]
+    return {
+        "read_bytes": sum(s.get("inputBytes", 0) for s in new),
+        "read_rows": sum(s.get("inputRecords", 0) for s in new),
+        "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in new),
+    }
+
+
 def incremental_main() -> None:
     args = [a for a in sys.argv[1:] if a != "--incremental"]
     sf_dirs = args if args else INCR_SFS
@@ -366,7 +404,16 @@ def incremental_main() -> None:
     import __spark_entry__ as entrymod  # noqa: F401 — session tuning
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark("incr-curve", cpus=cpus)
+    # UI on: the REST status API is the work-metric source (_work_since);
+    # retainedStages raised so no single run's stages evict mid-measure
+    spark = get_spark(
+        "incr-curve",
+        cpus=cpus,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+        },
+    )
 
     store_root = "/tmp/spark_graft_incr"
     shutil.rmtree(store_root, ignore_errors=True)
@@ -662,6 +709,15 @@ def incremental_main() -> None:
         "neighbors_incremental": fam_neighbors,
     }
 
+    def work(thunk) -> dict[str, int]:
+        # one untimed metrics pass: executor-reported read/shuffle
+        # volume for exactly this run (cache cleared first, so the run
+        # actually reads its inputs)
+        reset()
+        mark = _max_stage_id(spark)
+        force(thunk())
+        return _work_since(spark, mark)
+
     out: dict[str, dict] = {}
     for name, setup in families.items():
         rows = {}
@@ -673,16 +729,36 @@ def incremental_main() -> None:
             rows[tag] = {
                 "t_incr": round(timed(incr), 3),
                 "t_full": round(timed(full), 3),
+                "incr_work": work(incr),
+                "full_work": work(full),
             }
         tags = [os.path.basename(d) for d in sf_dirs]
         lo, hi = rows[tags[0]], rows[tags[-1]]
+
+        def ratio(a, b):
+            return round(a / b, 2) if b else None
+
         out[name] = {
             "by_sf": rows,
-            "slope_incr": round(hi["t_incr"] / lo["t_incr"], 2) if lo["t_incr"] else None,
-            "slope_full": round(hi["t_full"] / lo["t_full"], 2) if lo["t_full"] else None,
-            "speedup_at_big": round(hi["t_full"] / hi["t_incr"], 2)
-            if hi["t_incr"]
-            else None,
+            "slope_incr": ratio(hi["t_incr"], lo["t_incr"]),
+            "slope_full": ratio(hi["t_full"], lo["t_full"]),
+            "speedup_at_big": ratio(hi["t_full"], hi["t_incr"]),
+            # the floor-immune curves (r12 VERDICT #7): executor READ
+            # volume growth across the 100x base step
+            "read_slope_incr": ratio(
+                hi["incr_work"]["read_bytes"], lo["incr_work"]["read_bytes"]
+            ),
+            "read_slope_full": ratio(
+                hi["full_work"]["read_bytes"], lo["full_work"]["read_bytes"]
+            ),
+            "shuffle_slope_incr": ratio(
+                hi["incr_work"]["shuffle_write_bytes"],
+                lo["incr_work"]["shuffle_write_bytes"],
+            ),
+            "shuffle_slope_full": ratio(
+                hi["full_work"]["shuffle_write_bytes"],
+                lo["full_work"]["shuffle_write_bytes"],
+            ),
         }
 
     print(
@@ -696,6 +772,10 @@ def incremental_main() -> None:
                 "vectors=10)",
                 "timing": "min2_all; stored state read from parquet, "
                 "setup untimed",
+                "work_metrics": "read_bytes/read_rows/shuffle_write_bytes "
+                "summed over completed stages via the UI REST API, delta "
+                "around one untimed pass per (family, sf); read slopes are "
+                "floor-immune — wall-clock floors do not move bytes",
                 "families": out,
             }
         )
