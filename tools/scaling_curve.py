@@ -419,6 +419,8 @@ def incremental_main() -> None:
     shutil.rmtree(store_root, ignore_errors=True)
 
     def force(df) -> None:
+        if df is None:  # side-effecting thunk (log-store append) already ran
+            return
         df.write.format("noop").mode("overwrite").save()
 
     def reset() -> None:
@@ -523,6 +525,40 @@ def incremental_main() -> None:
         )
         return (
             lambda: update_postings(base, delta, "doc_id", "text", deleted_ids=dels),
+            lambda: inverted_postings(docs, "doc_id", "text"),
+        )
+
+    def fam_postings_logged(sf_dir, tag):
+        """The r13 log-store answer to the snapshot maintainer's
+        index-sized floor: one epoch lands as a GENERATION — the append
+        neither reads nor writes the base index, so BOTH its read and
+        write volume are delta-sized at any base size (vs fam_postings,
+        whose update reads O(index) to rewrite the snapshot)."""
+        from bgg_data_warehouse_spark.log_store import (
+            append_log_delta,
+            init_log_store,
+        )
+        from bgg_data_warehouse_spark.operators.inverted_index import (
+            inverted_postings,
+        )
+
+        docs = tbl(sf_dir, "documents")
+        name = f"plog_{tag}"
+        init_log_store(inverted_postings(docs, "doc_id", "text"), store_root, name)
+        delta = store(docs.orderBy("doc_id").limit(50), f"plog_delta_{tag}")
+        dels = store(
+            docs.orderBy(F.col("doc_id").desc()).limit(25).select("doc_id"),
+            f"plog_dels_{tag}",
+        )
+        return (
+            lambda: append_log_delta(
+                store_root,
+                name,
+                inverted_postings(delta, "doc_id", "text"),
+                "doc",
+                tombstones=dels,
+            )
+            and None,
             lambda: inverted_postings(docs, "doc_id", "text"),
         )
 
@@ -702,6 +738,7 @@ def incremental_main() -> None:
         "cc_incremental_update": fam_cc_update,
         "cc_incremental_delete": fam_cc_delete,
         "inverted_index_incremental": fam_postings,
+        "inverted_index_logged_append": fam_postings_logged,
         "dedup_minhash_incremental": fam_minhash,
         "dedup_minhash_delete": fam_minhash_delete,
         "merkle_incremental_update": fam_merkle,
@@ -717,6 +754,14 @@ def incremental_main() -> None:
         mark = _max_stage_id(spark)
         force(thunk())
         return _work_since(spark, mark)
+
+    only = os.environ.get("SPARK_GRAFT_FAMILIES")
+    if only:
+        names = only.split(",")
+        unknown = [n for n in names if n not in families]
+        if unknown:
+            raise SystemExit(f"unknown families: {unknown}")
+        families = {n: families[n] for n in names}
 
     out: dict[str, dict] = {}
     for name, setup in families.items():
@@ -750,6 +795,14 @@ def incremental_main() -> None:
             ),
             "read_slope_full": ratio(
                 hi["full_work"]["read_bytes"], lo["full_work"]["read_bytes"]
+            ),
+            # row-based slopes: the bytes counter under-reports on very
+            # small scans (FS-statistics granularity), rows never do
+            "rows_slope_incr": ratio(
+                hi["incr_work"]["read_rows"], lo["incr_work"]["read_rows"]
+            ),
+            "rows_slope_full": ratio(
+                hi["full_work"]["read_rows"], lo["full_work"]["read_rows"]
             ),
             "shuffle_slope_incr": ratio(
                 hi["incr_work"]["shuffle_write_bytes"],
