@@ -66,7 +66,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .io import _rewrite, recover_table
+from .io import _rewrite, _staged_swap, recover_table
 
 _BASE = "base"
 _DELTA_PREFIX = "delta_"
@@ -233,10 +233,19 @@ def compact_if_needed(
     index-sized rewrite amortizes to 1/N of epochs while per-epoch
     writes stay delta-sized. Returns generations folded (0 = below both
     thresholds)."""
-    store = _store_path(root, name)
+    if not _needs_compaction(
+        _store_path(root, name), max_generations, max_delta_fraction
+    ):
+        return 0
+    return compact_log_store(spark, root, name, key_col)
+
+
+def _needs_compaction(
+    store: str, max_generations: int, max_delta_fraction: float
+) -> bool:
     gens = _delta_dirs(store, committed=True)
     if not gens:
-        return 0
+        return False
 
     def _bytes(d: str) -> int:
         total = 0
@@ -247,12 +256,29 @@ def compact_if_needed(
         return total
 
     base_bytes = _bytes(_base_path(store)) or 1
-    if (
-        len(gens) <= max_generations
-        and sum(_bytes(g) for g in gens) <= max_delta_fraction * base_bytes
+    return (
+        len(gens) > max_generations
+        or sum(_bytes(g) for g in gens) > max_delta_fraction * base_bytes
+    )
+
+
+def compact_pair_if_needed(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    keys: dict[str, str],
+    *,
+    max_generations: int = 16,
+    max_delta_fraction: float = 0.2,
+) -> int:
+    """:func:`compact_if_needed` for the paired store (same thresholds,
+    measured over the whole base — the parts fold together or not at
+    all)."""
+    if not _needs_compaction(
+        _store_path(root, name), max_generations, max_delta_fraction
     ):
         return 0
-    return compact_log_store(spark, root, name, key_col)
+    return compact_pair_store(spark, root, name, keys)
 
 
 def compact_log_store(
@@ -279,6 +305,119 @@ def compact_log_store(
     # _rewrite stages the full write BEFORE the swap, so the plan's scan
     # of the old base + generation files completes while they still exist
     _rewrite(folded, store, _BASE)
+    for g in gens:
+        shutil.rmtree(g, ignore_errors=True)
+    return len(gens)
+
+
+# ---------------------------------------------------------------------------
+# Paired store: N keyed relations sharing ONE generation commit and ONE
+# base swap — the log-structured form of io.py's corpus+neighbors pair
+# store. A generation dir holds one {rows, tombstones} pair PER PART
+# under the part's subdirectory, committed by a single marker, so the
+# r12 #4 pair-atomicity contract survives delta-sizing: no crash window
+# can publish a vector corpus inconsistent with the neighbors built
+# from it, because both parts become visible (or fold, or heal) as one
+# unit at every stage.
+# ---------------------------------------------------------------------------
+
+
+def init_pair_store(
+    root: str, name: str, parts: dict[str, DataFrame]
+) -> None:
+    """Create a paired store whose base holds one table per part name."""
+    store = _store_path(root, name)
+    shutil.rmtree(store, ignore_errors=True)
+    for part, df in parts.items():
+        df.write.mode("overwrite").parquet(
+            os.path.join(_base_path(store), part)
+        )
+
+
+def append_pair_delta(
+    root: str,
+    name: str,
+    parts: dict[str, tuple[DataFrame, DataFrame | None, str]],
+) -> str:
+    """Write ONE generation touching every part: ``parts`` maps part
+    name -> (rows, tombstones_or_None, key_col). All parts' writes land
+    before the single ``_COMMITTED`` marker, so a crash mid-append
+    leaves a torn generation invisible to every part at once."""
+    store = _store_path(root, name)
+    gen = f"{_DELTA_PREFIX}{time.time_ns():020d}_{uuid.uuid4().hex[:6]}"
+    gdir = os.path.join(store, gen)
+    for part, (rows, tombstones, key_col) in parts.items():
+        if tombstones is not None:
+            tombs = tombstones.select(
+                F.col(tombstones.columns[0]).alias(key_col)
+            ).distinct()
+        else:
+            tombs = rows.select(key_col).limit(0)
+        live_rows = rows.join(F.broadcast(tombs), key_col, "left_anti")
+        live_rows.write.mode("overwrite").parquet(
+            os.path.join(gdir, part, "rows")
+        )
+        tombs.write.mode("overwrite").parquet(
+            os.path.join(gdir, part, "tombstones")
+        )
+    with open(os.path.join(gdir, _COMMIT), "w"):
+        pass
+    return gen
+
+
+def read_pair_store(
+    spark: SparkSession, root: str, name: str, part: str, key_col: str
+) -> DataFrame:
+    """One part's current contents (generational merge over that part's
+    slices of base + every committed generation)."""
+    recover_log_store(root, name)
+    store = _store_path(root, name)
+    gens = [
+        os.path.join(g, part) for g in _delta_dirs(store, committed=True)
+    ]
+    base_dir = os.path.join(_base_path(store), part)
+    if os.path.isdir(base_dir):
+        base = spark.read.parquet(base_dir)
+    elif gens:
+        base = spark.read.parquet(os.path.join(gens[0], "rows")).limit(0)
+    else:
+        raise FileNotFoundError(
+            f"pair store {store} part {part} has no base and no deltas"
+        )
+    if not gens:
+        return base
+    return _merge(spark, base, gens, key_col)
+
+
+def compact_pair_store(
+    spark: SparkSession, root: str, name: str, keys: dict[str, str]
+) -> int:
+    """Fold every committed generation into base for ALL parts in ONE
+    staged swap (``keys``: part -> key_col). Same crash matrix as the
+    single store — and because the swap covers every part's base at
+    once, a half-compacted pair can never exist."""
+    recover_log_store(root, name)
+    store = _store_path(root, name)
+    gens = _delta_dirs(store, committed=True)
+    if not gens:
+        return 0
+    folded = {}
+    for part, key_col in keys.items():
+        part_gens = [os.path.join(g, part) for g in gens]
+        base_dir = os.path.join(_base_path(store), part)
+        if os.path.isdir(base_dir):
+            base = spark.read.parquet(base_dir)
+        else:
+            base = spark.read.parquet(
+                os.path.join(part_gens[0], "rows")
+            ).limit(0)
+        folded[part] = _merge(spark, base, part_gens, key_col)
+
+    def build(staging: str) -> None:
+        for part, df in folded.items():
+            df.write.mode("overwrite").parquet(os.path.join(staging, part))
+
+    _staged_swap(store, _BASE, build)
     for g in gens:
         shutil.rmtree(g, ignore_errors=True)
     return len(gens)

@@ -222,6 +222,37 @@ def incremental_neighbors(
     since every query is then genuinely affected; the win is the
     common case where arrivals cluster in few bands.
     """
+    recomputed, touched = incremental_neighbors_delta(
+        base, delta, id_col, band_col, vec_col, band, k,
+        deleted_ids=deleted_ids,
+    )
+    kept = stored.join(F.broadcast(touched), "query_id", "left_anti")
+    return kept.unionByName(recomputed)
+
+
+def incremental_neighbors_delta(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    band_col: str,
+    vec_col: str,
+    band: float,
+    k: int,
+    *,
+    deleted_ids: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The CHANGE SET of an incremental neighbors refresh — steps 1-2 of
+    :func:`incremental_neighbors` without materializing the full
+    refreshed table: returns ``(recomputed, touched)`` where
+    ``recomputed`` is the re-ranked rows for every affected ∪ upserted
+    query and ``touched`` the single-column (query_id) frame of every
+    query whose stored rows are stale (probed ∪ removed). The refreshed
+    table is ``stored ANTI touched ∪ recomputed`` — which
+    :func:`incremental_neighbors` does eagerly for the snapshot store,
+    and which the log-structured pair store defers to read time by
+    landing exactly these two frames as a generation (delta-sized
+    write: nothing here is corpus- or index-sized in the band-sparse
+    case)."""
     from .latest import topk_per_key
 
     delta_ids = delta.select(id_col).distinct()
@@ -235,7 +266,7 @@ def incremental_neighbors(
         delta = delta.join(F.broadcast(tomb), id_col, "left_anti")
     removed = removed.distinct()
     base_kept = base.join(F.broadcast(removed), id_col, "left_anti")
-    corpus = base_kept.unionByName(delta)
+    corpus = base_kept.unionByName(delta.select(*base.columns))
 
     bucket = F.floor(F.col(band_col) / F.lit(band)).cast("long")
     # old positions of every touched id (re-embeds + deletes) + new
@@ -254,7 +285,7 @@ def incremental_neighbors(
     affected = base_kept.withColumn("_bkt", bucket).join(
         F.broadcast(touched_buckets), "_bkt", "left_semi"
     ).drop("_bkt")
-    probe = affected.unionByName(delta)
+    probe = affected.unionByName(delta.select(*base.columns))
 
     pairs = banded_cosine_pairs(
         corpus, id_col, band_col, vec_col, band, probe_df=probe
@@ -267,13 +298,9 @@ def incremental_neighbors(
         F.round("cos", 6).alias("cosine_sim"),
         "rank",
     )
-    kept = stored.join(
-        F.broadcast(
-            probe.select(F.col(id_col).alias("query_id"))
-            .unionByName(removed.select(F.col(id_col).alias("query_id")))
-            .distinct()
-        ),
-        "query_id",
-        "left_anti",
+    touched = (
+        probe.select(F.col(id_col).alias("query_id"))
+        .unionByName(removed.select(F.col(id_col).alias("query_id")))
+        .distinct()
     )
-    return kept.unionByName(recomputed)
+    return recomputed, touched

@@ -249,11 +249,21 @@ def start_streaming_index_logged(
     text_col: str,
     seq_cols: Sequence[str],
     op_col: str = "op",
+    auto_compact: bool = True,
+    max_generations: int = 16,
+    max_delta_fraction: float = 0.2,
 ):
     """Consume a document change stream into a log-structured postings
-    store (delta-sized epoch writes); returns the StreamingQuery. Run
-    ``log_store.compact_log_store(spark, root, name, "doc")`` on a
-    maintenance cadence to fold generations."""
+    store (delta-sized epoch writes); returns the StreamingQuery. With
+    ``auto_compact`` (default) each epoch ends with
+    ``log_store.compact_if_needed``: generations fold into base only
+    when read amplification (count) or merge amplification (delta
+    bytes vs base) crosses its threshold, so the index-sized rewrite is
+    paid on an amortized cadence instead of every epoch — the LSM
+    write/read trade, tunable per store. Compacting inside the sink is
+    crash-safe at any point: a died compaction heals via the store's
+    recovery matrix and the epoch itself already committed its
+    generation."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         apply_postings_log_batch(
@@ -265,6 +275,17 @@ def start_streaming_index_logged(
             seq_cols=seq_cols,
             op_col=op_col,
         )
+        if auto_compact:
+            from ..log_store import compact_if_needed
+
+            compact_if_needed(
+                batch_df.sparkSession,
+                root,
+                name,
+                "doc",
+                max_generations=max_generations,
+                max_delta_fraction=max_delta_fraction,
+            )
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -369,6 +390,137 @@ def apply_neighbors_batch(
             spark, root, name, delta, id_col, band_col, vec_col,
             band=band, k=k,
         )
+
+
+def apply_neighbors_log_batch(
+    batch_df: DataFrame,
+    root: str,
+    name: str,
+    *,
+    id_col: str,
+    band_col: str,
+    vec_col: str,
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    band: float,
+    k: int,
+    auto_compact: bool = True,
+    max_generations: int = 16,
+    max_delta_fraction: float = 0.2,
+) -> None:
+    """Log-structured twin of :func:`apply_neighbors_batch` — the
+    delta-sized-WRITE form of the paired corpus+neighbors store: an
+    epoch lands as ONE pair-store generation holding (a) the vector
+    upserts + tombstones and (b) the CHANGE SET of the k-NN refresh
+    (``incremental_neighbors_delta``'s recomputed rows; touched queries
+    with no surviving rows become neighbor tombstones). Nothing written
+    is corpus- or index-sized in the band-sparse case — the snapshot
+    applier rewrites both tables every epoch. Pair atomicity (r12 #4)
+    survives delta-sizing because both parts share the generation's
+    single commit marker and fold in one base swap. Reads go through
+    ``log_store.read_pair_store(spark, root, name, "neighbors",
+    "query_id")``; ``compact_pair_if_needed`` folds on the amortized
+    cadence."""
+    from ..io import _neighbors_topk
+    from ..log_store import (
+        append_pair_delta,
+        compact_pair_if_needed,
+        init_pair_store,
+        log_store_exists,
+        read_pair_store,
+        recover_log_store,
+    )
+    from ..operators.band_join import incremental_neighbors_delta
+
+    recover_log_store(root, name)
+    if not batch_df.take(1):
+        return
+    spark = batch_df.sparkSession
+    delta, deleted = _lww_split(batch_df, id_col, seq_cols, op_col)
+    delta = delta.select(id_col, band_col, vec_col)
+    keys = {"vectors": id_col, "neighbors": "query_id"}
+    if log_store_exists(root, name):
+        base = read_pair_store(spark, root, name, "vectors", id_col)
+        recomputed, touched = incremental_neighbors_delta(
+            base, delta, id_col, band_col, vec_col, band, k,
+            deleted_ids=deleted,
+        )
+        # the matmul feeds both the rows write and the tombstone anti —
+        # pin it so the change set computes once
+        recomputed = recomputed.localCheckpoint(eager=True)
+        # a touched query with no recomputed rows has lost its whole
+        # top-k (its band emptied) — that is a neighbors tombstone;
+        # every other touched query is replaced by its rows
+        nbr_tombs = touched.join(
+            recomputed.select("query_id").distinct(), "query_id", "left_anti"
+        )
+        append_pair_delta(
+            root,
+            name,
+            {
+                "vectors": (delta, deleted, id_col),
+                "neighbors": (recomputed, nbr_tombs, "query_id"),
+            },
+        )
+    else:
+        # first epoch: corpus = surviving upserts, neighbors = its top-k
+        init_pair_store(
+            root,
+            name,
+            {
+                "vectors": delta,
+                "neighbors": _neighbors_topk(
+                    delta, id_col, band_col, vec_col, band, k
+                ),
+            },
+        )
+        return
+    if auto_compact:
+        compact_pair_if_needed(
+            spark, root, name, keys,
+            max_generations=max_generations,
+            max_delta_fraction=max_delta_fraction,
+        )
+
+
+def start_streaming_neighbors_logged(
+    stream: DataFrame,
+    root: str,
+    name: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str,
+    band_col: str,
+    vec_col: str,
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    band: float,
+    k: int,
+    auto_compact: bool = True,
+):
+    """Consume a vector change stream into a log-structured paired
+    store; returns the StreamingQuery."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_neighbors_log_batch(
+            batch_df,
+            root,
+            name,
+            id_col=id_col,
+            band_col=band_col,
+            vec_col=vec_col,
+            seq_cols=seq_cols,
+            op_col=op_col,
+            band=band,
+            k=k,
+            auto_compact=auto_compact,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
 
 
 def start_streaming_neighbors(

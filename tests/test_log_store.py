@@ -233,6 +233,7 @@ def test_streaming_logged_postings_matches_full_rebuild(spark, tmp_path):
         id_col="doc_id",
         text_col="text",
         seq_cols=["seq"],
+        auto_compact=False,  # generation-landing assertion below
     )
     try:
         q.processAllAvailable()
@@ -256,6 +257,58 @@ def test_streaming_logged_postings_matches_full_rebuild(spark, tmp_path):
     assert got == want
     # epochs 2 and 3 landed as generations, not base rewrites
     assert len(_delta_dirs(_store_path(root, "postings"), committed=True)) == 2
+
+
+def test_streaming_logged_auto_compaction_folds(spark, tmp_path):
+    """The default sink runs compact_if_needed per epoch: tiny-base
+    epochs cross the byte-fraction threshold, so generations fold and
+    the read result is unchanged."""
+    from bgg_data_warehouse_spark.operators.inverted_index import (
+        inverted_postings,
+    )
+    from bgg_data_warehouse_spark.streaming.index_maintenance import (
+        read_index_logged,
+        start_streaming_index_logged,
+    )
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "tables")
+    epochs = _epochs()
+    for i in range(len(epochs)):
+        spark.createDataFrame(epochs[i], SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    q = start_streaming_index_logged(
+        # one file per trigger => the three epochs arrive as three
+        # batches (otherwise one batch LWW-collapses them and nothing
+        # ever becomes a generation)
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing),
+        root,
+        "postings",
+        str(tmp_path / "ckpt"),
+        id_col="doc_id",
+        text_col="text",
+        seq_cols=["seq"],
+        max_generations=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _delta_dirs(_store_path(root, "postings"), committed=True) == []
+    got = {
+        (r.tok, r.doc, r.tf)
+        for r in read_index_logged(spark, root, "postings").collect()
+    }
+    want = {
+        (r.tok, r.doc, r.tf)
+        for r in inverted_postings(
+            _final_corpus(spark), "doc_id", "text"
+        ).collect()
+    }
+    assert got == want
 
 
 def test_minhash_log_store_matches_fresh_sketch(spark, tmp_path):
@@ -349,3 +402,171 @@ def test_logged_epoch_replay_and_compaction(spark, tmp_path):
         (r.tok, r.doc, r.tf)
         for r in read_index_logged(spark, root, "postings").collect()
     } == before
+
+
+# ---------------------------------------------------------------------------
+# paired log store: the corpus+neighbors pair with delta-sized writes —
+# both parts share one generation commit and one base swap
+# ---------------------------------------------------------------------------
+
+
+def _vec_epochs():
+    from tests.test_streaming_index import _vec_epochs as e
+
+    return e()
+
+
+def _vec_final_corpus(spark):
+    from tests.test_streaming_index import _vec_final_corpus as f
+
+    return f(spark)
+
+
+VEC_SCHEMA = "vec_id long, label double, vec array<double>, seq long, op string"
+VEC_KW = dict(
+    id_col="vec_id", band_col="label", vec_col="vec",
+    seq_cols=["seq"], band=1.0, k=3,
+)
+
+
+def _nbr_set(df):
+    return {
+        (r.query_id, r.nbr_id, r.cosine_sim, r.rank) for r in df.collect()
+    }
+
+
+def test_neighbors_pair_log_matches_full_rebuild(spark, tmp_path):
+    from bgg_data_warehouse_spark.io import _neighbors_topk
+    from bgg_data_warehouse_spark.log_store import read_pair_store
+    from bgg_data_warehouse_spark.streaming.index_maintenance import (
+        apply_neighbors_log_batch,
+    )
+
+    root = str(tmp_path / "tables")
+    for e in _vec_epochs():
+        apply_neighbors_log_batch(
+            spark.createDataFrame(e, VEC_SCHEMA), root, "nbr",
+            auto_compact=False, **VEC_KW,
+        )
+    got = _nbr_set(read_pair_store(spark, root, "nbr", "neighbors", "query_id"))
+    want = _nbr_set(
+        _neighbors_topk(_vec_final_corpus(spark), "vec_id", "label", "vec", 1.0, 3)
+    )
+    assert got == want
+    # the corpus part tracked the changes under the SAME commits
+    corpus = read_pair_store(spark, root, "nbr", "vectors", "vec_id")
+    assert {r.vec_id for r in corpus.select("vec_id").collect()} == {1, 2, 3, 5}
+
+
+def test_neighbors_pair_log_replay_and_compaction(spark, tmp_path):
+    from bgg_data_warehouse_spark.io import _neighbors_topk
+    from bgg_data_warehouse_spark.log_store import (
+        compact_pair_store,
+        read_pair_store,
+    )
+    from bgg_data_warehouse_spark.streaming.index_maintenance import (
+        apply_neighbors_log_batch,
+    )
+
+    root = str(tmp_path / "tables")
+    epochs = _vec_epochs()
+    for e in epochs:
+        apply_neighbors_log_batch(
+            spark.createDataFrame(e, VEC_SCHEMA), root, "nbr",
+            auto_compact=False, **VEC_KW,
+        )
+    want = _nbr_set(
+        _neighbors_topk(_vec_final_corpus(spark), "vec_id", "label", "vec", 1.0, 3)
+    )
+    # foreachBatch replay of the last epoch: state unchanged
+    apply_neighbors_log_batch(
+        spark.createDataFrame(epochs[-1], VEC_SCHEMA), root, "nbr",
+        auto_compact=False, **VEC_KW,
+    )
+    assert _nbr_set(
+        read_pair_store(spark, root, "nbr", "neighbors", "query_id")
+    ) == want
+    # fold both parts in one swap; results unchanged, store is base-only
+    n = compact_pair_store(
+        spark, root, "nbr", {"vectors": "vec_id", "neighbors": "query_id"}
+    )
+    assert n >= 2
+    assert _delta_dirs(_store_path(root, "nbr"), committed=True) == []
+    assert _nbr_set(
+        read_pair_store(spark, root, "nbr", "neighbors", "query_id")
+    ) == want
+
+
+def test_neighbors_pair_log_epoch_writes_are_delta_sized(spark, tmp_path):
+    """The whole point vs the snapshot pair store: an epoch append
+    leaves base's file set bit-identical for BOTH parts."""
+    from bgg_data_warehouse_spark.streaming.index_maintenance import (
+        apply_neighbors_log_batch,
+    )
+
+    root = str(tmp_path / "tables")
+    epochs = _vec_epochs()
+    apply_neighbors_log_batch(
+        spark.createDataFrame(epochs[0], VEC_SCHEMA), root, "nbr",
+        auto_compact=False, **VEC_KW,
+    )
+    base_dir = _base_path(_store_path(root, "nbr"))
+
+    def snapshot(d):
+        out = {}
+        for dirpath, _dirs, files in os.walk(d):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot(base_dir)
+    apply_neighbors_log_batch(
+        spark.createDataFrame(epochs[1], VEC_SCHEMA), root, "nbr",
+        auto_compact=False, **VEC_KW,
+    )
+    assert snapshot(base_dir) == before
+    assert len(_delta_dirs(_store_path(root, "nbr"), committed=True)) == 1
+
+
+def test_pair_torn_generation_invisible_to_both_parts(spark, tmp_path):
+    """A crash mid-append (no commit marker) must hide the generation
+    from BOTH parts — the pair-atomicity contract in log form."""
+    import shutil
+
+    from bgg_data_warehouse_spark.log_store import (
+        read_pair_store,
+        recover_log_store,
+    )
+    from bgg_data_warehouse_spark.streaming.index_maintenance import (
+        apply_neighbors_log_batch,
+    )
+
+    root = str(tmp_path / "tables")
+    epochs = _vec_epochs()
+    for e in epochs:
+        apply_neighbors_log_batch(
+            spark.createDataFrame(e, VEC_SCHEMA), root, "nbr",
+            auto_compact=False, **VEC_KW,
+        )
+    store = _store_path(root, "nbr")
+    nbr_before = _nbr_set(read_pair_store(spark, root, "nbr", "neighbors", "query_id"))
+    vec_before = {
+        r.vec_id
+        for r in read_pair_store(spark, root, "nbr", "vectors", "vec_id").collect()
+    }
+    # tear: copy a committed generation to a new name WITHOUT its marker
+    gens = _delta_dirs(store, committed=True)
+    torn = os.path.join(store, "delta_99999999999999999999_torn")
+    shutil.copytree(gens[-1], torn)
+    os.remove(os.path.join(torn, "_COMMITTED"))
+    assert _nbr_set(
+        read_pair_store(spark, root, "nbr", "neighbors", "query_id")
+    ) == nbr_before
+    assert {
+        r.vec_id
+        for r in read_pair_store(spark, root, "nbr", "vectors", "vec_id").collect()
+    } == vec_before
+    recover_log_store(root, "nbr")
+    assert not os.path.isdir(torn)
