@@ -570,3 +570,62 @@ def test_pair_torn_generation_invisible_to_both_parts(spark, tmp_path):
     } == vec_before
     recover_log_store(root, "nbr")
     assert not os.path.isdir(torn)
+
+
+def test_term_filter_pushes_into_generational_scans(spark, tmp_path):
+    """Serving pin: a term predicate on the generational read pushes
+    down into the base AND generation scans (the merge joins key on
+    doc/_gen, so a tok filter commutes through them) — a term lookup
+    over an uncompacted store reads posting-list-sized data, never
+    store-sized."""
+    root = str(tmp_path)
+    _store(spark, root)
+    df = read_log_store(spark, root, "idx", "doc").where(F.col("tok") == "x")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every parquet scan of rows data carries the pushed tok filter
+    # (base + at least one generation; the semi branch appends its join
+    # key's IsNotNull, so match the prefix)
+    assert plan.count("PushedFilters: [IsNotNull(tok), EqualTo(tok,x)") >= 2, (
+        plan[:3000]
+    )
+    assert {(r.doc, r.tok, r.tf) for r in df.collect()} == {(1, "x", 9)}
+
+
+def test_streaming_neighbors_logged_wiring(spark, tmp_path):
+    """start_streaming_neighbors_logged drains a vector change stream
+    into the paired log store and equals the full rebuild."""
+    from bgg_data_warehouse_spark.io import _neighbors_topk
+    from bgg_data_warehouse_spark.log_store import read_pair_store
+    from bgg_data_warehouse_spark.streaming.index_maintenance import (
+        start_streaming_neighbors_logged,
+    )
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "tables")
+    epochs = _vec_epochs()
+
+    def write_epoch(i):
+        spark.createDataFrame(epochs[i], VEC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    write_epoch(0)
+    q = start_streaming_neighbors_logged(
+        spark.readStream.schema(VEC_SCHEMA).parquet(landing),
+        root,
+        "nbr",
+        str(tmp_path / "ckpt"),
+        auto_compact=False,
+        **VEC_KW,
+    )
+    try:
+        q.processAllAvailable()
+        write_epoch(1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _nbr_set(read_pair_store(spark, root, "nbr", "neighbors", "query_id"))
+    want = _nbr_set(
+        _neighbors_topk(_vec_final_corpus(spark), "vec_id", "label", "vec", 1.0, 3)
+    )
+    assert got == want
