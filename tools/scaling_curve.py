@@ -734,11 +734,75 @@ def incremental_main() -> None:
             lambda: _topk(emb),
         )
 
+    def fam_neighbors_logged(sf_dir, tag):
+        """The r13 paired log store in the operator's DESIGNED regime —
+        band-sparse arrivals (50 bands, the 10-vector epoch confined to
+        one): the epoch lands the delta and the k-NN change set as one
+        generation, so reads scale with the affected 3-of-50 bands'
+        population and writes with the change set, while the full
+        rebuild re-matmuls and rewrites everything. (On the raw
+        10-band testdata the delta touches most of the band space and
+        the probe rightly degrades to near-corpus — the caveat the r12
+        notes already record; this fixture measures the win the
+        operator exists for.)"""
+        from bgg_data_warehouse_spark.io import _neighbors_topk
+        from bgg_data_warehouse_spark.log_store import init_pair_store
+        from bgg_data_warehouse_spark.streaming.index_maintenance import (
+            apply_neighbors_log_batch,
+        )
+
+        emb = tbl(sf_dir, "embeddings").select(
+            "vec_id",
+            F.pmod(F.col("vec_id"), F.lit(50)).cast("double").alias("band50"),
+            "embedding",
+        )
+        delta_ids = [
+            r[0]
+            for r in emb.where(F.col("band50") == 7.0)
+            .select("vec_id")
+            .orderBy("vec_id")
+            .limit(10)
+            .collect()
+        ]
+        base = emb.where(~F.col("vec_id").isin(delta_ids))
+        name = f"nlog_{tag}"
+        init_pair_store(
+            store_root,
+            name,
+            {
+                "vectors": base,
+                "neighbors": _neighbors_topk(
+                    base, "vec_id", "band50", "embedding", 1.0, 5
+                ),
+            },
+        )
+        batch = store(
+            emb.where(F.col("vec_id").isin(delta_ids)).select(
+                "vec_id",
+                "band50",
+                "embedding",
+                F.col("vec_id").alias("seq"),
+                F.lit("U").alias("op"),
+            ),
+            f"nlog_batch_{tag}",
+        )
+        kw = dict(
+            id_col="vec_id", band_col="band50", vec_col="embedding",
+            seq_cols=["seq"], band=1.0, k=5, auto_compact=False,
+        )
+        return (
+            lambda: apply_neighbors_log_batch(
+                batch, store_root, name, **kw
+            ),
+            lambda: _neighbors_topk(emb, "vec_id", "band50", "embedding", 1.0, 5),
+        )
+
     families = {
         "cc_incremental_update": fam_cc_update,
         "cc_incremental_delete": fam_cc_delete,
         "inverted_index_incremental": fam_postings,
         "inverted_index_logged_append": fam_postings_logged,
+        "neighbors_logged_epoch": fam_neighbors_logged,
         "dedup_minhash_incremental": fam_minhash,
         "dedup_minhash_delete": fam_minhash_delete,
         "merkle_incremental_update": fam_merkle,
