@@ -482,6 +482,14 @@ def incremental_main() -> None:
         )
 
     def fam_cc_delete(sf_dir, tag):
+        """Measures the PRODUCTION layout (r13): the stored edge table
+        is component-annotated and partitioned by component id, so the
+        affected-component rescan partition-prunes to the touched
+        components' files (the canonical_col path the
+        cc_incremental_delete gate plan-audits). An unannotated table
+        instead semi-joins the full edge set per round — the r13
+        harness measured that worst case at 39x incremental shuffle
+        growth, exactly the gap the layout exists to close."""
         from bgg_data_warehouse_spark.operators.components import (
             connected_components_star,
             incremental_components_delete,
@@ -490,22 +498,30 @@ def incremental_main() -> None:
 
         orders = tbl(sf_dir, "orders")
         w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-        edges = store(
-            orders.select(
-                F.col("o_orderkey").alias("src"),
-                F.lead("o_orderkey").over(w).alias("dst"),
-            ).where(F.col("dst").isNotNull()),
-            f"ccd_edges_{tag}",
-        )
+        edges0 = orders.select(
+            F.col("o_orderkey").alias("src"),
+            F.lead("o_orderkey").over(w).alias("dst"),
+        ).where(F.col("dst").isNotNull()).localCheckpoint(eager=True)
         labels = store(
-            connected_components_star(edges, "src", "dst", canonical_edges=True),
+            connected_components_star(edges0, "src", "dst", canonical_edges=True),
             f"ccd_labels_{tag}",
         )
-        victim = store(edges.orderBy("src", "dst").limit(50), f"ccd_victim_{tag}")
-        survivors = edges.join(victim, ["src", "dst"], "left_anti")
+        # component-annotated, comp-partitioned edge storage
+        ann_path = os.path.join(store_root, f"ccd_edges_{tag}")
+        edges0.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).withColumnRenamed("canonical", "comp").write.mode(
+            "overwrite"
+        ).partitionBy("comp").parquet(ann_path)
+        edges = spark.read.parquet(ann_path)
+        victim = store(
+            edges.select("src", "dst").orderBy("src", "dst").limit(50),
+            f"ccd_victim_{tag}",
+        )
+        survivors = edges0.join(victim, ["src", "dst"], "left_anti")
         return (
             lambda: incremental_components_delete(
-                labels, edges, victim, "src", "dst"
+                labels, edges, victim, "src", "dst", canonical_col="comp"
             ),
             lambda: connected_components_star(survivors, "src", "dst"),
         )
