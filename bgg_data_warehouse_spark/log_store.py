@@ -6,10 +6,11 @@ streaming epoch appliers (streaming/index_maintenance.py) keep a stored
 index fresh with delta-bounded COMPUTE, but every application ends in a
 staged rewrite of the whole table — at 100 TB that write makes per-epoch
 maintenance index-sized again, the honest floor those modules' docstrings
-name. This module is the named alternative, for any index keyed by a
-single replacement column: a BASE parquet table plus an ordered chain of
-DELTA GENERATIONS, each holding the epoch's fresh rows and its tombstoned
-keys. Appending an epoch writes ONLY the generation (delta-sized);
+name. This module is the named alternative, for any relation keyed by a
+replacement key (one column or a composite — postings by doc, sketches
+by doc, CDC state by primary key): a BASE parquet table plus an ordered
+chain of DELTA GENERATIONS, each holding the epoch's fresh rows and its
+tombstoned keys. Appending an epoch writes ONLY the generation (delta-sized);
 reading merges base + generations relationally; a COMPACTION op folds
 the accumulated generations back into base on whatever cadence amortizes
 the rewrite (the Delta/Iceberg/LSM discipline, re-expressed over plain
@@ -71,6 +72,26 @@ from .io import _rewrite, _staged_swap, recover_table
 _BASE = "base"
 _DELTA_PREFIX = "delta_"
 _COMMIT = "_COMMITTED"
+
+
+def _as_cols(key_col) -> list[str]:
+    """Keys are a single column name or a list (composite key — the CDC
+    state shape); everything below works on the list form."""
+    return [key_col] if isinstance(key_col, str) else list(key_col)
+
+
+def _tomb_frame(rows, tombstones, key_cols: list[str]):
+    """Normalize the tombstone input to a distinct key-column frame.
+    Single-key tombstones may arrive under any column name (first
+    column wins — the maintainers pass bare id frames); composite-key
+    tombstones must carry the key columns by name."""
+    if tombstones is None:
+        return rows.select(*key_cols).limit(0)
+    if len(key_cols) == 1:
+        return tombstones.select(
+            F.col(tombstones.columns[0]).alias(key_cols[0])
+        ).distinct()
+    return tombstones.select(*key_cols).distinct()
 
 
 def _store_path(root: str, name: str) -> str:
@@ -145,14 +166,10 @@ def append_log_delta(
     store = _store_path(root, name)
     gen = f"{_DELTA_PREFIX}{time.time_ns():020d}_{uuid.uuid4().hex[:6]}"
     gdir = os.path.join(store, gen)
-    if tombstones is not None:
-        tombs = tombstones.select(
-            F.col(tombstones.columns[0]).alias(key_col)
-        ).distinct()
-    else:
-        tombs = rows.select(key_col).limit(0)
+    key_cols = _as_cols(key_col)
+    tombs = _tomb_frame(rows, tombstones, key_cols)
     # deletion wins within a generation: rows and tombstones key-disjoint
-    live_rows = rows.join(F.broadcast(tombs), key_col, "left_anti")
+    live_rows = rows.join(F.broadcast(tombs), key_cols, "left_anti")
     live_rows.write.mode("overwrite").parquet(os.path.join(gdir, "rows"))
     tombs.write.mode("overwrite").parquet(os.path.join(gdir, "tombstones"))
     with open(os.path.join(gdir, _COMMIT), "w"):
@@ -161,11 +178,12 @@ def append_log_delta(
 
 
 def _merge(
-    spark: SparkSession, base: DataFrame, gen_dirs: list[str], key_col: str
+    spark: SparkSession, base: DataFrame, gen_dirs: list[str], key_col
 ) -> DataFrame:
     """The generational merge (module docstring): newest touch per key
     wins; base rows leave via ONE broadcast anti on the delta-bounded
     touched-key set — no corpus shuffle."""
+    key_cols = _as_cols(key_col)
     fresh_parts, touched_parts = [], []
     for i, g in enumerate(gen_dirs):
         r = spark.read.parquet(os.path.join(g, "rows")).withColumn(
@@ -173,19 +191,19 @@ def _merge(
         )
         t = (
             spark.read.parquet(os.path.join(g, "tombstones"))
-            .select(key_col)
+            .select(*key_cols)
             .withColumn("_gen", F.lit(i))
         )
         fresh_parts.append(r)
-        touched_parts.append(r.select(key_col, "_gen").unionByName(t))
+        touched_parts.append(r.select(*key_cols, "_gen").unionByName(t))
     fresh = reduce(DataFrame.unionByName, fresh_parts)
     touched = reduce(DataFrame.unionByName, touched_parts)
-    winner = touched.groupBy(key_col).agg(F.max("_gen").alias("_gen"))
+    winner = touched.groupBy(*key_cols).agg(F.max("_gen").alias("_gen"))
     live_fresh = fresh.join(
-        winner, [key_col, "_gen"], "left_semi"
+        winner, [*key_cols, "_gen"], "left_semi"
     ).drop("_gen")
     kept = base.join(
-        F.broadcast(winner.select(key_col)), key_col, "left_anti"
+        F.broadcast(winner.select(*key_cols)), key_cols, "left_anti"
     )
     return kept.unionByName(live_fresh)
 
@@ -347,13 +365,9 @@ def append_pair_delta(
     gen = f"{_DELTA_PREFIX}{time.time_ns():020d}_{uuid.uuid4().hex[:6]}"
     gdir = os.path.join(store, gen)
     for part, (rows, tombstones, key_col) in parts.items():
-        if tombstones is not None:
-            tombs = tombstones.select(
-                F.col(tombstones.columns[0]).alias(key_col)
-            ).distinct()
-        else:
-            tombs = rows.select(key_col).limit(0)
-        live_rows = rows.join(F.broadcast(tombs), key_col, "left_anti")
+        key_cols = _as_cols(key_col)
+        tombs = _tomb_frame(rows, tombstones, key_cols)
+        live_rows = rows.join(F.broadcast(tombs), key_cols, "left_anti")
         live_rows.write.mode("overwrite").parquet(
             os.path.join(gdir, part, "rows")
         )

@@ -40,12 +40,16 @@ its per-key LWW window, one full-outer join against the snapshot on
 the same key (the window's partitioning is reused — audited for the
 batch gate in test_plan_audit), one staged rewrite. The join + the
 FULL-snapshot rewrite are snapshot-sized — the honest floor for a CDC
-consumer without a transactional table format (a partitioned
-io.LAYOUTS layout speeds READERS via pruning; it does not shrink the
-per-epoch rewrite). When per-epoch rewrite cost matters more than
-read-side simplicity, batch changes into longer trigger intervals or
-adopt a log-structured layout (base + change partitions compacted by
-io.compact_table).
+consumer without a transactional table format.
+
+That floor is CLOSED by the logged face (r13, riding log_store.py's
+generational store — CDC state IS the store's replace-by-key contract
+with a composite key): ``apply_cdc_log_batch`` lands each epoch's
+surviving images as a generation (delta-sized read AND write — it
+never touches the snapshot), ``read_cdc_state_logged`` merges on read,
+and ``log_store.compact_if_needed`` folds on the amortized cadence.
+The snapshot applier above remains for the read-latency-critical
+regime where one plain table with no merge on read wins.
 """
 
 from __future__ import annotations
@@ -149,3 +153,105 @@ def start_streaming_cdc(
 def read_cdc_state(spark: SparkSession, root: str, name: str) -> DataFrame:
     """The current snapshot (one row per live key)."""
     return read_table(spark, root, name)
+
+
+def apply_cdc_log_batch(
+    batch_df: DataFrame,
+    root: str,
+    name: str,
+    *,
+    keys: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    auto_compact: bool = True,
+    max_generations: int = 16,
+    max_delta_fraction: float = 0.2,
+) -> None:
+    """Log-structured twin of :func:`apply_cdc_batch`: the epoch's
+    surviving 'U' images (LWW-collapsed per key by ``seq_cols``) land
+    as a generation's rows, the surviving 'D' keys as its tombstones —
+    nothing snapshot-sized is read OR written per epoch; the newest-
+    generation-wins merge at read time IS apply_changelog's LWW
+    algebra, one generation per epoch. Replay appends a duplicate
+    generation whose rows replace their identical older copies — same
+    idempotence shape as the logged postings face, pinned by test."""
+    from ..log_store import (
+        append_log_delta,
+        compact_if_needed,
+        init_log_store,
+        log_store_exists,
+        recover_log_store,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    recover_log_store(root, name)
+    if not batch_df.take(1):
+        return
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in seq_cols])
+    latest = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    drop = [op_col, *seq_cols]
+    upserts = latest.where(F.col(op_col) == "U").drop(*drop)
+    deletes = latest.where(F.col(op_col) == "D").select(*keys)
+    if log_store_exists(root, name):
+        append_log_delta(
+            root, name, upserts, list(keys), tombstones=deletes
+        )
+        if auto_compact:
+            compact_if_needed(
+                batch_df.sparkSession,
+                root,
+                name,
+                list(keys),
+                max_generations=max_generations,
+                max_delta_fraction=max_delta_fraction,
+            )
+    else:
+        # first epoch: state = the surviving images
+        init_log_store(upserts, root, name)
+
+
+def start_streaming_cdc_logged(
+    stream: DataFrame,
+    root: str,
+    name: str,
+    checkpoint_dir: str,
+    *,
+    keys: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    auto_compact: bool = True,
+):
+    """Consume a change stream into a log-structured state store
+    (delta-sized epochs); returns the StreamingQuery."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_cdc_log_batch(
+            batch_df,
+            root,
+            name,
+            keys=keys,
+            seq_cols=seq_cols,
+            op_col=op_col,
+            auto_compact=auto_compact,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_cdc_state_logged(
+    spark: SparkSession, root: str, name: str, keys: Sequence[str]
+) -> DataFrame:
+    """The current log-structured state (generational merge; base-only
+    after compaction)."""
+    from ..log_store import read_log_store
+
+    return read_log_store(spark, root, name, list(keys))

@@ -282,3 +282,81 @@ def test_s6_s7_wrappers_recover_before_first_write_branch(spark, tmp_path):
     )
     got = sorted((r.id, r.v) for r in read_table(spark, root, "dim").collect())
     assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_cdc_logged_matches_snapshot_applier_and_replays(spark, tmp_path):
+    """The log-structured CDC face (r13): drained epochs through
+    apply_cdc_log_batch equal the snapshot applier's state; replay of
+    the last epoch is a no-op; compaction folds to the same state. The
+    composite (k) key exercises the store's key-list form."""
+    from bgg_data_warehouse_spark.log_store import compact_log_store
+    from bgg_data_warehouse_spark.streaming.cdc import (
+        apply_cdc_batch,
+        apply_cdc_log_batch,
+        read_cdc_state,
+        read_cdc_state_logged,
+    )
+
+    root = str(tmp_path / "tables")
+    kw = dict(keys=["k"], seq_cols=["seq"])
+    for e in _epochs():
+        apply_cdc_batch(
+            spark.createDataFrame(e, SCHEMA), root, "snap", **kw
+        )
+        apply_cdc_log_batch(
+            spark.createDataFrame(e, SCHEMA), root, "logged",
+            auto_compact=False, **kw,
+        )
+
+    def logged_state():
+        return sorted(
+            (r.k, r.val, r.qty)
+            for r in read_cdc_state_logged(spark, root, "logged", ["k"]).collect()
+        )
+
+    want = sorted(
+        (r.k, r.val, r.qty) for r in read_cdc_state(spark, root, "snap").collect()
+    )
+    assert logged_state() == want
+    # replay the final epoch: duplicate generation, identical state
+    apply_cdc_log_batch(
+        spark.createDataFrame(_epochs()[-1], SCHEMA), root, "logged",
+        auto_compact=False, **kw,
+    )
+    assert logged_state() == want
+    # fold: base-only, same state
+    assert compact_log_store(spark, root, "logged", ["k"]) >= 2
+    assert logged_state() == want
+
+
+def test_cdc_logged_epoch_never_touches_base(spark, tmp_path):
+    """Delta-sizing pin: an epoch append leaves the state base's file
+    set bit-identical — the snapshot applier rewrites it every epoch."""
+    import os
+
+    from bgg_data_warehouse_spark.log_store import _base_path, _store_path
+    from bgg_data_warehouse_spark.streaming.cdc import apply_cdc_log_batch
+
+    root = str(tmp_path / "tables")
+    kw = dict(keys=["k"], seq_cols=["seq"], auto_compact=False)
+    epochs = _epochs()
+    apply_cdc_log_batch(
+        spark.createDataFrame(epochs[0], SCHEMA), root, "logged", **kw
+    )
+    base_dir = _base_path(_store_path(root, "logged"))
+
+    def snapshot(d):
+        out = {}
+        for dirpath, _dirs, files in os.walk(d):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot(base_dir)
+    for e in epochs[1:]:
+        apply_cdc_log_batch(
+            spark.createDataFrame(e, SCHEMA), root, "logged", **kw
+        )
+    assert snapshot(base_dir) == before
