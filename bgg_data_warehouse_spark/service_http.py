@@ -51,24 +51,53 @@ def _make_handler(reader):
         # the routing contract owns 405 semantics — route every method
         # through handle() rather than letting BaseHTTPRequestHandler
         # 501 on verbs it doesn't know
-        def _dispatch(self, method: str) -> None:
+        def _drain_body(self) -> None:
             # drain the request body (if any) before responding: leaving
-            # Content-Length bytes unread can reset the connection under
-            # a client that pipelines, before it reads our 405/400
-            length = int(self.headers.get("Content-Length") or 0)
+            # body bytes unread can reset the connection under a client
+            # that pipelines, before it reads our 405/400. A malformed
+            # (non-numeric) Content-Length is treated as no body — the
+            # route still answers instead of dropping the connection
+            # (ADVICE r13) — and chunked bodies are drained by walking
+            # the chunk framing until the terminal 0-size chunk.
+            te = (self.headers.get("Transfer-Encoding") or "").lower()
+            if "chunked" in te:
+                while True:
+                    size_line = self.rfile.readline(65536).split(b";", 1)[0]
+                    try:
+                        size = int(size_line.strip() or b"0", 16)
+                    except ValueError:
+                        return  # malformed framing: stop draining
+                    if size == 0:
+                        self.rfile.readline(65536)  # trailing CRLF
+                        return
+                    remaining = size + 2  # chunk payload + CRLF
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(remaining, 65536))
+                        if not chunk:
+                            return
+                        remaining -= len(chunk)
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                length = 0
             while length > 0:
                 chunk = self.rfile.read(min(length, 65536))
                 if not chunk:
                     break
                 length -= len(chunk)
-            parts = urlsplit(self.path)
-            params = {
-                k: v[-1] for k, v in parse_qs(parts.query).items() if v
-            }
-            try:
+
+        def _dispatch(self, method: str) -> None:
+            try:  # widened over the drain too (ADVICE r13): any reader,
+                # route, or transport-parse bug maps to a 500 JSON body,
+                # never a dropped connection (FastAPI's default handler
+                # contract)
+                self._drain_body()
+                parts = urlsplit(self.path)
+                params = {
+                    k: v[-1] for k, v in parse_qs(parts.query).items() if v
+                }
                 status, body = handle(reader, method, parts.path, params)
-            except Exception as exc:  # reader/route bug → 500 JSON, not a
-                # dropped connection (FastAPI's default handler contract)
+            except Exception as exc:
                 status, body = 500, {"detail": f"internal error: {exc}"}
             payload = json.dumps(body).encode("utf-8")
             self.send_response(status)

@@ -67,7 +67,14 @@ from ..io import (
 )
 from ..operators.merge import apply_changelog
 
-__all__ = ["start_streaming_cdc", "read_cdc_state", "apply_cdc_batch"]
+__all__ = [
+    "start_streaming_cdc",
+    "read_cdc_state",
+    "apply_cdc_batch",
+    "apply_cdc_log_batch",
+    "start_streaming_cdc_logged",
+    "read_cdc_state_logged",
+]
 
 
 def apply_cdc_batch(

@@ -190,6 +190,49 @@ def test_http_reader_exception_maps_to_500_json():
         srv.shutdown()
 
 
+def _raw_http(srv, payload: bytes) -> bytes:
+    import socket
+
+    host, port = srv.server_address
+    with socket.create_connection((host, port), timeout=10) as s:
+        s.sendall(payload)
+        s.shutdown(socket.SHUT_WR)
+        out = b""
+        while True:
+            chunk = s.recv(65536)
+            if not chunk:
+                return out
+            out += chunk
+
+
+def test_http_malformed_content_length_still_answers(http_srv):
+    """A non-numeric Content-Length used to raise before the handler's
+    try block, dropping the connection (ADVICE r13); now it is treated
+    as no body and the route answers normally."""
+    resp = _raw_http(
+        http_srv,
+        b"GET /health HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: abc\r\nConnection: close\r\n\r\n",
+    )
+    assert resp.startswith(b"HTTP/1.0 200") or b" 200 " in resp.split(b"\r\n", 1)[0]
+    assert b'{"status": "ok"}' in resp
+
+
+def test_http_chunked_body_is_drained(http_srv):
+    """A chunked request body is drained by walking the chunk framing
+    (ADVICE r13), so the response still comes back well-formed."""
+    body = b"4\r\nwxyz\r\n0\r\n\r\n"
+    resp = _raw_http(
+        http_srv,
+        b"POST /games/13 HTTP/1.1\r\nHost: x\r\n"
+        b"Transfer-Encoding: chunked\r\nConnection: close\r\n\r\n" + body,
+    )
+    # the routing contract owns the 405 for POST; the point is the
+    # response arrives as JSON, not a reset mid-drain
+    assert b" 405 " in resp.split(b"\r\n", 1)[0]
+    assert b"detail" in resp
+
+
 def test_sitemap_feeds_tracking_cold_start(spark):
     """Cold-start integration: the sitemap harvest IS the `thing_ids`
     table the work-queue consumes (reference: fetch_all_ids seeds
