@@ -471,6 +471,128 @@ def maintain_components_table(
     return updated.count()
 
 
+def _canon_edge_frame(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """Orientation-normalized distinct edge frame: (least, greatest)
+    under the caller's column names, so (a,b) and (b,a) are ONE
+    replace-key in the edges part of the components log store."""
+    return df.select(
+        F.least(F.col(src), F.col(dst)).alias(src),
+        F.greatest(F.col(src), F.col(dst)).alias(dst),
+    ).distinct()
+
+
+def init_components_log(
+    root: str,
+    name: str,
+    labels: DataFrame,
+    edges: DataFrame,
+    src: str,
+    dst: str,
+) -> None:
+    """Create the log-structured components store: a PAIRED log store
+    (log_store.py) whose parts are the label table (keyed by node) and
+    the orientation-normalized edge table (composite-keyed by
+    (src, dst)) — both swap, fold, and heal as ONE unit, so no crash
+    window can publish labels inconsistent with the edges that produced
+    them (the r12 #4 pair-atomicity contract applied to graph state)."""
+    from .log_store import init_pair_store
+
+    init_pair_store(
+        root,
+        name,
+        {"labels": labels, "edges": _canon_edge_frame(edges, src, dst)},
+    )
+
+
+def maintain_components_log(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    delta_edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    deleted: bool = False,
+    auto_compact: bool = True,
+    max_generations: int = 16,
+    max_delta_fraction: float = 0.2,
+    max_delta_bytes: int | None = None,
+) -> int:
+    """Log-structured CC maintenance (r13 VERDICT #5) — the delta-sized
+    WRITE answer to :func:`maintain_components_table`'s snapshot-sized
+    staged rewrite (the r13 scaling curves show that rewrite's twin
+    shuffling 86-100x across a 100x base step): one epoch of edge
+    additions (or, with ``deleted=True``, deletions) lands as ONE
+    generation of the paired store holding only the CHANGE SET —
+    relabeled/new label rows plus tombstones for isolated nodes
+    (``operators.components.incremental_components_update_delta`` /
+    ``incremental_components_delete_delta``), and the delta edges
+    themselves as rows (additions) or tombstones (deletions) of the
+    composite-keyed edges part. Nothing corpus-sized is written per
+    epoch; ``log_store.compact_pair_if_needed`` folds on the amortized
+    cadence (count / relative / ABSOLUTE byte triggers). Read the
+    current labeling with ``log_store.read_pair_store(spark, root,
+    name, "labels", "node")``. Trade-off vs the snapshot maintainer:
+    the logged layout keeps no per-component edge annotation, so
+    deletion localization uses the broadcast semi-join path
+    (canonical_col=None) instead of annotated scan-prune — the epoch
+    still only SHUFFLES affected-component data, and the prune layout
+    can be reinstated as a compaction-time rewrite property if a
+    deployment's delete rate warrants it. Returns generations folded
+    by auto-compaction (0 = append only). Hash-gated end-to-end
+    (generational and compacted reads vs a full-recompute oracle) by
+    ``cc_log_maintenance``."""
+    from .log_store import (
+        BROADCAST_TOUCHED_MAX_BYTES,
+        append_pair_delta,
+        compact_pair_if_needed,
+        read_pair_store,
+    )
+    from .operators.components import (
+        incremental_components_delete_delta,
+        incremental_components_update_delta,
+    )
+
+    if max_delta_bytes is None:
+        max_delta_bytes = BROADCAST_TOUCHED_MAX_BYTES
+    keys = {"labels": "node", "edges": [src, dst]}
+    labels = read_pair_store(spark, root, name, "labels", "node")
+    if deleted:
+        edges = read_pair_store(spark, root, name, "edges", [src, dst])
+        changed, tombs = incremental_components_delete_delta(
+            labels, edges, delta_edges, src, dst
+        )
+        parts = {
+            "labels": (changed, tombs, "node"),
+            # deletions: no edge rows, just composite-key tombstones
+            "edges": (
+                edges.limit(0),
+                _canon_edge_frame(delta_edges, src, dst),
+                [src, dst],
+            ),
+        }
+    else:
+        changes = incremental_components_update_delta(
+            labels, delta_edges, src, dst
+        )
+        parts = {
+            "labels": (changes, None, "node"),
+            "edges": (_canon_edge_frame(delta_edges, src, dst), None, [src, dst]),
+        }
+    append_pair_delta(root, name, parts)
+    if auto_compact:
+        return compact_pair_if_needed(
+            spark,
+            root,
+            name,
+            keys,
+            max_generations=max_generations,
+            max_delta_fraction=max_delta_fraction,
+            max_delta_bytes=max_delta_bytes,
+        )
+    return 0
+
+
 def maintain_postings_table(
     spark: SparkSession,
     root: str,

@@ -36,10 +36,39 @@ consumer pays anyway. Generation count is bounded by compaction cadence;
 each uncompacted generation adds one delta-sized scan to reads, which is
 the standard LSM read-amplification trade.
 
+ABSOLUTE delta bound (r13 VERDICT #1): the broadcast hint on the merge's
+touched-key anti is only sound while the accumulated generations stay
+absolutely small — a RELATIVE compaction bound alone (20% of a 100 TB
+base = 20 TB of delta) licenses a touched-key set that cannot broadcast,
+and ``compact_log_store`` routes through the same merge, so the
+compaction meant to fix it would be the call that dies. Two guards keep
+the invariant "the touched-key set handed to a broadcast hint is
+≤ :data:`BROADCAST_TOUCHED_MAX_BYTES` of on-disk generation bytes"
+unconditional: (a) the compaction policy triggers on generation bytes >
+``max_delta_bytes`` (absolute, default = the broadcast bound) in
+addition to the count and relative-fraction triggers, so a steadily-fed
+store folds long before its delta outgrows a broadcast regardless of
+base size; (b) every merge call site measures the generations' bytes
+and DROPS the hint past the bound — AQE then picks the join strategy
+from runtime sizes (a shuffled anti over an oversized delta is slow but
+correct; a forced broadcast of it is an OOM). On-disk generation bytes
+over-estimate the touched-key frame (keys are a projection of the
+generation's rows), so the proxy errs safe.
+
+Pair-store generation contract: every ``append_pair_delta`` generation
+must carry EXACTLY the store's part set (the base's parts, or the first
+committed generation's for a delta-only store) — a mismatched append
+raises ``ValueError`` at write time, so a generation missing a part can
+never exist on disk to break that part's later reads (r13 VERDICT #6).
+
 Crash matrix (single-runner-per-store model, same as io.py):
 
 - torn append (generation dir without its ``_COMMITTED`` marker):
-  invisible to readers, removed by :func:`recover_log_store`;
+  invisible to readers (the commit-marker filter), REAPED only by the
+  write paths (:func:`append_log_delta` / :func:`compact_log_store` and
+  their pair twins) — reads are side-effect-free for torn generations,
+  so a serving-process read racing the single writer's in-flight append
+  can never delete the generation under it (ADVICE r13);
 - compaction died between the base swap's two renames: no live base,
   healed by io.recover_table's newest-backup restore (the base subtable
   uses io._rewrite verbatim);
@@ -72,6 +101,15 @@ from .io import _rewrite, _staged_swap, recover_table
 _BASE = "base"
 _DELTA_PREFIX = "delta_"
 _COMMIT = "_COMMITTED"
+
+# Absolute ceiling (bytes of on-disk generation files) under which the
+# merge's touched-key anti keeps its broadcast hint and above which the
+# hint is dropped for AQE to plan from runtime sizes. 128 MiB of
+# compressed delta is comfortably collectable on any executor/driver
+# sizing this engine targets; the same constant is the default absolute
+# compaction trigger, so in steady state the hint never actually drops —
+# the store folds first (module docstring, r13 VERDICT #1).
+BROADCAST_TOUCHED_MAX_BYTES = 128 * 1024 * 1024
 
 
 def _as_cols(key_col) -> list[str]:
@@ -133,20 +171,41 @@ def log_store_exists(root: str, name: str) -> bool:
     )
 
 
-def recover_log_store(root: str, name: str) -> bool:
-    """Heal every crash window: restore a mid-swap base from its newest
-    backup (io.recover_table machinery), drop torn (uncommitted)
-    generation appends. Leftover COMMITTED generations that a crashed
-    compaction already folded are deliberately kept — they replay
-    idempotently (module docstring) and the next compaction folds them.
-    Returns True if the base was restored from a backup."""
+def recover_log_store(root: str, name: str, *, reap_torn: bool = True) -> bool:
+    """Heal crash windows: restore a mid-swap base from its newest
+    backup (io.recover_table machinery) and — on the WRITE paths only —
+    drop torn (uncommitted) generation appends. Read paths pass
+    ``reap_torn=False``: torn generations are already invisible to them
+    via the commit-marker filter, and a reader in a separate serving
+    process must never rmtree a generation the single writer is
+    mid-append on (ADVICE r13). Leftover COMMITTED generations that a
+    crashed compaction already folded are deliberately kept — they
+    replay idempotently (module docstring) and the next compaction folds
+    them. Returns True if the base was restored from a backup."""
     store = _store_path(root, name)
     if not os.path.isdir(store):
         return False
     healed = recover_table(store, _BASE)
-    for d in _delta_dirs(store, committed=False):
-        shutil.rmtree(d, ignore_errors=True)
+    if reap_torn:
+        for d in _delta_dirs(store, committed=False):
+            shutil.rmtree(d, ignore_errors=True)
     return healed
+
+
+def _dir_bytes(d: str) -> int:
+    total = 0
+    for dirpath, _dirs, files in os.walk(d):
+        total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+    return total
+
+
+def _hint_broadcast(gen_dirs: list[str]) -> bool:
+    """True while the generations' on-disk bytes sit under the absolute
+    broadcast bound (module docstring) — the call sites' one switch
+    between the hinted map-side anti and an AQE-planned join."""
+    return (
+        sum(_dir_bytes(g) for g in gen_dirs) <= BROADCAST_TOUCHED_MAX_BYTES
+    )
 
 
 def append_log_delta(
@@ -160,29 +219,46 @@ def append_log_delta(
     """Write ONE generation: ``rows`` re-ingest their keys (replacing all
     older rows per key), ``tombstones``' first column lists deleted keys.
     The only bytes written are the generation's own — never base-sized.
-    Commit protocol: rows dir, tombstones dir, then the ``_COMMITTED``
+    Commit protocol: tombstones dir, rows dir, then the ``_COMMITTED``
     marker last, so a crash mid-append leaves an invisible torn dir that
-    :func:`recover_log_store` removes. Returns the generation dir name."""
+    the next WRITE-path recovery removes. The tombstones land first and
+    the rows anti-join against the RE-READ on-disk copy, so the
+    'deletion wins within a generation' disjointness holds even when the
+    caller's tombstone plan is non-deterministic — the rows are disjoint
+    from exactly the tombstone set the generation persisted, not a
+    possibly-different re-evaluation (ADVICE r13). Returns the
+    generation dir name."""
+    recover_log_store(root, name)  # write path: heal base, reap torn gens
     store = _store_path(root, name)
     gen = f"{_DELTA_PREFIX}{time.time_ns():020d}_{uuid.uuid4().hex[:6]}"
     gdir = os.path.join(store, gen)
     key_cols = _as_cols(key_col)
     tombs = _tomb_frame(rows, tombstones, key_cols)
+    tomb_dir = os.path.join(gdir, "tombstones")
+    tombs.write.mode("overwrite").parquet(tomb_dir)
+    stored_tombs = rows.sparkSession.read.parquet(tomb_dir)
     # deletion wins within a generation: rows and tombstones key-disjoint
-    live_rows = rows.join(F.broadcast(tombs), key_cols, "left_anti")
+    live_rows = rows.join(F.broadcast(stored_tombs), key_cols, "left_anti")
     live_rows.write.mode("overwrite").parquet(os.path.join(gdir, "rows"))
-    tombs.write.mode("overwrite").parquet(os.path.join(gdir, "tombstones"))
     with open(os.path.join(gdir, _COMMIT), "w"):
         pass
     return gen
 
 
 def _merge(
-    spark: SparkSession, base: DataFrame, gen_dirs: list[str], key_col
+    spark: SparkSession,
+    base: DataFrame,
+    gen_dirs: list[str],
+    key_col,
+    *,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """The generational merge (module docstring): newest touch per key
-    wins; base rows leave via ONE broadcast anti on the delta-bounded
-    touched-key set — no corpus shuffle."""
+    wins; base rows leave via ONE anti on the delta-bounded touched-key
+    set — broadcast-hinted (map-side, no corpus shuffle) while the
+    generations sit under :data:`BROADCAST_TOUCHED_MAX_BYTES`, unhinted
+    above it so AQE plans from runtime sizes instead of OOMing a forced
+    broadcast (r13 VERDICT #1; call sites pass :func:`_hint_broadcast`)."""
     key_cols = _as_cols(key_col)
     fresh_parts, touched_parts = [], []
     for i, g in enumerate(gen_dirs):
@@ -202,9 +278,10 @@ def _merge(
     live_fresh = fresh.join(
         winner, [*key_cols, "_gen"], "left_semi"
     ).drop("_gen")
-    kept = base.join(
-        F.broadcast(winner.select(*key_cols)), key_cols, "left_anti"
-    )
+    touched_keys = winner.select(*key_cols)
+    if hint_broadcast:
+        touched_keys = F.broadcast(touched_keys)
+    kept = base.join(touched_keys, key_cols, "left_anti")
     return kept.unionByName(live_fresh)
 
 
@@ -212,11 +289,12 @@ def read_log_store(
     spark: SparkSession, root: str, name: str, key_col: str
 ) -> DataFrame:
     """The store's current contents — base if compacted, the generational
-    merge otherwise. Heals crash windows first (cheap, idempotent under
-    the single-runner model), exactly like the table read paths call
-    io.recover_table, so 'base missing' can never silently read as an
-    empty corpus mid-swap."""
-    recover_log_store(root, name)
+    merge otherwise. Heals a mid-swap base first (cheap, idempotent),
+    exactly like the table read paths call io.recover_table, so 'base
+    missing' can never silently read as an empty corpus mid-swap — but
+    never reaps torn generations (reads are side-effect-free for them;
+    ADVICE r13, module crash matrix)."""
+    recover_log_store(root, name, reap_torn=False)
     store = _store_path(root, name)
     gens = _delta_dirs(store, committed=True)
     base_dir = _base_path(store)
@@ -230,7 +308,9 @@ def read_log_store(
         raise FileNotFoundError(f"log store {store} has no base and no deltas")
     if not gens:
         return base
-    return _merge(spark, base, gens, key_col)
+    return _merge(
+        spark, base, gens, key_col, hint_broadcast=_hint_broadcast(gens)
+    )
 
 
 def compact_if_needed(
@@ -241,42 +321,45 @@ def compact_if_needed(
     *,
     max_generations: int = 16,
     max_delta_fraction: float = 0.2,
+    max_delta_bytes: int = BROADCAST_TOUCHED_MAX_BYTES,
 ) -> int:
     """Compaction policy: fold when the generation COUNT exceeds
     ``max_generations`` (read amplification: each generation is one
-    extra scan per read) or the generations' total BYTES exceed
-    ``max_delta_fraction`` of base (merge-work amplification: the
-    touched-key set must stay broadcast-small relative to base). Call
+    extra scan per read), when the generations' total BYTES exceed
+    ``max_delta_fraction`` of base (merge-work amplification relative
+    to base), or when they exceed ``max_delta_bytes`` ABSOLUTELY —
+    the invariant that keeps the merge's touched-key broadcast sound at
+    any base size: a relative bound alone licenses a 20 TB delta on a
+    100 TB base, which no executor can broadcast (r13 VERDICT #1). Call
     after every N epochs — e.g. from the foreachBatch sink — and the
     index-sized rewrite amortizes to 1/N of epochs while per-epoch
-    writes stay delta-sized. Returns generations folded (0 = below both
-    thresholds)."""
+    writes stay delta-sized. Returns generations folded (0 = below all
+    three thresholds)."""
     if not _needs_compaction(
-        _store_path(root, name), max_generations, max_delta_fraction
+        _store_path(root, name),
+        max_generations,
+        max_delta_fraction,
+        max_delta_bytes,
     ):
         return 0
     return compact_log_store(spark, root, name, key_col)
 
 
 def _needs_compaction(
-    store: str, max_generations: int, max_delta_fraction: float
+    store: str,
+    max_generations: int,
+    max_delta_fraction: float,
+    max_delta_bytes: int,
 ) -> bool:
     gens = _delta_dirs(store, committed=True)
     if not gens:
         return False
-
-    def _bytes(d: str) -> int:
-        total = 0
-        for dirpath, _dirs, files in os.walk(d):
-            total += sum(
-                os.path.getsize(os.path.join(dirpath, f)) for f in files
-            )
-        return total
-
-    base_bytes = _bytes(_base_path(store)) or 1
+    base_bytes = _dir_bytes(_base_path(store)) or 1
+    delta_bytes = sum(_dir_bytes(g) for g in gens)
     return (
         len(gens) > max_generations
-        or sum(_bytes(g) for g in gens) > max_delta_fraction * base_bytes
+        or delta_bytes > max_delta_fraction * base_bytes
+        or delta_bytes > max_delta_bytes
     )
 
 
@@ -288,12 +371,16 @@ def compact_pair_if_needed(
     *,
     max_generations: int = 16,
     max_delta_fraction: float = 0.2,
+    max_delta_bytes: int = BROADCAST_TOUCHED_MAX_BYTES,
 ) -> int:
     """:func:`compact_if_needed` for the paired store (same thresholds,
-    measured over the whole base — the parts fold together or not at
-    all)."""
+    including the absolute byte bound, measured over the whole base —
+    the parts fold together or not at all)."""
     if not _needs_compaction(
-        _store_path(root, name), max_generations, max_delta_fraction
+        _store_path(root, name),
+        max_generations,
+        max_delta_fraction,
+        max_delta_bytes,
     ):
         return 0
     return compact_pair_store(spark, root, name, keys)
@@ -319,7 +406,9 @@ def compact_log_store(
         base = spark.read.parquet(base_dir)
     else:
         base = spark.read.parquet(os.path.join(gens[0], "rows")).limit(0)
-    folded = _merge(spark, base, gens, key_col)
+    folded = _merge(
+        spark, base, gens, key_col, hint_broadcast=_hint_broadcast(gens)
+    )
     # _rewrite stages the full write BEFORE the swap, so the plan's scan
     # of the old base + generation files completes while they still exist
     _rewrite(folded, store, _BASE)
@@ -360,31 +449,65 @@ def append_pair_delta(
     """Write ONE generation touching every part: ``parts`` maps part
     name -> (rows, tombstones_or_None, key_col). All parts' writes land
     before the single ``_COMMITTED`` marker, so a crash mid-append
-    leaves a torn generation invisible to every part at once."""
+    leaves a torn generation invisible to every part at once. The part
+    set must EXACTLY match the store's (module docstring contract,
+    r13 VERDICT #6) — a generation missing a part would otherwise break
+    that part's reads with a raw missing-path error; raising here keeps
+    such a generation from ever committing. Tombstones land before the
+    rows anti-join and the join runs against the re-read on-disk copy,
+    same determinism guard as :func:`append_log_delta`."""
+    recover_log_store(root, name)  # write path: heal base, reap torn gens
     store = _store_path(root, name)
+    expected = _store_parts(store)
+    if expected is not None and set(parts) != expected:
+        raise ValueError(
+            f"pair store {store} has parts {sorted(expected)}; "
+            f"generation supplies {sorted(parts)} — every generation "
+            "must carry exactly the store's part set"
+        )
     gen = f"{_DELTA_PREFIX}{time.time_ns():020d}_{uuid.uuid4().hex[:6]}"
     gdir = os.path.join(store, gen)
     for part, (rows, tombstones, key_col) in parts.items():
         key_cols = _as_cols(key_col)
         tombs = _tomb_frame(rows, tombstones, key_cols)
-        live_rows = rows.join(F.broadcast(tombs), key_cols, "left_anti")
+        tomb_dir = os.path.join(gdir, part, "tombstones")
+        tombs.write.mode("overwrite").parquet(tomb_dir)
+        stored_tombs = rows.sparkSession.read.parquet(tomb_dir)
+        live_rows = rows.join(F.broadcast(stored_tombs), key_cols, "left_anti")
         live_rows.write.mode("overwrite").parquet(
             os.path.join(gdir, part, "rows")
-        )
-        tombs.write.mode("overwrite").parquet(
-            os.path.join(gdir, part, "tombstones")
         )
     with open(os.path.join(gdir, _COMMIT), "w"):
         pass
     return gen
 
 
+def _store_parts(store: str) -> set[str] | None:
+    """The store's part set: the base's subdirectories, else the first
+    committed generation's (delta-only store), else None (brand-new —
+    the first append defines the set)."""
+    base_dir = _base_path(store)
+    if os.path.isdir(base_dir):
+        return {
+            e for e in os.listdir(base_dir)
+            if os.path.isdir(os.path.join(base_dir, e))
+        }
+    gens = _delta_dirs(store, committed=True)
+    if gens:
+        return {
+            e for e in os.listdir(gens[0])
+            if os.path.isdir(os.path.join(gens[0], e))
+        }
+    return None
+
+
 def read_pair_store(
     spark: SparkSession, root: str, name: str, part: str, key_col: str
 ) -> DataFrame:
     """One part's current contents (generational merge over that part's
-    slices of base + every committed generation)."""
-    recover_log_store(root, name)
+    slices of base + every committed generation). Read path: heals a
+    mid-swap base only, never reaps torn generations (ADVICE r13)."""
+    recover_log_store(root, name, reap_torn=False)
     store = _store_path(root, name)
     gens = [
         os.path.join(g, part) for g in _delta_dirs(store, committed=True)
@@ -400,7 +523,9 @@ def read_pair_store(
         )
     if not gens:
         return base
-    return _merge(spark, base, gens, key_col)
+    return _merge(
+        spark, base, gens, key_col, hint_broadcast=_hint_broadcast(gens)
+    )
 
 
 def compact_pair_store(
@@ -415,6 +540,7 @@ def compact_pair_store(
     gens = _delta_dirs(store, committed=True)
     if not gens:
         return 0
+    hint = _hint_broadcast(gens)
     folded = {}
     for part, key_col in keys.items():
         part_gens = [os.path.join(g, part) for g in gens]
@@ -425,7 +551,9 @@ def compact_pair_store(
             base = spark.read.parquet(
                 os.path.join(part_gens[0], "rows")
             ).limit(0)
-        folded[part] = _merge(spark, base, part_gens, key_col)
+        folded[part] = _merge(
+            spark, base, part_gens, key_col, hint_broadcast=hint
+        )
 
     def build(staging: str) -> None:
         for part, df in folded.items():

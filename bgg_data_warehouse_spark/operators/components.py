@@ -458,6 +458,34 @@ def incremental_components_update(
     scans base edges — tests/test_plan_audit.py pins zero base-edge
     scans in the update plan.
     """
+    new_nodes, super_map = _update_super_map(
+        labels, delta_edges, src, dst,
+        max_iter=max_iter, driver_solve_max=driver_solve_max,
+    )
+    return (
+        labels.unionByName(new_nodes)
+        .join(F.broadcast(super_map), "canonical", "left_outer")
+        .select(
+            "node",
+            F.coalesce("merged", F.col("canonical")).alias("canonical"),
+        )
+    )
+
+
+def _update_super_map(
+    labels: DataFrame,
+    delta_edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    max_iter: int,
+    driver_solve_max: int,
+):
+    """Shared core of the addition maintainers: (new_nodes, super_map)
+    where ``new_nodes`` are delta endpoints absent from ``labels``
+    (canonical = self) and ``super_map`` is the (old canonical ->
+    merged canonical) relabel map from CC on the contracted
+    super-graph. Both frames are delta-bounded."""
     d = delta_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     endpoints = (
         d.select(F.col("a").alias("node"))
@@ -491,7 +519,7 @@ def incremental_components_update(
         .localCheckpoint(eager=True)  # consumed twice: size probe + solve
     )
     # (old canonical -> merged canonical), only for canonicals whose
-    # component actually changed; everything else passes through below.
+    # component actually changed; everything else passes through.
     if super_edges.count() <= driver_solve_max:
         super_map = _union_find_map(super_edges)
     else:
@@ -501,14 +529,51 @@ def incremental_components_update(
             F.col("node").alias("canonical"), F.col("canonical").alias("merged")
         )
     new_nodes = ep_canon.join(labels.select("node"), "node", "left_anti")
-    return (
-        labels.unionByName(new_nodes)
-        .join(F.broadcast(super_map), "canonical", "left_outer")
-        .select(
-            "node",
-            F.coalesce("merged", F.col("canonical")).alias("canonical"),
-        )
+    return new_nodes, super_map
+
+
+def incremental_components_update_delta(
+    labels: DataFrame,
+    delta_edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    max_iter: int = 40,
+    driver_solve_max: int = 200_000,
+) -> DataFrame:
+    """:func:`incremental_components_update`, emitting ONLY the label
+    rows an edge-addition batch actually changes — the write-side twin
+    the log-structured store needs (r13 VERDICT #5): the full variant's
+    output is corpus-sized by construction (every unchanged label rides
+    through the relabel join), which is fine for a snapshot rewrite but
+    defeats a delta-sized generation append. Returns (node, canonical)
+    for exactly (a) members of components whose canonical MERGED (their
+    stored canonical maps to a different one in the super-map) and (b)
+    delta endpoints new to the graph — replace-by-key rows for
+    ``log_store.append_pair_delta``. Additions never remove a node, so
+    there are no tombstones. Scale shape: the changed-canonical map is
+    delta-bounded and broadcast; the one corpus-sized touch is the
+    label-table scan feeding the broadcast semi — the read every
+    consumer pays, with nothing corpus-sized shuffled or written.
+    Equivalence to the full variant is pinned by
+    tests/test_components.py; the end-to-end store is hash-gated by
+    ``cc_log_maintenance``."""
+    new_nodes, super_map = _update_super_map(
+        labels, delta_edges, src, dst,
+        max_iter=max_iter, driver_solve_max=driver_solve_max,
     )
+    changed_map = super_map.where(
+        F.col("merged") != F.col("canonical")
+    ).localCheckpoint(eager=True)  # broadcast twice below
+    members = labels.unionByName(new_nodes)
+    relabeled = members.join(F.broadcast(changed_map), "canonical").select(
+        "node", F.col("merged").alias("canonical")
+    )
+    # new nodes whose canonical didn't merge are still NEW rows
+    fresh_new = new_nodes.join(
+        F.broadcast(changed_map.select("canonical")), "canonical", "left_anti"
+    )
+    return relabeled.unionByName(fresh_new.select("node", "canonical"))
 
 
 def _union_find_map(super_edges: DataFrame) -> DataFrame:
@@ -587,6 +652,31 @@ def incremental_components_delete(
     over the label table, one (pruned) scan of affected edges, CC
     sized by the affected components, never the graph.
     """
+    affected, new_aff = _delete_affected_relabel(
+        labels, edges, deleted_edges, src, dst,
+        canonical_col=canonical_col,
+        max_iter=max_iter,
+        driver_solve_max=driver_solve_max,
+    )
+    untouched = labels.join(F.broadcast(affected), "canonical", "left_anti")
+    return untouched.select("node", "canonical").unionByName(new_aff)
+
+
+def _delete_affected_relabel(
+    labels: DataFrame,
+    edges: DataFrame,
+    deleted_edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    canonical_col: str | None,
+    max_iter: int,
+    driver_solve_max: int,
+):
+    """Shared core of the deletion maintainers: (affected, new_aff)
+    where ``affected`` is the delta-bounded set of stored canonicals
+    the deletions touch and ``new_aff`` the recomputed (node,
+    canonical) labeling of those components' surviving nodes."""
     d = deleted_edges.select(
         F.least(F.col(src), F.col(dst)).alias("del_u"),
         F.greatest(F.col(src), F.col(dst)).alias("del_v"),
@@ -642,5 +732,43 @@ def incremental_components_delete(
         new_aff = connected_components_star(
             survivors, "u", "v", max_iter=max_iter, canonical_edges=True
         )
-    untouched = labels.join(F.broadcast(affected), "canonical", "left_anti")
-    return untouched.select("node", "canonical").unionByName(new_aff)
+    return affected, new_aff
+
+
+def incremental_components_delete_delta(
+    labels: DataFrame,
+    edges: DataFrame,
+    deleted_edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    canonical_col: str | None = None,
+    max_iter: int = 40,
+    driver_solve_max: int = 200_000,
+):
+    """:func:`incremental_components_delete` as a CHANGE SET — the
+    write-side twin the log-structured store needs (r13 VERDICT #5).
+    Returns ``(changed, tombstoned)``: ``changed`` is the recomputed
+    (node, canonical) labeling of the affected components' SURVIVING
+    nodes (replace-by-key generation rows — unchanged survivors
+    re-replace themselves, which the store's merge absorbs for free),
+    ``tombstoned`` is the single-column node frame of affected members
+    the deletions ISOLATED (they leave the labeling, so they become
+    generation tombstones). Unaffected components' labels are never
+    read past the one broadcast semi, never rewritten. Both frames are
+    affected-component-bounded — the localization guarantee the full
+    variant already carries. Equivalence pinned by
+    tests/test_components.py; end-to-end store hash-gated by
+    ``cc_log_maintenance``."""
+    affected, new_aff = _delete_affected_relabel(
+        labels, edges, deleted_edges, src, dst,
+        canonical_col=canonical_col,
+        max_iter=max_iter,
+        driver_solve_max=driver_solve_max,
+    )
+    changed = new_aff.localCheckpoint(eager=True)  # rows + anti side below
+    members = labels.join(F.broadcast(affected), "canonical").select("node")
+    tombstoned = members.join(
+        F.broadcast(changed.select("node")), "node", "left_anti"
+    )
+    return changed, tombstoned

@@ -2027,6 +2027,133 @@ def cc_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cc_log_maintenance",
+    oracle="""
+    WITH RECURSIVE nxt AS (
+      SELECT o_orderkey AS k,
+             lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderkey) AS nk
+      FROM orders
+    ), e0 AS (
+      SELECT k AS a, nk AS b FROM nxt
+      WHERE nk IS NOT NULL AND (k + nk) % 32 <> 0
+    ), edges AS (
+      SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+    ), walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    ), state AS MATERIALIZED (
+      SELECT node, CAST(min(label) AS BIGINT) AS canonical
+      FROM walk GROUP BY node
+    )
+    SELECT 'generational' AS phase, node, canonical FROM state
+    UNION ALL
+    SELECT 'compacted' AS phase, node, canonical FROM state
+    """,
+)
+def cc_log_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-structured CC maintenance end-to-end (io.py::
+    maintain_components_log over the PAIRED log store, r13 VERDICT #5 —
+    the delta-sized-write answer to maintain_components_table's
+    snapshot-sized label+edge rewrite, whose rebuild twin the r13
+    scaling curves showed shuffling 86-100x across a 100x base step):
+    a stored labeling+edge pair for the per-customer order chains
+    (components_star_chains' graph) absorbs TWO epochs as generations —
+    epoch 1 ADDS the hash-selected ~1/16 of chain edges held out of the
+    base (re-merging every split chain, exercising the update-delta's
+    relabel change set over a multi-hop super-graph), epoch 2 DELETES
+    every current edge with (src + dst) % 32 == 0 (including edges
+    epoch 1 itself added — tombstone-over-re-ingest in the edges part;
+    isolated nodes become label tombstones). Base labeling is the
+    closed-form chain-segment fixture (same derivation the
+    cc_incremental_update gate pins against real star CC). The gate
+    hash-checks the GENERATIONAL read (base + 2 generations, broadcast
+    anti exit) AND the post-COMPACTION read (both parts folded in ONE
+    staged swap) of the labels part against the full recursive-CTE
+    recompute on the final edge set — split-independent for the
+    addition epoch, delete-dependent through portable arithmetic, so a
+    stale label surviving a merge, a tombstone out-living its node, or
+    compaction dropping either part hash-mismatches in whichever phase
+    carries it. Per-epoch read/write volume is change-set-sized; the
+    pair commits atomically (labels never publish without their
+    edges)."""
+    import os
+
+    from .io import init_components_log, maintain_components_log
+    from .log_store import compact_pair_store, read_pair_store
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    chain = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("node"),
+        F.lag("o_orderkey").over(w).alias("prev"),
+        F.lead("o_orderkey").over(w).alias("nxt"),
+    )
+    delta_mod = 16
+    in_d = F.pmod(F.xxhash64("prev", F.col("node")), F.lit(delta_mod)) == 0
+    out_d = F.pmod(F.xxhash64(F.col("node"), "nxt"), F.lit(delta_mod)) == 0
+    seg = F.sum((F.col("prev").isNull() | in_d).cast("int")).over(
+        Window.partitionBy("o_custkey").orderBy("node")
+    )
+    labels0 = (
+        chain.withColumn("seg", seg)
+        .where(
+            (F.col("prev").isNotNull() & ~in_d)
+            | (F.col("nxt").isNotNull() & ~out_d)
+        )
+        .select(
+            "node",
+            F.min("node")
+            .over(Window.partitionBy("o_custkey", "seg"))
+            .alias("canonical"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    edges0 = chain.where(F.col("nxt").isNotNull() & ~out_d).select(
+        F.col("node").alias("src"), F.col("nxt").alias("dst")
+    )
+    delta_add = chain.where(F.col("nxt").isNotNull() & out_d).select(
+        F.col("node").alias("src"), F.col("nxt").alias("dst")
+    )
+    delta_del = chain.where(
+        F.col("nxt").isNotNull()
+        & ((F.col("node") + F.col("nxt")) % 32 == 0)
+    ).select(F.col("node").alias("src"), F.col("nxt").alias("dst"))
+    root = os.path.join(
+        "/tmp", "spark_graft_logstore", os.path.basename(os.path.normpath(sf_dir))
+    )
+    init_components_log(root, "cc", labels0, edges0, "src", "dst")
+    maintain_components_log(
+        spark, root, "cc", delta_add, "src", "dst", auto_compact=False
+    )
+    maintain_components_log(
+        spark, root, "cc", delta_del, "src", "dst",
+        deleted=True, auto_compact=False,
+    )
+    # compaction swaps the files the generational plan scans —
+    # materialize that phase first
+    gen = read_pair_store(spark, root, "cc", "labels", "node").localCheckpoint(
+        eager=True
+    )
+    compact_pair_store(
+        spark, root, "cc", {"labels": "node", "edges": ["src", "dst"]}
+    )
+    comp = read_pair_store(spark, root, "cc", "labels", "node")
+    out_cols = [
+        "phase", "node", F.col("canonical").cast("long").alias("canonical")
+    ]
+    return (
+        gen.withColumn("phase", F.lit("generational"))
+        .select(*out_cols)
+        .unionByName(
+            comp.withColumn("phase", F.lit("compacted")).select(*out_cols)
+        )
+    )
+
+
+@query(
     "benchmark_contamination",
     oracle="""
     WITH arr AS (
@@ -6111,6 +6238,128 @@ def cdc_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["custkey"],
         seq_cols=["ts", "event_id"],
         tag_col="change",
+    )
+
+
+@query(
+    "cdc_log_state",
+    oracle="""
+    WITH chg AS (
+      SELECT (user_id * 12 + event_id % 12) % 1800 AS custkey,
+             ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             'cdc-' || CAST((user_id * 12 + event_id % 12) % 1800
+                            AS VARCHAR) AS name,
+             value AS bal,
+             upper(event_type) AS seg
+      FROM events
+    ), last AS (
+      SELECT * FROM (
+        SELECT custkey, op, name, bal, seg,
+               ROW_NUMBER() OVER (PARTITION BY custkey
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM chg) WHERE rn = 1
+    ), state AS MATERIALIZED (
+      SELECT COALESCE(b.c_custkey, l.custkey) AS custkey,
+             CASE WHEN l.custkey IS NULL THEN b.c_name ELSE l.name END
+               AS name,
+             CASE WHEN l.custkey IS NULL THEN b.c_acctbal ELSE l.bal END
+               AS bal,
+             CASE WHEN l.custkey IS NULL THEN b.c_mktsegment ELSE l.seg END
+               AS seg
+      FROM customer b FULL OUTER JOIN last l ON b.c_custkey = l.custkey
+      WHERE l.op IS NULL OR l.op = 'U'
+    )
+    SELECT 'generational' AS phase, custkey, name, bal, seg FROM state
+    UNION ALL
+    SELECT 'compacted' AS phase, custkey, name, bal, seg FROM state
+    """,
+)
+def cdc_log_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOGGED CDC state store end-to-end (streaming/cdc.py::
+    apply_cdc_log_batch over log_store.py, r13 VERDICT #2 — the
+    delta-sized-write answer to apply_cdc_batch's snapshot-rewrite
+    floor): the cdc_upsert changelog (events keyed into customer's key
+    space, 'error' rows as deletes, LWW on (ts, event_id)) is split
+    into THREE epochs by thirds of its timestamp span and applied to a
+    stored customer snapshot as parquet GENERATIONS — each epoch lands
+    only its per-key LWW survivors ('U' images as rows, 'D' keys as
+    tombstones), never reading or rewriting the snapshot. Because the
+    epochs partition the log in seq order, newest-generation-wins over
+    per-epoch LWW survivors IS global LWW, so the oracle is the full
+    single-pass changelog replay (exactly cdc_upsert's oracle, which
+    makes it split-arithmetic-independent), hash-checked against BOTH
+    read paths: the GENERATIONAL merge (base + 3 generations,
+    broadcast-anti exit for base rows) and the post-COMPACTION base
+    (staged atomic fold). Cross-epoch re-create-after-delete and
+    same-epoch multi-image LWW conflicts occur throughout the key
+    space (1800 keys x ~events/key images). Epoch replay idempotence
+    and crash healing are pinned by tests/test_streaming_cdc.py; the
+    reference's loader stops at insert-if-absent / delete+insert
+    (`/root/reference/src/data_processor/loader.py:57-176`) — this is
+    that loader's steady-state CDC upgrade with bounded per-epoch IO."""
+    import os
+
+    from .log_store import compact_log_store, init_log_store
+    from .streaming.cdc import apply_cdc_log_batch, read_cdc_state_logged
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    key = (F.col("user_id") * 12 + F.col("event_id") % 12) % 1800
+    chg = ev.select(
+        key.alias("custkey"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.concat(F.lit("cdc-"), key.cast("string")).alias("name"),
+        F.col("value").alias("bal"),
+        F.upper("event_type").alias("seg"),
+    )
+    root = os.path.join(
+        "/tmp", "spark_graft_logstore", os.path.basename(os.path.normpath(sf_dir))
+    )
+    base = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    init_log_store(base, root, "cdc_state")
+    # epoch boundaries: thirds of the log's ts span, computed once on
+    # the driver — any seq-ordered split yields the same final state
+    # (the oracle doesn't depend on it), ties stay within one epoch
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    t1 = lo + (hi - lo) / 3
+    t2 = lo + 2 * (hi - lo) / 3
+    epochs = [
+        chg.where(F.col("ts") <= F.lit(t1)),
+        chg.where((F.col("ts") > F.lit(t1)) & (F.col("ts") <= F.lit(t2))),
+        chg.where(F.col("ts") > F.lit(t2)),
+    ]
+    for batch in epochs:
+        apply_cdc_log_batch(
+            batch,
+            root,
+            "cdc_state",
+            keys=["custkey"],
+            seq_cols=["ts", "event_id"],
+            auto_compact=False,
+        )
+    # compaction swaps the very files the generational plan scans —
+    # materialize that phase first (same discipline as
+    # inverted_index_compaction)
+    gen = read_cdc_state_logged(
+        spark, root, "cdc_state", ["custkey"]
+    ).localCheckpoint(eager=True)
+    compact_log_store(spark, root, "cdc_state", ["custkey"])
+    comp = read_cdc_state_logged(spark, root, "cdc_state", ["custkey"])
+    cols = ["phase", "custkey", "name", "bal", "seg"]
+    return (
+        gen.withColumn("phase", F.lit("generational"))
+        .select(*cols)
+        .unionByName(comp.withColumn("phase", F.lit("compacted")).select(*cols))
     )
 
 

@@ -310,3 +310,174 @@ def test_maintain_components_table_roundtrip_through_storage(spark, tmp_path):
     assert got_del == want_del
     live = [d for d in os.listdir(root) if d == "cc_labels"]
     assert live == ["cc_labels"]
+
+
+def test_update_delta_emits_exactly_the_change_set(spark):
+    """incremental_components_update_delta returns ONLY relabeled /
+    new rows — applying them replace-by-key over the stored labels
+    equals the full recompute, and no unchanged stored row rides along
+    (the delta-sized-write guarantee the log store depends on)."""
+    from bgg_data_warehouse_spark.operators.components import (
+        connected_components_star,
+        incremental_components_update,
+        incremental_components_update_delta,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (30, 31)],
+        "src long, dst long",
+    )
+    labels0 = connected_components_star(base, "src", "dst")
+    delta = spark.createDataFrame(
+        [(3, 10), (20, 22), (22, 40), (40, 41), (50, 51)],
+        "src long, dst long",
+    )
+    stored = {r.node: r.canonical for r in labels0.collect()}
+    want = {
+        (r.node, r.canonical)
+        for r in incremental_components_update(
+            labels0, delta, "src", "dst"
+        ).collect()
+    }
+    for solve_max in (2_000_000, 0):
+        changes = {
+            r.node: r.canonical
+            for r in incremental_components_update_delta(
+                labels0, delta, "src", "dst", driver_solve_max=solve_max
+            ).collect()
+        }
+        # replace-by-key application reproduces the full labeling
+        applied = dict(stored)
+        applied.update(changes)
+        assert set(applied.items()) == want, solve_max
+        # minimality: every emitted row is genuinely new or relabeled
+        for node, canon in changes.items():
+            assert stored.get(node) != canon, (node, canon, solve_max)
+        # untouched component {30,31} is NOT in the change set
+        assert 30 not in changes and 31 not in changes
+
+
+def test_delete_delta_changes_and_tombstones(spark):
+    """incremental_components_delete_delta's (changed, tombstoned)
+    applied replace-by-key + delete over the stored labels equals the
+    full recompute; isolated nodes are tombstoned, untouched
+    components are absent from both frames."""
+    from bgg_data_warehouse_spark.operators.components import (
+        connected_components_star,
+        incremental_components_delete_delta,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (20, 21)],
+        "src long, dst long",
+    )
+    labels0 = connected_components_star(edges, "src", "dst")
+    deleted = spark.createDataFrame(
+        [(3, 4), (10, 11), (11, 12)], "src long, dst long"
+    )
+    remaining = edges.join(deleted, ["src", "dst"], "left_anti")
+    want = {
+        (r.node, r.canonical)
+        for r in connected_components_star(remaining, "src", "dst").collect()
+    }
+    stored = {r.node: r.canonical for r in labels0.collect()}
+    for solve_max in (2_000_000, 0):
+        changed, tombs = incremental_components_delete_delta(
+            labels0, edges, deleted, "src", "dst", driver_solve_max=solve_max
+        )
+        ch = {r.node: r.canonical for r in changed.collect()}
+        tb = {r.node for r in tombs.collect()}
+        applied = dict(stored)
+        applied.update(ch)
+        for n in tb:
+            applied.pop(n, None)
+        assert set(applied.items()) == want, solve_max
+        assert tb == {10, 11, 12}, solve_max  # isolated nodes tombstoned
+        assert ch.keys().isdisjoint(tb)
+        # untouched component {20,21} appears in neither frame
+        assert 20 not in ch and 21 not in ch and 20 not in tb
+
+
+def test_maintain_components_log_roundtrip(spark, tmp_path):
+    """The paired log store end-to-end: add epoch + delete epoch land
+    as generations (base files untouched, labels generation rows are
+    change-set-sized), the generational read equals the full recompute,
+    and compaction folds both parts to the same answer."""
+    import os
+
+    from bgg_data_warehouse_spark.io import (
+        init_components_log,
+        maintain_components_log,
+    )
+    from bgg_data_warehouse_spark.log_store import (
+        _base_path,
+        _delta_dirs,
+        _store_path,
+        compact_pair_store,
+        read_pair_store,
+    )
+    from bgg_data_warehouse_spark.operators.components import (
+        connected_components_star,
+    )
+
+    root = str(tmp_path)
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "src long, dst long"
+    )
+    labels0 = connected_components_star(base, "src", "dst")
+    init_components_log(root, "cc", labels0, base, "src", "dst")
+    store = _store_path(root, "cc")
+    base_files = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _d, fs in os.walk(_base_path(store))
+        for f in fs
+    }
+
+    adds = spark.createDataFrame([(3, 10), (30, 31)], "src long, dst long")
+    maintain_components_log(
+        spark, root, "cc", adds, "src", "dst", auto_compact=False
+    )
+    dels = spark.createDataFrame([(2, 3), (3, 10)], "src long, dst long")
+    maintain_components_log(
+        spark, root, "cc", dels, "src", "dst",
+        deleted=True, auto_compact=False,
+    )
+    final_edges = base.unionByName(adds).join(dels, ["src", "dst"], "left_anti")
+    want = {
+        (r.node, r.canonical)
+        for r in connected_components_star(final_edges, "src", "dst").collect()
+    }
+    got_gen = {
+        (r.node, r.canonical)
+        for r in read_pair_store(spark, root, "cc", "labels", "node").collect()
+    }
+    assert got_gen == want
+    got_edges = {
+        (r.src, r.dst)
+        for r in read_pair_store(
+            spark, root, "cc", "edges", ["src", "dst"]
+        ).collect()
+    }
+    assert got_edges == {(r.src, r.dst) for r in final_edges.collect()}
+    # base files bit-untouched by both epochs
+    assert base_files == {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _d, fs in os.walk(_base_path(store))
+        for f in fs
+    }
+    # labels generation rows are change-sets, not snapshots
+    gens = _delta_dirs(store, committed=True)
+    assert len(gens) == 2
+    n_labels = labels0.count()
+    for g in gens:
+        n_gen = spark.read.parquet(os.path.join(g, "labels", "rows")).count()
+        assert n_gen < n_labels, (g, n_gen, n_labels)
+    # compaction folds to the same answer for both parts
+    assert compact_pair_store(
+        spark, root, "cc", {"labels": "node", "edges": ["src", "dst"]}
+    ) == 2
+    got_comp = {
+        (r.node, r.canonical)
+        for r in read_pair_store(spark, root, "cc", "labels", "node").collect()
+    }
+    assert got_comp == want

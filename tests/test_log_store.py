@@ -179,6 +179,108 @@ def test_read_merge_base_anti_is_broadcast(spark, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+def test_merge_broadcast_hint_has_absolute_bound(spark, tmp_path, monkeypatch):
+    """r13 VERDICT #1: below BROADCAST_TOUCHED_MAX_BYTES the merge's
+    touched-key anti carries the broadcast hint; above it the hint is
+    DROPPED (AQE plans from runtime sizes) — a relative compaction bound
+    alone would license a 20%-of-100TB delta that cannot broadcast, and
+    compaction itself routes through this merge."""
+    import bgg_data_warehouse_spark.log_store as ls
+
+    root = str(tmp_path)
+    _store(spark, root)
+
+    def anti_hinted(df) -> bool:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        anti = plan.split("LeftSemi")[0]  # the base-exit anti comes first
+        assert "LeftAnti" in anti
+        return "strategy=broadcast" in anti
+
+    assert anti_hinted(read_log_store(spark, root, "idx", "doc"))
+    monkeypatch.setattr(ls, "BROADCAST_TOUCHED_MAX_BYTES", 0)
+    over = read_log_store(spark, root, "idx", "doc")
+    assert not anti_hinted(over)
+    # correctness is hint-independent: same contents either way
+    assert _contents(over) == _store_want()
+
+
+def _store_want():
+    return {(1, "x", 9), (2, "y", 7), (4, "e", 1), (5, "z", 1)}
+
+
+def test_absolute_delta_bytes_triggers_compaction(spark, tmp_path):
+    """The compaction policy's ABSOLUTE byte trigger (r13 VERDICT #1):
+    generations whose bytes exceed max_delta_bytes fold even when the
+    count and relative-fraction triggers are nowhere near firing."""
+    from bgg_data_warehouse_spark.log_store import compact_if_needed
+
+    root = str(tmp_path)
+    want = _store(spark, root)  # 2 generations, tiny but nonzero bytes
+    assert (
+        compact_if_needed(
+            spark, root, "idx", "doc",
+            max_generations=16, max_delta_fraction=1e9,
+            max_delta_bytes=1 << 40,
+        )
+        == 0
+    )
+    assert (
+        compact_if_needed(
+            spark, root, "idx", "doc",
+            max_generations=16, max_delta_fraction=1e9,
+            max_delta_bytes=1,
+        )
+        == 2
+    )
+    assert _delta_dirs(_store_path(root, "idx"), committed=True) == []
+    assert _contents(read_log_store(spark, root, "idx", "doc")) == want
+
+
+def test_reads_never_reap_torn_generations(spark, tmp_path):
+    """ADVICE r13 (medium): a reader in a separate serving process must
+    not rmtree a generation the single writer is mid-append on — reads
+    only heal the base swap; torn-dir cleanup happens on write paths."""
+    root = str(tmp_path)
+    want = _store(spark, root)
+    store = _store_path(root, "idx")
+    torn = os.path.join(store, "delta_99999999999999999999_torn")
+    _df(spark, [(9, "MID_APPEND", 1)]).write.parquet(os.path.join(torn, "rows"))
+    assert _contents(read_log_store(spark, root, "idx", "doc")) == want
+    assert os.path.isdir(torn), "read path deleted an in-flight append"
+    # the next WRITE reaps it
+    append_log_delta(root, "idx", _df(spark, [(6, "f", 1)]), "doc")
+    assert not os.path.isdir(torn)
+
+
+def test_append_tombstone_disjointness_survives_nondeterminism(spark, tmp_path):
+    """ADVICE r13 (low): the rows anti-join runs against the RE-READ
+    on-disk tombstones, so a non-deterministic tombstone input cannot
+    leave key-overlapping rows and tombstones in one generation (which
+    would silently break 'deletion wins within a generation')."""
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import BooleanType
+
+    import random
+
+    flip = udf(lambda _: random.random() < 0.5, BooleanType()).asNondeterministic()
+    root = str(tmp_path)
+    rows = _df(spark, [(i, "t", i) for i in range(64)])
+    init_log_store(_df(spark, BASE_ROWS), root, "idx")
+    volatile = rows.select("doc").where(flip(F.col("doc")))
+    gen = append_log_delta(root, "idx", rows, "doc", tombstones=volatile)
+    gdir = os.path.join(_store_path(root, "idx"), gen)
+    on_disk_rows = {
+        r.doc for r in spark.read.parquet(os.path.join(gdir, "rows")).collect()
+    }
+    on_disk_tombs = {
+        r.doc
+        for r in spark.read.parquet(os.path.join(gdir, "tombstones")).collect()
+    }
+    assert on_disk_rows.isdisjoint(on_disk_tombs)
+    # every key is either tombstoned or survives into rows — exactly
+    assert on_disk_rows | on_disk_tombs == set(range(64))
+
+
 def test_delta_only_first_epoch_then_exists(spark, tmp_path):
     root = str(tmp_path)
     assert not log_store_exists(root, "idx")
@@ -570,6 +672,61 @@ def test_pair_torn_generation_invisible_to_both_parts(spark, tmp_path):
     } == vec_before
     recover_log_store(root, "nbr")
     assert not os.path.isdir(torn)
+
+
+def test_pair_append_with_mismatched_parts_raises(spark, tmp_path):
+    """r13 VERDICT #6: a generation must carry exactly the store's part
+    set — a subset (or superset) append raises BEFORE anything commits,
+    so a part-absent generation can never exist to break that part's
+    reads with a raw missing-path error."""
+    import pytest
+
+    from bgg_data_warehouse_spark.log_store import (
+        append_pair_delta,
+        init_pair_store,
+        read_pair_store,
+    )
+
+    root = str(tmp_path)
+    init_pair_store(
+        root,
+        "pair",
+        {"left": _df(spark, BASE_ROWS), "right": _df(spark, BASE_ROWS)},
+    )
+    with pytest.raises(ValueError, match="part set"):
+        append_pair_delta(
+            root,
+            "pair",
+            {"left": (_df(spark, [(9, "n", 1)]), None, "doc")},
+        )
+    with pytest.raises(ValueError, match="part set"):
+        append_pair_delta(
+            root,
+            "pair",
+            {
+                "left": (_df(spark, [(9, "n", 1)]), None, "doc"),
+                "right": (_df(spark, [(9, "n", 1)]), None, "doc"),
+                "extra": (_df(spark, [(9, "n", 1)]), None, "doc"),
+            },
+        )
+    # nothing committed: both parts still read as pure base
+    assert _contents(read_pair_store(spark, root, "pair", "left", "doc")) == set(
+        BASE_ROWS
+    )
+    store = _store_path(root, "pair")
+    assert _delta_dirs(store, committed=True) == []
+    # a matching append still works
+    append_pair_delta(
+        root,
+        "pair",
+        {
+            "left": (_df(spark, [(9, "n", 1)]), None, "doc"),
+            "right": (_df(spark, [(8, "m", 1)]), None, "doc"),
+        },
+    )
+    assert (9, "n", 1) in _contents(
+        read_pair_store(spark, root, "pair", "left", "doc")
+    )
 
 
 def test_term_filter_pushes_into_generational_scans(spark, tmp_path):

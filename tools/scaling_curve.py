@@ -813,9 +813,131 @@ def incremental_main() -> None:
             lambda: _neighbors_topk(emb, "vec_id", "band50", "embedding", 1.0, 5),
         )
 
+    def fam_cdc_logged(sf_dir, tag):
+        """The r13 logged CDC state store (streaming/cdc.py::
+        apply_cdc_log_batch): one 50-row change epoch lands as a
+        GENERATION — neither reading nor rewriting the snapshot — vs
+        the full changelog replay a non-incremental consumer pays.
+        Both its read and write volume should be delta-sized at any
+        base size (the floor apply_cdc_batch's snapshot rewrite
+        carries)."""
+        from bgg_data_warehouse_spark.log_store import init_log_store
+        from bgg_data_warehouse_spark.operators.merge import apply_changelog
+        from bgg_data_warehouse_spark.streaming.cdc import apply_cdc_log_batch
+
+        ev = tbl(sf_dir, "events")
+        cust = tbl(sf_dir, "customer")
+        key = (F.col("user_id") * 12 + F.col("event_id") % 12) % 1800
+        chg_all = store(
+            ev.select(
+                key.alias("custkey"),
+                "ts",
+                "event_id",
+                F.when(F.col("event_type") == "error", "D")
+                .otherwise("U")
+                .alias("op"),
+                F.concat(F.lit("cdc-"), key.cast("string")).alias("name"),
+                F.col("value").alias("bal"),
+                F.upper("event_type").alias("seg"),
+            ),
+            f"cdclog_chg_{tag}",
+        )
+        base = store(
+            cust.select(
+                F.col("c_custkey").alias("custkey"),
+                F.col("c_name").alias("name"),
+                F.col("c_acctbal").alias("bal"),
+                F.col("c_mktsegment").alias("seg"),
+            ),
+            f"cdclog_base_{tag}",
+        )
+        name = f"cdclog_{tag}"
+        init_log_store(base, store_root, name)
+        batch = store(
+            chg_all.orderBy("ts", "event_id").limit(50),
+            f"cdclog_batch_{tag}",
+        )
+
+        def incr():
+            apply_cdc_log_batch(
+                batch,
+                store_root,
+                name,
+                keys=["custkey"],
+                seq_cols=["ts", "event_id"],
+                auto_compact=False,
+            )
+            return None
+
+        return (
+            incr,
+            lambda: apply_changelog(
+                base, chg_all, keys=["custkey"], seq_cols=["ts", "event_id"]
+            ),
+        )
+
+    def fam_cc_logged(sf_dir, tag):
+        """The r14 log-structured components maintainer
+        (io.maintain_components_log): one 100-edge addition epoch lands
+        as a change-set generation of the paired labels+edges store —
+        vs the full star-CC recompute. The snapshot maintainer's twin
+        (fam_cc_update) reads the labels but ends in a labels-sized
+        staged rewrite; this one's write is change-set-sized."""
+        from bgg_data_warehouse_spark.io import (
+            init_components_log,
+            maintain_components_log,
+        )
+        from bgg_data_warehouse_spark.operators.components import (
+            connected_components_star,
+        )
+        from pyspark.sql import Window
+
+        orders = tbl(sf_dir, "orders")
+        w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        edges = store(
+            orders.select(
+                F.col("o_orderkey").alias("src"),
+                F.lead("o_orderkey").over(w).alias("dst"),
+            ).where(F.col("dst").isNotNull()),
+            f"cclog_edges_{tag}",
+        )
+        labels = store(
+            connected_components_star(edges, "src", "dst", canonical_edges=True),
+            f"cclog_labels_{tag}",
+        )
+        name = f"cclog_{tag}"
+        init_components_log(store_root, name, labels, edges, "src", "dst")
+        ids = [
+            r[0]
+            for r in labels.select("node").orderBy("node").limit(200).collect()
+        ]
+        delta = store(
+            spark.createDataFrame(
+                [(ids[2 * i], ids[2 * i + 1]) for i in range(100)],
+                "src long, dst long",
+            ),
+            f"cclog_delta_{tag}",
+        )
+
+        def incr():
+            maintain_components_log(
+                spark, store_root, name, delta, "src", "dst",
+                auto_compact=False,
+            )
+            return None
+
+        return (
+            incr,
+            lambda: connected_components_star(
+                edges.unionByName(delta), "src", "dst"
+            ),
+        )
+
     families = {
         "cc_incremental_update": fam_cc_update,
         "cc_incremental_delete": fam_cc_delete,
+        "cc_logged_epoch": fam_cc_logged,
+        "cdc_logged_epoch": fam_cdc_logged,
         "inverted_index_incremental": fam_postings,
         "inverted_index_logged_append": fam_postings_logged,
         "neighbors_logged_epoch": fam_neighbors_logged,
