@@ -25,79 +25,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness grades the FIRST 50 queries in dict
-# order. Round 13 rotation (r12 VERDICT "Next round" #1; window and
+# order. Round 14 rotation (r13 VERDICT "Next round" #3; window and
 # tail below emitted VERBATIM by tools/staleness.py from
-# CORRECTNESS_r01-r12 plus the two gates registered this round):
+# CORRECTNESS_r01-r13 plus the two gates registered this round):
 #   - the 2 gates NEW this round, with no driver evidence yet:
-#     inverted_index_compaction (log-structured generational postings
-#     store + compaction, r12 VERDICT #3) and sitemap_thing_ids (the S3
-#     harvest's relational core oracle-gated, r12 VERDICT #6);
-#   - value_percentiles + weighted_sssp — the ledger's only r8-evidence
-#     gates (displaced from the r12 window by that round's two new
-#     gates, re-verified green by the r12 judge, queued first here
-#     exactly as that verdict directed);
-#   - the first 46 of the 48 age-4 gates (last driver green: round 9,
-#     anti_join_pending ... tpch_q9, alphabetical). The two new gates
-#     push the window two past 50 again, so the LAST two age-4 entries
-#     (vocab_encode, watermark_increment) head the tail and refresh in
-#     round 14.
-# With 204 registered gates and a 50-slot window the steady-state
+#     cc_log_maintenance (log-structured components maintainer over the
+#     paired labels+edges store, r13 VERDICT #5) and cdc_log_state (the
+#     logged CDC state store oracle-gated, r13 VERDICT #2);
+#   - vocab_encode, watermark_increment, weighted_sample,
+#     weighted_sample_stratified — the ledger's only r9-evidence gates
+#     (displaced from the r13 window by that round's two new gates,
+#     re-verified green by the r13 judge, queued first here exactly as
+#     that verdict directed);
+#   - the first 44 of the 50 age-4 gates (last driver green: round 10,
+#     ab_test_eval ... tpch_q22, alphabetical). The two new gates push
+#     the window two past 50 again, so the LAST six age-4 entries
+#     (tpch_q3 ... zorder_layout) head the tail and refresh in round 15.
+# With 206 registered gates and a 50-slot window the steady-state
 # rotation cycle stays ~4 rounds; after this window every gate's
-# latest driver-green row is round 10 or newer except vocab_encode /
-# watermark_increment (round 9, queued first for round 14). The
-# position-51+ queue is ordered by evidence age: those two, then the
-# age-3 block (refresh r14), then age-2, then age-1.
+# latest driver-green row is round 10 or newer. The position-51+ queue
+# is ordered by evidence age: the six age-4 stragglers, then the age-3
+# block (refresh r15), then age-2, then age-1.
 _PRIORITY = [
-    "inverted_index_compaction",
-    "sitemap_thing_ids",
-    "value_percentiles",
-    "weighted_sssp",
-    "anti_join_pending",
-    "band_self_join_knn",
-    "bigram_perplexity",
-    "cdc_upsert",
-    "components_star_chains",
-    "content_hash_change",
-    "content_hash_portable",
-    "curation_pipeline",
-    "dedup_cluster_collapse",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_minhash_incremental",
-    "dedup_minhash_verified",
-    "dedup_simhash",
-    "delete_insert_refresh",
-    "fuzzy_match_parts",
-    "hourly_event_rollup",
-    "knn_ivf_exact",
-    "latest_snapshot",
-    "latest_version_dedup",
-    "leakage_safe_split",
-    "merge_insert_missing",
-    "multimodal_frame_sample",
-    "multimodal_png_features",
-    "multimodal_video_frames",
-    "neighbors_profiles",
-    "ngram_jaccard",
-    "point_lookup",
-    "regexp_json_extract",
-    "request_stats",
-    "semi_scoped_agg",
-    "session_rollup_batch",
-    "staleness_bands",
-    "substring_dedup",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
+    "cc_log_maintenance",
+    "cdc_log_state",
     "vocab_encode",
     "watermark_increment",
     "weighted_sample",
@@ -252,6 +203,56 @@ _PRIORITY = [
     "trailing_window_sum",
     "union_discriminated",
     "wordpiece_encode",
+    "anti_join_pending",
+    "band_self_join_knn",
+    "bigram_perplexity",
+    "cdc_upsert",
+    "components_star_chains",
+    "content_hash_change",
+    "content_hash_portable",
+    "curation_pipeline",
+    "dedup_cluster_collapse",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_minhash_incremental",
+    "dedup_minhash_verified",
+    "dedup_simhash",
+    "delete_insert_refresh",
+    "fuzzy_match_parts",
+    "hourly_event_rollup",
+    "inverted_index_compaction",
+    "knn_ivf_exact",
+    "latest_snapshot",
+    "latest_version_dedup",
+    "leakage_safe_split",
+    "merge_insert_missing",
+    "multimodal_frame_sample",
+    "multimodal_png_features",
+    "multimodal_video_frames",
+    "neighbors_profiles",
+    "ngram_jaccard",
+    "point_lookup",
+    "regexp_json_extract",
+    "request_stats",
+    "semi_scoped_agg",
+    "session_rollup_batch",
+    "sitemap_thing_ids",
+    "staleness_bands",
+    "substring_dedup",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "value_percentiles",
+    "weighted_sssp",
 ]
 
 
