@@ -85,6 +85,9 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     names = sys.argv[3].split(",") if len(sys.argv) > 3 else DEFAULT_SUSPECTS
+    # prior builder snapshots to compare against (argv[4], "rA,rB" —
+    # A = the round before the regression, B = the regressed round)
+    tags = tuple(sys.argv[4].split(",")) if len(sys.argv) > 4 else ("r10", "r11")
 
     import __spark_entry__ as entrymod
     from bgg_data_warehouse_spark.session import get_spark
@@ -118,7 +121,7 @@ def main() -> None:
             times[n].append(round(time.perf_counter() - t0, 3))
 
     prior: dict[str, dict[str, float]] = {}
-    for tag in ("r10", "r11"):
+    for tag in tags:
         # per-query numbers live in the builder snapshots (BENCH_rN.json
         # holds only the driver's truncated tail)
         path = os.path.join(
@@ -134,21 +137,21 @@ def main() -> None:
     for n in names:
         ts = times[n]
         lo = min(ts)
-        r10, r11 = prior["r10"].get(n), prior["r11"].get(n)
+        before, after = prior[tags[0]].get(n), prior[tags[1]].get(n)
         verdict = None
-        if r10 is not None and r11 is not None and r11 > r10:
+        if before is not None and after is not None and after > before:
             # closer to which prior reading?
             verdict = (
                 "ambient_confirmed"
-                if abs(lo - r10) <= abs(lo - r11)
+                if abs(lo - before) <= abs(lo - after)
                 else "real_regression"
             )
         report[n] = {
             "times": ts,
             "min": lo,
             "mean": round(sum(ts) / len(ts), 3),
-            "r10": r10,
-            "r11": r11,
+            tags[0]: before,
+            tags[1]: after,
             "verdict": verdict,
         }
     print(json.dumps({"sf_dir": sf_dir, "reps": reps, "queries": report}))
