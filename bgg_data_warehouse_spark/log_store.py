@@ -322,6 +322,7 @@ def compact_if_needed(
     max_generations: int = 16,
     max_delta_fraction: float = 0.2,
     max_delta_bytes: int = BROADCAST_TOUCHED_MAX_BYTES,
+    layout=None,
 ) -> int:
     """Compaction policy: fold when the generation COUNT exceeds
     ``max_generations`` (read amplification: each generation is one
@@ -342,7 +343,7 @@ def compact_if_needed(
         max_delta_bytes,
     ):
         return 0
-    return compact_log_store(spark, root, name, key_col)
+    return compact_log_store(spark, root, name, key_col, layout=layout)
 
 
 def _needs_compaction(
@@ -372,6 +373,7 @@ def compact_pair_if_needed(
     max_generations: int = 16,
     max_delta_fraction: float = 0.2,
     max_delta_bytes: int = BROADCAST_TOUCHED_MAX_BYTES,
+    layouts: dict | None = None,
 ) -> int:
     """:func:`compact_if_needed` for the paired store (same thresholds,
     including the absolute byte bound, measured over the whole base —
@@ -383,11 +385,11 @@ def compact_pair_if_needed(
         max_delta_bytes,
     ):
         return 0
-    return compact_pair_store(spark, root, name, keys)
+    return compact_pair_store(spark, root, name, keys, layouts=layouts)
 
 
 def compact_log_store(
-    spark: SparkSession, root: str, name: str, key_col: str
+    spark: SparkSession, root: str, name: str, key_col: str, *, layout=None
 ) -> int:
     """Fold every committed generation into base: compute the merge,
     stage-write it, atomically swap base (io._rewrite — concurrent
@@ -395,7 +397,18 @@ def compact_log_store(
     via recover_table), then delete the folded generations. A crash
     between swap and deletion leaves generations that replay
     idempotently over the new base (module docstring). Returns the
-    number of generations folded."""
+    number of generations folded.
+
+    ``layout`` (optional ``DataFrame -> DataFrame``) is applied to the
+    folded frame before the staged write — compaction is the ONE moment
+    the store rewrites base anyway, so the data-layout properties that
+    delta-sized appends forgo (range/Z-order clustering for scan prune,
+    derived annotation columns) are reinstated here for free: the Delta
+    ``OPTIMIZE ... ZORDER BY`` discipline, landing on the same swap.
+    The callback must be row-preserving (reorder/repartition/add
+    columns only if the read contract expects them); correctness of a
+    range layout is pinned by tests/test_log_store.py, which checks
+    disjoint per-file key ranges after a layouted compaction."""
     recover_log_store(root, name)
     store = _store_path(root, name)
     gens = _delta_dirs(store, committed=True)  # snapshot: fold exactly these
@@ -409,6 +422,8 @@ def compact_log_store(
     folded = _merge(
         spark, base, gens, key_col, hint_broadcast=_hint_broadcast(gens)
     )
+    if layout is not None:
+        folded = layout(folded)
     # _rewrite stages the full write BEFORE the swap, so the plan's scan
     # of the old base + generation files completes while they still exist
     _rewrite(folded, store, _BASE)
@@ -529,12 +544,24 @@ def read_pair_store(
 
 
 def compact_pair_store(
-    spark: SparkSession, root: str, name: str, keys: dict[str, str]
+    spark: SparkSession,
+    root: str,
+    name: str,
+    keys: dict[str, str],
+    *,
+    layouts: dict | None = None,
 ) -> int:
     """Fold every committed generation into base for ALL parts in ONE
     staged swap (``keys``: part -> key_col). Same crash matrix as the
     single store — and because the swap covers every part's base at
-    once, a half-compacted pair can never exist."""
+    once, a half-compacted pair can never exist. ``layouts`` maps part
+    name -> the optional compaction-time layout callback documented on
+    :func:`compact_log_store` (e.g. cluster the edges part by a
+    component annotation so the CC delete path's localization scan
+    prunes again — the property delta-sized appends forgo); a layout
+    callback may itself read OTHER parts via :func:`read_pair_store`,
+    which is consistent here because the old files survive until the
+    swap."""
     recover_log_store(root, name)
     store = _store_path(root, name)
     gens = _delta_dirs(store, committed=True)
@@ -551,9 +578,11 @@ def compact_pair_store(
             base = spark.read.parquet(
                 os.path.join(part_gens[0], "rows")
             ).limit(0)
-        folded[part] = _merge(
+        part_folded = _merge(
             spark, base, part_gens, key_col, hint_broadcast=hint
         )
+        lay = (layouts or {}).get(part)
+        folded[part] = part_folded if lay is None else lay(part_folded)
 
     def build(staging: str) -> None:
         for part, df in folded.items():

@@ -786,3 +786,73 @@ def test_streaming_neighbors_logged_wiring(spark, tmp_path):
         _neighbors_topk(_vec_final_corpus(spark), "vec_id", "label", "vec", 1.0, 3)
     )
     assert got == want
+
+
+def test_compaction_layout_hook_clusters_base(spark, tmp_path):
+    """compact_log_store(layout=...) reinstates scan-prune layout at the
+    one moment base is rewritten anyway (the OPTIMIZE...ZORDER
+    discipline): after a range layout on the key, the compacted base's
+    parquet files carry DISJOINT key ranges (file-level pruning works
+    again) and the contents are unchanged."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path)
+    want = _store(spark, root)  # base + 2 generations
+
+    def layout(df):
+        return df.repartitionByRange(2, "doc").sortWithinPartitions("doc")
+
+    assert compact_log_store(spark, root, "idx", "doc", layout=layout) == 2
+    assert _contents(read_log_store(spark, root, "idx", "doc")) == want
+    base = _base_path(_store_path(root, "idx"))
+    ranges = []
+    for dirpath, _dirs, files in os.walk(base):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+            col = [
+                md.row_group(0).column(i)
+                for i in range(md.row_group(0).num_columns)
+                if md.row_group(0).column(i).path_in_schema == "doc"
+            ][0]
+            ranges.append((col.statistics.min, col.statistics.max))
+    assert len(ranges) == 2
+    ranges.sort()
+    assert ranges[0][1] < ranges[1][0], ranges  # disjoint key ranges
+
+
+def test_pair_compaction_layouts_per_part(spark, tmp_path):
+    """compact_pair_store(layouts=...) applies a per-part layout inside
+    the ONE staged swap; untouched parts keep default layout and both
+    parts read back identical contents."""
+    from bgg_data_warehouse_spark.log_store import (
+        append_pair_delta,
+        compact_pair_store,
+        init_pair_store,
+        read_pair_store,
+    )
+
+    root = str(tmp_path)
+    init_pair_store(
+        root,
+        "pair",
+        {"left": _df(spark, BASE_ROWS), "right": _df(spark, BASE_ROWS)},
+    )
+    append_pair_delta(
+        root,
+        "pair",
+        {
+            "left": (_df(spark, [(9, "n", 1)]), None, "doc"),
+            "right": (_df(spark, [(8, "m", 1)]), _keys(spark, [1]), "doc"),
+        },
+    )
+    want_left = set(BASE_ROWS) | {(9, "n", 1)}
+    want_right = (set(BASE_ROWS) - {(1, "a", 1), (1, "b", 2)}) | {(8, "m", 1)}
+    folded = compact_pair_store(
+        spark, root, "pair", {"left": "doc", "right": "doc"},
+        layouts={"left": lambda df: df.coalesce(1).sortWithinPartitions("doc")},
+    )
+    assert folded == 1
+    assert _contents(read_pair_store(spark, root, "pair", "left", "doc")) == want_left
+    assert _contents(read_pair_store(spark, root, "pair", "right", "doc")) == want_right
