@@ -933,10 +933,61 @@ def incremental_main() -> None:
             ),
         )
 
+    def fam_cc_logged_delete(sf_dir, tag):
+        """Deletion epoch of the log-structured components maintainer:
+        50 deleted edges land as label-change-set rows + isolated-node
+        and edge tombstones in ONE generation, vs the full star-CC
+        recompute on the post-delete edge set. The read side pays the
+        semi-join localization the maintainer's docstring admits (no
+        component-annotated prune in log form); the write side is the
+        change set."""
+        from bgg_data_warehouse_spark.io import (
+            init_components_log,
+            maintain_components_log,
+        )
+        from bgg_data_warehouse_spark.operators.components import (
+            connected_components_star,
+        )
+        from pyspark.sql import Window
+
+        orders = tbl(sf_dir, "orders")
+        w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        edges = store(
+            orders.select(
+                F.col("o_orderkey").alias("src"),
+                F.lead("o_orderkey").over(w).alias("dst"),
+            ).where(F.col("dst").isNotNull()),
+            f"ccld_edges_{tag}",
+        )
+        labels = store(
+            connected_components_star(edges, "src", "dst", canonical_edges=True),
+            f"ccld_labels_{tag}",
+        )
+        name = f"ccld_{tag}"
+        init_components_log(store_root, name, labels, edges, "src", "dst")
+        victim = store(
+            edges.select("src", "dst").orderBy("src", "dst").limit(50),
+            f"ccld_victim_{tag}",
+        )
+        survivors = edges.join(victim, ["src", "dst"], "left_anti")
+
+        def incr():
+            maintain_components_log(
+                spark, store_root, name, victim, "src", "dst",
+                deleted=True, auto_compact=False,
+            )
+            return None
+
+        return (
+            incr,
+            lambda: connected_components_star(survivors, "src", "dst"),
+        )
+
     families = {
         "cc_incremental_update": fam_cc_update,
         "cc_incremental_delete": fam_cc_delete,
         "cc_logged_epoch": fam_cc_logged,
+        "cc_logged_delete_epoch": fam_cc_logged_delete,
         "cdc_logged_epoch": fam_cdc_logged,
         "inverted_index_incremental": fam_postings,
         "inverted_index_logged_append": fam_postings_logged,
