@@ -182,3 +182,24 @@ def test_components_first_epoch_lww_conflict(spark, tmp_path):
         src="src", dst="dst", seq_cols=["seq"],
     )
     assert _labels(spark, root, "cc") == {(2, 2), (3, 2)}
+
+
+def test_components_first_epoch_all_deletes_bootstraps_empty(spark, tmp_path):
+    """A first epoch whose survivors are all 'D' bootstraps an EMPTY
+    store (a delete can only target a same-epoch add, which LWW already
+    resolved); a later add epoch then lands normally."""
+    from bgg_data_warehouse_spark.streaming.graph import (
+        apply_components_log_batch,
+    )
+
+    root = str(tmp_path)
+    kw = dict(src="src", dst="dst", seq_cols=["seq"])
+    apply_components_log_batch(
+        spark.createDataFrame([(1, 2, 1, "D"), (3, 4, 2, "D")], SCHEMA),
+        root, "cc", **kw,
+    )
+    assert _labels(spark, root, "cc") == set()
+    apply_components_log_batch(
+        spark.createDataFrame([(1, 2, 3, "U")], SCHEMA), root, "cc", **kw
+    )
+    assert _labels(spark, root, "cc") == {(1, 1), (2, 1)}
