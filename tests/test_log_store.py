@@ -856,3 +856,64 @@ def test_pair_compaction_layouts_per_part(spark, tmp_path):
     assert folded == 1
     assert _contents(read_pair_store(spark, root, "pair", "left", "doc")) == want_left
     assert _contents(read_pair_store(spark, root, "pair", "right", "doc")) == want_right
+
+
+def test_log_store_matches_replace_by_key_model_random_histories(spark, tmp_path):
+    """Property: an ARBITRARY history of epochs (per-epoch re-ingest
+    map + tombstone set, with overlaps, re-creates, same-epoch
+    conflicts) read through the store equals a driver-side
+    replace-by-key dict model — with compactions injected at arbitrary
+    points, which must never change the answer."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    epoch = st.tuples(
+        st.dictionaries(  # key -> row count for the re-ingest
+            st.integers(0, 9), st.integers(1, 3), max_size=4
+        ),
+        st.sets(st.integers(0, 9), max_size=3),  # tombstoned keys
+        st.booleans(),  # compact after this epoch?
+    )
+
+    @given(
+        base=st.dictionaries(st.integers(0, 9), st.integers(1, 3), max_size=5),
+        history=st.lists(epoch, min_size=1, max_size=4),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(base, history):
+        import shutil
+        import uuid
+
+        root = os.path.join(str(tmp_path), uuid.uuid4().hex[:8])
+        shutil.rmtree(root, ignore_errors=True)
+
+        def rows_of(d):
+            return [
+                (k, f"t{j}", j + 1) for k, n in d.items() for j in range(n)
+            ]
+
+        model = {k: rows_of({k: n}) for k, n in base.items()}
+        init_log_store(_df(spark, rows_of(base)), root, "p")
+        for upserts, tombs, do_compact in history:
+            append_log_delta(
+                root, "p", _df(spark, rows_of(upserts)), "doc",
+                tombstones=_keys(spark, sorted(tombs)),
+            )
+            for k, n in upserts.items():
+                if k in tombs:  # deletion wins within a generation
+                    model.pop(k, None)
+                else:
+                    model[k] = rows_of({k: n})
+            for k in tombs - set(upserts):
+                model.pop(k, None)
+            if do_compact:
+                compact_log_store(spark, root, "p", "doc")
+            want = {t for rows in model.values() for t in rows}
+            assert _contents(read_log_store(spark, root, "p", "doc")) == want
+        shutil.rmtree(root, ignore_errors=True)
+
+    run()
