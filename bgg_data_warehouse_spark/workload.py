@@ -6365,14 +6365,20 @@ def cdc_log_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             seq_cols=["ts", "event_id"],
             auto_compact=False,
         )
-    # compaction swaps the very files the generational plan scans —
-    # materialize that phase first (same discipline as
-    # inverted_index_compaction)
-    gen = read_cdc_state_logged(
-        spark, root, "cdc_state", ["custkey"]
-    ).localCheckpoint(eager=True)
-    compact_log_store(spark, root, "cdc_state", ["custkey"])
-    comp = read_cdc_state_logged(spark, root, "cdc_state", ["custkey"])
+    # both phases stay LAZY (same trick as cc_log_maintenance): compact
+    # a filesystem COPY of the store so the generational plan keeps
+    # scanning the untouched original and everything evaluates once at
+    # the consumer's action instead of an eager checkpoint job
+    import shutil
+
+    comp_store = os.path.join(root, "cdc_state_compacted")
+    shutil.rmtree(comp_store, ignore_errors=True)
+    shutil.copytree(os.path.join(root, "cdc_state"), comp_store)
+    gen = read_cdc_state_logged(spark, root, "cdc_state", ["custkey"])
+    compact_log_store(spark, root, "cdc_state_compacted", ["custkey"])
+    comp = read_cdc_state_logged(
+        spark, root, "cdc_state_compacted", ["custkey"]
+    )
     cols = ["phase", "custkey", "name", "bal", "seg"]
     return (
         gen.withColumn("phase", F.lit("generational"))
