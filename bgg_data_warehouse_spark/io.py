@@ -120,7 +120,7 @@ def table_exists(root: str, name: str) -> bool:
     return os.path.isdir(p) and any(not e.startswith("_") for e in os.listdir(p))
 
 
-def recover_table(root: str, name: str) -> bool:
+def recover_table(root: str, name: str, *, restore_only: bool = False) -> bool:
     """Heal the crash windows of :func:`_rewrite`'s two-rename swap.
 
     The swap is ``rename(final, backup)`` then ``rename(staging,
@@ -139,13 +139,38 @@ def recover_table(root: str, name: str) -> bool:
     per crash otherwise — which is safe under the documented
     single-runner-per-table model. Never destructive to a live table;
     never removes the dir it restores.
+
+    ``restore_only=True`` is the READ-path mode (ADVICE r14): a serving
+    process reading while the single WRITER compacts must never delete
+    the writer's in-progress ``__stage_`` dir (a partially-built staging
+    could later be swapped in as the table) nor reap backups the writer
+    is about to clean itself. In this mode a live table is left exactly
+    as found (no sibling cleanup), and a missing table is healed by the
+    single newest-backup rename ONLY — with a failed rename (the writer
+    re-created the table or restored the backup between our check and
+    the rename, i.e. the writer won the race) treated as success for
+    the reader. All destructive cleanup stays on the write paths.
     """
     final = _path(root, name)
     if table_exists(root, name):
+        if restore_only:
+            return False
         for d in _siblings(final, "__old_") + _siblings(final, "__stage_"):
             shutil.rmtree(d, ignore_errors=True)
         return False
     backups = sorted(_siblings(final, "__old_"), key=_backup_order)
+    if restore_only:
+        if not backups:
+            return False
+        try:
+            os.rename(backups[-1], final)
+            return True
+        except OSError:
+            # writer won the race: it restored this backup or renamed a
+            # fresh staging into `final` between our existence check and
+            # the rename — the reader's goal (a live table) is met either
+            # way, and nothing here may be deleted to "clean up"
+            return False
     recovered = False
     if backups:
         # table_exists is False either because `final` is absent OR

@@ -111,6 +111,17 @@ _COMMIT = "_COMMITTED"
 # the store folds first (module docstring, r13 VERDICT #1).
 BROADCAST_TOUCHED_MAX_BYTES = 128 * 1024 * 1024
 
+# Row-count co-trigger for the same invariant (r14 VERDICT #7): the
+# byte proxy over-estimates the touched-key frame for WIDE rows (keys
+# are a projection) but INVERTS for tombstone-only generations, whose
+# rows ARE keys and which parquet compresses hardest — 128 MiB of
+# compressed key-only delta can decompress to several hundred MB under
+# a forced broadcast. Generation row counts (parquet footer metadata,
+# no data read) bound the touched-key frame exactly: |touched keys| ≤
+# generation rows + tombstones. 8M keys at ≤32 B each is ≤256 MB
+# in-memory — the same envelope the byte bound targets.
+BROADCAST_TOUCHED_MAX_ROWS = 8_000_000
+
 
 def _as_cols(key_col) -> list[str]:
     """Keys are a single column name or a list (composite key — the CDC
@@ -158,10 +169,18 @@ def _delta_dirs(store: str, *, committed: bool) -> list[str]:
 
 def init_log_store(df: DataFrame, root: str, name: str) -> None:
     """Create (or re-create) a store whose base is ``df``. Any existing
-    generations are discarded — this is CREATE, not maintenance."""
-    store = _store_path(root, name)
-    shutil.rmtree(store, ignore_errors=True)
-    df.write.mode("overwrite").parquet(_base_path(store))
+    generations are discarded — this is CREATE, not maintenance.
+
+    Crash-atomic (ADVICE r14): the base is built in a staging dir and
+    the whole store dir lands via the two-rename swap, so a crash
+    mid-bootstrap leaves ``log_store_exists`` False (a foreachBatch
+    replay of the first epoch re-bootstraps cleanly) instead of a torn
+    half-written base that wedges every later read."""
+
+    def build(staging: str) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(staging, _BASE))
+
+    _staged_swap(root, name, build)
 
 
 def log_store_exists(root: str, name: str) -> bool:
@@ -181,11 +200,20 @@ def recover_log_store(root: str, name: str, *, reap_torn: bool = True) -> bool:
     mid-append on (ADVICE r13). Leftover COMMITTED generations that a
     crashed compaction already folded are deliberately kept — they
     replay idempotently (module docstring) and the next compaction folds
-    them. Returns True if the base was restored from a backup."""
+    them. Returns True if the base was restored from a backup.
+
+    ``reap_torn=False`` additionally makes the BASE recovery
+    restore-only (ADVICE r14): the read path performs at most the one
+    newest-backup rename (tolerating a rename the racing writer already
+    won) and never deletes ``__stage_``/``__old_`` siblings — a reader
+    racing the writer's compaction could otherwise rmtree the
+    compaction's in-progress staging dir mid-build or strand the
+    writer's swap between its two renames. Destructive cleanup is the
+    write paths' job alone."""
     store = _store_path(root, name)
     if not os.path.isdir(store):
         return False
-    healed = recover_table(store, _BASE)
+    healed = recover_table(store, _BASE, restore_only=not reap_torn)
     if reap_torn:
         for d in _delta_dirs(store, committed=False):
             shutil.rmtree(d, ignore_errors=True)
@@ -199,13 +227,32 @@ def _dir_bytes(d: str) -> int:
     return total
 
 
+def _dir_rows(d: str) -> int:
+    """Total rows across a dir's parquet files, read from footer
+    metadata only — no column data is scanned, so probing a generation
+    costs one footer read per file."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(dirpath, f)
+                ).metadata.num_rows
+    return total
+
+
 def _hint_broadcast(gen_dirs: list[str]) -> bool:
-    """True while the generations' on-disk bytes sit under the absolute
-    broadcast bound (module docstring) — the call sites' one switch
-    between the hinted map-side anti and an AQE-planned join."""
-    return (
-        sum(_dir_bytes(g) for g in gen_dirs) <= BROADCAST_TOUCHED_MAX_BYTES
-    )
+    """True while the generations sit under BOTH absolute broadcast
+    bounds — on-disk bytes AND footer row count (r14 VERDICT #7: the
+    byte proxy alone inverts for tombstone-only generations, whose
+    key-only rows compress hardest) — the call sites' one switch
+    between the hinted map-side anti and an AQE-planned join. The row
+    probe is lazy: it only runs when the byte bound already passed."""
+    if sum(_dir_bytes(g) for g in gen_dirs) > BROADCAST_TOUCHED_MAX_BYTES:
+        return False
+    return sum(_dir_rows(g) for g in gen_dirs) <= BROADCAST_TOUCHED_MAX_ROWS
 
 
 def append_log_delta(
@@ -361,6 +408,12 @@ def _needs_compaction(
         len(gens) > max_generations
         or delta_bytes > max_delta_fraction * base_bytes
         or delta_bytes > max_delta_bytes
+        # row co-trigger (r14 VERDICT #7): a tombstone-heavy delta can
+        # cross the broadcast ROW bound long before the byte bound
+        # (key-only rows compress hardest); folding at the same
+        # constant keeps "steady state never drops the hint" true for
+        # that shape too
+        or sum(_dir_rows(g) for g in gens) > BROADCAST_TOUCHED_MAX_ROWS
     )
 
 
@@ -447,13 +500,22 @@ def compact_log_store(
 def init_pair_store(
     root: str, name: str, parts: dict[str, DataFrame]
 ) -> None:
-    """Create a paired store whose base holds one table per part name."""
-    store = _store_path(root, name)
-    shutil.rmtree(store, ignore_errors=True)
-    for part, df in parts.items():
-        df.write.mode("overwrite").parquet(
-            os.path.join(_base_path(store), part)
-        )
+    """Create a paired store whose base holds one table per part name.
+
+    Crash-atomic like :func:`init_log_store` (ADVICE r14): ALL parts
+    build in one staging dir and land via one two-rename swap, so a
+    crash after the first part's write leaves ``log_store_exists``
+    False — a replayed first epoch re-bootstraps instead of finding a
+    store whose later parts are missing and wedging every maintenance
+    pass on a raw missing-path error."""
+
+    def build(staging: str) -> None:
+        for part, df in parts.items():
+            df.write.mode("overwrite").parquet(
+                os.path.join(staging, _BASE, part)
+            )
+
+    _staged_swap(root, name, build)
 
 
 def append_pair_delta(

@@ -40,6 +40,13 @@ from pyspark.sql import functions as F
 
 from .iterative import iteration_shuffle_width as _iteration_shuffle_width
 
+# Absolute ceiling on the affected-MEMBER frame the delete-localization
+# semi may broadcast (ADVICE r14 — the log_store._hint_broadcast
+# discipline one layer down). 8M node ids at ≤32 B each is ≤256 MB
+# in-executor, the same envelope as log_store.BROADCAST_TOUCHED_MAX_ROWS;
+# above it the semi goes unhinted and AQE plans from runtime sizes.
+AFFECTED_BROADCAST_MAX_ROWS = 8_000_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -706,18 +713,36 @@ def _delete_affected_relabel(
             F.col(canonical_col).isin(aff_vals)
         ).select(F.col(src).alias("u"), F.col(dst).alias("v"))
     else:
-        aff_nodes = labels.join(F.broadcast(affected), "canonical").select(
-            F.col("node").alias(src)
+        aff_nodes = (
+            labels.join(F.broadcast(affected), "canonical")
+            .select(F.col("node").alias(src))
+            # pinned once: the exact-count probe below and the semi-join
+            # consume the same frame — without the checkpoint the probe
+            # would rescan the label table
+            .localCheckpoint(eager=True)
         )
-        # aff_nodes is affected-MEMBER-sized — the same bound this
-        # operator already broadcasts for the relabel/tombstone passes
-        # (and the driver union-find implies) — so hint it: the edge
-        # scan's semi becomes map-side and the edge set is never
-        # shuffled for localization (measured: unhinted, the logged
-        # delete epoch's shuffle grew 4.3x over a 100x base step; the
-        # component-annotated layout remains the answer when affected
-        # members outgrow a broadcast)
-        aff_edges = edges.join(F.broadcast(aff_nodes), src, "left_semi").select(
+        # aff_nodes is affected-MEMBER-sized, which is bounded by the
+        # touched components' POPULATIONS, not by delta size — deleting
+        # one edge of a huge component makes this frame that whole
+        # component's membership, so an unconditional broadcast is the
+        # same hazard r13 VERDICT #1 removed from the log-store merge
+        # (ADVICE r14). Probe the checkpointed frame's exact row count
+        # and keep the hint only under the bound: hinted, the edge
+        # scan's semi is map-side and the edge set is never shuffled
+        # for localization (measured: unhinted, the logged delete
+        # epoch's shuffle grew 4.3x over a 100x base step); above the
+        # bound the semi goes unhinted and AQE plans from runtime sizes
+        # — slow-but-correct instead of a forced-broadcast OOM. The
+        # component-annotated layout (canonical_col branch above, now
+        # reinstatable at compaction time) is the scale answer when
+        # affected members routinely outgrow a broadcast.
+        n_members = aff_nodes.count()
+        semi_side = (
+            F.broadcast(aff_nodes)
+            if n_members <= AFFECTED_BROADCAST_MAX_ROWS
+            else aff_nodes
+        )
+        aff_edges = edges.join(semi_side, src, "left_semi").select(
             F.col(src).alias("u"), F.col(dst).alias("v")
         )
     survivors = (

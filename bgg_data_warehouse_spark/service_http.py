@@ -67,9 +67,21 @@ def _make_handler(reader):
                         size = int(size_line.strip() or b"0", 16)
                     except ValueError:
                         return  # malformed framing: stop draining
-                    if size == 0:
-                        self.rfile.readline(65536)  # trailing CRLF
+                    if size < 0:
+                        # a negative size line is malformed framing too
+                        # — looping on it would spin until EOF
                         return
+                    if size == 0:
+                        # trailer section (RFC 9112 §7.1.2): zero or
+                        # more trailer header lines, then one blank
+                        # line ends the body. Reading a single line
+                        # here would leave any trailers unread and
+                        # corrupt the next pipelined request on the
+                        # keep-alive connection (ADVICE r14).
+                        while True:
+                            line = self.rfile.readline(65536)
+                            if line in (b"", b"\r\n", b"\n"):
+                                return
                     remaining = size + 2  # chunk payload + CRLF
                     while remaining > 0:
                         chunk = self.rfile.read(min(remaining, 65536))

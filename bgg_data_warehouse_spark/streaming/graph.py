@@ -84,8 +84,6 @@ def apply_components_log_batch(
     from ..operators.components import connected_components_star
 
     recover_log_store(root, name)
-    if not batch_df.take(1):
-        return
     spark = batch_df.sparkSession
     # orientation-normalize BEFORE the LWW window so (a,b) and (b,a)
     # are one edge key in the log, exactly as they are in the store
@@ -95,14 +93,27 @@ def apply_components_log_batch(
         *[F.col(c) for c in seq_cols],
         F.col(op_col),
     )
+    # ``seq_cols`` must be a strict total order over the log per edge
+    # key (commit ts + offset — what a CDC feed carries); the op column
+    # is a deterministic FINAL tiebreak ('U' sorts above 'D' under
+    # desc) so that even a feed that violates the contract — e.g. an
+    # add from (a,b) and a delete from (b,a) carrying equal seq values
+    # in one transaction — replays byte-stably: the add wins every
+    # replay rather than whichever row_number saw first (ADVICE r14).
     w = Window.partitionBy(src, dst).orderBy(
-        *[F.col(c).desc() for c in seq_cols]
+        *[F.col(c).desc() for c in seq_cols], F.col(op_col).desc()
     )
     latest = (
         canon.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
+        # pinned once: the empty-batch probe, both op-split probes, and
+        # both maintainers consume this frame — unpinned, the LWW
+        # window re-evaluates four-plus times per epoch
+        .localCheckpoint(eager=True)
     )
+    if not latest.take(1):
+        return
     adds = latest.where(F.col(op_col) == "U").select(src, dst)
     dels = latest.where(F.col(op_col) == "D").select(src, dst)
     if not log_store_exists(root, name):

@@ -481,3 +481,46 @@ def test_maintain_components_log_roundtrip(spark, tmp_path):
         for r in read_pair_store(spark, root, "cc", "labels", "node").collect()
     }
     assert got_comp == want
+
+
+def test_delete_localization_broadcast_is_bounded(spark, monkeypatch):
+    """ADVICE r14: the canonical_col=None delete-localization semi
+    broadcasts an affected-MEMBER-sized frame, which is bounded by
+    touched component populations, not delta size — so the hint is
+    gated by an exact row probe (AFFECTED_BROADCAST_MAX_ROWS) and the
+    semi runs unhinted above it, AQE planning from runtime sizes.
+    Correctness must be identical on both sides of the bound."""
+    import bgg_data_warehouse_spark.operators.components as C
+    from bgg_data_warehouse_spark.operators.components import (
+        connected_components_star,
+        incremental_components_delete,
+    )
+
+    # one big chain component {1..8} plus a bystander {20,21}
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)] + [(20, 21)], "src long, dst long"
+    )
+    labels0 = connected_components_star(edges, "src", "dst")
+    deleted = spark.createDataFrame([(4, 5)], "src long, dst long")
+    want = {
+        (r.node, r.canonical)
+        for r in connected_components_star(
+            edges.join(deleted, ["src", "dst"], "left_anti"), "src", "dst"
+        ).collect()
+    }
+    hinted = {
+        (r.node, r.canonical)
+        for r in incremental_components_delete(
+            labels0, edges, deleted, "src", "dst"
+        ).collect()
+    }
+    assert hinted == want
+    # 8 affected members > bound 0: the semi runs unhinted, same answer
+    monkeypatch.setattr(C, "AFFECTED_BROADCAST_MAX_ROWS", 0)
+    unhinted = {
+        (r.node, r.canonical)
+        for r in incremental_components_delete(
+            labels0, edges, deleted, "src", "dst"
+        ).collect()
+    }
+    assert unhinted == want

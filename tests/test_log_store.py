@@ -917,3 +917,134 @@ def test_log_store_matches_replace_by_key_model_random_histories(spark, tmp_path
         shutil.rmtree(root, ignore_errors=True)
 
     run()
+
+
+def test_read_recovery_is_restore_only(spark, tmp_path):
+    """ADVICE r14: read-path recovery never deletes the writer's
+    staging/backup siblings (a reader racing the single writer's
+    compaction could rmtree its in-progress staging dir mid-build); a
+    missing base is healed by the single newest-backup rename, and a
+    rename the writer already won is tolerated as success."""
+    root = str(tmp_path)
+    want = _store(spark, root)
+    store = _store_path(root, "idx")
+    base = _base_path(store)
+    # writer mid-compaction: in-progress staging next to a LIVE base
+    stage = base + "__stage_deadbeef"
+    os.makedirs(stage)
+    recover_log_store(root, "idx", reap_torn=False)
+    assert os.path.isdir(stage)  # read left the writer's staging alone
+    # crash between the swap's two renames: base lives only in a backup
+    backup = base + f"__old_{10**19}_abc123"
+    os.rename(base, backup)
+    assert recover_log_store(root, "idx", reap_torn=False) is True
+    assert _contents(read_log_store(spark, root, "idx", "doc")) == want
+    assert os.path.isdir(stage)  # restore touched nothing else
+    # writer-won race: a stray backup next to a live base is NOT
+    # reaped by the read path, and the failed rename is tolerated
+    os.makedirs(base + "__old_00000000000000000001_aaaaaa")
+    assert recover_log_store(root, "idx", reap_torn=False) is False
+    assert os.path.isdir(base + "__old_00000000000000000001_aaaaaa")
+    # the WRITE path still owns destructive cleanup of all siblings
+    recover_log_store(root, "idx")
+    assert not os.path.isdir(stage)
+    assert not os.path.isdir(base + "__old_00000000000000000001_aaaaaa")
+    assert _contents(read_log_store(spark, root, "idx", "doc")) == want
+
+
+class _BoomFrame:
+    """Stands in for a DataFrame whose write crashes mid-bootstrap."""
+
+    @property
+    def write(self):
+        raise RuntimeError("crash mid-bootstrap")
+
+
+def test_init_log_store_bootstrap_is_crash_atomic(spark, tmp_path):
+    """ADVICE r14: a crash during first-epoch bootstrap leaves
+    log_store_exists() False (staging never swapped in), so a
+    foreachBatch replay re-bootstraps instead of wedging on a torn
+    base."""
+    root = str(tmp_path)
+    try:
+        init_log_store(_BoomFrame(), root, "idx")
+        raise AssertionError("expected bootstrap crash")
+    except RuntimeError:
+        pass
+    assert not log_store_exists(root, "idx")
+    # replay re-bootstraps cleanly over the leftover staging dir
+    init_log_store(_df(spark, BASE_ROWS), root, "idx")
+    assert log_store_exists(root, "idx")
+    assert _contents(read_log_store(spark, root, "idx", "doc")) == set(
+        BASE_ROWS
+    )
+
+
+def test_init_pair_store_bootstrap_is_crash_atomic(spark, tmp_path):
+    """Same contract for the paired store: a crash AFTER the first
+    part's write but before the rest leaves no half-store behind —
+    log_store_exists() stays False and the replay re-bootstraps
+    (ADVICE r14: a torn labels-without-edges bootstrap would send every
+    later epoch down the maintenance path into a missing-path error)."""
+    from bgg_data_warehouse_spark.log_store import (
+        init_pair_store,
+        read_pair_store,
+    )
+
+    root = str(tmp_path)
+    labels = spark.createDataFrame([(1, 1)], "node long, canonical long")
+    try:
+        # dict order: labels writes fine, edges crashes
+        init_pair_store(root, "cc", {"labels": labels, "edges": _BoomFrame()})
+        raise AssertionError("expected bootstrap crash")
+    except RuntimeError:
+        pass
+    assert not log_store_exists(root, "cc")
+    edges = spark.createDataFrame([(1, 2)], "a long, b long")
+    init_pair_store(root, "cc", {"labels": labels, "edges": edges})
+    assert log_store_exists(root, "cc")
+    assert [
+        (r.node, r.canonical)
+        for r in read_pair_store(spark, root, "cc", "labels", "node").collect()
+    ] == [(1, 1)]
+
+
+def test_merge_broadcast_hint_has_row_bound(spark, tmp_path, monkeypatch):
+    """r14 VERDICT #7: the byte proxy inverts for tombstone-only
+    generations (key-only rows compress hardest), so the hint also
+    drops when footer ROW counts cross BROADCAST_TOUCHED_MAX_ROWS even
+    while the byte bound passes; correctness is hint-independent."""
+    import bgg_data_warehouse_spark.log_store as ls
+
+    root = str(tmp_path)
+    _store(spark, root)
+
+    def anti_hinted(df) -> bool:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        anti = plan.split("LeftSemi")[0]
+        assert "LeftAnti" in anti
+        return "strategy=broadcast" in anti
+
+    assert anti_hinted(read_log_store(spark, root, "idx", "doc"))
+    # rows over the (monkeypatched) row bound, bytes far under the
+    # byte bound — exactly the tombstone-only inversion
+    monkeypatch.setattr(ls, "BROADCAST_TOUCHED_MAX_ROWS", 0)
+    over = read_log_store(spark, root, "idx", "doc")
+    assert not anti_hinted(over)
+    assert _contents(over) == _store_want()
+
+
+def test_row_cotrigger_fires_compaction(spark, tmp_path, monkeypatch):
+    """r14 VERDICT #7: the compaction policy folds on the same row
+    co-trigger, so a tombstone-heavy store folds before its delta can
+    cross the broadcast row bound in steady state."""
+    import bgg_data_warehouse_spark.log_store as ls
+    from bgg_data_warehouse_spark.log_store import compact_if_needed
+
+    root = str(tmp_path)
+    want = _store(spark, root)
+    kw = dict(max_generations=16, max_delta_fraction=1e9, max_delta_bytes=1 << 40)
+    assert compact_if_needed(spark, root, "idx", "doc", **kw) == 0
+    monkeypatch.setattr(ls, "BROADCAST_TOUCHED_MAX_ROWS", 0)
+    assert compact_if_needed(spark, root, "idx", "doc", **kw) == 2
+    assert _contents(read_log_store(spark, root, "idx", "doc")) == want

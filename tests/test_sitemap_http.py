@@ -270,3 +270,39 @@ def test_sitemap_feeds_tracking_cold_start(spark):
         now=datetime(2026, 1, 1, tzinfo=timezone.utc),
     )
     assert {r.game_id for r in pending.collect()} == {13, 926, 174430}
+
+
+def test_chunked_drain_consumes_trailers_and_negative_size(http_srv):
+    """ADVICE r14: after the 0-size chunk the drain reads the whole
+    trailer section (lines until blank), so trailer bytes can never
+    corrupt the next pipelined request; a negative chunk-size line is
+    malformed framing and stops the drain instead of spinning."""
+    import io
+
+    from bgg_data_warehouse_spark.service_http import _make_handler
+
+    handler_cls = _make_handler(FakeReader())
+    h = object.__new__(handler_cls)
+    h.headers = {"Transfer-Encoding": "chunked"}
+    nxt = b"GET /next HTTP/1.1\r\nHost: x\r\n\r\n"
+    h.rfile = io.BytesIO(
+        b"4\r\nwxyz\r\n0\r\nX-Checksum: abc\r\nX-Other: 1\r\n\r\n" + nxt
+    )
+    h._drain_body()
+    # the pipelined follow-up request is intact and exactly next
+    assert h.rfile.read() == nxt
+    h.rfile = io.BytesIO(b"-5\r\nstuff\r\nmore")
+    h._drain_body()  # malformed: returns promptly (no spin to EOF)
+
+
+def test_http_chunked_trailer_request_still_answers(http_srv):
+    """End-to-end: a chunked request CARRYING trailers still gets a
+    well-formed JSON response."""
+    body = b"4\r\nwxyz\r\n0\r\nX-Checksum: abc\r\n\r\n"
+    resp = _raw_http(
+        http_srv,
+        b"POST /games/13 HTTP/1.1\r\nHost: x\r\n"
+        b"Transfer-Encoding: chunked\r\nConnection: close\r\n\r\n" + body,
+    )
+    assert b" 405 " in resp.split(b"\r\n", 1)[0]
+    assert b"detail" in resp
