@@ -25,78 +25,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness grades the FIRST 50 queries in dict
-# order. Round 14 rotation (r13 VERDICT "Next round" #3; window and
+# order. Round 15 rotation (r14 VERDICT "Next round" #2; window and
 # tail below emitted VERBATIM by tools/staleness.py from
-# CORRECTNESS_r01-r13 plus the two gates registered this round):
+# CORRECTNESS_r01-r14 plus the two gates registered this round):
 #   - the 2 gates NEW this round, with no driver evidence yet:
-#     cc_log_maintenance (log-structured components maintainer over the
-#     paired labels+edges store, r13 VERDICT #5) and cdc_log_state (the
-#     logged CDC state store oracle-gated, r13 VERDICT #2);
-#   - vocab_encode, watermark_increment, weighted_sample,
-#     weighted_sample_stratified — the ledger's only r9-evidence gates
-#     (displaced from the r13 window by that round's two new gates,
-#     re-verified green by the r13 judge, queued first here exactly as
-#     that verdict directed);
-#   - the first 44 of the 50 age-4 gates (last driver green: round 10,
-#     ab_test_eval ... tpch_q22, alphabetical). The two new gates push
-#     the window two past 50 again, so the LAST six age-4 entries
-#     (tpch_q3 ... zorder_layout) head the tail and refresh in round 15.
-# With 206 registered gates and a 50-slot window the steady-state
+#     loader_log_bridge / loader_log_dim (the S6/S7 loader write path
+#     routed through the log-structured store, r14 VERDICT #1 — the
+#     round's only weak mark);
+#   - tpch_q3, tpch_q4, tpch_q5, trigram_backoff_ppl, winsorize_robust,
+#     zorder_layout — the ledger's only r10-evidence gates (displaced
+#     from the r14 window by that round's two new gates, re-verified
+#     green by the r14 judge, queued first here exactly as that verdict
+#     directed);
+#   - the first 42 of the 50 age-4 gates (last driver green: round 11,
+#     acf_lags ... rolling_regression, alphabetical). The two new gates
+#     push the window two past 50 again, so the LAST eight age-4
+#     entries (set_similarity_join ... unigram_segment_compounds) head
+#     the tail and refresh in round 16.
+# With 208 registered gates and a 50-slot window the steady-state
 # rotation cycle stays ~4 rounds; after this window every gate's
-# latest driver-green row is round 10 or newer. The position-51+ queue
-# is ordered by evidence age: the six age-4 stragglers, then the age-3
-# block (refresh r15), then age-2, then age-1.
+# latest driver-green row is round 11 or newer. The position-51+ queue
+# is ordered by evidence age: the eight age-4 stragglers, then the
+# age-3 block (refresh r16), then age-2, then age-1.
 _PRIORITY = [
-    "cc_log_maintenance",
-    "cdc_log_state",
-    "vocab_encode",
-    "watermark_increment",
-    "weighted_sample",
-    "weighted_sample_stratified",
-    "ab_test_eval",
-    "bloom_pruned_join",
-    "bpe_learn_encode",
-    "cms_heavy_hitters",
-    "collection_predictions_latest",
-    "corpus_kl_shift",
-    "corr_matrix",
-    "dedup_keep_best",
-    "deployed_models_union",
-    "dsir_importance",
-    "embedding_near_dup",
-    "entity_resolution",
-    "equidepth_histogram",
-    "funnel_steps",
-    "gapfill_interpolate",
-    "gopher_quality_rules",
-    "holt_trend_forecast",
-    "interval_islands",
-    "inverted_index",
-    "item_item_recommender",
-    "join_skew_report",
-    "jsonl_quarantine_roundtrip",
-    "kmeans_embeddings",
-    "knn_quantized",
-    "label_centroids",
-    "label_propagation",
-    "mv_incremental_refresh",
-    "nb_lang_classify",
-    "ols_two_feature",
-    "predictions_freshness",
-    "profile_documents",
-    "retention_cohorts",
-    "semantic_dedup",
-    "sliding_window_distinct",
-    "table_checksum_manifest",
-    "temperature_mix",
-    "token_budget_report",
-    "tpch_q1",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
+    "loader_log_bridge",
+    "loader_log_dim",
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
@@ -253,6 +206,56 @@ _PRIORITY = [
     "tpch_q9",
     "value_percentiles",
     "weighted_sssp",
+    "ab_test_eval",
+    "bloom_pruned_join",
+    "bpe_learn_encode",
+    "cc_log_maintenance",
+    "cdc_log_state",
+    "cms_heavy_hitters",
+    "collection_predictions_latest",
+    "corpus_kl_shift",
+    "corr_matrix",
+    "dedup_keep_best",
+    "deployed_models_union",
+    "dsir_importance",
+    "embedding_near_dup",
+    "entity_resolution",
+    "equidepth_histogram",
+    "funnel_steps",
+    "gapfill_interpolate",
+    "gopher_quality_rules",
+    "holt_trend_forecast",
+    "interval_islands",
+    "inverted_index",
+    "item_item_recommender",
+    "join_skew_report",
+    "jsonl_quarantine_roundtrip",
+    "kmeans_embeddings",
+    "knn_quantized",
+    "label_centroids",
+    "label_propagation",
+    "mv_incremental_refresh",
+    "nb_lang_classify",
+    "ols_two_feature",
+    "predictions_freshness",
+    "profile_documents",
+    "retention_cohorts",
+    "semantic_dedup",
+    "sliding_window_distinct",
+    "table_checksum_manifest",
+    "temperature_mix",
+    "token_budget_report",
+    "tpch_q1",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "vocab_encode",
+    "watermark_increment",
+    "weighted_sample",
+    "weighted_sample_stratified",
 ]
 
 

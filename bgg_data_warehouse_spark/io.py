@@ -286,6 +286,156 @@ def delete_insert_table(
     _rewrite(delete_insert(existing, replacement, keys), root, name)
 
 
+# ---------------------------------------------------------------------------
+# S6/S7 logged twins (r14 VERDICT #1): the snapshot wrappers above are
+# the reference's OWN loader write strategies
+# (`/root/reference/src/data_processor/loader.py:57-176`) and sit on the
+# ingest hot path — one call per ~100-game process batch
+# (`response_processor.py:485-525`) — so at 100 TB every small batch
+# pays a table-sized staged rewrite. These twins route the same two
+# semantics through the log-structured store (log_store.py), where a
+# batch writes ONLY its own generation:
+#
+# - insert-if-absent = an append of the incoming-anti-stored SURVIVORS
+#   (no tombstones; existing rows win by never being touched). The one
+#   corpus-sized operation left is a key-projection READ of the store —
+#   column-pruned, broadcast-semi'd map-side against the delta's key
+#   set, never shuffled.
+# - delete+insert = a bare append: the store's replace-by-key merge IS
+#   delete+insert (a generation's rows replace every older row for
+#   their keys, and the reference derives its delete set from the
+#   replacement batch itself, so every deleted key carries new rows).
+#   Nothing corpus-sized is read OR written.
+#
+# Reads merge generationally (read_log_store); compaction folds on the
+# amortized cadence with the absolute byte+row bounds. Hash-gated
+# end-to-end (generational AND compacted reads vs the S6/S7 oracle
+# semantics) by ``loader_log_dim`` / ``loader_log_bridge``.
+# ---------------------------------------------------------------------------
+
+
+def _insert_missing_survivors(
+    stored: DataFrame, incoming: DataFrame, keys: list[str]
+) -> DataFrame:
+    """The delta-sized survivor set of insert-if-absent: incoming rows
+    (key-deduped) whose keys the store has never seen. Shaped for
+    100 TB: the stored side is a KEY PROJECTION scanned map-side
+    against a broadcast of the incoming key set (a semi — no corpus
+    shuffle), and the resulting present-key set (≤ incoming-sized) is
+    broadcast back for the anti, so neither join moves stored data."""
+    fresh = incoming.dropDuplicates(keys)
+    fresh_keys = fresh.select(*keys).distinct()
+    present = (
+        stored.select(*keys)
+        .join(F.broadcast(fresh_keys), keys, "left_semi")
+        .distinct()
+    )
+    return fresh.join(F.broadcast(present), keys, "left_anti")
+
+
+def merge_insert_missing_logged(
+    spark: SparkSession,
+    incoming: DataFrame,
+    root: str,
+    name: str,
+    keys: list[str],
+    *,
+    auto_compact: bool = True,
+    max_generations: int = 16,
+    max_delta_fraction: float = 0.2,
+) -> None:
+    """S6's log-structured twin — dimension MERGE (insert keys never
+    seen, never update) with a batch-sized write: the survivors of
+    :func:`_insert_missing_survivors` land as one generation with no
+    tombstones. Batches dedupe on the key like the snapshot wrapper
+    (reference `processor.py:490-522` dedups entities with a set);
+    callers wanting deterministic replays collapse each batch to a
+    canonical image per key first (the gate keeps the FIRST image —
+    insert-if-absent's natural streaming semantic)."""
+    from .log_store import (
+        append_log_delta,
+        compact_if_needed,
+        init_log_store,
+        log_store_exists,
+        read_log_store,
+        recover_log_store,
+    )
+
+    recover_log_store(root, name)
+    if not log_store_exists(root, name):
+        init_log_store(incoming.dropDuplicates(keys), root, name)
+        return
+    stored = read_log_store(spark, root, name, keys)
+    survivors = _insert_missing_survivors(stored, incoming, keys)
+    # pinned: the empty-batch probe and the generation write consume
+    # the same frame; unpinned, the store's key projection would scan
+    # twice. The checkpoint is survivor-sized (delta-bounded).
+    survivors = survivors.localCheckpoint(eager=True)
+    if survivors.take(1):
+        append_log_delta(root, name, survivors, keys)
+        if auto_compact:
+            compact_if_needed(
+                spark,
+                root,
+                name,
+                keys,
+                max_generations=max_generations,
+                max_delta_fraction=max_delta_fraction,
+            )
+
+
+def delete_insert_logged(
+    spark: SparkSession,
+    replacement: DataFrame,
+    root: str,
+    name: str,
+    keys: list[str],
+    *,
+    auto_compact: bool = True,
+    max_generations: int = 16,
+    max_delta_fraction: float = 0.2,
+) -> None:
+    """S7's log-structured twin — bridge/detail refresh (replace ALL
+    rows for the incoming keys) as a bare generation append: the
+    store's replace-by-key merge already drops every older row of a
+    re-ingested key, and the reference derives its delete set from the
+    replacement batch itself (every deleted key carries new rows), so
+    no tombstones are needed. Per-batch IO is replacement-sized —
+    nothing stored is read or rewritten."""
+    from .log_store import (
+        append_log_delta,
+        compact_if_needed,
+        init_log_store,
+        log_store_exists,
+        recover_log_store,
+    )
+
+    recover_log_store(root, name)
+    if not log_store_exists(root, name):
+        init_log_store(replacement, root, name)
+        return
+    append_log_delta(root, name, replacement, keys)
+    if auto_compact:
+        compact_if_needed(
+            spark,
+            root,
+            name,
+            keys,
+            max_generations=max_generations,
+            max_delta_fraction=max_delta_fraction,
+        )
+
+
+def read_loader_table_logged(
+    spark: SparkSession, root: str, name: str, keys: list[str]
+) -> DataFrame:
+    """Current contents of a logged S6/S7 table (generational merge;
+    base-only after compaction)."""
+    from .log_store import read_log_store
+
+    return read_log_store(spark, root, name, keys)
+
+
 def archive_old_rows(
     spark: SparkSession,
     root: str,

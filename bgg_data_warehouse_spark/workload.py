@@ -6387,6 +6387,218 @@ def cdc_log_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _loader_chg(ev):
+    """The shared change feed of the S6/S7 logged-loader gates: events
+    keyed into customer's key space (keys >= 1500 exercise the INSERT
+    path), restricted to user_id % 5 == 0 so most base keys stay
+    UNTOUCHED (the merge's base-anti path carries real weight)."""
+    key = (F.col("user_id") * 12 + F.col("event_id") % 12) % 1800
+    return ev.where(F.col("user_id") % 5 == 0).select(
+        key.alias("k"),
+        "ts",
+        "event_id",
+        F.concat(F.lit("dim-"), key.cast("string")).alias("name"),
+        F.col("value").alias("bal"),
+        F.upper("event_type").alias("seg"),
+    )
+
+
+def _epoch_bounds(ev):
+    """Thirds of the ts span, computed once on the driver — the gates'
+    oracles are split-arithmetic-independent, so any seq-ordered split
+    yields the same final state; ties stay within one epoch."""
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    return lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3
+
+
+def _fresh_logstore_root(sf_dir: str, *names: str) -> str:
+    import os
+    import shutil
+
+    root = os.path.join(
+        "/tmp", "spark_graft_logstore", os.path.basename(os.path.normpath(sf_dir))
+    )
+    for n in names:
+        shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+    return root
+
+
+def _two_phase_read(spark, root: str, name: str, keys, cols):
+    """Generational AND post-compaction contents of a log store, both
+    LAZY (the compacted-copy trick from cc_log_maintenance: compaction
+    runs on a filesystem copy so the generational plan keeps scanning
+    the untouched original and everything evaluates once at the
+    consumer's action)."""
+    import os
+    import shutil
+
+    from .log_store import compact_log_store, read_log_store
+
+    comp_store = os.path.join(root, f"{name}_compacted")
+    shutil.rmtree(comp_store, ignore_errors=True)
+    shutil.copytree(os.path.join(root, name), comp_store)
+    gen = read_log_store(spark, root, name, keys)
+    compact_log_store(spark, root, f"{name}_compacted", keys)
+    comp = read_log_store(spark, root, f"{name}_compacted", keys)
+    return (
+        gen.withColumn("phase", F.lit("generational"))
+        .select("phase", *cols)
+        .unionByName(
+            comp.withColumn("phase", F.lit("compacted")).select("phase", *cols)
+        )
+    )
+
+
+@query(
+    "loader_log_dim",
+    oracle="""
+    WITH chg AS (
+      SELECT (user_id * 12 + event_id % 12) % 1800 AS k, ts, event_id,
+             'dim-' || CAST((user_id * 12 + event_id % 12) % 1800
+                            AS VARCHAR) AS name,
+             CAST(value AS DOUBLE) AS bal,
+             upper(event_type) AS seg
+      FROM events WHERE user_id % 5 = 0
+    ), first_img AS (
+      SELECT k, name, bal, seg FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                     ORDER BY ts ASC, event_id ASC) AS rn
+        FROM chg) WHERE rn = 1
+    ), state AS (
+      SELECT c_custkey AS k, c_name AS name,
+             CAST(c_acctbal AS DOUBLE) AS bal, c_mktsegment AS seg
+      FROM customer
+      UNION ALL
+      SELECT f.k, f.name, f.bal, f.seg FROM first_img f
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = f.k)
+    )
+    SELECT 'generational' AS phase, k, name, bal, seg FROM state
+    UNION ALL
+    SELECT 'compacted' AS phase, k, name, bal, seg FROM state
+    """,
+)
+def loader_log_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6's LOGGED loader end-to-end (io.merge_insert_missing_logged,
+    r14 VERDICT #1 — the reference's dimension-MERGE write strategy,
+    `/root/reference/src/data_processor/loader.py:57-104`, freed of its
+    per-batch table-sized rewrite): a stored customer dimension absorbs
+    THREE seq-ordered epochs of insert-if-absent batches as parquet
+    GENERATIONS — each epoch collapses to its FIRST image per key
+    (insert-if-absent's natural streaming semantic, which makes the
+    final state split-arithmetic-independent: a key's earliest epoch's
+    first image IS its global first image), anti-joins the store's key
+    projection map-side (broadcast semi + anti, no corpus shuffle), and
+    appends ONLY the survivors — existing keys are never updated and
+    never rewritten. Hash-checked against the pure-SQL first-image
+    replay on BOTH read paths: the generational merge and the
+    post-compaction base."""
+    from .io import merge_insert_missing_logged
+    from .log_store import init_log_store
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    chg = _loader_chg(ev)
+    root = _fresh_logstore_root(sf_dir, "loader_dim", "loader_dim_compacted")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    init_log_store(base, root, "loader_dim")
+    t1, t2 = _epoch_bounds(ev)
+    w = Window.partitionBy("k").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    for epoch in [
+        chg.where(F.col("ts") <= F.lit(t1)),
+        chg.where((F.col("ts") > F.lit(t1)) & (F.col("ts") <= F.lit(t2))),
+        chg.where(F.col("ts") > F.lit(t2)),
+    ]:
+        first = (
+            epoch.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("k", "name", F.col("bal").cast("double").alias("bal"), "seg")
+        )
+        merge_insert_missing_logged(
+            spark, first, root, "loader_dim", ["k"], auto_compact=False
+        )
+    return _two_phase_read(
+        spark, root, "loader_dim", ["k"], ["k", "name", "bal", "seg"]
+    )
+
+
+@query(
+    "loader_log_bridge",
+    oracle="""
+    WITH ev AS (
+      SELECT (user_id * 12 + event_id % 12) % 1800 AS k,
+             event_id AS item, CAST(value AS DOUBLE) AS qty
+      FROM events WHERE user_id % 5 = 0
+    ), state AS (
+      SELECT o.o_custkey AS k, o.o_orderkey AS item,
+             CAST(o.o_totalprice AS DOUBLE) AS qty
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.k = o.o_custkey)
+      UNION ALL
+      SELECT k, item, qty FROM ev
+    )
+    SELECT 'generational' AS phase, k, item, qty FROM state
+    UNION ALL
+    SELECT 'compacted' AS phase, k, item, qty FROM state
+    """,
+)
+def loader_log_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7's LOGGED loader end-to-end (io.delete_insert_logged, r14
+    VERDICT #1 — the reference's bridge/detail refresh,
+    `/root/reference/src/data_processor/loader.py:106-176`, freed of
+    its per-batch table-sized rewrite): a stored orders-derived bridge
+    absorbs THREE seq-ordered refresh epochs as bare generation
+    appends — each epoch re-materializes the FULL current row set of
+    every key it touches (exactly the reference's refresh shape: delete
+    the refreshed game_ids' rows, insert their new detail rows), and
+    the store's replace-by-key merge IS delete+insert, so no
+    tombstones, no stored reads, no rewrites. Because each epoch
+    carries a touched key's cumulative rows, the final state is
+    split-arithmetic-independent — every touched key ends with ALL its
+    change rows — so the oracle is pure SQL over the full feed,
+    hash-checked on BOTH read paths (generational merge and
+    post-compaction base)."""
+    from .io import delete_insert_logged
+    from .log_store import init_log_store
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    chg = _loader_chg(ev).select("k", "ts", F.col("event_id").alias("item"),
+                                 F.col("bal").cast("double").alias("qty"))
+    root = _fresh_logstore_root(sf_dir, "loader_brg", "loader_brg_compacted")
+    base = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("item"),
+        F.col("o_totalprice").cast("double").alias("qty"),
+    )
+    init_log_store(base, root, "loader_brg")
+    t1, t2 = _epoch_bounds(ev)
+    bounds = [(None, t1), (t1, t2), (t2, None)]
+    for prev, upto in bounds:
+        in_epoch = F.lit(True)
+        if prev is not None:
+            in_epoch = F.col("ts") > F.lit(prev)
+        if upto is not None:
+            in_epoch = in_epoch & (F.col("ts") <= F.lit(upto))
+        touched = chg.where(in_epoch).select("k").distinct()
+        upper = F.lit(True) if upto is None else F.col("ts") <= F.lit(upto)
+        replacement = (
+            chg.where(upper)
+            .join(F.broadcast(touched), "k", "left_semi")
+            .select("k", "item", "qty")
+        )
+        delete_insert_logged(
+            spark, replacement, root, "loader_brg", ["k"], auto_compact=False
+        )
+    return _two_phase_read(
+        spark, root, "loader_brg", ["k"], ["k", "item", "qty"]
+    )
+
+
 @query(
     "gapfill_interpolate",
     oracle="""

@@ -389,6 +389,11 @@ def _work_since(spark, after_id: int) -> dict[str, int]:
         "read_bytes": sum(s.get("inputBytes", 0) for s in new),
         "read_rows": sum(s.get("inputRecords", 0) for s in new),
         "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in new),
+        # sink volume (r14 VERDICT #1): the delta-sized-WRITE claim of
+        # the logged maintainers measured directly — a snapshot wrapper
+        # writes O(table) here per batch, a logged twin O(batch)
+        "write_bytes": sum(s.get("outputBytes", 0) for s in new),
+        "write_rows": sum(s.get("outputRecords", 0) for s in new),
     }
 
 
@@ -983,6 +988,116 @@ def incremental_main() -> None:
             lambda: connected_components_star(survivors, "src", "dst"),
         )
 
+    def fam_loader_dim_logged(sf_dir, tag):
+        """S6's logged twin (io.merge_insert_missing_logged, r14
+        VERDICT #1): one insert-if-absent batch appends ONLY its
+        survivors as a generation — per-batch WRITE volume is
+        survivor-sized at every base size, where the snapshot wrapper
+        (the 'full' twin here: the same merge read + full-table
+        rewrite it stages per call) writes O(table). The one
+        corpus-sized op the logged path keeps is the key-projection
+        read behind the broadcast anti — visible as read_rows slope,
+        bounded as a column-pruned scan, never shuffled."""
+        from bgg_data_warehouse_spark.io import merge_insert_missing_logged
+        from bgg_data_warehouse_spark.log_store import init_log_store
+        from bgg_data_warehouse_spark.operators.merge import (
+            merge_insert_missing,
+        )
+
+        cust = tbl(sf_dir, "customer")
+        base = store(
+            cust.select(
+                F.col("c_custkey").alias("k"),
+                F.col("c_name").alias("name"),
+                F.col("c_acctbal").alias("bal"),
+            ),
+            f"ldim_base_{tag}",
+        )
+        name = f"ldim_{tag}"
+        init_log_store(base, store_root, name)
+        mx = base.agg(F.max("k")).first()[0]
+        # fixed delta: 100 rows — half re-send existing keys (must be
+        # ignored), half are new keys (the survivors)
+        batch = store(
+            spark.createDataFrame(
+                [
+                    (
+                        (i // 2 + 1) if i % 2 == 0 else mx + 1 + i,
+                        f"n{i}",
+                        float(i),
+                    )
+                    for i in range(100)
+                ],
+                "k long, name string, bal double",
+            ),
+            f"ldim_batch_{tag}",
+        )
+
+        def incr():
+            merge_insert_missing_logged(
+                spark, batch, store_root, name, ["k"], auto_compact=False
+            )
+            return None
+
+        def full():
+            # the snapshot wrapper's shape: merge plan + staged rewrite
+            merged = merge_insert_missing(base, batch, ["k"])
+            merged.write.mode("overwrite").parquet(
+                os.path.join(store_root, f"ldim_full_out_{tag}")
+            )
+            return None
+
+        return (incr, full)
+
+    def fam_loader_bridge_logged(sf_dir, tag):
+        """S7's logged twin (io.delete_insert_logged, r14 VERDICT #1):
+        a refresh batch is a BARE generation append — the store's
+        replace-by-key merge IS delete+insert, so per-batch read AND
+        write volume are batch-sized at every base size. The 'full'
+        twin is the snapshot wrapper's shape (broadcast-anti merge +
+        full-table rewrite) whose write volume is O(table)."""
+        from bgg_data_warehouse_spark.io import delete_insert_logged
+        from bgg_data_warehouse_spark.log_store import init_log_store
+        from bgg_data_warehouse_spark.operators.merge import delete_insert
+
+        orders = tbl(sf_dir, "orders")
+        base = store(
+            orders.select(
+                F.col("o_custkey").alias("k"),
+                F.col("o_orderkey").alias("item"),
+                F.col("o_totalprice").alias("qty"),
+            ),
+            f"lbrg_base_{tag}",
+        )
+        name = f"lbrg_{tag}"
+        init_log_store(base, store_root, name)
+        keys = [
+            r[0]
+            for r in base.select("k").distinct().orderBy("k").limit(20).collect()
+        ]
+        # fixed delta: 20 refreshed keys x 5 replacement rows each
+        batch = store(
+            spark.createDataFrame(
+                [(k, i, float(i)) for i, k in enumerate(keys * 5)],
+                "k long, item long, qty double",
+            ),
+            f"lbrg_batch_{tag}",
+        )
+
+        def incr():
+            delete_insert_logged(
+                spark, batch, store_root, name, ["k"], auto_compact=False
+            )
+            return None
+
+        def full():
+            delete_insert(base, batch, ["k"]).write.mode("overwrite").parquet(
+                os.path.join(store_root, f"lbrg_full_out_{tag}")
+            )
+            return None
+
+        return (incr, full)
+
     families = {
         "cc_incremental_update": fam_cc_update,
         "cc_incremental_delete": fam_cc_delete,
@@ -997,6 +1112,8 @@ def incremental_main() -> None:
         "merkle_incremental_update": fam_merkle,
         "mv_incremental_refresh": fam_mv,
         "neighbors_incremental": fam_neighbors,
+        "loader_dim_logged": fam_loader_dim_logged,
+        "loader_bridge_logged": fam_loader_bridge_logged,
     }
 
     def work(thunk) -> dict[str, int]:
@@ -1064,6 +1181,17 @@ def incremental_main() -> None:
             "shuffle_slope_full": ratio(
                 hi["full_work"]["shuffle_write_bytes"],
                 lo["full_work"]["shuffle_write_bytes"],
+            ),
+            # sink-volume slopes (r14 VERDICT #1): a delta-sized WRITE
+            # claim shows as a flat write_slope_incr while the snapshot
+            # twin's write_slope_full tracks the base
+            "write_slope_incr": ratio(
+                hi["incr_work"].get("write_bytes", 0),
+                lo["incr_work"].get("write_bytes", 0),
+            ),
+            "write_slope_full": ratio(
+                hi["full_work"].get("write_bytes", 0),
+                lo["full_work"].get("write_bytes", 0),
             ),
         }
 
