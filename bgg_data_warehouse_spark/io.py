@@ -679,6 +679,72 @@ def init_components_log(
     )
 
 
+def components_log_layouts(
+    spark: SparkSession, root: str, name: str, src: str, dst: str
+) -> dict:
+    """Compaction-time layouts for the components pair store (r14
+    VERDICT #4 — the prune property delta-sized appends forgo,
+    reinstated at the ONE moment base is rewritten anyway): the folded
+    edges are ANNOTATED with the folded labeling (``_comp`` = canonical
+    of ``src`` — both endpoints of a stored edge share one) and both
+    parts are range-clustered by component, so the NEXT delete epoch's
+    ``canonical_col`` path reaches its edges and members through
+    LITERAL IN-filters that parquet row-group stats prune to the
+    touched components' files — where the unannotated broadcast-semi
+    form scans every row (the r14 scaling curves' honest 33-91x
+    labels-probe rows slope).
+
+    Freshness contract: ``_comp`` is the canonical AS OF THE FOLD.
+    Later epochs merge and split components without re-stamping edges
+    (re-stamping a merged component would be component-sized work —
+    exactly what delta-sizing forbids), so the annotation is only
+    TRUSTED while the store remains fully folded;
+    :func:`maintain_components_log` checks for committed generations
+    and falls back to the broadcast-semi path the moment one exists.
+    The labels read inside the edges callback is consistent because
+    ``compact_pair_store`` keeps the old files alive until its swap."""
+    from .log_store import read_pair_store
+
+    def edges_layout(df: DataFrame) -> DataFrame:
+        labels = read_pair_store(spark, root, name, "labels", "node")
+        ann = df.drop("_comp").join(
+            # inner join is row-preserving here: every stored edge
+            # endpoint is a labeled (non-isolated) node by CC invariant
+            labels.select(
+                F.col("node").alias(src), F.col("canonical").alias("_comp")
+            ),
+            src,
+        )
+        return ann.repartitionByRange("_comp").sortWithinPartitions(
+            "_comp", src, dst
+        )
+
+    def labels_layout(df: DataFrame) -> DataFrame:
+        # clustered by NODE: the delete epoch's endpoint->canonical
+        # probe is a literal node IN-filter (components.py), so node
+        # row-group stats prune it; the members probe needs no labels
+        # scan at all (derived from the annotation-pruned edge scan)
+        return df.repartitionByRange("node").sortWithinPartitions("node")
+
+    return {"edges": edges_layout, "labels": labels_layout}
+
+
+def compact_components_log(
+    spark: SparkSession, root: str, name: str, src: str, dst: str
+) -> int:
+    """Force-fold the components pair store WITH the annotated layout
+    (:func:`components_log_layouts`). Returns generations folded."""
+    from .log_store import compact_pair_store
+
+    return compact_pair_store(
+        spark,
+        root,
+        name,
+        {"labels": "node", "edges": [src, dst]},
+        layouts=components_log_layouts(spark, root, name, src, dst),
+    )
+
+
 def maintain_components_log(
     spark: SparkSession,
     root: str,
@@ -692,6 +758,7 @@ def maintain_components_log(
     max_generations: int = 16,
     max_delta_fraction: float = 0.2,
     max_delta_bytes: int | None = None,
+    annotate_on_compact: bool = False,
 ) -> int:
     """Log-structured CC maintenance (r13 VERDICT #5) — the delta-sized
     WRITE answer to :func:`maintain_components_table`'s snapshot-sized
@@ -719,6 +786,8 @@ def maintain_components_log(
     ``cc_log_maintenance``."""
     from .log_store import (
         BROADCAST_TOUCHED_MAX_BYTES,
+        _delta_dirs,
+        _store_path,
         append_pair_delta,
         compact_pair_if_needed,
         read_pair_store,
@@ -734,14 +803,25 @@ def maintain_components_log(
     labels = read_pair_store(spark, root, name, "labels", "node")
     if deleted:
         edges = read_pair_store(spark, root, name, "edges", [src, dst])
-        changed, tombs = incremental_components_delete_delta(
-            labels, edges, delta_edges, src, dst
-        )
+        # annotated-prune path (r14 VERDICT #4): trust the compaction
+        # layout's _comp stamp ONLY on a fully-folded store — the
+        # moment a generation lands, merges/splits can stale it
+        # (components_log_layouts docstring), so fall back to the
+        # broadcast-semi localization until the next fold re-stamps
+        folded = not _delta_dirs(_store_path(root, name), committed=True)
+        if folded and "_comp" in edges.columns:
+            changed, tombs = incremental_components_delete_delta(
+                labels, edges, delta_edges, src, dst, canonical_col="_comp"
+            )
+        else:
+            changed, tombs = incremental_components_delete_delta(
+                labels, edges.drop("_comp"), delta_edges, src, dst
+            )
         parts = {
             "labels": (changed, tombs, "node"),
             # deletions: no edge rows, just composite-key tombstones
             "edges": (
-                edges.limit(0),
+                edges.select(src, dst).limit(0),
                 _canon_edge_frame(delta_edges, src, dst),
                 [src, dst],
             ),
@@ -764,6 +844,11 @@ def maintain_components_log(
             max_generations=max_generations,
             max_delta_fraction=max_delta_fraction,
             max_delta_bytes=max_delta_bytes,
+            layouts=(
+                components_log_layouts(spark, root, name, src, dst)
+                if annotate_on_compact
+                else None
+            ),
         )
     return 0
 

@@ -65,6 +65,7 @@ def apply_components_log_batch(
     auto_compact: bool = True,
     max_generations: int = 16,
     max_delta_fraction: float = 0.2,
+    annotate_on_compact: bool = False,
 ) -> None:
     """Apply ONE epoch of edge changes to the stored CC labeling.
 
@@ -139,6 +140,8 @@ def apply_components_log_batch(
             spark, root, name, adds, src, dst, auto_compact=False
         )
     if auto_compact:
+        from ..io import components_log_layouts
+
         compact_pair_if_needed(
             spark,
             root,
@@ -146,6 +149,11 @@ def apply_components_log_batch(
             {"labels": "node", "edges": [src, dst]},
             max_generations=max_generations,
             max_delta_fraction=max_delta_fraction,
+            layouts=(
+                components_log_layouts(spark, root, name, src, dst)
+                if annotate_on_compact
+                else None
+            ),
         )
 
 
@@ -196,7 +204,11 @@ def read_components_labels(
 def read_components_edges(
     spark: SparkSession, root: str, name: str, src: str, dst: str
 ) -> DataFrame:
-    """The current orientation-normalized edge set."""
+    """The current orientation-normalized edge set. The compaction-time
+    ``_comp`` clustering annotation (io.components_log_layouts) is an
+    internal layout property — consumers see the plain edge schema."""
     from ..log_store import read_pair_store
 
-    return read_pair_store(spark, root, name, "edges", [src, dst])
+    return read_pair_store(spark, root, name, "edges", [src, dst]).drop(
+        "_comp"
+    )

@@ -818,6 +818,73 @@ def incremental_main() -> None:
             lambda: _neighbors_topk(emb, "vec_id", "band50", "embedding", 1.0, 5),
         )
 
+    def fam_neighbors_density(sf_dir, tag):
+        """r14 VERDICT #5: the neighbors epoch's 3.7-3.9x shuffle slope
+        on the raw testdata tracks BUCKET OCCUPANCY, not plan growth —
+        the embeddings fixture grows 4x in rows (500 -> 2000) across
+        the sf step while its band space stays FIXED (10 labels / 50
+        band50 buckets), so the probe-reachable candidate set densifies
+        exactly in step. This twin HOLDS occupancy: the band column is
+        derived with bands = rows/40 (~40 vectors per band at EVERY
+        sf — how a real deployment sizes its LSH band space to its
+        corpus), same 10-vector single-band epoch as
+        fam_neighbors_logged. A flat epoch slope here pins the raw
+        fixture's slope as densification: per-candidate work does not
+        grow with the corpus."""
+        from bgg_data_warehouse_spark.io import _neighbors_topk
+        from bgg_data_warehouse_spark.log_store import init_pair_store
+        from bgg_data_warehouse_spark.streaming.index_maintenance import (
+            apply_neighbors_log_batch,
+        )
+
+        emb0 = tbl(sf_dir, "embeddings")
+        n_bands = max(emb0.count() // 40, 10)
+        emb = store(
+            emb0.withColumn(
+                "bandd",
+                F.pmod(F.xxhash64("vec_id"), F.lit(n_bands)).cast("double"),
+            ),
+            f"nden_emb_{tag}",
+        )
+        delta_ids = [
+            r[0]
+            for r in emb.where(F.col("bandd") == 7.0)
+            .select("vec_id")
+            .orderBy("vec_id")
+            .limit(10)
+            .collect()
+        ]
+        base = emb.where(~F.col("vec_id").isin(delta_ids))
+        name = f"nden_{tag}"
+        init_pair_store(
+            store_root,
+            name,
+            {
+                "vectors": base,
+                "neighbors": _neighbors_topk(
+                    base, "vec_id", "bandd", "embedding", 1.0, 5
+                ),
+            },
+        )
+        batch = store(
+            emb.where(F.col("vec_id").isin(delta_ids)).select(
+                "vec_id",
+                "bandd",
+                "embedding",
+                F.col("vec_id").alias("seq"),
+                F.lit("U").alias("op"),
+            ),
+            f"nden_batch_{tag}",
+        )
+        kw = dict(
+            id_col="vec_id", band_col="bandd", vec_col="embedding",
+            seq_cols=["seq"], band=1.0, k=5, auto_compact=False,
+        )
+        return (
+            lambda: apply_neighbors_log_batch(batch, store_root, name, **kw),
+            lambda: _neighbors_topk(emb, "vec_id", "bandd", "embedding", 1.0, 5),
+        )
+
     def fam_cdc_logged(sf_dir, tag):
         """The r13 logged CDC state store (streaming/cdc.py::
         apply_cdc_log_batch): one 50-row change epoch lands as a
@@ -938,14 +1005,91 @@ def incremental_main() -> None:
             ),
         )
 
+    def fam_cc_logged_delete_pruned(sf_dir, tag):
+        """r14 VERDICT #4: the SAME delete epoch as
+        cc_logged_delete_epoch, but on a store folded through
+        compact_components_log — the edges base carries the fresh
+        _comp annotation and both parts are range-clustered by
+        component, so the delete maintainer's canonical_col path
+        reaches edges AND members via literal IN-filters that parquet
+        row-group stats prune. The labels-probe read-rows slope this
+        family reports is the number the unannotated twin's honest
+        33-91x slope should fall to."""
+        from bgg_data_warehouse_spark.io import (
+            compact_components_log,
+            init_components_log,
+            maintain_components_log,
+        )
+        from bgg_data_warehouse_spark.operators.components import (
+            connected_components_star,
+        )
+        from pyspark.sql import Window
+
+        orders = tbl(sf_dir, "orders")
+        w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        edges = store(
+            orders.select(
+                F.col("o_orderkey").alias("src"),
+                F.lead("o_orderkey").over(w).alias("dst"),
+            ).where(F.col("dst").isNotNull()),
+            f"ccldp_edges_{tag}",
+        )
+        labels = store(
+            connected_components_star(edges, "src", "dst", canonical_edges=True),
+            f"ccldp_labels_{tag}",
+        )
+        name = f"ccldp_{tag}"
+        init_components_log(store_root, name, labels, edges, "src", "dst")
+        # one tiny add epoch, then fold WITH annotation so the delete
+        # epoch below lands on a freshly-stamped, fully-folded store
+        mx = edges.agg(F.max("src")).first()[0]
+        seed = spark.createDataFrame(
+            [(mx + 1, mx + 2)], "src long, dst long"
+        )
+        maintain_components_log(
+            spark, store_root, name, seed, "src", "dst", auto_compact=False
+        )
+        compact_components_log(spark, store_root, name, "src", "dst")
+        victim = store(
+            edges.select("src", "dst").orderBy("src", "dst").limit(50),
+            f"ccldp_victim_{tag}",
+        )
+        survivors = edges.join(victim, ["src", "dst"], "left_anti")
+
+        def incr():
+            # measured state: fully folded + annotated. The append the
+            # epoch itself lands is removed after each call so every
+            # timing/work pass sees the same folded store.
+            import shutil as _sh
+
+            from bgg_data_warehouse_spark.log_store import (
+                _delta_dirs,
+                _store_path,
+            )
+
+            spath = _store_path(store_root, name)
+            for g in _delta_dirs(spath, committed=True):
+                _sh.rmtree(g, ignore_errors=True)
+            maintain_components_log(
+                spark, store_root, name, victim, "src", "dst",
+                deleted=True, auto_compact=False,
+            )
+            return None
+
+        return (
+            incr,
+            lambda: connected_components_star(survivors, "src", "dst"),
+        )
+
     def fam_cc_logged_delete(sf_dir, tag):
         """Deletion epoch of the log-structured components maintainer:
         50 deleted edges land as label-change-set rows + isolated-node
         and edge tombstones in ONE generation, vs the full star-CC
         recompute on the post-delete edge set. The read side pays the
-        semi-join localization the maintainer's docstring admits (no
-        component-annotated prune in log form); the write side is the
-        change set."""
+        semi-join localization the maintainer's docstring admits when
+        the store carries uncompacted generations; the
+        cc_logged_delete_pruned family measures the annotated folded
+        state. The write side is the change set."""
         from bgg_data_warehouse_spark.io import (
             init_components_log,
             maintain_components_log,
@@ -1017,31 +1161,46 @@ def incremental_main() -> None:
         init_log_store(base, store_root, name)
         mx = base.agg(F.max("k")).first()[0]
         # fixed delta: 100 rows — half re-send existing keys (must be
-        # ignored), half are new keys (the survivors)
-        batch = store(
-            spark.createDataFrame(
-                [
-                    (
-                        (i // 2 + 1) if i % 2 == 0 else mx + 1 + i,
-                        f"n{i}",
-                        float(i),
-                    )
-                    for i in range(100)
-                ],
-                "k long, name string, bal double",
-            ),
-            f"ldim_batch_{tag}",
-        )
+        # ignored), half are new keys (the survivors). Insert-if-absent
+        # is idempotent per batch, so repeated timing calls each get a
+        # FRESH pre-stored batch (disjoint new-key ranges) — otherwise
+        # every call after the first appends nothing and the measured
+        # write volume is zero instead of survivor-sized.
+        batches = [
+            store(
+                spark.createDataFrame(
+                    [
+                        (
+                            (i // 2 + 1)
+                            if i % 2 == 0
+                            else mx + 1 + c * 1000 + i,
+                            f"n{i}",
+                            float(i),
+                        )
+                        for i in range(100)
+                    ],
+                    "k long, name string, bal double",
+                ),
+                f"ldim_batch_{tag}_{c}",
+            )
+            for c in range(8)
+        ]
+        calls = iter(range(len(batches)))
 
         def incr():
             merge_insert_missing_logged(
-                spark, batch, store_root, name, ["k"], auto_compact=False
+                spark,
+                batches[next(calls)],
+                store_root,
+                name,
+                ["k"],
+                auto_compact=False,
             )
             return None
 
         def full():
             # the snapshot wrapper's shape: merge plan + staged rewrite
-            merged = merge_insert_missing(base, batch, ["k"])
+            merged = merge_insert_missing(base, batches[0], ["k"])
             merged.write.mode("overwrite").parquet(
                 os.path.join(store_root, f"ldim_full_out_{tag}")
             )
@@ -1103,6 +1262,7 @@ def incremental_main() -> None:
         "cc_incremental_delete": fam_cc_delete,
         "cc_logged_epoch": fam_cc_logged,
         "cc_logged_delete_epoch": fam_cc_logged_delete,
+        "cc_logged_delete_pruned": fam_cc_logged_delete_pruned,
         "cdc_logged_epoch": fam_cdc_logged,
         "inverted_index_incremental": fam_postings,
         "inverted_index_logged_append": fam_postings_logged,
