@@ -705,6 +705,23 @@ def components_log_layouts(
     ``compact_pair_store`` keeps the old files alive until its swap."""
     from .log_store import read_pair_store
 
+    # explicit range-partition count: without it AQE coalesces the
+    # small range shuffle into one file (measured: a 135k-row edges
+    # base folded to a SINGLE file — one row group, zero pruning
+    # granularity). The pruned probe's read volume is bounded by
+    # |probe values| x rows-per-file, so the bound is DELTA-sized
+    # exactly when file count grows with the corpus — ~4x parallelism
+    # covers the local fixture, and at deployment scale file sizing
+    # (maxRecordsPerFile / 100-MB targets) makes count track data.
+    # SPARK_GRAFT_LAYOUT_FILES overrides for granularity experiments
+    # (tools/scaling_curve.py validates the bound by scaling it).
+    n_override = os.environ.get("SPARK_GRAFT_LAYOUT_FILES")
+    n_files = (
+        int(n_override)
+        if n_override
+        else max(spark.sparkContext.defaultParallelism * 4, 16)
+    )
+
     def edges_layout(df: DataFrame) -> DataFrame:
         labels = read_pair_store(spark, root, name, "labels", "node")
         ann = df.drop("_comp").join(
@@ -715,7 +732,7 @@ def components_log_layouts(
             ),
             src,
         )
-        return ann.repartitionByRange("_comp").sortWithinPartitions(
+        return ann.repartitionByRange(n_files, "_comp").sortWithinPartitions(
             "_comp", src, dst
         )
 
@@ -724,7 +741,9 @@ def components_log_layouts(
         # probe is a literal node IN-filter (components.py), so node
         # row-group stats prune it; the members probe needs no labels
         # scan at all (derived from the annotation-pruned edge scan)
-        return df.repartitionByRange("node").sortWithinPartitions("node")
+        return df.repartitionByRange(n_files, "node").sortWithinPartitions(
+            "node"
+        )
 
     return {"edges": edges_layout, "labels": labels_layout}
 
