@@ -33,6 +33,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+        # exact In pushdown for scattered literal probes (see
+        # tune_session for the measured rationale)
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
@@ -75,6 +78,17 @@ def tune_session(spark: SparkSession) -> SparkSession:
         # feature-array builders hash-based (measured: nested_profile
         # 1.6->1.25s, feature_arrays first-run 2.5->1.7s at sf0.1).
         "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "65536",
+        # Above this many IN-list values Spark pushes only the
+        # [min,max] RANGE to parquet — for a SCATTERED literal probe
+        # (the CC delete epoch's endpoint/component IN-filters over a
+        # clustered base, point lookups by id list) a range filter
+        # covering half the key space reads half the corpus no matter
+        # how fine the file clustering is (measured: 99 scattered
+        # endpoint ids read 71k of 150k label rows at ANY file count;
+        # exact pushdown reads the ~hit row groups only). 1024 exact
+        # point-checks per row-group stat is cheap; delta-bounded
+        # probes stay well under it and fall back to range above.
+        "spark.sql.parquet.pushdown.inFilterThreshold": "1024",
     }.items():
         try:
             spark.conf.set(k, v)
