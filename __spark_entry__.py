@@ -28,28 +28,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # order. Round 15 rotation (r14 VERDICT "Next round" #2; window and
 # tail below emitted VERBATIM by tools/staleness.py from
 # CORRECTNESS_r01-r14 plus the two gates registered this round):
-#   - the 2 gates NEW this round, with no driver evidence yet:
+#   - the 3 gates NEW this round, with no driver evidence yet:
 #     loader_log_bridge / loader_log_dim (the S6/S7 loader write path
 #     routed through the log-structured store, r14 VERDICT #1 — the
-#     round's only weak mark);
+#     round's only weak mark) and mv_log_refresh (the logged
+#     additive-MV maintainer, same delta-sized-write theme);
 #   - tpch_q3, tpch_q4, tpch_q5, trigram_backoff_ppl, winsorize_robust,
 #     zorder_layout — the ledger's only r10-evidence gates (displaced
 #     from the r14 window by that round's two new gates, re-verified
 #     green by the r14 judge, queued first here exactly as that verdict
 #     directed);
-#   - the first 42 of the 50 age-4 gates (last driver green: round 11,
-#     acf_lags ... rolling_regression, alphabetical). The two new gates
-#     push the window two past 50 again, so the LAST eight age-4
+#   - the first 41 of the 50 age-4 gates (last driver green: round 11,
+#     acf_lags ... rolling_regression, alphabetical). The three new
+#     gates push the window three past 50, so the LAST nine age-4
 #     entries (set_similarity_join ... unigram_segment_compounds) head
 #     the tail and refresh in round 16.
-# With 208 registered gates and a 50-slot window the steady-state
+# With 209 registered gates and a 50-slot window the steady-state
 # rotation cycle stays ~4 rounds; after this window every gate's
 # latest driver-green row is round 11 or newer. The position-51+ queue
-# is ordered by evidence age: the eight age-4 stragglers, then the
+# is ordered by evidence age: the nine age-4 stragglers, then the
 # age-3 block (refresh r16), then age-2, then age-1.
 _PRIORITY = [
     "loader_log_bridge",
     "loader_log_dim",
+    "mv_log_refresh",
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",

@@ -436,6 +436,75 @@ def read_loader_table_logged(
     return read_log_store(spark, root, name, keys)
 
 
+def refresh_additive_mv_logged(
+    spark: SparkSession,
+    delta_agg: DataFrame,
+    root: str,
+    name: str,
+    keys: list[str],
+    sum_cols: list[str],
+    *,
+    count_cols: list[str] | None = None,
+    auto_compact: bool = True,
+    max_generations: int = 16,
+    max_delta_fraction: float = 0.2,
+) -> None:
+    """Additive-MV maintenance with delta-sized IO — the logged twin of
+    ``operators.merge.refresh_additive_mv`` (whose storage wrapper, like
+    every snapshot maintainer, rewrites the whole MV per refresh): the
+    epoch's delta aggregates merge with the stored partials of the
+    TOUCHED keys only. Read = a point-read of those keys' stored rows
+    (broadcast semi against the store scan — map-side, no corpus
+    shuffle; with the store compacted under a key-clustered layout the
+    scan itself row-group-prunes); write = ONE generation re-ingesting
+    the touched keys' merged partials (replace-by-key). Exactness rides
+    the same contract as the snapshot twin: keep ``sum_cols`` in
+    DECIMAL/BIGINT so merged state is bit-equal to a full recompute.
+    ``count_cols`` are additive BIGINT measures merged identically.
+    Hash-gated end-to-end by ``mv_log_refresh``."""
+    from .log_store import (
+        append_log_delta,
+        compact_if_needed,
+        init_log_store,
+        log_store_exists,
+        read_log_store,
+        recover_log_store,
+    )
+    from .operators.merge import refresh_additive_mv
+
+    measure_cols = [*sum_cols, *(count_cols or [])]
+    recover_log_store(root, name)
+    if not log_store_exists(root, name):
+        init_log_store(delta_agg.select(*keys, *measure_cols), root, name)
+        return
+    stored = read_log_store(spark, root, name, keys)
+    touched_keys = delta_agg.select(*keys).distinct()
+    prior = stored.join(F.broadcast(touched_keys), keys, "left_semi")
+    merged = refresh_additive_mv(prior, delta_agg, keys, measure_cols)
+    # pinned: delta-bounded (touched keys only); the append re-reads it
+    merged = merged.localCheckpoint(eager=True)
+    append_log_delta(root, name, merged, keys)
+    if auto_compact:
+        compact_if_needed(
+            spark,
+            root,
+            name,
+            keys,
+            max_generations=max_generations,
+            max_delta_fraction=max_delta_fraction,
+        )
+
+
+def read_mv_logged(
+    spark: SparkSession, root: str, name: str, keys: list[str]
+) -> DataFrame:
+    """Current MV state (generational merge; base-only after
+    compaction)."""
+    from .log_store import read_log_store
+
+    return read_log_store(spark, root, name, keys)
+
+
 def archive_old_rows(
     spark: SparkSession,
     root: str,

@@ -6695,6 +6695,83 @@ def loader_log_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mv_log_refresh",
+    oracle="""
+    WITH state AS (
+      SELECT o_custkey AS k,
+             round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total,
+             count(*) AS n
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT 'generational' AS phase, k, total, n FROM state
+    UNION ALL
+    SELECT 'compacted' AS phase, k, total, n FROM state
+    """,
+)
+def mv_log_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOGGED additive-MV maintainer end-to-end
+    (io.refresh_additive_mv_logged — the delta-sized-IO answer to the
+    snapshot MV wrapper's full rewrite, completing the family the
+    loader gates started this round): a per-customer revenue MV
+    (SUM(o_totalprice) DECIMAL-exact + COUNT) absorbs THREE seq-ordered
+    refresh epochs (orders split by o_orderdate thirds) — each epoch
+    merges its delta aggregates with the stored partials of the
+    TOUCHED keys only (broadcast-semi point-read, map-side) and lands
+    the merged partials as one replace-by-key generation. Decimal
+    addition is associative, so the final state is split-arithmetic-
+    independent and the oracle is the plain full aggregate,
+    hash-checked on BOTH read paths (generational merge and
+    post-compaction base). Extends the reference's I1 incremental
+    pattern (high-watermark MERGE, streaming/incremental.py) to
+    pre-aggregated state with bounded per-epoch IO."""
+    from .io import refresh_additive_mv_logged
+
+    root = _fresh_logstore_root(sf_dir)
+
+    def build():
+        _fresh_logstore_root(sf_dir, "mv_state", "mv_state_compacted")
+        orders = load_table(spark, sf_dir, "orders")
+        lo, hi = orders.agg(
+            F.min("o_orderdate"), F.max("o_orderdate")
+        ).first()
+        t1 = lo + (hi - lo) / 3
+        t2 = lo + 2 * (hi - lo) / 3
+
+        def agg(df):
+            return df.groupBy(F.col("o_custkey").alias("k")).agg(
+                F.sum(_dec("o_totalprice")).alias("total"),
+                F.count(F.lit(1)).alias("n"),
+            )
+
+        for ep in [
+            orders.where(F.col("o_orderdate") <= F.lit(t1)),
+            orders.where(
+                (F.col("o_orderdate") > F.lit(t1))
+                & (F.col("o_orderdate") <= F.lit(t2))
+            ),
+            orders.where(F.col("o_orderdate") > F.lit(t2)),
+        ]:
+            refresh_additive_mv_logged(
+                spark, agg(ep), root, "mv_state", ["k"], ["total"],
+                count_cols=["n"], auto_compact=False,
+            )
+        _compacted_copy(spark, root, "mv_state", ["k"])
+
+    _cached_build(root, "mv_state", _sf_fingerprint(sf_dir, "orders"), build)
+    return _phase_union(
+        spark,
+        root,
+        "mv_state",
+        ["k"],
+        [
+            F.col("k"),
+            F.round(F.col("total").cast("double"), 2).alias("total"),
+            F.col("n"),
+        ],
+    )
+
+
+@query(
     "gapfill_interpolate",
     oracle="""
     WITH e AS (

@@ -139,3 +139,86 @@ def test_merge_insert_missing_logged_skips_empty_generation(spark, tmp_path):
     assert _contents(read_loader_table_logged(spark, root, "dim", ["k"])) == set(
         DIM_BATCHES[0]
     )
+
+
+def test_refresh_additive_mv_logged_matches_full_recompute(spark, tmp_path):
+    """Logged additive-MV maintenance: multi-epoch merged partials must
+    equal the full aggregate (decimal-exact), appends never touch base,
+    and the stored-prior point-read is a broadcast semi (no corpus
+    shuffle)."""
+    from bgg_data_warehouse_spark.io import (
+        read_mv_logged,
+        refresh_additive_mv_logged,
+    )
+
+    root = str(tmp_path)
+    batches = [
+        [(1, "10.50", 1), (2, "3.25", 1), (1, "2.00", 1)],
+        [(2, "1.75", 1), (3, "9.00", 1)],
+        [(1, "0.25", 1), (3, "1.00", 1), (4, "7.77", 1)],
+    ]
+    rows = []
+    for b in batches:
+        df = spark.createDataFrame(
+            [(k, v, n) for k, v, n in b], "k long, amt string, one long"
+        ).select(
+            "k", F.col("amt").cast("decimal(18,2)").alias("amt"), "one"
+        )
+        agg = df.groupBy("k").agg(
+            F.sum("amt").alias("total"), F.sum("one").alias("n")
+        )
+        refresh_additive_mv_logged(
+            spark, agg, root, "mv", ["k"], ["total"], count_cols=["n"],
+            auto_compact=False,
+        )
+        rows += b
+    want_df = spark.createDataFrame(
+        [(k, v, n) for k, v, n in rows], "k long, amt string, one long"
+    ).select("k", F.col("amt").cast("decimal(18,2)").alias("amt"), "one")
+    want = {
+        (r.k, str(r.total), r.n)
+        for r in want_df.groupBy("k")
+        .agg(F.sum("amt").alias("total"), F.sum("one").alias("n"))
+        .collect()
+    }
+    got = {
+        (r.k, str(r.total), r.n)
+        for r in read_mv_logged(spark, root, "mv", ["k"]).collect()
+    }
+    assert got == want
+    # epoch 2/3 appends never rewrote base (epoch 1 initialized it)
+    base = os.path.join(root, "mv", "base")
+    assert os.path.isdir(base)
+    from bgg_data_warehouse_spark.log_store import _delta_dirs, _store_path
+
+    assert len(_delta_dirs(_store_path(root, "mv"), committed=True)) == 2
+
+
+def test_mv_logged_prior_point_read_is_broadcast(spark, tmp_path):
+    """Scale pin: the stored-prior read of a logged MV refresh is a
+    broadcast semi on the touched keys — the MV corpus is never
+    shuffled for an epoch."""
+    from bgg_data_warehouse_spark.io import refresh_additive_mv_logged
+    from bgg_data_warehouse_spark.log_store import read_log_store
+    from bgg_data_warehouse_spark.operators.merge import refresh_additive_mv
+
+    root = str(tmp_path)
+    big = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("decimal(18,2)").alias("total"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    refresh_additive_mv_logged(
+        spark, big, root, "mv", ["k"], ["total"], count_cols=["n"]
+    )
+    stored = read_log_store(spark, root, "mv", ["k"])
+    touched = spark.range(3).select(F.col("id").alias("k"))
+    prior = stored.join(F.broadcast(touched), ["k"], "left_semi")
+    delta = touched.select(
+        "k",
+        F.lit("1.00").cast("decimal(18,2)").alias("total"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    merged = refresh_additive_mv(prior, delta, ["k"], ["total", "n"])
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
