@@ -314,22 +314,79 @@ def delete_insert_table(
 # ---------------------------------------------------------------------------
 
 
+# Collect cap for turning a delta-bounded key set into a LITERAL
+# IN-probe (same driver-bounded discipline as the CC delete's endpoint
+# collect). Loader/MV batches are orders of magnitude under it; above
+# it the probes fall back to the broadcast-semi form — always correct,
+# merely unpruned.
+PROBE_COLLECT_MAX = 100_000
+
+
+def _touched_rows(
+    stored: DataFrame,
+    touched_keys: DataFrame,
+    keys: list[str],
+    *,
+    cap: int | None = None,
+) -> DataFrame:
+    """Stored rows whose key appears in ``touched_keys``. For a
+    single-column key under the collect cap the probe is a LITERAL
+    IN-filter — on a base compacted under :func:`key_clustered_layout`
+    parquet row-group stats prune the scan to the touched keys' files,
+    making the read delta-bounded instead of corpus-rows-sized (exact
+    In pushdown; session.py raises the parquet In threshold).
+    Composite keys and oversized deltas use the broadcast-semi form:
+    map-side against the scan, no corpus shuffle either way."""
+    if cap is None:
+        cap = PROBE_COLLECT_MAX
+    if len(keys) == 1:
+        vals = [
+            r[0]
+            for r in touched_keys.limit(cap + 1).collect()
+            if r[0] is not None
+        ]
+        if len(vals) <= cap:
+            return stored.where(F.col(keys[0]).isin(vals))
+    return stored.join(F.broadcast(touched_keys), keys, "left_semi")
+
+
+def key_clustered_layout(spark: SparkSession, keys: list[str]):
+    """Compaction-time layout clustering a log store's base by its
+    replacement key, so the delta-bounded literal key probes
+    (:func:`_touched_rows` — the logged loader's insert-if-absent
+    anti, the logged MV's prior point-read) row-group-prune instead of
+    scanning corpus rows. Explicit partition count for the same reason
+    as components_log_layouts: AQE otherwise folds the range shuffle
+    to one file and erases the granularity."""
+    n_override = os.environ.get("SPARK_GRAFT_LAYOUT_FILES")
+    n_files = (
+        int(n_override)
+        if n_override
+        else max(spark.sparkContext.defaultParallelism * 4, 16)
+    )
+
+    def lay(df: DataFrame) -> DataFrame:
+        return df.repartitionByRange(n_files, *keys).sortWithinPartitions(
+            *keys
+        )
+
+    return lay
+
+
 def _insert_missing_survivors(
     stored: DataFrame, incoming: DataFrame, keys: list[str]
 ) -> DataFrame:
     """The delta-sized survivor set of insert-if-absent: incoming rows
     (key-deduped) whose keys the store has never seen. Shaped for
-    100 TB: the stored side is a KEY PROJECTION scanned map-side
-    against a broadcast of the incoming key set (a semi — no corpus
-    shuffle), and the resulting present-key set (≤ incoming-sized) is
-    broadcast back for the anti, so neither join moves stored data."""
+    100 TB: the stored side is a KEY PROJECTION probed by
+    :func:`_touched_rows` (a literal IN-filter that row-group-prunes a
+    key-clustered base, else a map-side broadcast semi), and the
+    resulting present-key set (≤ incoming-sized) is broadcast back for
+    the anti — stored data is never shuffled and, on a compacted
+    clustered base, barely read."""
     fresh = incoming.dropDuplicates(keys)
     fresh_keys = fresh.select(*keys).distinct()
-    present = (
-        stored.select(*keys)
-        .join(F.broadcast(fresh_keys), keys, "left_semi")
-        .distinct()
-    )
+    present = _touched_rows(stored.select(*keys), fresh_keys, keys).distinct()
     return fresh.join(F.broadcast(present), keys, "left_anti")
 
 
@@ -381,6 +438,7 @@ def merge_insert_missing_logged(
                 keys,
                 max_generations=max_generations,
                 max_delta_fraction=max_delta_fraction,
+                layout=key_clustered_layout(spark, keys),
             )
 
 
@@ -423,6 +481,7 @@ def delete_insert_logged(
             keys,
             max_generations=max_generations,
             max_delta_fraction=max_delta_fraction,
+            layout=key_clustered_layout(spark, keys),
         )
 
 
@@ -479,7 +538,7 @@ def refresh_additive_mv_logged(
         return
     stored = read_log_store(spark, root, name, keys)
     touched_keys = delta_agg.select(*keys).distinct()
-    prior = stored.join(F.broadcast(touched_keys), keys, "left_semi")
+    prior = _touched_rows(stored, touched_keys, keys)
     merged = refresh_additive_mv(prior, delta_agg, keys, measure_cols)
     # pinned: delta-bounded (touched keys only); the append re-reads it
     merged = merged.localCheckpoint(eager=True)
@@ -492,6 +551,7 @@ def refresh_additive_mv_logged(
             keys,
             max_generations=max_generations,
             max_delta_fraction=max_delta_fraction,
+            layout=key_clustered_layout(spark, keys),
         )
 
 

@@ -114,16 +114,34 @@ def test_loader_logged_appends_never_touch_base(spark, tmp_path):
 
 
 def test_insert_missing_survivors_plan_moves_no_stored_data(spark):
-    """Scale pin: the stored side is a key PROJECTION consumed by a
-    broadcast semi (map-side), and the anti's right side is the
-    broadcast present-key set — no SortMergeJoin, no corpus shuffle."""
+    """Scale pin: the stored side is a key PROJECTION probed by a
+    LITERAL IN-filter (single-column key under the collect cap —
+    row-group prunable on a key-clustered base), and the anti's right
+    side is the broadcast present-key set — no SortMergeJoin, no
+    corpus shuffle. Past the collect cap the probe falls back to the
+    broadcast semi with identical results."""
+    import bgg_data_warehouse_spark.io as io_mod
+
     stored = _dim(spark, [(i, "s", i) for i in range(1, 50)])
     incoming = _dim(spark, [(1, "x", 0), (99, "y", 1)])
     surv = _insert_missing_survivors(stored, incoming, ["k"])
     assert _contents(surv) == {(99, "y", 1)}
     plan = surv._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2  # semi + anti
+    assert "BroadcastHashJoin" in plan  # the anti on present keys
+    assert " IN (" in plan or "INSET" in plan  # the literal probe
+    # oversized delta: broadcast-semi fallback, same answer
+    import pytest
+
+    try:
+        orig = io_mod.PROBE_COLLECT_MAX
+        io_mod.PROBE_COLLECT_MAX = 0
+        surv2 = _insert_missing_survivors(stored, incoming, ["k"])
+        assert _contents(surv2) == {(99, "y", 1)}
+        plan2 = surv2._jdf.queryExecution().executedPlan().toString()
+        assert plan2.count("BroadcastHashJoin") >= 2  # semi + anti
+    finally:
+        io_mod.PROBE_COLLECT_MAX = orig
 
 
 def test_merge_insert_missing_logged_skips_empty_generation(spark, tmp_path):

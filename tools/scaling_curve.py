@@ -1132,6 +1132,47 @@ def incremental_main() -> None:
             lambda: connected_components_star(survivors, "src", "dst"),
         )
 
+    def fam_mv_logged(sf_dir, tag):
+        """Logged additive-MV epoch (io.refresh_additive_mv_logged,
+        r15): a fixed ~1000-order delta merges with the stored partials
+        of its TOUCHED keys only — the prior read is a literal key
+        IN-probe (row-group prunable on a key-clustered base), the
+        write one replace-by-key generation — vs the full recompute.
+        Closes the MV family's snapshot-rewrite floor the same way the
+        loader families close S6/S7's."""
+        from bgg_data_warehouse_spark.io import refresh_additive_mv_logged
+        from bgg_data_warehouse_spark.log_store import init_log_store
+
+        orders = tbl(sf_dir, "orders")
+
+        def agg(df):
+            return df.groupBy(F.col("o_custkey").alias("k")).agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                    "total"
+                ),
+                F.count(F.lit(1)).alias("n"),
+            )
+
+        name = f"mvlog_{tag}"
+        # fixed absolute delta: orderkeys <= 4000 is ~1000 orders at
+        # every sf (dense-ish low key range); the rest seed the base
+        init_log_store(
+            agg(orders.where(F.col("o_orderkey") > 4000)), store_root, name
+        )
+        delta = store(
+            agg(orders.where(F.col("o_orderkey") <= 4000)),
+            f"mvlog_delta_{tag}",
+        )
+
+        def incr():
+            refresh_additive_mv_logged(
+                spark, delta, store_root, name, ["k"], ["total"],
+                count_cols=["n"], auto_compact=False,
+            )
+            return None
+
+        return (incr, lambda: agg(orders))
+
     def fam_loader_dim_logged(sf_dir, tag):
         """S6's logged twin (io.merge_insert_missing_logged, r14
         VERDICT #1): one insert-if-absent batch appends ONLY its
@@ -1267,6 +1308,7 @@ def incremental_main() -> None:
         "inverted_index_incremental": fam_postings,
         "inverted_index_logged_append": fam_postings_logged,
         "neighbors_logged_epoch": fam_neighbors_logged,
+        "neighbors_density_held": fam_neighbors_density,
         "dedup_minhash_incremental": fam_minhash,
         "dedup_minhash_delete": fam_minhash_delete,
         "merkle_incremental_update": fam_merkle,
@@ -1274,6 +1316,7 @@ def incremental_main() -> None:
         "neighbors_incremental": fam_neighbors,
         "loader_dim_logged": fam_loader_dim_logged,
         "loader_bridge_logged": fam_loader_bridge_logged,
+        "mv_logged_refresh": fam_mv_logged,
     }
 
     def work(thunk) -> dict[str, int]:
