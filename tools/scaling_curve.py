@@ -840,9 +840,12 @@ def incremental_main() -> None:
         emb0 = tbl(sf_dir, "embeddings")
         n_bands = max(emb0.count() // 40, 10)
         emb = store(
-            emb0.withColumn(
-                "bandd",
-                F.pmod(F.xxhash64("vec_id"), F.lit(n_bands)).cast("double"),
+            emb0.select(
+                "vec_id",
+                F.pmod(F.xxhash64("vec_id"), F.lit(n_bands))
+                .cast("double")
+                .alias("bandd"),
+                "embedding",
             ),
             f"nden_emb_{tag}",
         )
@@ -1154,15 +1157,21 @@ def incremental_main() -> None:
             )
 
         name = f"mvlog_{tag}"
-        # fixed absolute delta: orderkeys <= 4000 is ~1000 orders at
-        # every sf (dense-ish low key range); the rest seed the base
+        # fixed absolute delta: the 1000 lowest-orderkey orders; the
+        # rest seed the base, clustered by key at init so the literal
+        # prior probe has granularity to prune against
+        from bgg_data_warehouse_spark.io import key_clustered_layout
+
+        low = store(
+            orders.orderBy("o_orderkey").limit(1000), f"mvlog_low_{tag}"
+        )
+        base = orders.join(
+            low.select("o_orderkey"), "o_orderkey", "left_anti"
+        )
         init_log_store(
-            agg(orders.where(F.col("o_orderkey") > 4000)), store_root, name
+            key_clustered_layout(spark, ["k"])(agg(base)), store_root, name
         )
-        delta = store(
-            agg(orders.where(F.col("o_orderkey") <= 4000)),
-            f"mvlog_delta_{tag}",
-        )
+        delta = store(agg(low), f"mvlog_delta_{tag}")
 
         def incr():
             refresh_additive_mv_logged(
@@ -1199,7 +1208,14 @@ def incremental_main() -> None:
             f"ldim_base_{tag}",
         )
         name = f"ldim_{tag}"
-        init_log_store(base, store_root, name)
+        # key-clustered base (the compaction layout, applied at init):
+        # the literal present-key probe prunes to the batch's row
+        # groups instead of scanning the key projection corpus-wide
+        from bgg_data_warehouse_spark.io import key_clustered_layout
+
+        init_log_store(
+            key_clustered_layout(spark, ["k"])(base), store_root, name
+        )
         mx = base.agg(F.max("k")).first()[0]
         # fixed delta: 100 rows — half re-send existing keys (must be
         # ignored), half are new keys (the survivors). Insert-if-absent
