@@ -336,9 +336,29 @@ def _touched_rows(
     making the read delta-bounded instead of corpus-rows-sized (exact
     In pushdown; session.py raises the parquet In threshold).
     Composite keys and oversized deltas use the broadcast-semi form:
-    map-side against the scan, no corpus shuffle either way."""
+    map-side against the scan, no corpus shuffle either way.
+
+    The literal form is only used while the list stays AT OR UNDER the
+    session's parquet exact-In pushdown threshold: above it the scan
+    receives just the [min, max] RANGE (no per-value row-group prune —
+    the literal probe's entire advantage), while the In expression
+    itself still costs O(|list|) to codegen and evaluate per row.
+    Measured on mv_log_refresh at sf0.1 (r15): its ~24.5k-key epochs
+    under the old 100k cap spent ~19 s of a 28.7 s cold build compiling
+    and evaluating giant In-lists; the broadcast-semi form runs the
+    same epochs in ~10 s. Delta-bounded probes (the loader/CC shape,
+    ~100 keys) stay literal and keep their measured 18x row prune."""
     if cap is None:
         cap = PROBE_COLLECT_MAX
+    try:
+        pushdown_max = int(
+            stored.sparkSession.conf.get(
+                "spark.sql.parquet.pushdown.inFilterThreshold"
+            )
+        )
+    except Exception:
+        pushdown_max = 10  # Spark's default
+    cap = min(cap, pushdown_max)
     if len(keys) == 1:
         vals = [
             r[0]

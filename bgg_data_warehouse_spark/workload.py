@@ -2154,13 +2154,14 @@ def cc_log_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"labels": "node", "edges": ["src", "dst"]},
         )
 
-    # the store pair builds ONCE per sf-dir (r14 VERDICT #6,
-    # _cached_build docstring): the graded semantics are the two label
-    # read paths below — a session's first run still exercises both
-    # maintenance epochs and the pair compaction end-to-end
-    _cached_build(
-        root, "cc", _sf_fingerprint(sf_dir, "orders"), build
-    )
+    # the store pair rebuilds on EVERY invocation (r15 optimization
+    # round: the bench/oracle contract forbids intermediates persisted
+    # across runs, so the r14-VERDICT-#6 build-once sentinel was
+    # removed) — both maintenance epochs and the pair compaction are
+    # timed work; the build path itself is optimized instead
+    # (coalesced single-file generation writes, thread-overlapped part
+    # writes, tombstone-less fast path — log_store.py)
+    build()
     gen = read_pair_store(spark, root, "cc", "labels", "node")
     comp = read_pair_store(spark, root, "cc_compacted", "labels", "node")
     out_cols = [
@@ -6369,13 +6370,10 @@ def cdc_log_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         _compacted_copy(spark, root, "cdc_state", ["custkey"])
 
-    # the store builds ONCE per sf-dir (r14 VERDICT #6, _cached_build
-    # docstring): the graded semantics are the two read paths below —
-    # the first run of a session still exercises the full epoch-apply
-    # write path end-to-end
-    _cached_build(
-        root, "cdc_state", _sf_fingerprint(sf_dir, "events", "customer"), build
-    )
+    # rebuilt on EVERY invocation (r15: no cross-run intermediates —
+    # see cc_log_maintenance's note); the epoch-apply write path is
+    # timed work each run
+    build()
     return _phase_union(
         spark,
         root,
@@ -6421,74 +6419,12 @@ def _fresh_logstore_root(sf_dir: str, *names: str) -> str:
     return root
 
 
-def _sf_fingerprint(sf_dir: str, *tables: str) -> str:
-    """Content fingerprint (name+size+mtime of every file) of the input
-    parquet dirs a cached store was built from — testdata regeneration
-    changes it, so a stale store can never serve hashes for different
-    inputs."""
-    import os
-
-    parts = []
-    for t in tables:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.isdir(p):
-            parts.append(
-                (
-                    t,
-                    tuple(
-                        (
-                            f,
-                            os.path.getsize(os.path.join(p, f)),
-                            int(os.path.getmtime(os.path.join(p, f))),
-                        )
-                        for f in sorted(os.listdir(p))
-                    ),
-                )
-            )
-        elif os.path.exists(p):
-            parts.append((t, os.path.getsize(p), int(os.path.getmtime(p))))
-        else:
-            parts.append((t, None))
-    return repr(parts)
-
-
-def _cached_build(root: str, key: str, fingerprint: str, build) -> None:
-    """Build-once-per-sf-dir discipline for the integration gates'
-    stored fixtures (r14 VERDICT #6): the graded semantics of the
-    log-store gates are their READ paths (generational merge +
-    post-compaction base); the store build is setup, amortized across
-    runs exactly as a production store amortizes across queries — and
-    bench.py's min-of-2 then times the steady-state read instead of
-    charging the one-time build to every measurement. The sentinel
-    written LAST records the input fingerprint: a crash mid-build
-    leaves no sentinel (next run rebuilds from scratch), and changed
-    inputs mismatch it (rebuild), so a cached store can never serve
-    stale hashes. The FIRST run of any session still exercises the
-    full build end-to-end — the write path stays covered."""
-    import os
-
-    sentinel = os.path.join(root, f"{key}__BUILT")
-    try:
-        with open(sentinel) as f:
-            if f.read() == fingerprint:
-                return
-    except OSError:
-        pass
-    try:
-        os.remove(sentinel)
-    except OSError:
-        pass
-    build()
-    with open(sentinel, "w") as f:
-        f.write(fingerprint)
-
-
 def _compacted_copy(spark, root: str, name: str, keys) -> None:
     """Build-time half of the two-phase contract: materialize
     ``<name>_compacted`` as a FOLDED filesystem copy of the store (the
     original keeps its generations for the generational phase — the
-    cc_log_maintenance lazy-copy trick, now run once at build time
-    under :func:`_cached_build`)."""
+    cc_log_maintenance lazy-copy trick, run at build time so both
+    phase reads stay lazy at query time)."""
     import os
     import shutil
 
@@ -6598,12 +6534,7 @@ def loader_log_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         _compacted_copy(spark, root, "loader_dim", ["k"])
 
-    _cached_build(
-        root,
-        "loader_dim",
-        _sf_fingerprint(sf_dir, "events", "customer"),
-        build,
-    )
+    build()  # rebuilt per invocation (r15: no cross-run intermediates)
     return _phase_union(
         spark, root, "loader_dim", ["k"], ["k", "name", "bal", "seg"]
     )
@@ -6685,12 +6616,7 @@ def loader_log_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         _compacted_copy(spark, root, "loader_brg", ["k"])
 
-    _cached_build(
-        root,
-        "loader_brg",
-        _sf_fingerprint(sf_dir, "events", "orders"),
-        build,
-    )
+    build()  # rebuilt per invocation (r15: no cross-run intermediates)
     return _phase_union(spark, root, "loader_brg", ["k"], ["k", "item", "qty"])
 
 
@@ -6757,7 +6683,7 @@ def mv_log_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         _compacted_copy(spark, root, "mv_state", ["k"])
 
-    _cached_build(root, "mv_state", _sf_fingerprint(sf_dir, "orders"), build)
+    build()  # rebuilt per invocation (r15: no cross-run intermediates)
     return _phase_union(
         spark,
         root,
