@@ -35,6 +35,8 @@ family SURVEY §2.9 scopes for LLM-pipeline use.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -46,6 +48,20 @@ from .iterative import iteration_shuffle_width as _iteration_shuffle_width
 # in-executor, the same envelope as log_store.BROADCAST_TOUCHED_MAX_ROWS;
 # above it the semi goes unhinted and AQE plans from runtime sizes.
 AFFECTED_BROADCAST_MAX_ROWS = 8_000_000
+
+
+class _DeleteRelabel(NamedTuple):
+    """Result of :func:`_delete_affected_relabel` (r15: widened so the
+    change-set variant can reuse work instead of re-deriving it with
+    fresh corpus scans). ``new_pairs``/``member_set`` are only set when
+    the epoch resolved on the driver (the common delta shape)."""
+
+    affected: DataFrame
+    new_aff: DataFrame
+    aff_vals: list | None
+    aff_nodes: DataFrame | None
+    new_pairs: list | None
+    member_set: set | None
 
 
 def connected_components(
@@ -465,7 +481,7 @@ def incremental_components_update(
     scans base edges — tests/test_plan_audit.py pins zero base-edge
     scans in the update plan.
     """
-    new_nodes, super_map = _update_super_map(
+    new_nodes, super_map, _pairs = _update_super_map(
         labels, delta_edges, src, dst,
         max_iter=max_iter, driver_solve_max=driver_solve_max,
     )
@@ -488,11 +504,13 @@ def _update_super_map(
     max_iter: int,
     driver_solve_max: int,
 ):
-    """Shared core of the addition maintainers: (new_nodes, super_map)
-    where ``new_nodes`` are delta endpoints absent from ``labels``
-    (canonical = self) and ``super_map`` is the (old canonical ->
-    merged canonical) relabel map from CC on the contracted
-    super-graph. Both frames are delta-bounded."""
+    """Shared core of the addition maintainers: (new_nodes, super_map,
+    local_pairs) where ``new_nodes`` are delta endpoints absent from
+    ``labels`` (canonical = self), ``super_map`` is the (old canonical
+    -> merged canonical) relabel map from CC on the contracted
+    super-graph, and ``local_pairs`` is the super-map as a driver-side
+    list when the driver union-find solved it (None when the
+    distributed star ran). All are delta-bounded."""
     d = delta_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     endpoints = (
         d.select(F.col("a").alias("node"))
@@ -501,42 +519,60 @@ def _update_super_map(
     )
     # stored canonical per delta endpoint; new nodes default to self.
     # The endpoint set is delta-sized — broadcast it so the big label
-    # table is probed, never shuffled.
+    # table is probed, never shuffled. New nodes carry a marker at
+    # checkpoint time (r15): every later consumer derives them from
+    # THIS pinned frame, where the old anti-join form re-evaluated a
+    # full merge-on-read label scan per consumer — three scans per
+    # epoch for the change-set variant.
     ep_canon = (
         labels.join(F.broadcast(endpoints), "node")
+        .withColumn("_new", F.lit(False))
         .unionByName(
             endpoints.join(
                 labels.select("node"), "node", "left_anti"
-            ).select("node", F.col("node").alias("canonical"))
+            )
+            .select("node", F.col("node").alias("canonical"))
+            .withColumn("_new", F.lit(True))
         )
         .localCheckpoint(eager=True)  # reused by both edge endpoints
     )
+    new_nodes = ep_canon.where(F.col("_new")).select("node", "canonical")
+    ep_plain = ep_canon.select("node", "canonical")
     super_edges = (
         d.join(
-            F.broadcast(ep_canon.withColumnRenamed("node", "a")), "a"
+            F.broadcast(ep_plain.withColumnRenamed("node", "a")), "a"
         )
         .withColumnRenamed("canonical", "ca")
-        .join(F.broadcast(ep_canon.withColumnRenamed("node", "b")), "b")
+        .join(F.broadcast(ep_plain.withColumnRenamed("node", "b")), "b")
         .withColumnRenamed("canonical", "cb")
         .where(F.col("ca") != F.col("cb"))
         .select(
             F.least("ca", "cb").alias("u"), F.greatest("ca", "cb").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)  # consumed twice: size probe + solve
+        # consumed twice: the bounded probe-collect below and (past the
+        # driver bound only) the distributed solve
+        .localCheckpoint(eager=True)
     )
     # (old canonical -> merged canonical), only for canonicals whose
     # component actually changed; everything else passes through.
-    if super_edges.count() <= driver_solve_max:
-        super_map = _union_find_map(super_edges)
-    else:
-        super_map = connected_components_star(
-            super_edges, "u", "v", max_iter=max_iter, canonical_edges=True
-        ).select(
-            F.col("node").alias("canonical"), F.col("canonical").alias("merged")
+    # Fused size probe + solve input (r15): ONE bounded collect off the
+    # checkpoint replaces the count job plus the union-find's own
+    # collect; if the limit comes back over the bound the prefix is
+    # discarded and the distributed star runs on the checkpointed frame.
+    rows = super_edges.limit(driver_solve_max + 1).collect()
+    if len(rows) <= driver_solve_max:
+        pairs = _union_find_pairs((r[0], r[1]) for r in rows)
+        super_map = labels.sparkSession.createDataFrame(
+            pairs, schema="canonical long, merged long"
         )
-    new_nodes = ep_canon.join(labels.select("node"), "node", "left_anti")
-    return new_nodes, super_map
+        return new_nodes, super_map, pairs
+    super_map = connected_components_star(
+        super_edges, "u", "v", max_iter=max_iter, canonical_edges=True
+    ).select(
+        F.col("node").alias("canonical"), F.col("canonical").alias("merged")
+    )
+    return new_nodes, super_map, None
 
 
 def incremental_components_update_delta(
@@ -565,13 +601,25 @@ def incremental_components_update_delta(
     Equivalence to the full variant is pinned by
     tests/test_components.py; the end-to-end store is hash-gated by
     ``cc_log_maintenance``."""
-    new_nodes, super_map = _update_super_map(
+    new_nodes, super_map, local_pairs = _update_super_map(
         labels, delta_edges, src, dst,
         max_iter=max_iter, driver_solve_max=driver_solve_max,
     )
-    changed_map = super_map.where(
-        F.col("merged") != F.col("canonical")
-    ).localCheckpoint(eager=True)  # broadcast twice below
+    if local_pairs is not None:
+        # driver-solved epoch (the common delta shape): the changed map
+        # is already on the driver — filter it in Python and ship a
+        # LOCAL relation, which is deterministic and broadcastable with
+        # no materialization job (r15; the checkpoint below is only for
+        # the distributed solve, whose plan would otherwise re-run for
+        # each of the two broadcasts)
+        changed_map = labels.sparkSession.createDataFrame(
+            [p for p in local_pairs if p[0] != p[1]],
+            schema="canonical long, merged long",
+        )
+    else:
+        changed_map = super_map.where(
+            F.col("merged") != F.col("canonical")
+        ).localCheckpoint(eager=True)  # broadcast twice below
     members = labels.unionByName(new_nodes)
     relabeled = members.join(F.broadcast(changed_map), "canonical").select(
         "node", F.col("merged").alias("canonical")
@@ -583,14 +631,16 @@ def incremental_components_update_delta(
     return relabeled.unionByName(fresh_new.select("node", "canonical"))
 
 
-def _union_find_map(super_edges: DataFrame) -> DataFrame:
-    """(canonical, merged) map from a BOUNDED super-edge set via
+def _union_find_pairs(edge_pairs) -> list[tuple]:
+    """(member, min-of-group) pairs from a BOUNDED edge iterable via
     driver-side union-find with path compression — the small-graph
-    fast path of :func:`incremental_components_update`. ``merged`` is
+    fast path of the incremental maintainers. The second element is
     the MIN member of each merged group (matching the distributed
-    star result exactly); only nodes that appear in a super-edge are
+    star result exactly); only nodes that appear in an edge are
     emitted, so untouched components pass through the relabel join's
-    outer side unchanged."""
+    outer side unchanged. Pure driver compute: callers feed it the
+    SAME bounded collect they used to size-probe the edge set, so the
+    solve adds zero Spark jobs (r15)."""
     parent: dict = {}
 
     def find(x):
@@ -601,20 +651,16 @@ def _union_find_map(super_edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for u, v in super_edges.collect():
+    for u, v in edge_pairs:
         ru, rv = find(u), find(v)
         if ru != rv:
             # union by MIN root keeps find() roots = group minima
             if rv < ru:
                 ru, rv = rv, ru
             parent[rv] = ru
-    rows = [(x, find(x)) for x in list(parent)] + [
+    return [(x, find(x)) for x in list(parent)] + [
         (r, r) for r in set(map(find, parent))
     ]
-    spark = super_edges.sparkSession
-    return spark.createDataFrame(
-        rows, schema="canonical long, merged long"
-    )
 
 
 def incremental_components_delete(
@@ -659,14 +705,16 @@ def incremental_components_delete(
     over the label table, one (pruned) scan of affected edges, CC
     sized by the affected components, never the graph.
     """
-    affected, new_aff, _ = _delete_affected_relabel(
+    res = _delete_affected_relabel(
         labels, edges, deleted_edges, src, dst,
         canonical_col=canonical_col,
         max_iter=max_iter,
         driver_solve_max=driver_solve_max,
     )
-    untouched = labels.join(F.broadcast(affected), "canonical", "left_anti")
-    return untouched.select("node", "canonical").unionByName(new_aff)
+    untouched = labels.join(
+        F.broadcast(res.affected), "canonical", "left_anti"
+    )
+    return untouched.select("node", "canonical").unionByName(res.new_aff)
 
 
 def _delete_affected_relabel(
@@ -680,10 +728,17 @@ def _delete_affected_relabel(
     max_iter: int,
     driver_solve_max: int,
 ):
-    """Shared core of the deletion maintainers: (affected, new_aff)
-    where ``affected`` is the delta-bounded set of stored canonicals
-    the deletions touch and ``new_aff`` the recomputed (node,
-    canonical) labeling of those components' surviving nodes."""
+    """Shared core of the deletion maintainers. Returns a
+    :class:`_DeleteRelabel`: the delta-bounded ``affected`` canonical
+    set, the recomputed ``new_aff`` labeling of those components'
+    surviving nodes, the collected ``aff_vals`` IN-list (annotated
+    path), the checkpointed ``aff_nodes`` member frame (semi path),
+    and — when the whole epoch resolved on the driver — ``new_pairs``
+    (the new labeling as a list) and ``member_set`` (every
+    pre-deletion member of an affected component), which let the
+    change-set variant emit LOCAL relations with zero further Spark
+    jobs (r15)."""
+    spark = labels.sparkSession
     d = deleted_edges.select(
         F.least(F.col(src), F.col(dst)).alias("del_u"),
         F.greatest(F.col(src), F.col(dst)).alias("del_v"),
@@ -713,32 +768,56 @@ def _delete_affected_relabel(
             endpoint_probe = labels.join(F.broadcast(endpoints), "node")
     else:
         endpoint_probe = labels.join(F.broadcast(endpoints), "node")
-    affected = (
-        endpoint_probe.select("canonical")
-        .distinct()
-        # pinned: consumed 2-3x (localization, pass-through anti-join,
-        # and the IN-list collect) — each re-derivation would rescan the
-        # label table
-        .localCheckpoint(eager=True)
+    # ONE bounded collect of the delta-bounded (node, canonical) probe
+    # (r15): the distinct canonicals (the affected set AND its IN-list)
+    # and the deleted-edge member nodes all come out of the same job,
+    # where the old shape paid a checkpoint job plus a separate
+    # IN-list collect. The affected set becomes a LOCAL relation —
+    # deterministic and broadcastable with no pinned executor state.
+    probe_rows = (
+        endpoint_probe.select("node", "canonical")
+        .limit(driver_solve_max + 1)
+        .collect()
     )
+    if len(probe_rows) <= driver_solve_max:
+        aff_set = sorted({r[1] for r in probe_rows})
+        affected = spark.createDataFrame(
+            [(c,) for c in aff_set], schema="canonical long"
+        )
+        aff_vals = aff_set if canonical_col is not None else None
+        probe_nodes: set | None = {r[0] for r in probe_rows}
+    else:
+        # past the driver bound: keep everything distributed (the
+        # pre-r15 shape — correct at any delta size, just more jobs)
+        affected = (
+            endpoint_probe.select("canonical")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        aff_vals = (
+            [r[0] for r in affected.collect()]
+            if canonical_col is not None
+            else None
+        )
+        probe_nodes = None
+    aff_nodes = None
     if canonical_col is not None:
         # the affected set is delta-bounded BY CONTRACT (it must
         # broadcast for the relabel join regardless), so collect it and
         # push a LITERAL IN-filter: static partition pruning at the
         # scan — unaffected components' files are never opened — rather
         # than relying on dynamic pruning to fire for a join.
-        aff_vals = [r[0] for r in affected.collect()]
         aff_edges = edges.where(
             F.col(canonical_col).isin(aff_vals)
         ).select(F.col(src).alias("u"), F.col(dst).alias("v"))
     else:
-        aff_vals = None
         aff_nodes = (
             labels.join(F.broadcast(affected), "canonical")
             .select(F.col("node").alias(src))
-            # pinned once: the exact-count probe below and the semi-join
-            # consume the same frame — without the checkpoint the probe
-            # would rescan the label table
+            # pinned once: the exact-count probe below, the semi-join,
+            # and the change-set variant's member probe consume the
+            # same frame — without the checkpoint each would rescan
+            # the label table
             .localCheckpoint(eager=True)
         )
         # aff_nodes is affected-MEMBER-sized, which is bounded by the
@@ -775,17 +854,38 @@ def _delete_affected_relabel(
             "left_anti",
         )
         .distinct()
-        .localCheckpoint(eager=True)  # consumed twice: size probe + solve
+        # consumed twice: the bounded probe-collect below and (past the
+        # driver bound only) the distributed solve
+        .localCheckpoint(eager=True)
     )
-    if survivors.count() <= driver_solve_max:
-        new_aff = _union_find_map(survivors).select(
-            F.col("canonical").alias("node"), F.col("merged").alias("canonical")
+    # fused size probe + solve input, as in _update_super_map (r15)
+    surv_rows = survivors.limit(driver_solve_max + 1).collect()
+    if len(surv_rows) <= driver_solve_max:
+        new_pairs = _union_find_pairs((r[0], r[1]) for r in surv_rows)
+        new_aff = spark.createDataFrame(
+            new_pairs, schema="node long, canonical long"
         )
-    else:
-        new_aff = connected_components_star(
-            survivors, "u", "v", max_iter=max_iter, canonical_edges=True
+        # member_set: every pre-deletion member of an affected
+        # component, derived WITHOUT any further scan — each member has
+        # >= 1 stored edge (labels are CC over the stored edges: the
+        # same non-isolated invariant the annotated members probe
+        # already relies on, see incremental_components_delete_delta),
+        # and every such edge either survived (endpoint of surv_rows)
+        # or was deleted (endpoint of the probe). Only claimed for the
+        # annotated path, where that invariant is load-bearing already;
+        # the semi path keeps its labels-derived member frame.
+        member_set = (
+            {x for r in surv_rows for x in (r[0], r[1])} | probe_nodes
+            if canonical_col is not None and probe_nodes is not None
+            else None
         )
-    return affected, new_aff, aff_vals
+        return _DeleteRelabel(
+            affected, new_aff, aff_vals, aff_nodes, new_pairs, member_set
+        )
+    new_aff = connected_components_star(
+        survivors, "u", "v", max_iter=max_iter, canonical_edges=True
+    )
+    return _DeleteRelabel(affected, new_aff, aff_vals, aff_nodes, None, None)
 
 
 def incremental_components_delete_delta(
@@ -813,14 +913,33 @@ def incremental_components_delete_delta(
     variant already carries. Equivalence pinned by
     tests/test_components.py; end-to-end store hash-gated by
     ``cc_log_maintenance``."""
-    affected, new_aff, aff_vals = _delete_affected_relabel(
+    res = _delete_affected_relabel(
         labels, edges, deleted_edges, src, dst,
         canonical_col=canonical_col,
         max_iter=max_iter,
         driver_solve_max=driver_solve_max,
     )
-    changed = new_aff.localCheckpoint(eager=True)  # rows + anti side below
-    if aff_vals is not None:
+    if res.new_pairs is not None and res.member_set is not None:
+        # fully driver-resolved epoch (r15): the surviving labeling AND
+        # the pre-deletion member set are already on the driver, so the
+        # isolated-node tombstones are a Python set difference and both
+        # change-set frames ship as LOCAL relations — the epoch's
+        # entire write input needs no further Spark job at all
+        live = {n for n, _ in res.new_pairs}
+        tombstoned = labels.sparkSession.createDataFrame(
+            [(n,) for n in sorted(res.member_set - live)],
+            schema="node long",
+        )
+        return res.new_aff, tombstoned
+    # distributed new_aff is consumed twice (rows write + anti side
+    # below) — pin it; a driver-solved new_aff is already a local
+    # relation and needs no pinning
+    changed = (
+        res.new_aff
+        if res.new_pairs is not None
+        else res.new_aff.localCheckpoint(eager=True)
+    )
+    if res.aff_vals is not None:
         # canonical_col path: derive the affected MEMBERS from the
         # annotation-pruned edge scan instead of a labels corpus scan —
         # every labeled node is non-isolated (labels are CC over the
@@ -829,14 +948,21 @@ def incremental_components_delete_delta(
         # stored edges, and that scan already prunes on the literal
         # canonical IN-filter. With this, no pass of the delete epoch
         # reads corpus-sized rows (r14 VERDICT #4).
-        pruned = edges.where(F.col(canonical_col).isin(aff_vals))
+        pruned = edges.where(F.col(canonical_col).isin(res.aff_vals))
         members = (
             pruned.select(F.col(src).alias("node"))
             .union(pruned.select(F.col(dst).alias("node")))
             .distinct()
         )
+    elif res.aff_nodes is not None:
+        # semi path: the checkpointed member frame already exists for
+        # the localization semi — reuse it instead of re-deriving the
+        # same rows with a second labels corpus scan (r15)
+        members = res.aff_nodes.select(F.col(src).alias("node"))
     else:
-        members = labels.join(F.broadcast(affected), "canonical").select("node")
+        members = labels.join(
+            F.broadcast(res.affected), "canonical"
+        ).select("node")
     tombstoned = members.join(
         F.broadcast(changed.select("node")), "node", "left_anti"
     )
