@@ -968,9 +968,17 @@ def maintain_components_log(
     if max_delta_bytes is None:
         max_delta_bytes = BROADCAST_TOUCHED_MAX_BYTES
     keys = {"labels": "node", "edges": [src, dst]}
-    labels = read_pair_store(spark, root, name, "labels", "node")
+    # maintenance evaluates each part's merged view 2-3 times per
+    # epoch (probe, localization, change-set write) — pin the
+    # delta-bounded winner set once instead of re-running its shuffle
+    # stages per evaluation (log_store._merge pin_touched)
+    labels = read_pair_store(
+        spark, root, name, "labels", "node", pin_touched=True
+    )
     if deleted:
-        edges = read_pair_store(spark, root, name, "edges", [src, dst])
+        edges = read_pair_store(
+            spark, root, name, "edges", [src, dst], pin_touched=True
+        )
         # annotated-prune path (r14 VERDICT #4): trust the compaction
         # layout's _comp stamp ONLY on a fully-folded store — the
         # moment a generation lands, merges/splits can stale it

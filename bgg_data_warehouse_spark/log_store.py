@@ -151,6 +151,83 @@ def _as_cols(key_col) -> list[str]:
     return [key_col] if isinstance(key_col, str) else list(key_col)
 
 
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the schema pre-resolved from ONE
+    parquet footer via pyarrow on the driver (r15, guide §1/§2.6): a
+    schema-less ``read.parquet`` launches a one-task schema-inference
+    JOB per directory, and the store's read paths open many small
+    directories per operation (base + every generation's rows AND
+    tombstones, per part) — on the integration gates those inference
+    jobs alone were ~6 of the delete epoch's 44 (measured; each costs
+    the host's 0.1-0.3 s job floor, not data). Every dir here is
+    written atomically by one writer, so one footer IS the dir's
+    schema. Falls back to the inferring read if the footer can't be
+    converted (exotic types), so behavior is never worse."""
+    try:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        fname = None
+        for dirpath, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    fname = os.path.join(dirpath, f)
+                    break
+            if fname:
+                break
+        if fname is None:
+            return spark.read.parquet(path)
+        schema = from_arrow_schema(pq.ParquetFile(fname).schema_arrow)
+        return spark.read.schema(schema).parquet(path)
+    except Exception:
+        return spark.read.parquet(path)
+
+
+def _local_relation_rows(df: DataFrame):
+    """The DataFrame's rows (as dicts/Rows) when they are already on
+    the driver, else None. Two sources: a ``_graft_local_rows``
+    attribute a driver-resolving producer stashed on the frame (the CC
+    delete maintainers — ``createDataFrame`` builds a parallelized
+    LogicalRDD, so even a driver-built frame costs one job per action
+    without this), or an optimized plan that IS a ``LocalRelation``
+    (e.g. a ``limit(0)``-propagated empty), whose ``collect`` is
+    job-free. Anything distributed (or any py4j surprise) returns None
+    and takes the normal path."""
+    stashed = getattr(df, "_graft_local_rows", None)
+    if stashed is not None:
+        return stashed
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() != "LocalRelation":
+            return None
+        return df.collect()
+    except Exception:
+        return None
+
+
+def _write_local_parquet(df: DataFrame, rows: list, out_dir: str) -> None:
+    """Write collected rows of ``df`` as one parquet file via pyarrow —
+    a pure driver-side write, zero Spark jobs. Only called for
+    LocalRelation frames (delta-bounded by construction: the driver
+    already held these rows to build the frame)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = to_arrow_schema(df.schema)
+    os.makedirs(out_dir, exist_ok=True)
+    table = pa.Table.from_pylist(
+        [
+            r.asDict(recursive=True) if hasattr(r, "asDict") else dict(r)
+            for r in rows
+        ],
+        schema=schema,
+    )
+    pq.write_table(
+        table, os.path.join(out_dir, "part-00000.parquet")
+    )
+
+
 def _tomb_frame(rows, tombstones, key_cols: list[str]):
     """Normalize the tombstone input to a distinct key-column frame.
     Single-key tombstones may arrive under any column name (first
@@ -321,16 +398,68 @@ def _write_gen_part(
     tombs = _tomb_frame(rows, tombstones, key_cols)
     tomb_dir = os.path.join(gdir, "tombstones")
     n_files = _gen_write_files()
-    tombs.coalesce(n_files).write.mode("overwrite").parquet(tomb_dir)
-    if tombstones is None:
-        live_rows = rows
+    # Zero-job fast paths (r15, guide §2.6/§5): the driver-resolved
+    # maintenance epochs hand this writer LocalRelation frames — their
+    # rows are already on the driver, so shipping them through a Spark
+    # write job (and the tombstone read-back) pays several rounds of
+    # the scheduler's per-job floor to move kilobytes. A LocalRelation
+    # is deterministic by construction, so the ADVICE-r13 re-read
+    # guard's premise (a tombstone plan may re-evaluate differently)
+    # is vacuous for it and the within-generation disjointness can be
+    # enforced on the driver directly. Distributed frames keep the
+    # exact previous shape, re-read guard included.
+    tomb_rows = _local_relation_rows(tombs)
+    if tomb_rows is not None:
+        _write_local_parquet(tombs, tomb_rows, tomb_dir)
     else:
-        stored_tombs = rows.sparkSession.read.parquet(tomb_dir)
+        tombs.coalesce(n_files).write.mode("overwrite").parquet(tomb_dir)
+    if tombstones is None or (tomb_rows is not None and not tomb_rows):
+        live_rows = rows
+    elif tomb_rows is None and _local_relation_rows(rows) is not None:
+        # rows local, tombstones distributed: the tombstones were just
+        # persisted above — read the delta-bounded file back on the
+        # DRIVER (pyarrow, no Spark job) and apply the disjointness
+        # guard as a set difference; the guard still runs against
+        # exactly the persisted copy (ADVICE r13), and the rows part
+        # lands with zero Spark jobs
+        import pyarrow.parquet as pq
+
+        tomb_tbl = pq.read_table(tomb_dir, columns=key_cols).to_pylist()
+        tomb_keys = {tuple(r[k] for k in key_cols) for r in tomb_tbl}
+        row_data = _local_relation_rows(rows)
+        live = [
+            r for r in row_data
+            if tuple(r[k] for k in key_cols) not in tomb_keys
+        ]
+        _write_local_parquet(rows, live, os.path.join(gdir, "rows"))
+        return
+    elif tomb_rows is not None:
+        row_data = _local_relation_rows(rows)
+        if row_data is not None:
+            # both sides local: the within-generation disjointness
+            # ("deletion wins") is a driver-side set difference — the
+            # whole rows part lands with zero Spark jobs
+            tomb_keys = {tuple(r[k] for k in key_cols) for r in tomb_rows}
+            live = [
+                r for r in row_data
+                if tuple(r[k] for k in key_cols) not in tomb_keys
+            ]
+            _write_local_parquet(rows, live, os.path.join(gdir, "rows"))
+            return
+        # deletion wins within a generation, against exactly the
+        # persisted (local, deterministic) tombstone set
+        live_rows = rows.join(F.broadcast(tombs), key_cols, "left_anti")
+    else:
+        stored_tombs = _read_parquet(rows.sparkSession, tomb_dir)
         # deletion wins within a generation: rows/tombstones key-disjoint
         live_rows = rows.join(F.broadcast(stored_tombs), key_cols, "left_anti")
-    live_rows.coalesce(n_files).write.mode("overwrite").parquet(
-        os.path.join(gdir, "rows")
-    )
+    live_data = _local_relation_rows(live_rows)
+    if live_data is not None:
+        _write_local_parquet(live_rows, live_data, os.path.join(gdir, "rows"))
+    else:
+        live_rows.coalesce(n_files).write.mode("overwrite").parquet(
+            os.path.join(gdir, "rows")
+        )
 
 
 def _merge(
@@ -340,6 +469,7 @@ def _merge(
     key_col,
     *,
     hint_broadcast: bool = True,
+    pin_touched: bool = False,
 ) -> DataFrame:
     """The generational merge (module docstring): newest touch per key
     wins; base rows leave via ONE anti on the delta-bounded touched-key
@@ -357,11 +487,11 @@ def _merge(
     union = lambda a, b: a.unionByName(b, allowMissingColumns=True)  # noqa: E731
     fresh_parts, touched_parts = [], []
     for i, g in enumerate(gen_dirs):
-        r = spark.read.parquet(os.path.join(g, "rows")).withColumn(
+        r = _read_parquet(spark, os.path.join(g, "rows")).withColumn(
             "_gen", F.lit(i)
         )
         t = (
-            spark.read.parquet(os.path.join(g, "tombstones"))
+            _read_parquet(spark, os.path.join(g, "tombstones"))
             .select(*key_cols)
             .withColumn("_gen", F.lit(i))
         )
@@ -370,6 +500,18 @@ def _merge(
     fresh = reduce(union, fresh_parts)
     touched = reduce(DataFrame.unionByName, touched_parts)
     winner = touched.groupBy(*key_cols).agg(F.max("_gen").alias("_gen"))
+    if pin_touched:
+        # maintenance-path opt-in (r15, guide §2.4/§2.6): the winner
+        # aggregation is DELTA-bounded but feeds both the live-fresh
+        # semi and the base anti, and Catalyst plans the two consumers
+        # as separate aggregation subtrees — every evaluation of the
+        # merged view re-runs two tiny shuffle stages (AQE materializes
+        # each as its own job at this host's per-job floor). A
+        # maintenance epoch evaluates the view 2-3 times, so pinning
+        # the delta-sized winner once (single partition: its consumers
+        # are broadcast builds) is a net job reduction; single-consumer
+        # serving reads keep the default lazy shape.
+        winner = winner.coalesce(1).localCheckpoint(eager=True)
     live_fresh = fresh.join(
         winner, [*key_cols, "_gen"], "left_semi"
     ).drop("_gen")
@@ -381,7 +523,12 @@ def _merge(
 
 
 def read_log_store(
-    spark: SparkSession, root: str, name: str, key_col: str
+    spark: SparkSession,
+    root: str,
+    name: str,
+    key_col: str,
+    *,
+    pin_touched: bool = False,
 ) -> DataFrame:
     """The store's current contents — base if compacted, the generational
     merge otherwise. Heals a mid-swap base first (cheap, idempotent),
@@ -394,17 +541,22 @@ def read_log_store(
     gens = _delta_dirs(store, committed=True)
     base_dir = _base_path(store)
     if os.path.isdir(base_dir):
-        base = spark.read.parquet(base_dir)
+        base = _read_parquet(spark, base_dir)
     elif gens:
         # store created by a first delta-only epoch: empty base with the
         # generation's row schema
-        base = spark.read.parquet(os.path.join(gens[0], "rows")).limit(0)
+        base = _read_parquet(spark, os.path.join(gens[0], "rows")).limit(0)
     else:
         raise FileNotFoundError(f"log store {store} has no base and no deltas")
     if not gens:
         return base
     return _merge(
-        spark, base, gens, key_col, hint_broadcast=_hint_broadcast(gens)
+        spark,
+        base,
+        gens,
+        key_col,
+        hint_broadcast=_hint_broadcast(gens),
+        pin_touched=pin_touched,
     )
 
 
@@ -517,9 +669,9 @@ def compact_log_store(
         return 0
     base_dir = _base_path(store)
     if os.path.isdir(base_dir):
-        base = spark.read.parquet(base_dir)
+        base = _read_parquet(spark, base_dir)
     else:
-        base = spark.read.parquet(os.path.join(gens[0], "rows")).limit(0)
+        base = _read_parquet(spark, os.path.join(gens[0], "rows")).limit(0)
     folded = _merge(
         spark, base, gens, key_col, hint_broadcast=_hint_broadcast(gens)
     )
@@ -636,11 +788,19 @@ def _store_parts(store: str) -> set[str] | None:
 
 
 def read_pair_store(
-    spark: SparkSession, root: str, name: str, part: str, key_col: str
+    spark: SparkSession,
+    root: str,
+    name: str,
+    part: str,
+    key_col: str,
+    *,
+    pin_touched: bool = False,
 ) -> DataFrame:
     """One part's current contents (generational merge over that part's
     slices of base + every committed generation). Read path: heals a
-    mid-swap base only, never reaps torn generations (ADVICE r13)."""
+    mid-swap base only, never reaps torn generations (ADVICE r13).
+    ``pin_touched`` pre-materializes the delta-bounded winner set for
+    multi-consumer maintenance reads (see :func:`_merge`)."""
     recover_log_store(root, name, reap_torn=False)
     store = _store_path(root, name)
     gens = [
@@ -648,9 +808,9 @@ def read_pair_store(
     ]
     base_dir = os.path.join(_base_path(store), part)
     if os.path.isdir(base_dir):
-        base = spark.read.parquet(base_dir)
+        base = _read_parquet(spark, base_dir)
     elif gens:
-        base = spark.read.parquet(os.path.join(gens[0], "rows")).limit(0)
+        base = _read_parquet(spark, os.path.join(gens[0], "rows")).limit(0)
     else:
         raise FileNotFoundError(
             f"pair store {store} part {part} has no base and no deltas"
@@ -658,7 +818,12 @@ def read_pair_store(
     if not gens:
         return base
     return _merge(
-        spark, base, gens, key_col, hint_broadcast=_hint_broadcast(gens)
+        spark,
+        base,
+        gens,
+        key_col,
+        hint_broadcast=_hint_broadcast(gens),
+        pin_touched=pin_touched,
     )
 
 
@@ -692,9 +857,9 @@ def compact_pair_store(
         part_gens = [os.path.join(g, part) for g in gens]
         base_dir = os.path.join(_base_path(store), part)
         if os.path.isdir(base_dir):
-            base = spark.read.parquet(base_dir)
+            base = _read_parquet(spark, base_dir)
         else:
-            base = spark.read.parquet(
+            base = _read_parquet(spark, 
                 os.path.join(part_gens[0], "rows")
             ).limit(0)
         part_folded = _merge(

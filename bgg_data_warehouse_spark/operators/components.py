@@ -620,15 +620,21 @@ def incremental_components_update_delta(
         changed_map = super_map.where(
             F.col("merged") != F.col("canonical")
         ).localCheckpoint(eager=True)  # broadcast twice below
-    members = labels.unionByName(new_nodes)
-    relabeled = members.join(F.broadcast(changed_map), "canonical").select(
-        "node", F.col("merged").alias("canonical")
+    # ONE pass over the label table (r15): the change set is
+    # (members whose canonical merged → new canonical) ∪ (new nodes
+    # whose canonical didn't merge) — the old semi + anti pair scanned
+    # the corpus twice for it; a single broadcast left join with a
+    # _new marker classifies both in one scan. merged IS NULL ∧ ¬_new
+    # rows (untouched existing members) drop out exactly as the old
+    # inner join dropped them.
+    members = labels.withColumn("_new", F.lit(False)).unionByName(
+        new_nodes.withColumn("_new", F.lit(True))
     )
-    # new nodes whose canonical didn't merge are still NEW rows
-    fresh_new = new_nodes.join(
-        F.broadcast(changed_map.select("canonical")), "canonical", "left_anti"
+    return (
+        members.join(F.broadcast(changed_map), "canonical", "left")
+        .where(F.col("merged").isNotNull() | F.col("_new"))
+        .select("node", F.coalesce("merged", "canonical").alias("canonical"))
     )
-    return relabeled.unionByName(fresh_new.select("node", "canonical"))
 
 
 def _union_find_pairs(edge_pairs) -> list[tuple]:
@@ -774,8 +780,16 @@ def _delete_affected_relabel(
     # where the old shape paid a checkpoint job plus a separate
     # IN-list collect. The affected set becomes a LOCAL relation —
     # deterministic and broadcastable with no pinned executor state.
+    # repartition(1) before the take (r15): the probe plan has no
+    # exchange, so executeTake over its many scan partitions runs
+    # scaleUpFactor rounds of jobs (measured: ~10 jobs for a
+    # few-hundred-row probe); through one shuffled partition the take
+    # is a single fetch after the parallel map stage — 2 jobs total.
+    # The shuffled payload is the delta-bounded probe itself (≤ 2
+    # rows per deleted edge), never the label table.
     probe_rows = (
         endpoint_probe.select("node", "canonical")
+        .repartition(1)
         .limit(driver_solve_max + 1)
         .collect()
     )
@@ -865,6 +879,11 @@ def _delete_affected_relabel(
         new_aff = spark.createDataFrame(
             new_pairs, schema="node long, canonical long"
         )
+        # driver-side rows ride along for the log store's zero-job
+        # generation write (log_store._local_relation_rows)
+        new_aff._graft_local_rows = [
+            {"node": n, "canonical": c} for n, c in new_pairs
+        ]
         # member_set: every pre-deletion member of an affected
         # component, derived WITHOUT any further scan — each member has
         # >= 1 stored edge (labels are CC over the stored edges: the
@@ -930,6 +949,13 @@ def incremental_components_delete_delta(
             [(n,) for n in sorted(res.member_set - live)],
             schema="node long",
         )
+        # driver-side rows ride along (new_aff already carries its
+        # own): the log-store write path persists both frames via pure
+        # driver-side parquet writes — zero Spark jobs for the epoch's
+        # whole change set (log_store._local_relation_rows)
+        tombstoned._graft_local_rows = [
+            {"node": n} for n in sorted(res.member_set - live)
+        ]
         return res.new_aff, tombstoned
     # distributed new_aff is consumed twice (rows write + anti side
     # below) — pin it; a driver-solved new_aff is already a local

@@ -2100,12 +2100,21 @@ def cc_log_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pinned: the chain frame feeds FOUR fixture derivations
         # (stored labels, base edges, add delta, delete delta) — one
         # window pass, not four (measured ~2s of the gate at sf0.1)
+        # coalesce before pinning (r15, §2.6): the window shuffle leaves
+        # core-count partitions of ~KB each, and every later evaluation
+        # of a chain-derived frame (four fixture derivations + each
+        # broadcast of a delta frame inside the epochs) pays task-launch
+        # overhead per partition — measured on this host a trivial
+        # 32-task job costs ~0.59 s wall vs ~0.21 s at 1 partition. The
+        # width only narrows the pinned fixture frame, scaled to the
+        # session so a bigger cluster keeps proportionally more.
+        n_fix = max(2, spark.sparkContext.defaultParallelism // 8)
         chain = orders.select(
             "o_custkey",
             F.col("o_orderkey").alias("node"),
             F.lag("o_orderkey").over(w).alias("prev"),
             F.lead("o_orderkey").over(w).alias("nxt"),
-        ).localCheckpoint(eager=True)
+        ).coalesce(n_fix).localCheckpoint(eager=True)
         delta_mod = 16
         in_d = F.pmod(F.xxhash64("prev", F.col("node")), F.lit(delta_mod)) == 0
         out_d = F.pmod(F.xxhash64(F.col("node"), "nxt"), F.lit(delta_mod)) == 0
@@ -2124,6 +2133,7 @@ def cc_log_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .over(Window.partitionBy("o_custkey", "seg"))
                 .alias("canonical"),
             )
+            .coalesce(n_fix)
             .localCheckpoint(eager=True)
         )
         edges0 = chain.where(F.col("nxt").isNotNull() & ~out_d).select(
