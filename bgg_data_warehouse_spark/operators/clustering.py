@@ -55,11 +55,32 @@ def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
-def _assign(vectors: DataFrame, centroid_arr: DataFrame) -> DataFrame:
-    """Label each vector with its nearest centroid — no shuffle.
+def _cent_literal(cents: list[tuple[int, list[int]]]) -> F.Column:
+    """The centroid set as a LITERAL array<struct<cluster,cv>> column.
 
-    ``centroid_arr`` is one row: array<struct<cluster:long, cv:array<long>>>.
-    The argmin runs as a codegen'd fold over that broadcast array:
+    Centroids live on the driver between Lloyd rounds (k·d longs — a
+    config-bounded constant, never corpus-sized), so they ship inside
+    the task binary as a foldable literal: no centroid DataFrame, no
+    broadcast-materialization job, no checkpoint per round (r15,
+    guide §5 driver boundary / §2.6 job floor)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).cast("long").alias("cluster"),
+                F.array(*[F.lit(int(x)).cast("long") for x in cv]).alias(
+                    "cv"
+                ),
+            )
+            for c, cv in cents
+        ]
+    )
+
+
+def _assign(vectors: DataFrame, cent_col: F.Column) -> DataFrame:
+    """Label each vector with its nearest centroid — no shuffle, no join.
+
+    ``cent_col`` is a literal array<struct<cluster:long, cv:array<long>>>.
+    The argmin runs as a codegen'd fold over that in-plan array:
     min(struct(dist, cluster)) is lexicographic, so ties go to the lower
     cluster label deterministically.
     """
@@ -77,7 +98,7 @@ def _assign(vectors: DataFrame, centroid_arr: DataFrame) -> DataFrame:
         ),
     )
     return (
-        vectors.crossJoin(F.broadcast(centroid_arr))
+        vectors.withColumn("_cents", cent_col)
         .withColumn("_best", best)
         .select(
             "id",
@@ -88,27 +109,35 @@ def _assign(vectors: DataFrame, centroid_arr: DataFrame) -> DataFrame:
     )
 
 
-def _recompute(assigned: DataFrame) -> DataFrame:
-    """New centroids = floor(per-dim mean) of each cluster's members.
+def _recompute_driver(assigned: DataFrame) -> list[tuple[int, list[int]]]:
+    """New centroids = floor(per-dim mean) of each cluster's members,
+    resolved ON THE DRIVER from the k·d-row aggregate (the bounded
+    -subproblem driver-solve pattern the CC maintainers use): ONE
+    partial-aggregating shuffle over (cluster, dim) collects k·d
+    (sum, count) longs — bounded by config constants, independent of
+    corpus size — and the division happens in Python.
 
-    Two partial-aggregating shuffles over (cluster, dim) — k*d groups —
-    then the per-cluster arrays are rebuilt with an ordered collect.
-    """
-    dims = assigned.select(
-        "cluster", F.posexplode("qv").alias("dim", "v")
+    Exactness: the integer sums are associative (partial-agg order
+    cannot change them), and ``math.floor(float(s) / float(n))`` is
+    the identical IEEE double division + floor that the previous
+    in-plan ``F.floor(s / n)`` computed, so centroids are bit-equal to
+    the distributed recompute (pinned by test_clustering's numpy-model
+    and partitioning-invariance tests)."""
+    import math
+
+    rows = (
+        assigned.select("cluster", F.posexplode("qv").alias("dim", "v"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .collect()
     )
-    sums = dims.groupBy("cluster", "dim").agg(
-        F.sum("v").alias("s"), F.count("*").alias("n")
-    )
-    return (
-        sums.withColumn("cv_d", F.floor(F.col("s") / F.col("n")).cast("long"))
-        .groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "cv_d"))),
-                lambda st: st["cv_d"],
-            ).alias("cv")
+    byc: dict[int, dict[int, int]] = {}
+    for r in rows:
+        byc.setdefault(r["cluster"], {})[r["dim"]] = math.floor(
+            float(r["s"]) / float(r["n"])
         )
+    return sorted(
+        (c, [dims[i] for i in range(len(dims))]) for c, dims in byc.items()
     )
 
 
@@ -128,32 +157,32 @@ def kmeans_quantized(
     exact integer squared distance to the final centroid, so the whole
     output is hash-gateable against an ANSI-SQL oracle.
     """
+    # pinned: every Lloyd round re-scans the quantized corpus (map-only
+    # assignment + one partial agg), and the final assignment scans it
+    # once more — executor-memory cache, the _default_pin convention
     vectors = df.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col), scale).alias("qv")
-    )
-    # Seeds: k lowest-id vectors. TakeOrderedAndProject, never a global sort.
-    centroids = (
-        vectors.orderBy("id")
+    ).cache()
+    # Seeds: k lowest-id vectors. TakeOrderedAndProject, never a global
+    # sort; a k-row collect (config-bounded).
+    cents = sorted(
+        (r["cluster"], list(r["cv"]))
+        for r in vectors.orderBy("id")
         .limit(k)
         .select(F.col("id").alias("cluster"), F.col("qv").alias("cv"))
+        .collect()
     )
+    # Each round is exactly ONE Spark job: the k·d-row centroid
+    # aggregate (driver-resolved, _recompute_driver). Centroids enter
+    # the next round as a foldable literal — the old shape paid a
+    # collect_list shuffle + checkpoint + broadcast materialization
+    # per round on a k-row frame (r15, guide §2.6: job floor dominates
+    # k·d-bounded work).
     for _ in range(iters):
-        cent_arr = centroids.agg(
-            F.array_sort(F.collect_list(F.struct("cluster", "cv"))).alias("_cents")
-        )
-        assigned = _assign(vectors, cent_arr)
-        # pin each round's k-row centroid frame: without this the final
-        # assignment plan nests every previous round's
-        # assign→posexplode→reaggregate chain (plan depth ∝ iters —
-        # Catalyst re-optimizes the whole tree and the vector scan
-        # repeats per round); with it each round starts from a k-row
-        # leaf, so the broadcast argmin is built once per round from
-        # materialized centroids
-        centroids = _recompute(assigned).localCheckpoint(eager=False)
-    cent_arr = centroids.agg(
-        F.array_sort(F.collect_list(F.struct("cluster", "cv"))).alias("_cents")
+        cents = _recompute_driver(_assign(vectors, _cent_literal(cents)))
+    return _assign(vectors, _cent_literal(cents)).select(
+        "id", "cluster", "dist"
     )
-    return _assign(vectors, cent_arr).select("id", "cluster", "dist")
 
 
 def semantic_dedup(
