@@ -550,25 +550,27 @@ def _update_super_map(
             F.least("ca", "cb").alias("u"), F.greatest("ca", "cb").alias("v")
         )
         .distinct()
-        # consumed twice: the bounded probe-collect below and (past the
-        # driver bound only) the distributed solve
-        .localCheckpoint(eager=True)
     )
     # (old canonical -> merged canonical), only for canonicals whose
     # component actually changed; everything else passes through.
     # Fused size probe + solve input (r15): ONE bounded collect off the
-    # checkpoint replaces the count job plus the union-find's own
-    # collect; if the limit comes back over the bound the prefix is
-    # discarded and the distributed star runs on the checkpointed frame.
+    # live plan replaces the count job plus the union-find's own
+    # collect. On the common driver-solve path that collect is the
+    # frame's ONLY evaluation, so the eager checkpoint it used to run
+    # through was a whole extra job for nothing (its inputs — d and the
+    # pinned ep_canon broadcasts — are already stable); only the rare
+    # over-bound path re-evaluates once into a checkpoint so the
+    # distributed star's rounds don't replay the contraction joins.
     rows = super_edges.limit(driver_solve_max + 1).collect()
     if len(rows) <= driver_solve_max:
         pairs = _union_find_pairs((r[0], r[1]) for r in rows)
-        super_map = labels.sparkSession.createDataFrame(
-            pairs, schema="canonical long, merged long"
+        super_map = _driver_relation(
+            labels.sparkSession, pairs, "canonical long, merged long"
         )
         return new_nodes, super_map, pairs
     super_map = connected_components_star(
-        super_edges, "u", "v", max_iter=max_iter, canonical_edges=True
+        super_edges.localCheckpoint(eager=True),
+        "u", "v", max_iter=max_iter, canonical_edges=True
     ).select(
         F.col("node").alias("canonical"), F.col("canonical").alias("merged")
     )
@@ -612,9 +614,10 @@ def incremental_components_update_delta(
         # no materialization job (r15; the checkpoint below is only for
         # the distributed solve, whose plan would otherwise re-run for
         # each of the two broadcasts)
-        changed_map = labels.sparkSession.createDataFrame(
+        changed_map = _driver_relation(
+            labels.sparkSession,
             [p for p in local_pairs if p[0] != p[1]],
-            schema="canonical long, merged long",
+            "canonical long, merged long",
         )
     else:
         changed_map = super_map.where(
@@ -634,6 +637,26 @@ def incremental_components_update_delta(
         members.join(F.broadcast(changed_map), "canonical", "left")
         .where(F.col("merged").isNotNull() | F.col("_new"))
         .select("node", F.coalesce("merged", "canonical").alias("canonical"))
+    )
+
+
+def _driver_relation(spark, rows, schema: str) -> DataFrame:
+    """Single-slice DataFrame over driver-held rows (r15, guide
+    §2.6/§5): a bare ``createDataFrame`` parallelizes its list to
+    ``defaultParallelism`` slices, and each slice's evaluation is one
+    Python-worker round-trip — so every broadcast build or scan of a
+    driver-solved relabel map ran a core-count-wide stage of near-empty
+    tasks (measured: 32 tasks / 1.3 s per evaluation at this host's
+    floor). Parallelizing to ONE slice makes each evaluation a single
+    round-trip (~0.15 s measured, 4x less wall than the wide stage).
+    NOT ``coalesce(1)`` — that narrows the 32 slices into one task
+    which then pays the 32 round-trips SEQUENTIALLY (measured 6 s,
+    worse than either). The maps are delta-bounded by the
+    ``driver_solve_max`` contract, so one slice is the right width at
+    any cluster size."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1) if rows else rows,
+        schema=schema,
     )
 
 
@@ -795,8 +818,8 @@ def _delete_affected_relabel(
     )
     if len(probe_rows) <= driver_solve_max:
         aff_set = sorted({r[1] for r in probe_rows})
-        affected = spark.createDataFrame(
-            [(c,) for c in aff_set], schema="canonical long"
+        affected = _driver_relation(
+            spark, [(c,) for c in aff_set], "canonical long"
         )
         aff_vals = aff_set if canonical_col is not None else None
         probe_nodes: set | None = {r[0] for r in probe_rows}
@@ -868,16 +891,16 @@ def _delete_affected_relabel(
             "left_anti",
         )
         .distinct()
-        # consumed twice: the bounded probe-collect below and (past the
-        # driver bound only) the distributed solve
-        .localCheckpoint(eager=True)
     )
-    # fused size probe + solve input, as in _update_super_map (r15)
+    # fused size probe + solve input, as in _update_super_map (r15):
+    # the bounded collect is the survivors frame's only evaluation on
+    # the driver-solve path, so no eager checkpoint — the over-bound
+    # star branch pins it below before its iterative rounds
     surv_rows = survivors.limit(driver_solve_max + 1).collect()
     if len(surv_rows) <= driver_solve_max:
         new_pairs = _union_find_pairs((r[0], r[1]) for r in surv_rows)
-        new_aff = spark.createDataFrame(
-            new_pairs, schema="node long, canonical long"
+        new_aff = _driver_relation(
+            spark, new_pairs, "node long, canonical long"
         )
         # driver-side rows ride along for the log store's zero-job
         # generation write (log_store._local_relation_rows)
@@ -902,7 +925,8 @@ def _delete_affected_relabel(
             affected, new_aff, aff_vals, aff_nodes, new_pairs, member_set
         )
     new_aff = connected_components_star(
-        survivors, "u", "v", max_iter=max_iter, canonical_edges=True
+        survivors.localCheckpoint(eager=True),
+        "u", "v", max_iter=max_iter, canonical_edges=True
     )
     return _DeleteRelabel(affected, new_aff, aff_vals, aff_nodes, None, None)
 
@@ -945,9 +969,10 @@ def incremental_components_delete_delta(
         # change-set frames ship as LOCAL relations — the epoch's
         # entire write input needs no further Spark job at all
         live = {n for n, _ in res.new_pairs}
-        tombstoned = labels.sparkSession.createDataFrame(
+        tombstoned = _driver_relation(
+            labels.sparkSession,
             [(n,) for n in sorted(res.member_set - live)],
-            schema="node long",
+            "node long",
         )
         # driver-side rows ride along (new_aff already carries its
         # own): the log-store write path persists both frames via pure

@@ -2134,7 +2134,9 @@ def cc_log_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("canonical"),
             )
             .coalesce(n_fix)
-            .localCheckpoint(eager=True)
+            # NOT checkpointed (r15): consumed exactly once, by the
+            # init_pair_store base write — the windows replay over the
+            # pinned chain inside that write job, one job instead of two
         )
         edges0 = chain.where(F.col("nxt").isNotNull() & ~out_d).select(
             F.col("node").alias("src"), F.col("nxt").alias("dst")
