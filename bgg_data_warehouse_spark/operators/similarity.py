@@ -318,10 +318,24 @@ def embedding_near_dup_pairs(
             F.col("l._n2").alias("_na"),
             F.col("r._n2").alias("_nb"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # cosine + threshold BEFORE the dedup shuffle (r15, guide §2.2):
+        # the dedup used to shuffle every candidate pair WITH both
+        # embedding arrays attached and compute cosine after — measured
+        # on the exact gate, 500k wide rows through the exchange and a
+        # sort-aggregate over vector payloads (~8 s single map task +
+        # a 286 s-CPU reduce stage). Cosine is a pure function of the
+        # pair, so filtering first and shuffling only (doc_a, doc_b,
+        # cosine_sim) is result-identical while the exchange carries
+        # the few survivors of the threshold, not the candidate set.
+        # Trade-off: a pair colliding in k>1 tables computes its cosine
+        # k times pre-dedup — k is bounded by num_tables and the
+        # per-pair compute is dim-bounded, while the avoided shuffle
+        # was candidate-set-sized; at any scale the bytes win.
         .withColumn(
             "cosine_sim", _paired_cosine("vec_a", "vec_b", "_na", "_nb", dim)
         )
         .where(F.col("cosine_sim") >= threshold)
+        .select("doc_a", "doc_b", "cosine_sim")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     return cand.select("doc_a", "doc_b", F.round("cosine_sim", 6).alias("cosine_sim"))

@@ -1359,7 +1359,17 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate needs the code path, not the full corpus)."""
     from .operators.similarity import embedding_near_dup_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    # the fixture is ONE parquet split, so the single-bucket candidate
+    # join would emit every pair (and, post-r15, compute every cosine)
+    # in one task; production corpora arrive as thousands of splits.
+    # The explicit cores-proportional repartition stands in for that
+    # input parallelism (the bloom_pruned_join precedent) — it is NOT
+    # part of the operator.
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 1000)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
     return embedding_near_dup_pairs(
         emb,
         "vec_id",
