@@ -9846,7 +9846,16 @@ def merkle_table_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.hashing import md5_fold_wide, portable_fingerprint
     from .operators.importance import md5_fold
 
-    orders = load_table(spark, sf_dir, "orders")
+    # single-split fixture: the per-row md5 leaf fold fuses into the
+    # one scan task (measured 2.4 s serial CPU); production tables
+    # scan as thousands of splits, so the cores-proportional
+    # repartition of the 4-column projection stands in for that input
+    # parallelism (bloom_pruned_join precedent)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .repartition(spark.sparkContext.defaultParallelism, "o_orderkey")
+    )
     fp = portable_fingerprint(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
