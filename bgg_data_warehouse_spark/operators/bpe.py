@@ -114,12 +114,74 @@ def _apply_merge(syms: F.Column, a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+def _merge_scan(syms: list[str], a: str, b: str) -> list[str]:
+    """Greedy left-to-right non-overlapping (a, b) -> a||b merge — the
+    driver-side twin of ``_apply_merge`` (equivalent by the fold's
+    docstring argument: a merged symbol a||b can never re-equal ``a``,
+    so the fold only ever merges original occurrences, exactly like
+    this scan; the property test pins both against one reference)."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _learn_bpe_driver(
+    spark, rows, num_merges: int
+) -> tuple[DataFrame, DataFrame]:
+    """Driver-solved merge loop over a BOUNDED (word, freq) vocabulary.
+
+    The merge choice argmax and the per-word merge application are
+    k·|vocab|-bounded pure functions of the collected word counts, so
+    past the one distributed corpus pass (the word-count aggregate that
+    produced ``rows``) the whole train is the sanctioned
+    bounded-subproblem driver solve (components/_union_find_pairs,
+    kmeans literal centroids — guide §5): num_merges x 2 tiny Spark
+    jobs become zero. Tie-break (cnt DESC, a ASC, b ASC) compares
+    Python strings by code point = Spark's UTF8 binary order; counts
+    are exact integers — the learned model is bit-identical.
+    """
+    state = [[r["word"], r["freq"], list(r["word"])] for r in rows]
+    merges: list[tuple] = []
+    for k in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for _w, f, syms in state:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break  # pair-less rounds learn nothing and change nothing
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((k, a, b, cnt))
+        for rec in state:
+            rec[2] = _merge_scan(rec[2], a, b)
+    from .components import _driver_relation
+
+    return (
+        _driver_relation(
+            spark, merges, "rank long, a string, b string, cnt long"
+        ),
+        _driver_relation(
+            spark,
+            [tuple(rec) for rec in state],
+            "word string, freq long, syms array<string>",
+        ),
+    )
+
+
 def learn_bpe(
     df: DataFrame,
     text_col: str,
     *,
     num_merges: int,
     pin: Pin = _checkpoint_pin,
+    driver_solve_max: int = 200_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``num_merges`` BPE merges over a corpus.
 
@@ -129,11 +191,21 @@ def learn_bpe(
     learned merges, which is what corpus encoding joins against (see
     ``encode_bpe``). On a corpus with fewer distinct pairs than
     ``num_merges``, later rounds learn nothing and emit no merge row.
+
+    When the vocabulary fits ``driver_solve_max`` the merge loop runs
+    entirely on the driver (``_learn_bpe_driver``): ONE distributed
+    corpus pass (the word-count aggregate) instead of 2 tiny Spark
+    jobs per merge round — measured 40 jobs -> 3 on the 8-merge gate
+    (r15, guide §2.6/§5). Past the cap the distributed loop below runs
+    unchanged; both paths are bit-identical (property-tested).
     """
     if num_merges < 1:
         raise ValueError(
             f"learn_bpe: num_merges must be >= 1, got {num_merges}"
         )
+    probe = _word_counts(df, text_col).limit(driver_solve_max + 1).collect()
+    if len(probe) <= driver_solve_max:
+        return _learn_bpe_driver(df.sparkSession, probe, num_merges)
     base = _word_counts(df, text_col).select(
         "word", "freq", _char_syms(F.col("word")).alias("syms")
     )

@@ -287,12 +287,26 @@ def connected_components_star(
             # signature stops moving (~1 s at sf0.1). Perf-sensitive
             # callers that accept the 2⁻⁶⁴ collision odds opt out.
             new_sig = _sig(new_e)
-            if new_sig == sig and (
-                not confirm_fixed_point
-                or (
-                    new_e.exceptAll(ee).limit(1).count() == 0
-                    and ee.exceptAll(new_e).limit(1).count() == 0
+            # the exact confirm is ONE symmetric multiset-diff job
+            # (signed counts sum to 0 per (u,v) iff both exceptAll
+            # directions are empty) instead of two exceptAll passes —
+            # r15, guide §2.6: same 4-scan read volume, half the jobs
+            # at the per-job floor, and a hash aggregate instead of
+            # exceptAll's sort-based plan
+            def _multiset_equal(a: DataFrame, b: DataFrame) -> bool:
+                return (
+                    a.select("u", "v", F.lit(1).alias("_s"))
+                    .unionAll(b.select("u", "v", F.lit(-1).alias("_s")))
+                    .groupBy("u", "v")
+                    .agg(F.sum("_s").alias("_d"))
+                    .where(F.col("_d") != 0)
+                    .limit(1)
+                    .count()
+                    == 0
                 )
+
+            if new_sig == sig and (
+                not confirm_fixed_point or _multiset_equal(new_e, ee)
             ):
                 ee = new_e
                 break

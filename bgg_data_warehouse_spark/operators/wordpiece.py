@@ -95,6 +95,7 @@ def wordpiece_encode(
     rounds: int,
     max_piece_len: int = 4,
     pin: Pin = _checkpoint_pin,
+    driver_solve_max: int = 200_000,
 ) -> DataFrame:
     """Greedy longest-match segmentation of every word.
 
@@ -106,6 +107,55 @@ def wordpiece_encode(
     """
     if rounds < 1:
         raise ValueError(f"wordpiece_encode: rounds must be >= 1, got {rounds}")
+    # Driver fast path (r15, guide §2.6/§5 — the sanctioned
+    # bounded-subproblem solve): segmentation is a pure per-word
+    # function of (word, vocab); the vocab is parameter-bounded by the
+    # operator contract (|charset| + n_multi rows) and the distinct-word
+    # relation is probed under ``driver_solve_max``. One collect of each
+    # replaces ``rounds`` checkpoint jobs + the leftover count
+    # (measured: 50 jobs -> 3 on the 8-round gate). The Python greedy
+    # replicates the distributed semantics exactly, including the
+    # no-piece-matches NULL poisoning (substr/length are code-point
+    # based on both sides; set membership = the broadcast equi-lookup).
+    w_rows = words.limit(driver_solve_max + 1).collect()
+    if len(w_rows) <= driver_solve_max:
+        vset = {r["piece"] for r in vocab.select("piece").collect()}
+        out_rows: list[tuple] = []
+        n_leftover = 0
+        for r in w_rows:
+            word, freq = r["word"], r["freq"]
+            pos: int | None = 0
+            toks: list[str | None] = []
+            for _ in range(rounds):
+                if pos is None or pos >= len(word):
+                    continue  # finished (or poisoned): row passes through
+                for length in range(max_piece_len, 0, -1):
+                    if pos + length <= len(word) and word[pos : pos + length] in vset:
+                        toks.append(word[pos : pos + length])
+                        pos += length
+                        break
+                else:
+                    # no vocab piece matches (vocab missing a char):
+                    # the distributed plen is NULL -> pos goes NULL,
+                    # toks gains a NULL piece, and the NULL pos drops
+                    # the row from the leftover filter — replicated
+                    toks.append(None)
+                    pos = None
+            if pos is not None and pos < len(word):
+                n_leftover += 1
+            out_rows.append((word, freq, toks))
+        if n_leftover:
+            raise RuntimeError(
+                f"wordpiece_encode: {n_leftover} words unfinished after "
+                f"{rounds} rounds — raise the round budget"
+            )
+        from .components import _driver_relation
+
+        return _driver_relation(
+            words.sparkSession,
+            out_rows,
+            "word string, freq long, toks array<string>",
+        )
     # pin the vocab FIRST: the per-length broadcast subsets re-scan it
     # 4x per round, which without materialization would re-run the
     # substring-count aggregate dozens of times inside one job

@@ -168,3 +168,55 @@ def test_learn_bpe_rejects_zero_merges(spark):
     df = spark.createDataFrame([("a b",)], "text string")
     with pytest.raises(ValueError, match="num_merges"):
         learn_bpe(df, "text", num_merges=0)
+
+
+def test_learn_bpe_driver_and_distributed_paths_agree(spark):
+    """The r15 driver fast path (vocab under ``driver_solve_max``) and
+    the distributed merge loop (forced via ``driver_solve_max=0``) must
+    produce identical merges AND word states — the bit-identity claim
+    the fast path ships on."""
+    from bgg_data_warehouse_spark.operators.bpe import learn_bpe
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "newer newest new low")],
+        "doc_id long, text string",
+    )
+    fast_m, fast_w = learn_bpe(df, "text", num_merges=6)
+    slow_m, slow_w = learn_bpe(df, "text", num_merges=6, driver_solve_max=0)
+    assert [tuple(r) for r in fast_m.orderBy("rank").collect()] == [
+        tuple(r) for r in slow_m.orderBy("rank").collect()
+    ]
+    assert {r.word: (r.freq, r.syms) for r in fast_w.collect()} == {
+        r.word: (r.freq, r.syms) for r in slow_w.collect()
+    }
+
+
+def test_wordpiece_driver_and_distributed_paths_agree(spark):
+    """Same dual-path pin for the wordpiece greedy segmentation,
+    including the round-budget guard on BOTH paths."""
+    import pytest
+
+    from bgg_data_warehouse_spark.operators.wordpiece import wordpiece_encode
+
+    words = spark.createDataFrame(
+        [("parts", 3), ("pa", 1), ("strap", 2)], "word string, freq long"
+    )
+    vocab = spark.createDataFrame(
+        [("p", 9), ("a", 9), ("r", 9), ("t", 9), ("s", 9),
+         ("pa", 5), ("par", 4), ("rt", 3), ("st", 2)],
+        "piece string, cnt long",
+    )
+    fast = {
+        r.word: (r.freq, r.toks)
+        for r in wordpiece_encode(words, vocab, rounds=5).collect()
+    }
+    slow = {
+        r.word: (r.freq, r.toks)
+        for r in wordpiece_encode(
+            words, vocab, rounds=5, driver_solve_max=0
+        ).collect()
+    }
+    assert fast == slow
+    for cap in (0, 200_000):
+        with pytest.raises(RuntimeError, match="unfinished"):
+            wordpiece_encode(words, vocab, rounds=1, driver_solve_max=cap)
