@@ -269,6 +269,18 @@ def connected_components_star(
         caller that already signatured ``e0`` skip the duplicate scan."""
         ee = e0
         sig = sig0 if sig0 is not None else _sig(ee)
+        if sig[0] == 0:
+            # no edges: every node is its own component — the loop
+            # would spend ~4 jobs (rewrite checkpoint, signature,
+            # confirm) proving an empty set is a fixed point. This is
+            # the COMMON phase-2 shape on contraction-friendly graphs
+            # (sorted chains quotient to zero edges), so the early exit
+            # removes the whole star phase from those plans (r15,
+            # guide §2.6). Identical output by the mins branch below:
+            # labels is empty, mins = all of nodes0 self-labeled.
+            return nodes0.select(
+                "node", F.col("node").alias("canonical")
+            )
         for _ in range(max_iter):
             # one rewrite per materialization: composing two rewrites per
             # checkpoint was measured SLOWER (12.8 s vs 9.5 s at sf0.1) —
@@ -352,11 +364,16 @@ def connected_components_star(
             .select("node", F.least("_mn", "node").alias("lab"))
             .localCheckpoint(eager=True)
         )
-        # pointer jumping: two lab ← lab(lab) hops composed per
+        # pointer jumping: three lab ← lab(lab) hops composed per
         # materialization (|V|-sized self-joins; each hop adds the
-        # current map's jump distance, so distance TRIPLES per round —
-        # unlike the star rewrite, composing jumps costs no transient
-        # edge inflation, so deeper composition is pure win here),
+        # current map's jump distance, so distance QUADRUPLES per round
+        # — unlike the star rewrite, composing jumps costs no transient
+        # edge inflation, so deeper composition is pure win here; r15
+        # widened 2 hops → 3: one more narrow self-join per round buys
+        # log₄ instead of log₃ rounds, dropping a full
+        # checkpoint+convergence job pair for tree depths in the
+        # 10–64 range the order-chain fixtures live in, and a
+        # barrier per saved round at any scale),
         # until every node labels its tree ROOT.
         # Labels are monotonically non-increasing, so the fixed point is
         # exactly when the label sum stops falling (same scalar-agg
@@ -365,7 +382,7 @@ def connected_components_star(
         prev_sum = object()
         for _ in range(max_iter):
             hop = part
-            for _twice in range(2):
+            for _hops in range(3):
                 hop = hop.join(
                     part.select(
                         F.col("node").alias("lab"), F.col("lab").alias("_l2")

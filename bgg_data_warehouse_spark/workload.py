@@ -10932,26 +10932,41 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # pre-partition the edge list ONCE per join key (r15, guide §2.4):
+    # each half-iteration equi-joins e on c (or p) and aggregates on
+    # the OTHER key, so an unpartitioned e re-shuffles the full edge
+    # list five times per query while the score frames are |C|/|P|-
+    # sized. Hash-clustering one PERSISTED copy per key makes every
+    # round's join reuse that layout (exchange on the small score side
+    # only) — 5 edge exchanges → 2, the pagerank out_edges precedent.
+    # persist(), NOT localCheckpoint: a checkpointed scan surfaces as
+    # UnknownPartitioning and the joins would re-shuffle it anyway
+    # (plan-verified), while InMemoryRelation keeps the repartition's
+    # HashPartitioning visible to the planner. Decimal sums are exact,
+    # so the changed partial-aggregation grouping cannot move a bit.
+    width = spark.sparkContext.defaultParallelism
+    e_by_c = e.repartition(width, "c").persist()
+    e_by_p = e.repartition(width, "p").persist()
     hub = (
-        e.groupBy("c")
+        e_by_c.groupBy("c")
         .agg(F.count("*").cast("decimal(38,0)").alias("s"))
         .localCheckpoint(eager=False)
     )
     for _ in range(2):
         auth = (
-            e.join(hub, "c")
+            e_by_c.join(hub, "c")
             .groupBy("p")
             .agg(F.sum("s").cast("decimal(38,0)").alias("s"))
             .localCheckpoint(eager=False)
         )
         hub = (
-            e.join(auth, "p")
+            e_by_p.join(auth, "p")
             .groupBy("c")
             .agg(F.sum("s").cast("decimal(38,0)").alias("s"))
             .localCheckpoint(eager=False)
         )
     auth = (
-        e.join(hub, "c")
+        e_by_c.join(hub, "c")
         .groupBy("p")
         .agg(F.sum("s").cast("decimal(38,0)").alias("s"))
     )
