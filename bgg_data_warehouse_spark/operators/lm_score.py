@@ -47,6 +47,29 @@ from .dedup import Pin, _default_pin
 MICRO = 1_000_000
 
 
+def _tokens_wide(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, _t) — the tokenized projection, re-spread across the
+    session's cores when the source scan arrives under-parallel.
+
+    Tokenize + n-gram explode + the aggregate's partial phase all fuse
+    into the SCAN task, so a one-row-group parquet fixture runs the
+    whole CPU-heavy map stage in a single task (measured: 3×0.8–0.9 s
+    serial jobs in trigram_backoff_ppl at sf0.1). Production tables
+    scan as thousands of splits and skip the exchange entirely — the
+    repartition is conditional on the scan's actual partition count,
+    so it is a stand-in for missing input parallelism, not a fixed
+    local[32] tuning (guide §2.5 input skew / §1.2). Hash-partitioning
+    on the doc id keeps the row→partition map deterministic under task
+    retry (guide §2.5, SPARK-38388)."""
+    proj = df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")
+    )
+    width = df.sparkSession.sparkContext.defaultParallelism
+    if proj.rdd.getNumPartitions() < width:
+        proj = proj.repartition(width, "doc")
+    return proj.select("doc", word_tokens(F.col("_txt")).alias("_t"))
+
+
 def doc_bigram_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, a, b, m) — per-document bigram occurrence counts.
 
@@ -54,14 +77,20 @@ def doc_bigram_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     shifted by one, explode once, count. Documents with fewer than two
     tokens contribute no rows (they have no bigrams to score).
     """
-    toks = df.select(
-        F.col(id_col).alias("doc"), word_tokens(F.col(text_col)).alias("_t")
-    ).select(
+    return _bigram_counts_from_tokens(_tokens_wide(df, id_col, text_col))
+
+
+def _bigram_counts_from_tokens(tok_df: DataFrame) -> DataFrame:
+    toks = tok_df.select(
         "doc",
         # greatest(…, 0): slice() rejects negative lengths, which a
         # zero-token document would otherwise produce
-        F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))).alias("_l"),
-        F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))).alias("_r"),
+        F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))).alias(
+            "_l"
+        ),
+        F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))).alias(
+            "_r"
+        ),
     )
     return (
         toks.select("doc", F.explode(F.arrays_zip("_l", "_r")).alias("bg"))
@@ -76,9 +105,11 @@ def doc_trigram_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     formed array-side like ``doc_bigram_counts`` (three shifted slices
     zipped, one explode, one aggregate). Documents under three tokens
     contribute nothing."""
-    toks = df.select(
-        F.col(id_col).alias("doc"), word_tokens(F.col(text_col)).alias("_t")
-    ).select(
+    return _trigram_counts_from_tokens(_tokens_wide(df, id_col, text_col))
+
+
+def _trigram_counts_from_tokens(tok_df: DataFrame) -> DataFrame:
+    toks = tok_df.select(
         "doc",
         F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 2, F.lit(0))).alias("_a"),
         F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 2, F.lit(0))).alias("_b"),
@@ -124,16 +155,21 @@ def trigram_backoff_ppl(
     their n-gram keys — AQE broadcasts the small ones; every join is a
     LEFT join so the CASE can select the deepest seen order.
     """
+    # tokenize the training corpus ONCE (pinned): the trigram, bigram
+    # and unigram model orders all derive from the same (doc, tokens)
+    # frame instead of re-tokenizing the corpus three times — and the
+    # tokenize itself runs wide via _tokens_wide when the source scan
+    # is under-parallel (r15; was 3 serial ~0.9 s single-task jobs on
+    # the one-row-group fixture).
+    tok_train = pin(_tokens_wide(train_df, id_col, text_col))
     tri_m = (
-        doc_trigram_counts(train_df, id_col, text_col)
+        _trigram_counts_from_tokens(tok_train)
         .groupBy("w1", "w2", "w3")
         .agg(F.sum("m").alias("c3"))
     )
-    bi_inst = doc_bigram_counts(train_df, id_col, text_col)
+    bi_inst = _bigram_counts_from_tokens(tok_train)
     bi_m = bi_inst.groupBy("a", "b").agg(F.sum("m").alias("c2"))
-    toks = train_df.select(
-        F.explode(word_tokens(F.col(text_col))).alias("tok")
-    )
+    toks = tok_train.select(F.explode(F.col("_t")).alias("tok"))
     uni_m = toks.groupBy("tok").agg(F.count("*").alias("c1"))
     n_tok = toks.agg(F.count("*").alias("n"))
 
