@@ -89,6 +89,7 @@ def connected_components(
     managers, the swap a 100 TB cluster run needs (state survives
     executor loss; lineage truncated identically).
     """
+    default_pin = pin is None
     if pin is None:
         def pin(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
@@ -116,23 +117,41 @@ def connected_components(
             .distinct()
             .select("node", F.col("node").alias("canonical"))
         )
-        prev_sum = None
-        for _ in range(max_iter):
+        def _vote_round(lbl: DataFrame) -> DataFrame:
             # neighbor labels: for edge (a,b), a's current label is a
             # candidate for b. Union with own label, take the min.
-            candidates = und.join(
-                labels.withColumnRenamed("node", "a"), "a"
-            ).select(F.col("b").alias("node"), "canonical")
-            new_labels = pin(
-                labels.union(candidates)
+            cand = und.join(lbl.withColumnRenamed("node", "a"), "a").select(
+                F.col("b").alias("node"), "canonical"
+            )
+            return (
+                lbl.union(cand)
                 .groupBy("node")
                 .agg(F.min("canonical").alias("canonical"))
             )
-            # labels are monotonically non-increasing, so the fixed point
-            # is reached exactly when the label sum stops falling — a
-            # scalar aggregate instead of a join-based diff.
-            # decimal(38,0): ANSI mode would overflow-error a long sum of
-            # 10⁹ node ids.
+
+        prev_sum = None
+        for _ in range(max_iter):
+            # With the default pin the round state is a LAZY
+            # localCheckpoint whose FIRST action is the convergence
+            # aggregate, so one round costs ONE Spark job instead of
+            # two (eager checkpoint + sum — r15, guide §2.6; composing
+            # two vote rounds per materialization was ALSO measured and
+            # rejected: the stopping rule then overshoots by a full
+            # extra round of |E|-sized work, which cost more than the
+            # saved job floor on the fast-converging dup-blob graphs).
+            # A caller-supplied pin (the 100 TB storage_pin swap) is
+            # honored unchanged.
+            # labels are monotonically non-increasing, so the fixed
+            # point is reached exactly when the label sum stops falling
+            # — a scalar aggregate instead of a join-based diff.
+            # decimal(38,0): ANSI mode would overflow-error a long sum
+            # of 10⁹ node ids.
+            voted = _vote_round(labels)
+            new_labels = (
+                voted.localCheckpoint(eager=False)
+                if default_pin
+                else pin(voted)
+            )
             cur_sum = new_labels.agg(
                 F.sum(F.col("canonical").cast("decimal(38,0)"))
             ).collect()[0][0]
