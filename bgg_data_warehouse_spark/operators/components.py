@@ -229,7 +229,10 @@ def connected_components_star(
             )
             .distinct()
         )
-    e = e.localCheckpoint(eager=True)
+    # lazy: the sizing signature right below is the materializing
+    # action (one job), and every later consumer re-reads the persisted
+    # partitions (r15, guide §2.6)
+    e = e.localCheckpoint(eager=False)
 
     def _sig(df: DataFrame) -> tuple:
         """One-scan aggregate signature of an edge set: count + endpoint
@@ -305,8 +308,11 @@ def connected_components_star(
             # checkpoint was measured SLOWER (12.8 s vs 9.5 s at sf0.1) —
             # the 6-shuffle composed job costs more than the saved stage
             # barrier, and the transient edge inflation compounds across
-            # the unmaterialized middle.
-            new_e = _round(ee).localCheckpoint(eager=True)
+            # the unmaterialized middle. LAZY checkpoint: the signature
+            # aggregate right below is the materializing action, so a
+            # round costs one Spark job, not checkpoint + signature
+            # (r15, guide §2.6 — same fuse as connected_components).
+            new_e = _round(ee).localCheckpoint(eager=False)
             # converged when the edge set stops changing. The 4-component
             # signature (count, Σu, Σv, order-independent Σxxhash64(u,v))
             # over two DIFFERENT successive edge sets collides with
@@ -381,7 +387,8 @@ def connected_components_star(
             und.groupBy(F.col("u").alias("node"))
             .agg(F.min("v").alias("_mn"))
             .select("node", F.least("_mn", "node").alias("lab"))
-            .localCheckpoint(eager=True)
+            # lazy: round 1's convergence sum materializes it
+            .localCheckpoint(eager=False)
         )
         # pointer jumping: three lab ← lab(lab) hops composed per
         # materialization (|V|-sized self-joins; each hop adds the
@@ -408,7 +415,10 @@ def connected_components_star(
                     ),
                     "lab",
                 ).select("node", F.col("_l2").alias("lab"))
-            part = hop.localCheckpoint(eager=True)
+            # lazy checkpoint: the convergence sum right below is the
+            # materializing action — one job per jump round, not two
+            # (r15, guide §2.6)
+            part = hop.localCheckpoint(eager=False)
             cur_sum = part.agg(
                 F.sum(F.col("lab").cast("decimal(38,0)"))
             ).collect()[0][0]
@@ -436,7 +446,8 @@ def connected_components_star(
                 F.greatest("_lu", "_lv").alias("v"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: _star's entry signature materializes it
+            .localCheckpoint(eager=False)
         )
         supernodes = part.select(F.col("lab").alias("node")).distinct()
         comp = _star(e2, supernodes)
