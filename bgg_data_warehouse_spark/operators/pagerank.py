@@ -99,12 +99,27 @@ def pagerank_integer(
         # O(nodes) and can be billions of rows — co-partitioned
         # shuffle-on-the-small-side is the strategy that survives.
         deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        # The round pins are LAZY localCheckpoints (the kcore
+        # precedent, r15 guide §2.6): nothing executes at build time,
+        # so the caller's single action runs the whole fixed-round
+        # chain as ONE Spark job whose stages are the rounds' shuffles
+        # — previously each round's eager checkpoint was its own job
+        # (rounds + 1 job submissions and barriers at the per-job
+        # floor). out_edges stays persist(), NOT a checkpoint: a
+        # checkpointed scan surfaces as UnknownPartitioning and every
+        # round would re-shuffle the edge list, while InMemoryRelation
+        # keeps the repartition's HashPartitioning(src) visible to the
+        # planner (the hits_scores lesson, plan-verified). The explicit
+        # unpersist had to go — it used to fire at BUILD time, which
+        # under lazy pins would drop the cache before anything ran; the
+        # blocks are freed by the ContextCleaner when the frames go out
+        # of scope.
         out_edges = e.join(deg, "src").repartition(width, "src").persist()
         nodes = (
             out_edges.select(F.col("src").alias("node"))
             .union(out_edges.select(F.col("dst").alias("node")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
         for _ in range(rounds):
@@ -123,7 +138,6 @@ def pagerank_integer(
                         + F.expr(f"coalesce(mass, 0L) * {damping_pct} DIV 100")
                     ).alias("rank"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-    out_edges.unpersist()
     return ranks
