@@ -370,20 +370,61 @@ def _touched_rows(
     return stored.join(F.broadcast(touched_keys), keys, "left_semi")
 
 
-def key_clustered_layout(spark: SparkSession, keys: list[str]):
+def _log_store_path(root: str, name: str) -> str:
+    from .log_store import _store_path
+
+    return _store_path(root, name)
+
+
+# compaction-layout file sizing: the literal-probe read bound is
+# |probe values| x rows-per-file, so the bound stays DELTA-sized only
+# while file count tracks data (r15 optimization round, guide §6 —
+# closes the "row-group granularity floor" residual the r15 scaling
+# curves measured at a FIXED local file count). Default 96 MiB target
+# per clustered file; deployments override via env.
+LAYOUT_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LAYOUT_TARGET_BYTES", 96 * 1024 * 1024)
+)
+
+
+def layout_file_count(spark: SparkSession, store_bytes: int | None) -> int:
+    """Partition count for a compaction-time clustered layout: the
+    cores-proportional floor keeps pruning granularity on small local
+    stores (AQE would otherwise fold the tiny range shuffle to ONE
+    file), and above ``LAYOUT_TARGET_BYTES`` per file the count grows
+    with the store so rows-per-file — and with it the literal probe's
+    read bound — stays constant as the corpus grows.
+    ``SPARK_GRAFT_LAYOUT_FILES`` still overrides outright (granularity
+    experiments, tools/scaling_curve.py)."""
+    n_override = os.environ.get("SPARK_GRAFT_LAYOUT_FILES")
+    if n_override:
+        return int(n_override)
+    floor_n = max(spark.sparkContext.defaultParallelism * 4, 16)
+    if store_bytes and store_bytes > 0:
+        return max(floor_n, -(-store_bytes // LAYOUT_TARGET_BYTES))
+    return floor_n
+
+
+def key_clustered_layout(
+    spark: SparkSession, keys: list[str], *, store: str | None = None
+):
     """Compaction-time layout clustering a log store's base by its
     replacement key, so the delta-bounded literal key probes
     (:func:`_touched_rows` — the logged loader's insert-if-absent
     anti, the logged MV's prior point-read) row-group-prune instead of
     scanning corpus rows. Explicit partition count for the same reason
     as components_log_layouts: AQE otherwise folds the range shuffle
-    to one file and erases the granularity."""
-    n_override = os.environ.get("SPARK_GRAFT_LAYOUT_FILES")
-    n_files = (
-        int(n_override)
-        if n_override
-        else max(spark.sparkContext.defaultParallelism * 4, 16)
-    )
+    to one file and erases the granularity. With ``store`` (the store
+    directory), the count additionally tracks the store's on-disk size
+    (:func:`layout_file_count`) — base + pending generations at fold
+    time are a faithful proxy for the folded size — so rows-per-file
+    is bounded at any scale."""
+    store_bytes = None
+    if store is not None and os.path.isdir(store):
+        from .log_store import _dir_bytes
+
+        store_bytes = _dir_bytes(store)
+    n_files = layout_file_count(spark, store_bytes)
 
     def lay(df: DataFrame) -> DataFrame:
         return df.repartitionByRange(n_files, *keys).sortWithinPartitions(
@@ -458,7 +499,9 @@ def merge_insert_missing_logged(
                 keys,
                 max_generations=max_generations,
                 max_delta_fraction=max_delta_fraction,
-                layout=key_clustered_layout(spark, keys),
+                layout=key_clustered_layout(
+                    spark, keys, store=_log_store_path(root, name)
+                ),
             )
 
 
@@ -501,7 +544,9 @@ def delete_insert_logged(
             keys,
             max_generations=max_generations,
             max_delta_fraction=max_delta_fraction,
-            layout=key_clustered_layout(spark, keys),
+            layout=key_clustered_layout(
+                    spark, keys, store=_log_store_path(root, name)
+                ),
         )
 
 
@@ -571,7 +616,9 @@ def refresh_additive_mv_logged(
             keys,
             max_generations=max_generations,
             max_delta_fraction=max_delta_fraction,
-            layout=key_clustered_layout(spark, keys),
+            layout=key_clustered_layout(
+                    spark, keys, store=_log_store_path(root, name)
+                ),
         )
 
 
@@ -859,16 +906,18 @@ def components_log_layouts(
     # base folded to a SINGLE file — one row group, zero pruning
     # granularity). The pruned probe's read volume is bounded by
     # |probe values| x rows-per-file, so the bound is DELTA-sized
-    # exactly when file count grows with the corpus — ~4x parallelism
-    # covers the local fixture, and at deployment scale file sizing
-    # (maxRecordsPerFile / 100-MB targets) makes count track data.
+    # exactly when file count grows with the corpus — the count
+    # therefore tracks the store's on-disk size past the
+    # cores-proportional floor (:func:`layout_file_count`,
+    # LAYOUT_TARGET_BYTES per clustered file; base + pending
+    # generations at fold time proxy the folded size).
     # SPARK_GRAFT_LAYOUT_FILES overrides for granularity experiments
     # (tools/scaling_curve.py validates the bound by scaling it).
-    n_override = os.environ.get("SPARK_GRAFT_LAYOUT_FILES")
-    n_files = (
-        int(n_override)
-        if n_override
-        else max(spark.sparkContext.defaultParallelism * 4, 16)
+    from .log_store import _dir_bytes, _store_path
+
+    store = _store_path(root, name)
+    n_files = layout_file_count(
+        spark, _dir_bytes(store) if os.path.isdir(store) else None
     )
 
     def edges_layout(df: DataFrame) -> DataFrame:

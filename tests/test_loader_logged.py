@@ -240,3 +240,86 @@ def test_mv_logged_prior_point_read_is_broadcast(spark, tmp_path):
     merged = refresh_additive_mv(prior, delta, ["k"], ["total", "n"])
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_layout_file_count_tracks_store_bytes(spark, monkeypatch):
+    """The compaction-layout partition count keeps its cores-proportional
+    floor on small stores (pruning granularity despite AQE's one-file
+    coalesce) and grows with store bytes past LAYOUT_TARGET_BYTES per
+    file, so rows-per-file — the literal probe's read bound — stays
+    constant as the corpus grows. SPARK_GRAFT_LAYOUT_FILES overrides
+    outright."""
+    import bgg_data_warehouse_spark.io as io_mod
+
+    floor_n = max(spark.sparkContext.defaultParallelism * 4, 16)
+    target = io_mod.LAYOUT_TARGET_BYTES
+    assert io_mod.layout_file_count(spark, None) == floor_n
+    assert io_mod.layout_file_count(spark, 1024) == floor_n
+    # 1000 target-sized files' worth of store: count tracks data
+    assert io_mod.layout_file_count(spark, 1000 * target) == max(
+        floor_n, 1000
+    )
+    # exact multiples round UP (ceil), never down
+    assert io_mod.layout_file_count(spark, 1000 * target + 1) == max(
+        floor_n, 1001
+    )
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_FILES", "7")
+    assert io_mod.layout_file_count(spark, 1000 * target) == 7
+
+
+def test_key_clustered_layout_uses_store_size(spark, tmp_path, monkeypatch):
+    """With a store path and a tiny byte target, the clustered layout
+    fans the folded base into bytes/target range partitions — the
+    end-to-end wiring of the size-tracking count through an actual
+    logged-loader compaction."""
+    import bgg_data_warehouse_spark.io as io_mod
+    from bgg_data_warehouse_spark.io import key_clustered_layout
+    from bgg_data_warehouse_spark.log_store import (
+        _base_path,
+        _dir_bytes,
+        _store_path,
+        compact_log_store,
+    )
+
+    root = str(tmp_path)
+    dim = _dim(spark, [(k, f"n{k}", k) for k in range(200)])
+    merge_insert_missing_logged(spark, dim, root, "d", ["k"], auto_compact=False)
+    merge_insert_missing_logged(
+        spark,
+        _dim(spark, [(k, f"m{k}", k) for k in range(150, 260)]),
+        root,
+        "d",
+        ["k"],
+        auto_compact=False,
+    )
+    store = _store_path(root, "d")
+    # tiny target -> the store's on-disk bytes demand MORE than the
+    # cores floor; monkeypatch the module constant (env is read at
+    # import time)
+    monkeypatch.setattr(io_mod, "LAYOUT_TARGET_BYTES", 64)
+    floor_n = max(spark.sparkContext.defaultParallelism * 4, 16)
+    expected = io_mod.layout_file_count(spark, _dir_bytes(store))
+    assert expected > floor_n
+    layout = key_clustered_layout(spark, ["k"], store=store)
+    assert compact_log_store(spark, root, "d", ["k"], layout=layout) == 1
+    import os as _os
+
+    base = _base_path(store)
+    n_files = sum(
+        1
+        for _dir, _dd, files in _os.walk(base)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    # range partitions with fewer distinct keys than partitions may
+    # leave some empty (not written); the fan-out must still clearly
+    # exceed the floor
+    assert n_files > floor_n
+    got = {
+        (r["k"], r["name"])
+        for r in read_loader_table_logged(spark, root, "d", ["k"]).collect()
+    }
+    want = {(k, f"n{k}") for k in range(200)} | {
+        (k, f"n{k}" if k < 200 else f"m{k}") for k in range(150, 260)
+    }
+    assert got == want
