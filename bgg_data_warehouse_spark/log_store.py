@@ -124,12 +124,28 @@ BROADCAST_TOUCHED_MAX_BYTES = 128 * 1024 * 1024
 BROADCAST_TOUCHED_MAX_ROWS = 8_000_000
 
 
-def _gen_write_files() -> int:
+# Target bytes per generation output file (r16, VERDICT r15 #4): one
+# file is right for the delta-bounded common case, but a constant of 1
+# serializes the write (and the whole narrowed final stage) of a
+# genuinely large delta — a backfill epoch at deployment scale. The
+# same bytes-growth rule as io.layout_file_count, driven by the plan's
+# size estimate since the delta hasn't been written yet.
+GEN_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_GEN_TARGET_BYTES", 128 * 1024 * 1024)
+)
+# Plan-size estimates above this are join-product artifacts (Catalyst
+# multiplies child sizes for inner joins without CBO), not real byte
+# counts — treat them as unknown and keep the single-file default
+# rather than spraying a tiny delta across max-width files.
+_GEN_EST_SANITY_MAX = 1 << 40
+
+
+def _gen_write_files(df: DataFrame | None = None) -> int:
     """File count for one generation part's rows/tombstones write.
 
     A generation is DELTA-bounded by contract — the absolute compaction
     triggers fold the store long before accumulated deltas reach
-    128 MiB / 8M rows — so a single part's payload always fits the
+    128 MiB / 8M rows — so a single part's payload normally fits the
     128 MB–1 GB file size the scan side wants (guide §6). Writing it as
     ONE file instead of task-count-many removes the per-generation
     small-file tax that every later read pays three times over: driver
@@ -137,12 +153,34 @@ def _gen_write_files() -> int:
     schema inference and the broadcast-bound row probe, and per-file
     open cost at scan. Measured on the integration gates (r15): a
     32-task epoch write emitted 32 ~2 KB files per part per generation;
-    coalescing to 1 roughly halves the store-build wall clock. The
-    ``coalesce`` narrows only the write stage of an already delta-sized
-    frame, so no corpus-sized compute is ever collapsed onto one task.
-    Deployments with deltas wide enough to want parallel encode raise
-    ``SPARK_GRAFT_GEN_FILES``."""
-    return max(1, int(os.environ.get("SPARK_GRAFT_GEN_FILES", "1")))
+    coalescing to 1 roughly halves the store-build wall clock.
+
+    SIZE-TRACKED past the single-file default (r16, r15 VERDICT #4):
+    the r15 constant of 1 serialized any genuinely large delta — a
+    backfill epoch writes hundreds of MB through one task. The count
+    now grows with the frame's optimizer size estimate over
+    ``GEN_TARGET_BYTES`` per file (capped at 4x parallelism), so a
+    wide delta encodes in parallel while delta-bounded epochs keep the
+    one-file layout. Estimates from scans, checkpoints, filters and
+    semi/anti joins are grounded in real file bytes (measured); the
+    sanity ceiling discards join-product artifacts rather than letting
+    them fan a KB-sized delta across max-width files.
+    ``SPARK_GRAFT_GEN_FILES`` still overrides outright."""
+    n_override = os.environ.get("SPARK_GRAFT_GEN_FILES")
+    if n_override:
+        return max(1, int(n_override))
+    if df is None:
+        return 1
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if est <= GEN_TARGET_BYTES or est > _GEN_EST_SANITY_MAX:
+            return 1
+        cap = df.sparkSession.sparkContext.defaultParallelism * 4
+        return min(-(-est // GEN_TARGET_BYTES), cap)
+    except Exception:
+        return 1
 
 
 def _as_cols(key_col) -> list[str]:
@@ -342,6 +380,138 @@ def _dir_rows(d: str) -> int:
     return total
 
 
+# Driver-merge bound (r16): generations totalling at most this many
+# on-disk bytes resolve their winner/live sets on the DRIVER (pyarrow
+# footer+data reads, no Spark jobs) instead of through two delta-sized
+# shuffle stages per merged-read evaluation. 8 MiB of compressed delta
+# is a few hundred thousand narrow rows — the same bounded-subproblem
+# envelope as the maintainers' driver_solve_max — and far under the
+# 128 MiB broadcast bound, so the fast path only ever replaces merges
+# whose frames were already broadcast-sized.
+DRIVER_MERGE_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_DRIVER_MERGE_BYTES", str(8 * 1024 * 1024))
+)
+
+
+def _read_dir_arrow(d: str, columns: list[str] | None = None):
+    """All parquet files of a dir as ONE pyarrow table (sorted file
+    order — deterministic), or None when the dir holds none."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tables = []
+    for dirpath, _dirs, files in os.walk(d):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                tables.append(
+                    pq.read_table(os.path.join(dirpath, f), columns=columns)
+                )
+    if not tables:
+        return None
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def _driver_merge_parts(spark: SparkSession, gen_dirs: list[str], key_cols):
+    """The merge's generation-side frames resolved on the DRIVER:
+    ``(touched_keys, live_fresh)`` as single-slice driver relations, or
+    None when out of bounds/unsupported (the distributed merge then
+    runs unchanged).
+
+    Motivation (r16, guide §2.6/§5): the winner aggregation and the
+    live-fresh semi are DELTA-bounded, but each evaluation of a merged
+    read runs them as two tiny shuffle stages — at the host's
+    0.2-0.6 s/job floor that is the dominant cost of the integration
+    gates' storage round-trips, not data. Under
+    :data:`DRIVER_MERGE_MAX_BYTES` of on-disk generation bytes the
+    same winner/live computation is a dict fold over a few thousand
+    rows: newest generation touching a key wins; within a generation
+    rows and tombstones are key-disjoint on disk (enforced by
+    ``_write_gen_part``), so a tombstoned key simply has no row in its
+    winning generation. Bit-identical to the relational form by
+    construction; pinned against it by tests/test_log_store.py.
+
+    Guards: timestamp columns bail (driver re-materialization would
+    re-enter the session-timezone conversion the relational path never
+    does); NULL key values bail (SQL join equality drops null-keyed
+    fresh rows, dict equality would not — preserve the engine
+    semantics exactly by not replicating them in Python)."""
+    if os.environ.get("SPARK_GRAFT_DRIVER_MERGE", "1") != "1":
+        return None
+    try:
+        # only where the relational path would have BROADCAST the
+        # touched-key frame anyway (_hint_broadcast, r13 VERDICT #1):
+        # the fast path's driver relations are a strict subset of that
+        # envelope, and an oversized delta keeps the AQE-planned merge
+        if sum(_dir_bytes(g) for g in gen_dirs) > DRIVER_MERGE_MAX_BYTES:
+            return None
+        if not _hint_broadcast(gen_dirs):
+            return None
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import StructField, StructType
+
+        winner: dict = {}
+        gens_rows: list[list[dict]] = []
+        fields: list = []
+        seen: set[str] = set()
+        for i, g in enumerate(gen_dirs):
+            rows_tbl = _read_dir_arrow(os.path.join(g, "rows"))
+            tomb_tbl = _read_dir_arrow(
+                os.path.join(g, "tombstones"), columns=key_cols
+            )
+            if rows_tbl is None or tomb_tbl is None:
+                return None
+            if "timestamp" in str(rows_tbl.schema).lower():
+                return None
+            rows_list = rows_tbl.to_pylist()
+            for r in rows_list:
+                k = tuple(r[c] for c in key_cols)
+                if any(v is None for v in k):
+                    return None
+                winner[k] = i
+            for r in tomb_tbl.to_pylist():
+                k = tuple(r[c] for c in key_cols)
+                if any(v is None for v in k):
+                    return None
+                winner[k] = i
+            for f in rows_tbl.schema:
+                if f.name not in seen:
+                    seen.add(f.name)
+                    fields.append(f)
+            gens_rows.append(rows_list)
+        live = [
+            tuple(r.get(f.name) for f in fields)
+            for i, rows_list in enumerate(gens_rows)
+            for r in rows_list
+            if winner[tuple(r[c] for c in key_cols)] == i
+        ]
+        spark_schema = StructType(
+            [
+                StructField(f.name, t.dataType, True)
+                for f, t in zip(
+                    fields, from_arrow_schema(pa.schema(fields)).fields
+                )
+            ]
+        )
+        key_schema = StructType(
+            [spark_schema[c] for c in key_cols]
+        )
+
+        def _relation(rows: list, schema: StructType) -> DataFrame:
+            # single-slice parallelize: each evaluation is ONE tiny
+            # task, not a core-wide stage (operators/components.py::
+            # _driver_relation rationale)
+            return spark.createDataFrame(
+                spark.sparkContext.parallelize(rows, 1) if rows else rows,
+                schema=schema,
+            )
+
+        touched = sorted(winner)  # deterministic order
+        return _relation(touched, key_schema), _relation(live, spark_schema)
+    except Exception:
+        return None
+
+
 def _hint_broadcast(gen_dirs: list[str]) -> bool:
     """True while the generations sit under BOTH absolute broadcast
     bounds — on-disk bytes AND footer row count (r14 VERDICT #7: the
@@ -397,7 +567,6 @@ def _write_gen_part(
     tombstone-less epoch: the add-epoch / loader-append hot shape)."""
     tombs = _tomb_frame(rows, tombstones, key_cols)
     tomb_dir = os.path.join(gdir, "tombstones")
-    n_files = _gen_write_files()
     # Zero-job fast paths (r15, guide §2.6/§5): the driver-resolved
     # maintenance epochs hand this writer LocalRelation frames — their
     # rows are already on the driver, so shipping them through a Spark
@@ -412,7 +581,9 @@ def _write_gen_part(
     if tomb_rows is not None:
         _write_local_parquet(tombs, tomb_rows, tomb_dir)
     else:
-        tombs.coalesce(n_files).write.mode("overwrite").parquet(tomb_dir)
+        tombs.coalesce(_gen_write_files(tombs)).write.mode(
+            "overwrite"
+        ).parquet(tomb_dir)
     if tombstones is None or (tomb_rows is not None and not tomb_rows):
         live_rows = rows
     elif tomb_rows is None and _local_relation_rows(rows) is not None:
@@ -457,9 +628,9 @@ def _write_gen_part(
     if live_data is not None:
         _write_local_parquet(live_rows, live_data, os.path.join(gdir, "rows"))
     else:
-        live_rows.coalesce(n_files).write.mode("overwrite").parquet(
-            os.path.join(gdir, "rows")
-        )
+        live_rows.coalesce(_gen_write_files(live_rows)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(gdir, "rows"))
 
 
 def _merge(
@@ -485,6 +656,16 @@ def _merge(
     # its contract (annotations are only trusted on a fully-folded
     # store). Stores whose parts share one schema are unaffected.
     union = lambda a, b: a.unionByName(b, allowMissingColumns=True)  # noqa: E731
+    fast = _driver_merge_parts(spark, gen_dirs, key_cols)
+    if fast is not None:
+        # driver-resolved generation side (r16, guide §2.6/§5): the
+        # winner/live sets are already exact driver relations, so the
+        # merge is ONE map-side anti over the base scan plus a local
+        # union — no delta shuffle stages per evaluation, and nothing
+        # to pin (pin_touched's raison d'être was those stages)
+        touched_keys, live_fresh = fast
+        kept = base.join(F.broadcast(touched_keys), key_cols, "left_anti")
+        return union(kept, live_fresh)
     fresh_parts, touched_parts = [], []
     for i, g in enumerate(gen_dirs):
         r = _read_parquet(spark, os.path.join(g, "rows")).withColumn(
@@ -882,3 +1063,46 @@ def compact_pair_store(
     for g in gens:
         shutil.rmtree(g, ignore_errors=True)
     return len(gens)
+
+
+def fold_store_copy(
+    spark: SparkSession, root: str, name: str, key_col, dest: str | None = None
+) -> str:
+    """Materialize ``<name>_compacted`` (or ``dest``) as a freshly
+    COMPACTED sibling of the store: its base is the source's merged
+    view, no generations — the source keeps its generations untouched.
+
+    This is the r15 ``copytree + compact`` two-step collapsed into one
+    staged write (r16, r15 VERDICT #2/#4): the filesystem copy
+    duplicated the CORPUS-SIZED base byte-for-byte only for the
+    compaction to re-read and rewrite the copy — at deployment scale
+    that copy is the dominant cost of producing a compacted twin.
+    Folding directly off the original's files reads the base once and
+    swaps once; the source's files stay alive throughout, so the
+    staged write's scan is never ripped out from under it. The folded
+    content is bit-identical to ``compact_log_store`` on a copy: both
+    are exactly ``_merge(base, generations)``."""
+    dest = dest or f"{name}_compacted"
+    folded = read_log_store(spark, root, name, key_col)
+    init_log_store(folded, root, dest)
+    return dest
+
+
+def fold_pair_store_copy(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    keys: dict,
+    dest: str | None = None,
+) -> str:
+    """:func:`fold_store_copy` for the paired store (``keys``: part ->
+    key_col): every part's merged view lands in ONE staged swap, so the
+    compacted twin can never exist half-built — the same pair-atomicity
+    the copytree+compact path got from ``compact_pair_store``'s swap."""
+    dest = dest or f"{name}_compacted"
+    parts = {
+        part: read_pair_store(spark, root, name, part, key_col)
+        for part, key_col in keys.items()
+    }
+    init_pair_store(root, dest, parts)
+    return dest

@@ -2088,11 +2088,8 @@ def cc_log_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries it. Per-epoch read/write volume is change-set-sized; the
     pair commits atomically (labels never publish without their
     edges)."""
-    import os
-    import shutil
-
     from .io import init_components_log, maintain_components_log
-    from .log_store import compact_pair_store, read_pair_store
+    from .log_store import fold_pair_store_copy, read_pair_store
 
     root = _fresh_logstore_root(sf_dir)
 
@@ -2166,13 +2163,12 @@ def cc_log_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, root, "cc", delta_del, "src", "dst",
             deleted=True, auto_compact=False,
         )
-        # the compacted phase folds a filesystem COPY (the original
-        # keeps its generations for the generational phase)
-        comp_store = os.path.join(root, "cc_compacted")
-        shutil.rmtree(comp_store, ignore_errors=True)
-        shutil.copytree(os.path.join(root, "cc"), comp_store)
-        compact_pair_store(
-            spark, root, "cc_compacted",
+        # the compacted phase is a freshly FOLDED sibling store (the
+        # original keeps its generations for the generational phase) —
+        # r16, r15 VERDICT #2: the copytree+compact two-step collapsed
+        # into one staged write off the original's files
+        fold_pair_store_copy(
+            spark, root, "cc",
             {"labels": "node", "edges": ["src", "dst"]},
         )
 
@@ -6484,16 +6480,14 @@ def _compacted_copy(spark, root: str, name: str, keys) -> None:
     ``<name>_compacted`` as a FOLDED filesystem copy of the store (the
     original keeps its generations for the generational phase — the
     cc_log_maintenance lazy-copy trick, run at build time so both
-    phase reads stay lazy at query time)."""
-    import os
-    import shutil
+    phase reads stay lazy at query time). r16 (r15 VERDICT #2): the
+    copytree+compact two-step collapsed into ONE staged write
+    (log_store.fold_store_copy — the filesystem copy duplicated the
+    corpus-sized base only for the compaction to re-read the copy);
+    folded content bit-identical, one staged swap fewer."""
+    from .log_store import fold_store_copy
 
-    from .log_store import compact_log_store
-
-    comp_store = os.path.join(root, f"{name}_compacted")
-    shutil.rmtree(comp_store, ignore_errors=True)
-    shutil.copytree(os.path.join(root, name), comp_store)
-    compact_log_store(spark, root, f"{name}_compacted", keys)
+    fold_store_copy(spark, root, name, keys)
 
 
 def _phase_union(spark, root: str, name: str, keys, cols):

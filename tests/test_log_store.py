@@ -729,14 +729,22 @@ def test_pair_append_with_mismatched_parts_raises(spark, tmp_path):
     )
 
 
-def test_term_filter_pushes_into_generational_scans(spark, tmp_path):
+def test_term_filter_pushes_into_generational_scans(
+    spark, tmp_path, monkeypatch
+):
     """Serving pin: a term predicate on the generational read pushes
     down into the base AND generation scans (the merge joins key on
     doc/_gen, so a tok filter commutes through them) — a term lookup
     over an uncompacted store reads posting-list-sized data, never
-    store-sized."""
+    store-sized. Pins the DISTRIBUTED merge (the shape any
+    over-driver-bound generation set takes — where pushdown carries
+    the scale property); the r16 driver-merge fast path replaces the
+    generation scans with an in-memory relation only under its 8 MiB
+    bound, where the base-scan pushdown (asserted below for that path
+    too) is the only one that touches real files."""
     root = str(tmp_path)
     _store(spark, root)
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MERGE", "0")
     df = read_log_store(spark, root, "idx", "doc").where(F.col("tok") == "x")
     plan = df._jdf.queryExecution().executedPlan().toString()
     # every parquet scan of rows data carries the pushed tok filter
@@ -746,6 +754,17 @@ def test_term_filter_pushes_into_generational_scans(spark, tmp_path):
         plan[:3000]
     )
     assert {(r.doc, r.tok, r.tf) for r in df.collect()} == {(1, "x", 9)}
+    # driver-merge path: identical contents, and the BASE scan still
+    # carries the pushed filter (the generation side is driver-held)
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MERGE", "1")
+    df_fast = read_log_store(spark, root, "idx", "doc").where(
+        F.col("tok") == "x"
+    )
+    plan_fast = df_fast._jdf.queryExecution().executedPlan().toString()
+    assert (
+        plan_fast.count("PushedFilters: [IsNotNull(tok), EqualTo(tok,x)") >= 1
+    ), plan_fast[:3000]
+    assert {(r.doc, r.tok, r.tf) for r in df_fast.collect()} == {(1, "x", 9)}
 
 
 def test_streaming_neighbors_logged_wiring(spark, tmp_path):
@@ -1048,3 +1067,106 @@ def test_row_cotrigger_fires_compaction(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(ls, "BROADCAST_TOUCHED_MAX_ROWS", 0)
     assert compact_if_needed(spark, root, "idx", "doc", **kw) == 2
     assert _contents(read_log_store(spark, root, "idx", "doc")) == want
+
+
+def test_driver_merge_matches_distributed_merge(spark, tmp_path, monkeypatch):
+    """r16 driver-merge fast path: under DRIVER_MERGE_MAX_BYTES the
+    winner/live sets resolve on the driver (the generation side of the
+    plan is an in-memory relation, no delta shuffle stages) and the
+    contents are identical to the distributed merge on the same
+    store."""
+    root = str(tmp_path)
+    want = _store(spark, root)
+    fast = read_log_store(spark, root, "idx", "doc")
+    assert "LogicalRDD" in fast._jdf.queryExecution().optimizedPlan().toString()
+    assert _contents(fast) == want
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MERGE", "0")
+    slow = read_log_store(spark, root, "idx", "doc")
+    assert (
+        "LogicalRDD" not in slow._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert _contents(slow) == want
+
+
+def test_driver_merge_guards_fall_back(spark, tmp_path, monkeypatch):
+    """The fast path's guards: NULL key values and timestamp columns
+    take the distributed merge (SQL null-equality and session-timezone
+    semantics are the engine's, never replicated in Python), and an
+    over-bound generation set falls back too."""
+    import bgg_data_warehouse_spark.log_store as ls
+
+    # null key in a generation row -> distributed path, null row kept
+    # out of live_fresh by SQL join semantics
+    root = str(tmp_path / "nullkey")
+    init_log_store(_df(spark, BASE_ROWS), root, "idx")
+    append_log_delta(
+        root, "idx",
+        spark.createDataFrame(
+            [(None, "n", 1), (1, "x", 9)], "doc long, tok string, tf long"
+        ),
+        "doc",
+    )
+    df = read_log_store(spark, root, "idx", "doc")
+    assert "LogicalRDD" not in df._jdf.queryExecution().optimizedPlan().toString()
+
+    # timestamp column -> distributed path
+    root2 = str(tmp_path / "ts")
+    ts_df = spark.sql(
+        "SELECT 1L AS k, timestamp'2024-01-02 03:04:05' AS ts"
+    )
+    init_log_store(ts_df, root2, "tstore")
+    append_log_delta(
+        root2, "tstore",
+        spark.sql("SELECT 2L AS k, timestamp'2024-02-02 03:04:05' AS ts"),
+        "k",
+    )
+    df2 = read_log_store(spark, root2, "tstore", "k")
+    assert (
+        "LogicalRDD" not in df2._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert df2.count() == 2
+
+    # over-bound -> distributed path
+    monkeypatch.setattr(ls, "DRIVER_MERGE_MAX_BYTES", 0)
+    root3 = str(tmp_path / "big")
+    _store(spark, root3)
+    df3 = read_log_store(spark, root3, "idx", "doc")
+    assert (
+        "LogicalRDD" not in df3._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
+def test_gen_write_file_count_tracks_delta_size(spark, tmp_path, monkeypatch):
+    """r15 VERDICT #4: a delta-bounded generation writes ONE file (the
+    r15 small-file fix), but past GEN_TARGET_BYTES of estimated size
+    the write fans out so a backfill-scale delta encodes in parallel
+    instead of serializing through one task."""
+    import bgg_data_warehouse_spark.log_store as ls
+
+    def rows_files(root, name):
+        store = _store_path(root, name)
+        (gen,) = _delta_dirs(store, committed=True)
+        d = os.path.join(gen, "rows")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    # distributed (non-local-relation) delta under the target: 1 file
+    big = spark.range(0, 20000, 1, 4).select(
+        F.col("id").alias("doc"),
+        F.lit("t").alias("tok"),
+        F.col("id").alias("tf"),
+    )
+    root = str(tmp_path / "small")
+    init_log_store(_df(spark, BASE_ROWS), root, "idx")
+    append_log_delta(root, "idx", big, "doc")
+    assert len(rows_files(root, "idx")) == 1
+
+    # same delta with a tiny per-file target: the write fans out
+    monkeypatch.setattr(ls, "GEN_TARGET_BYTES", 1024)
+    root2 = str(tmp_path / "wide")
+    init_log_store(_df(spark, BASE_ROWS), root2, "idx")
+    append_log_delta(root2, "idx", big, "doc")
+    n_wide = len(rows_files(root2, "idx"))
+    assert n_wide > 1
+    # contents unaffected by the layout
+    got = read_log_store(spark, root2, "idx", "doc").count()
+    assert got == 20000  # every base doc id is inside the range delta
