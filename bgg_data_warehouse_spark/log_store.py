@@ -380,6 +380,14 @@ def _dir_rows(d: str) -> int:
     return total
 
 
+# Bound on the literal NOT-IN exit of the driver-resolved merge. Above
+# ~10 values Catalyst rewrites In to InSet (hash-set membership, O(1)
+# per row), so the runtime cost stays flat; the bound exists to keep
+# the LITERAL list out of plan-size territory (py4j transfer +
+# expression tree per evaluation). Touched sets past it keep the
+# broadcast anti.
+_TOUCHED_ISIN_MAX = 8192
+
 # Driver-merge bound (r16): generations totalling at most this many
 # on-disk bytes resolve their winner/live sets on the DRIVER (pyarrow
 # footer+data reads, no Spark jobs) instead of through two delta-sized
@@ -413,9 +421,10 @@ def _read_dir_arrow(d: str, columns: list[str] | None = None):
 
 def _driver_merge_parts(spark: SparkSession, gen_dirs: list[str], key_cols):
     """The merge's generation-side frames resolved on the DRIVER:
-    ``(touched_keys, live_fresh)`` as single-slice driver relations, or
-    None when out of bounds/unsupported (the distributed merge then
-    runs unchanged).
+    ``(touched_keys, live_fresh, touched_vals)`` — two single-slice
+    driver relations plus the raw touched-key tuples (for the literal
+    NOT-IN exit) — or None when out of bounds/unsupported (the
+    distributed merge then runs unchanged).
 
     Motivation (r16, guide §2.6/§5): the winner aggregation and the
     live-fresh semi are DELTA-bounded, but each evaluation of a merged
@@ -507,7 +516,11 @@ def _driver_merge_parts(spark: SparkSession, gen_dirs: list[str], key_cols):
             )
 
         touched = sorted(winner)  # deterministic order
-        return _relation(touched, key_schema), _relation(live, spark_schema)
+        return (
+            _relation(touched, key_schema),
+            _relation(live, spark_schema),
+            touched,
+        )
     except Exception:
         return None
 
@@ -663,8 +676,24 @@ def _merge(
         # merge is ONE map-side anti over the base scan plus a local
         # union — no delta shuffle stages per evaluation, and nothing
         # to pin (pin_touched's raison d'être was those stages)
-        touched_keys, live_fresh = fast
-        kept = base.join(F.broadcast(touched_keys), key_cols, "left_anti")
+        touched_keys, live_fresh, touched_vals = fast
+        kept = None
+        if touched_vals is not None and len(key_cols) == 1:
+            vals = [v[0] for v in touched_vals]
+            if len(vals) <= _TOUCHED_ISIN_MAX and all(
+                isinstance(v, (int, str)) and not isinstance(v, bool)
+                for v in vals
+            ):
+                # literal NOT-IN instead of the broadcast anti (r16):
+                # same exit semantics — a NULL base key never matches a
+                # join and never matches IN, so it is kept either way —
+                # with no broadcast build job per evaluation, and the
+                # predicate sits at the scan where the session's exact
+                # In pushdown applies. Bounded at the same threshold.
+                c = F.col(key_cols[0])
+                kept = base.where(c.isNull() | ~c.isin(vals)) if vals else base
+        if kept is None:
+            kept = base.join(F.broadcast(touched_keys), key_cols, "left_anti")
         return union(kept, live_fresh)
     fresh_parts, touched_parts = [], []
     for i, g in enumerate(gen_dirs):

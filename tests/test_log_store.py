@@ -163,10 +163,11 @@ def test_folded_generations_replay_idempotently(spark, tmp_path):
     assert _contents(read_log_store(spark, root, "idx", "doc")) == want
 
 
-def test_read_merge_base_anti_is_broadcast(spark, tmp_path):
-    """Scale pin: the base side of the generational merge leaves via a
-    BROADCAST anti on the delta-bounded touched-key set — base rows are
-    never shuffled for a read."""
+def test_read_merge_base_anti_is_broadcast(spark, tmp_path, monkeypatch):
+    """Scale pin: base rows are never shuffled for a read. On the
+    driver-resolved fast path (r16) the base exits via a literal
+    NOT-IN filter — no join at all; on the distributed path the exit
+    is a BROADCAST anti on the delta-bounded touched-key set."""
     root = str(tmp_path)
     _store(spark, root)
     plan = (
@@ -175,8 +176,18 @@ def test_read_merge_base_anti_is_broadcast(spark, tmp_path):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    assert "SortMergeJoin" not in plan
+    # fast path: filter exit, no join of base at all
+    assert "LeftAnti" not in plan and "SortMergeJoin" not in plan
+    assert "NOT doc" in plan or "isnull" in plan.lower()
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MERGE", "0")
+    plan_dist = (
+        read_log_store(spark, root, "idx", "doc")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan_dist and "LeftAnti" in plan_dist
+    assert "SortMergeJoin" not in plan_dist
 
 
 def test_merge_broadcast_hint_has_absolute_bound(spark, tmp_path, monkeypatch):
@@ -196,6 +207,9 @@ def test_merge_broadcast_hint_has_absolute_bound(spark, tmp_path, monkeypatch):
         assert "LeftAnti" in anti
         return "strategy=broadcast" in anti
 
+    # the hint pin concerns the DISTRIBUTED merge (the r16 driver-merge
+    # fast path has no join to hint — pinned elsewhere)
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MERGE", "0")
     assert anti_hinted(read_log_store(spark, root, "idx", "doc"))
     monkeypatch.setattr(ls, "BROADCAST_TOUCHED_MAX_BYTES", 0)
     over = read_log_store(spark, root, "idx", "doc")
@@ -761,8 +775,11 @@ def test_term_filter_pushes_into_generational_scans(
         F.col("tok") == "x"
     )
     plan_fast = df_fast._jdf.queryExecution().executedPlan().toString()
-    assert (
-        plan_fast.count("PushedFilters: [IsNotNull(tok), EqualTo(tok,x)") >= 1
+    # the tok equality reaches the base scan's PushedFilters (alongside
+    # the NOT-IN touched-key exit)
+    assert any(
+        "PushedFilters" in ln and "EqualTo(tok,x)" in ln
+        for ln in plan_fast.splitlines()
     ), plan_fast[:3000]
     assert {(r.doc, r.tok, r.tf) for r in df_fast.collect()} == {(1, "x", 9)}
 
@@ -899,7 +916,9 @@ def test_log_store_matches_replace_by_key_model_random_histories(spark, tmp_path
         history=st.lists(epoch, min_size=1, max_size=4),
     )
     @settings(
-        max_examples=10,
+        max_examples=6,  # r16: Spark-job-bound examples (see
+        # test_properties.SETTINGS_HEAVY rationale) — the property,
+        # strategies and model are unchanged
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
@@ -1044,6 +1063,9 @@ def test_merge_broadcast_hint_has_row_bound(spark, tmp_path, monkeypatch):
         assert "LeftAnti" in anti
         return "strategy=broadcast" in anti
 
+    # the hint pin concerns the DISTRIBUTED merge (the r16 driver-merge
+    # fast path has no join to hint)
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MERGE", "0")
     assert anti_hinted(read_log_store(spark, root, "idx", "doc"))
     # rows over the (monkeypatched) row bound, bytes far under the
     # byte bound — exactly the tombstone-only inversion
